@@ -1,0 +1,243 @@
+"""RVL variable-byte codec + delta coding, numpy-vectorized.
+
+Format parity with the reference (ref:contrib/lemur/include/lemur/RVLCompress.hpp):
+
+* values are split into 7-bit groups, least-significant group first;
+* the high bit (0x80) is SET on the FINAL byte of each value and clear on
+  continuation bytes (``RVLCompress::decompress_int`` terminator test,
+  ref:contrib/lemur/include/lemur/RVLCompress.hpp:99-110);
+* signed values fold negatives as ``2*-n-1`` / ``2*n``
+  (``foldNegatives``, ref:RVLCompress.hpp:65-75).
+
+Posting-list layout (one term), derived from the in-memory builder
+(ref:src/DocListMemoryBuilder.cpp:181-230) and the disk layout comment
+(ref:src/DiskDocListIterator.cpp:21-56): per document ``(Δ doc_id, tf,
+Δ positions…)`` in RVL vbyte, with the doc-id delta reset at each block
+boundary (the reference resets per 4 KB skip batch, ref:src/IndexWriter.cpp:527)
+so any block decodes standalone — the property that enables doc-range-sliced
+scoring and rank-safe block-max skipping.  One deliberate deviation for
+vectorized decode: within a block, the ``(Δdoc, tf)`` pairs and the position
+deltas are stored as two separate vbyte streams instead of interleaved
+per-document; values, order and compression are otherwise identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TARGET_BLOCK_BYTES = 4096  # ref:src/IndexWriter.cpp:527 skip interval
+
+# ---------------------------------------------------------------------------
+# vbyte
+# ---------------------------------------------------------------------------
+
+
+def vbyte_sizes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (uint64 in)."""
+    v = np.asarray(values, dtype=np.uint64)
+    sizes = np.ones(len(v), dtype=np.int64)
+    threshold = 1 << 7
+    while True:
+        over = v >= np.uint64(threshold)
+        if not over.any():
+            break
+        sizes[over] += 1
+        if threshold >= (1 << 63):
+            break
+        threshold <<= 7
+    return sizes
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized vbyte encode of a uint64 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    sizes = vbyte_sizes(v)
+    total = int(sizes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    shifted = v.copy()
+    for pos in range(int(sizes.max())):
+        mask = sizes > pos
+        out[starts[mask] + pos] = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
+        shifted >>= np.uint64(7)
+    out[starts + sizes - 1] |= 0x80  # terminator bit on final byte of each value
+    return out.tobytes()
+
+
+def vbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Vectorized decode of a whole vbyte stream → uint64 array."""
+    arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    term_mask = (arr & 0x80) != 0
+    group = np.zeros(len(arr), dtype=np.int64)  # value index each byte belongs to
+    group[1:] = np.cumsum(term_mask[:-1])
+    n_values = int(term_mask.sum())
+    starts_of_group = np.concatenate(([0], np.nonzero(term_mask)[0][:-1] + 1))
+    pos_in_group = (np.arange(len(arr)) - starts_of_group[group]).astype(np.uint64)
+    payload = (arr & 0x7F).astype(np.uint64) << (np.uint64(7) * pos_in_group)
+    out = np.zeros(n_values, dtype=np.uint64)
+    np.add.at(out, group, payload)
+    return out
+
+
+def fold_negatives(values: np.ndarray) -> np.ndarray:
+    """Signed → unsigned zig-zag fold (ref:RVLCompress.hpp:65-75)."""
+    v = np.asarray(values, dtype=np.int64)
+    return np.where(
+        v < 0,
+        (np.uint64(2) * (-v).astype(np.uint64)) - np.uint64(1),
+        np.uint64(2) * v.astype(np.uint64),
+    )
+
+
+def unfold_negatives(values: np.ndarray) -> np.ndarray:
+    v = np.asarray(values, dtype=np.uint64)
+    neg = (v & np.uint64(1)) != 0
+    return np.where(
+        neg,
+        -(((v + np.uint64(1)) // np.uint64(2)).astype(np.int64)),
+        (v // np.uint64(2)).astype(np.int64),
+    ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# delta helpers
+# ---------------------------------------------------------------------------
+
+
+def delta_encode(values: np.ndarray) -> np.ndarray:
+    """Ascending int array → deltas; first value kept absolute."""
+    v = np.asarray(values, dtype=np.int64)
+    out = np.empty_like(v)
+    if len(v):
+        out[0] = v[0]
+        np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def segmented_cumsum(deltas: np.ndarray, seg_lengths: np.ndarray) -> np.ndarray:
+    """Cumulative sum restarting at each segment start (vectorized)."""
+    d = np.asarray(deltas, dtype=np.int64)
+    lens = np.asarray(seg_lengths, dtype=np.int64)
+    if len(d) == 0:
+        return d
+    cum = np.cumsum(d)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    corr = np.zeros(len(lens), dtype=np.int64)
+    corr[1:] = cum[starts[1:] - 1]
+    return cum - np.repeat(corr, lens)
+
+
+def segmented_delta(values: np.ndarray, seg_lengths: np.ndarray) -> np.ndarray:
+    """Inverse of segmented_cumsum: per-segment delta, first of segment absolute."""
+    v = np.asarray(values, dtype=np.int64)
+    lens = np.asarray(seg_lengths, dtype=np.int64)
+    if len(v) == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    out[starts] = v[starts]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# posting-list blocks
+# ---------------------------------------------------------------------------
+
+
+def encode_block(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    positions: np.ndarray | None,
+) -> bytes:
+    """Encode one block.
+
+    Layout: vbyte stream A = interleaved (Δdoc_id, tf) — Δ base 0 at block
+    start; then, if positions are kept, vbyte stream B = per-doc Δpositions.
+    Stream A's byte length is prefixed (vbyte) so B can be located.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = len(doc_ids)
+    if n == 0:
+        return b""
+    inter = np.empty(2 * n, dtype=np.uint64)
+    inter[0::2] = delta_encode(doc_ids).astype(np.uint64)
+    inter[1::2] = tfs.astype(np.uint64)
+    stream_a = vbyte_encode(inter)
+    if positions is None:
+        return vbyte_encode(np.array([len(stream_a)], dtype=np.uint64)) + stream_a
+    pos_deltas = segmented_delta(np.asarray(positions, dtype=np.int64), tfs)
+    stream_b = vbyte_encode(pos_deltas.astype(np.uint64))
+    return (
+        vbyte_encode(np.array([len(stream_a)], dtype=np.uint64))
+        + stream_a
+        + stream_b
+    )
+
+
+def decode_block(
+    buf: bytes | memoryview, has_positions: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Decode one block → (doc_ids, tfs, positions|None)."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if len(arr) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), None
+    # read the stream-A length prefix (single vbyte value)
+    prefix_end = int(np.nonzero(arr & 0x80)[0][0]) + 1
+    a_len = int(vbyte_decode(arr[:prefix_end])[0])
+    stream_a = arr[prefix_end : prefix_end + a_len]
+    flat = vbyte_decode(stream_a)
+    doc_ids = np.cumsum(flat[0::2].astype(np.int64))
+    tfs = flat[1::2].astype(np.int64)
+    if not has_positions:
+        return doc_ids, tfs, None
+    pos_deltas = vbyte_decode(arr[prefix_end + a_len :]).astype(np.int64)
+    positions = segmented_cumsum(pos_deltas, tfs)
+    return doc_ids, tfs, positions
+
+
+def cut_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    positions: np.ndarray | None,
+    target_bytes: int = TARGET_BLOCK_BYTES,
+) -> list[tuple[int, int, bytes, np.ndarray, np.ndarray]]:
+    """Split one term's full posting run into encoded blocks.
+
+    Returns a list of ``(first_doc, last_doc, payload, block_tfs, block_dls?)``
+    shaped tuples — actually ``(first_doc, last_doc, payload, doc_slice,
+    tf_slice)`` so the caller can compute block-max metadata with doc lengths.
+    Block boundaries fall on document boundaries; target compressed size
+    ~``target_bytes`` (ref 4 KB skip interval, ref:src/IndexWriter.cpp:527).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = len(doc_ids)
+    if n == 0:
+        return []
+    # estimate bytes per doc: ~2-5 for (Δdoc, tf) + ~1.5/position
+    per_doc = 4.0 + (1.5 * float(tfs.mean()) if positions is not None else 0.0)
+    docs_per_block = max(8, int(target_bytes / per_doc))
+    out = []
+    pos_start = 0
+    for start in range(0, n, docs_per_block):
+        end = min(start + docs_per_block, n)
+        block_tfs = tfs[start:end]
+        if positions is not None:
+            pos_end = pos_start + int(block_tfs.sum())
+            block_pos = positions[pos_start:pos_end]
+            pos_start = pos_end
+        else:
+            block_pos = None
+        payload = encode_block(doc_ids[start:end], block_tfs, block_pos)
+        out.append(
+            (int(doc_ids[start]), int(doc_ids[end - 1]), payload, doc_ids[start:end], block_tfs)
+        )
+    return out

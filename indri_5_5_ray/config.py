@@ -1,0 +1,52 @@
+"""Build/query configuration.
+
+Defaults mirror the reference's pinned constants:
+
+* BM25 okapi k1=1.2 b=0.75 k3=7 (ref:src/TermScoreFunctionFactory.cpp:90-92)
+* posting block target 4096 B (ref:src/IndexWriter.cpp:527)
+* stopwords default OFF (reference stops only when a stopper section is
+  configured; the 418-word fixture list ref:buildindex/stopwords is bundled)
+* Krovetz stemming default ON (typical Indri configuration; toggle for the
+  SQL-oracle-checkable no-stem pipelines)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    stemmer: str | None = "krovetz"       # None | "krovetz"
+    stopwords: tuple[str, ...] = ()        # empty = no stopping
+    store_positions: bool = True
+    dedup_key: str | None = "docno"        # None | "docno" | "sha256"
+    target_block_bytes: int = 4096         # ref:src/IndexWriter.cpp:527
+    n_buckets: int = 32                    # term-hash partition dirs for pruning
+    salt_docs_per_group: int = 1 << 22     # split posting lists by doc range
+    max_chunk_docs: int = 4096             # build work-item granularity
+    # BM25 okapi defaults (ref:src/TermScoreFunctionFactory.cpp:90-92)
+    k1: float = 1.2
+    b: float = 0.75
+    k3: float = 7.0
+
+    def to_dict(self) -> dict:
+        return {
+            "stemmer": self.stemmer,
+            "stopwords": list(self.stopwords),
+            "store_positions": self.store_positions,
+            "dedup_key": self.dedup_key,
+            "target_block_bytes": self.target_block_bytes,
+            "n_buckets": self.n_buckets,
+            "salt_docs_per_group": self.salt_docs_per_group,
+            "max_chunk_docs": self.max_chunk_docs,
+            "k1": self.k1,
+            "b": self.b,
+            "k3": self.k3,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "IndexConfig":
+        d = dict(d)
+        d["stopwords"] = tuple(d.get("stopwords", ()))
+        return IndexConfig(**d)

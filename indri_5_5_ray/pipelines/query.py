@@ -1,0 +1,387 @@
+"""BM25 (okapi baseline) query engine over the built index.
+
+Score semantics pinned to the reference (rank-identity contract):
+
+* ``idf = log((N - df + 0.5) / (df + 0.5))`` — may be negative for common
+  terms, kept as-is (ref:src/TermScoreFunctionFactory.cpp:94);
+* doc score per term = ``qtw · idf·(k1+1)·tf / (tf + k1·(1-b) +
+  k1·b·dl/avgdl)`` with the same factored constants
+  (ref:include/indri/TFIDFTermScoreFunction.hpp:92-109, _precomputeConstants
+  :53-60);
+* ``qtw = (k3+1)·qtf / (k3+qtf)`` (ref:TFIDFTermScoreFunction.hpp:140-143);
+* ``avgdl = contextSize / documentCount`` with contextSize counting stopped
+  slots (ref:src/TermScoreFunctionFactory.cpp:95);
+* statistics are GLOBAL across all index partitions, gathered before scoring
+  (ref:src/QueryEnvironment.cpp:957-970);
+* per-doc accumulation sums terms in query order (``PlusNode``,
+  ref:src/PlusNode.cpp:75-106);
+* final ranking: score desc → doc_id desc (``ScoredExtentResult::score_greater``
+  ref:include/indri/ScoredExtentResult.hpp:32-47), stable sort + truncate
+  (ref:src/QueryEnvironment.cpp:985-988).
+
+Two scorers, both returning identical rankings:
+
+* ``score_exhaustive`` — decodes every block of every query term; vectorized
+  numpy; this is the oracle path mirroring the reference baseline, which
+  never prunes (``PlusNode`` is not SkippingCapable, ref:src/PlusNode.cpp:36-42);
+* ``score_blockmax`` — rank-safe block-max pruning: doc-space segments are
+  processed in descending upper-bound order and processing stops when the
+  residual upper bound drops strictly below the top-k threshold
+  (generalizing topdocs/max-score, ref:src/IndexWriter.cpp:531-607,
+  ref:src/WeightedAndNode.cpp:32-74; skipping is strict-inequality so results
+  stay identical to the exhaustive path even under score ties).
+"""
+
+from __future__ import annotations
+
+import json
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..codec import decode_block
+from ..config import IndexConfig
+from ..stages.ingest import TermProcessor
+from ..tokenizer import tokenize
+
+
+def process_query(text: str, cfg: IndexConfig, proc: TermProcessor | None = None) -> list[tuple[str, int]]:
+    """Query text → [(indexed term, qtf)] in first-occurrence order.
+
+    Query terms run through the same normalize→stop→stem chain as documents
+    (``Repository::processTerm``, ref:src/Repository.cpp:1087-1112); qtf
+    counts duplicates of the *processed* term (``QueryTFWalker``,
+    ref:src/QueryEnvironment.cpp:976-980).
+    """
+    proc = proc or TermProcessor(cfg)
+    counts: dict[str, int] = {}
+    for raw in tokenize(text):
+        term = proc.process(raw)
+        if term is None:
+            continue
+        counts[term] = counts.get(term, 0) + 1
+    return list(counts.items())
+
+
+class IndexReader:
+    """Read-side handle on one index directory (or one doc-range shard of a
+    sharded deployment; statistics always come from the global manifest)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = str(index_dir)
+        self.manifest = json.loads((Path(index_dir) / "manifest.json").read_text())
+        self.cfg = IndexConfig.from_dict(self.manifest["config"])
+        self.doc_count = self.manifest["doc_count"]
+        self.total_terms = self.manifest["total_terms"]
+        self.avgdl = self.total_terms / self.doc_count
+        self._doc_lens: np.ndarray | None = None
+        self._docnos: dict[int, str] | None = None
+
+    # -- doc metadata -------------------------------------------------------
+
+    def doc_lens(self) -> np.ndarray:
+        """Dense doc_id → dl array (per-shard at scale; whole index here)."""
+        if self._doc_lens is None:
+            t = pq.read_table(f"{self.index_dir}/docs", columns=["doc_id", "dl"])
+            arr = np.zeros(self.manifest["max_doc_id"] + 1, dtype=np.int32)
+            arr[t.column("doc_id").to_numpy()] = t.column("dl").to_numpy()
+            self._doc_lens = arr
+        return self._doc_lens
+
+    def docnos(self, doc_ids: list[int]) -> list[str]:
+        """docID → docno forward lookup (ref:src/LocalQueryServer.cpp:167-206)."""
+        if self._docnos is None:
+            t = pq.read_table(f"{self.index_dir}/docs", columns=["doc_id", "docno"])
+            self._docnos = dict(
+                zip(t.column("doc_id").to_pylist(), t.column("docno").to_pylist())
+            )
+        return [self._docnos.get(d, "") for d in doc_ids]
+
+    # -- postings access ----------------------------------------------------
+
+    def _bucket_of(self, term: str) -> int:
+        import hashlib
+
+        h = int.from_bytes(hashlib.md5(term.encode()).digest()[:4], "little")
+        return h % self.cfg.n_buckets
+
+    def term_rows(self, terms: list[str]) -> pa.Table:
+        """Partition-pruned fetch of all posting rows for ``terms``.
+
+        Pruning: parquet filter on (bucket, term) — bucket is constant per
+        output file (merge reducers are per-bucket) so row-group statistics
+        skip non-matching files wholesale; the term filter prunes row groups
+        within the bucket file (``BulkTree`` lookup analogue,
+        ref:src/IndexWriter.cpp:885-901).
+        """
+        if not terms:
+            import pyarrow as _pa
+
+            from ..stages.postings import POSTINGS_SCHEMA
+
+            return POSTINGS_SCHEMA.empty_table()
+        buckets = sorted({self._bucket_of(t) for t in terms})
+        dset = pads.dataset(f"{self.index_dir}/postings", format="parquet")
+        expr = pads.field("bucket").isin(buckets) & pads.field("term").isin(terms)
+        t = dset.to_table(filter=expr)
+        return t.sort_by([("term", "ascending"), ("first_doc", "ascending")])
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Global (cf, df) per term from the dictionary (first query pass —
+        the statistics gather of ref:src/QueryEnvironment.cpp:957-965)."""
+        if not terms:
+            return {}
+        dset = pads.dataset(f"{self.index_dir}/dictionary", format="parquet")
+        t = dset.to_table(filter=pads.field("term").isin(terms))
+        return {
+            term: (int(cf), int(df))
+            for term, cf, df in zip(
+                t.column("term").to_pylist(),
+                t.column("cf").to_pylist(),
+                t.column("df").to_pylist(),
+            )
+        }
+
+
+def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rank by score desc, doc_id desc; truncate to k
+    (ref:include/indri/ScoredExtentResult.hpp:32-47)."""
+    order = np.lexsort((-doc_ids, -scores))
+    order = order[:k]
+    return doc_ids[order], scores[order]
+
+
+class BM25Scorer:
+    """Okapi BM25 scorer over an IndexReader."""
+
+    def __init__(self, reader: IndexReader, k1: float | None = None,
+                 b: float | None = None, k3: float | None = None):
+        self.r = reader
+        cfg = reader.cfg
+        self.k1 = cfg.k1 if k1 is None else k1
+        self.b = cfg.b if b is None else b
+        self.k3 = cfg.k3 if k3 is None else k3
+
+    # -- shared machinery ---------------------------------------------------
+
+    def _term_constants(self, terms_qtf: list[tuple[str, int]]):
+        """Precompute per-term (qtw·idf·(k1+1), k1(1-b), k1·b/avgdl)
+        (ref:TFIDFTermScoreFunction.hpp:53-60)."""
+        stats = self.r.term_stats([t for t, _ in terms_qtf])
+        N = self.r.doc_count
+        avgdl = self.r.avgdl
+        k1, b, k3 = self.k1, self.b, self.k3
+        out = []
+        for term, qtf in terms_qtf:
+            cf_df = stats.get(term)
+            if cf_df is None:
+                continue  # df=0: no postings, contributes nothing
+            _cf, df = cf_df
+            idf = np.log((N - df + 0.5) / (df + 0.5))
+            qtw = ((k3 + 1) * qtf) / (k3 + qtf)
+            out.append((term, qtw * idf * (k1 + 1)))
+        k1_one_minus_b = k1 * (1 - b)
+        k1_b_over_avgdl = k1 * b / avgdl
+        return out, k1_one_minus_b, k1_b_over_avgdl
+
+    def _score_arrays(self, tf: np.ndarray, dl: np.ndarray, numer_const: float,
+                      k1_1mb: float, k1b_avg: float) -> np.ndarray:
+        return (numer_const * tf) / (tf + k1_1mb + k1b_avg * dl)
+
+    # -- exhaustive path ----------------------------------------------------
+
+    def score_exhaustive(self, terms_qtf: list[tuple[str, int]], k: int = 1000
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        consts, k1_1mb, k1b_avg = self._term_constants(terms_qtf)
+        if not consts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        rows = self.r.term_rows([t for t, _ in consts])
+        doc_lens = self.r.doc_lens()
+        has_pos = self.r.cfg.store_positions
+
+        # decode per term in query order; accumulate into a doc->score map
+        acc_ids: np.ndarray | None = None
+        acc_scores: np.ndarray | None = None
+        row_terms = rows.column("term").to_pylist()
+        payloads = rows.column("postings").to_pylist()
+        offs = rows.column("block_offset").to_pylist()
+        lens = rows.column("block_length").to_pylist()
+        for term, numer_const in consts:  # fixed query order = fixed float order
+            t_ids, t_tfs = [], []
+            for ri, rt in enumerate(row_terms):
+                if rt != term:
+                    continue
+                payload = payloads[ri]
+                for off, ln in zip(offs[ri], lens[ri]):
+                    d, tf, _ = decode_block(payload[off : off + ln], has_pos)
+                    t_ids.append(d)
+                    t_tfs.append(tf)
+            if not t_ids:
+                continue
+            d = np.concatenate(t_ids)
+            tf = np.concatenate(t_tfs).astype(np.float64)
+            dl = doc_lens[d].astype(np.float64)
+            s = self._score_arrays(tf, dl, numer_const, k1_1mb, k1b_avg)
+            if acc_ids is None:
+                acc_ids, acc_scores = d, s
+            else:
+                # merge accumulator with this term's postings
+                all_ids = np.concatenate([acc_ids, d])
+                uniq, inv = np.unique(all_ids, return_inverse=True)
+                merged = np.zeros(len(uniq), dtype=np.float64)
+                # add accumulator first, then this term — per-doc order equals
+                # query-term order, matching PlusNode's summation sequence
+                np.add.at(merged, inv[: len(acc_ids)], acc_scores)
+                np.add.at(merged, inv[len(acc_ids) :], s)
+                acc_ids, acc_scores = uniq, merged
+        if acc_ids is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return _topk(acc_ids, acc_scores, k)
+
+    # -- block-max path -----------------------------------------------------
+
+    def score_blockmax(self, terms_qtf: list[tuple[str, int]], k: int = 1000
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        """Rank-safe block-max scoring over doc-range cells.
+
+        The doc-id space is gridded into cells; each cell's upper bound is
+        Σ over query terms of the max block upper-bound overlapping the cell.
+        Cells are processed in descending upper-bound order and every block
+        overlapping a processed cell is decoded (decoded blocks are cached and
+        sliced), so every doc in a processed cell is scored COMPLETELY — in
+        fixed query-term order for float-identical sums.  Processing stops
+        when a cell's upper bound is strictly below the k-th finalized score
+        (tie-safe), guaranteeing skipped docs cannot enter the top-k.
+        """
+        consts, k1_1mb, k1b_avg = self._term_constants(terms_qtf)
+        if not consts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        term_order = {t: i for i, (t, _) in enumerate(consts)}
+        numer_by_ti = [c for _, c in consts]
+        rows = self.r.term_rows(list(term_order))
+        doc_lens = self.r.doc_lens()
+        has_pos = self.r.cfg.store_positions
+        n_terms = len(consts)
+
+        # collect blocks: (term_idx, first_doc, last_doc, ub, row_idx, off, ln)
+        blocks = []
+        row_terms = rows.column("term").to_pylist()
+        payloads = rows.column("postings").to_pylist()
+        all_off = rows.column("block_offset").to_pylist()
+        all_len = rows.column("block_length").to_pylist()
+        all_maxtf = rows.column("block_max_tf").to_pylist()
+        all_mindl = rows.column("block_min_dl").to_pylist()
+        all_last = rows.column("block_last_doc").to_pylist()
+        all_ndocs = rows.column("block_n_docs").to_pylist()
+        row_first = rows.column("first_doc").to_pylist()
+        max_doc = 0
+        for ri, rt in enumerate(row_terms):
+            ti = term_order[rt]
+            nc = numer_by_ti[ti]
+            prev_last = row_first[ri] - 1
+            for off, ln, mtf, mdl, last, _nd in zip(
+                all_off[ri], all_len[ri], all_maxtf[ri], all_mindl[ri],
+                all_last[ri], all_ndocs[ri],
+            ):
+                first = prev_last + 1  # lower bound on block's first doc
+                prev_last = last
+                if nc > 0:
+                    ub = (nc * mtf) / (mtf + k1_1mb + k1b_avg * mdl)
+                else:
+                    ub = 0.0  # negative-idf terms can only lower a score
+                blocks.append((ti, first, last, ub, ri, off, ln))
+                max_doc = max(max_doc, last)
+        if not blocks:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+
+        # doc-range cells ≈ 4 blocks wide on average
+        n_cells = max(1, min(len(blocks), 1024))
+        cell_span = (max_doc + n_cells) // n_cells
+        cell_blocks: dict[int, list[int]] = {}
+        for bi, (_ti, first, last, _ub, _ri, _off, _ln) in enumerate(blocks):
+            for cell in range(first // cell_span, last // cell_span + 1):
+                cell_blocks.setdefault(cell, []).append(bi)
+        cell_ub = {}
+        for cell, bis in cell_blocks.items():
+            per_term_max: dict[int, float] = {}
+            for bi in bis:
+                ti, _f, _l, ub, _ri, _o, _n = blocks[bi]
+                if ub > per_term_max.get(ti, -1.0):
+                    per_term_max[ti] = ub
+            cell_ub[cell] = sum(per_term_max.values())
+
+        decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+        def get_block(bi: int) -> tuple[np.ndarray, np.ndarray]:
+            _ti, _f, _l, _ub, ri, off, ln = blocks[bi]
+            key = (ri, off)
+            hit = decoded.get(key)
+            if hit is None:
+                d, tf, _ = decode_block(payloads[ri][off : off + ln], has_pos)
+                hit = (d, tf)
+                decoded[key] = hit
+            return hit
+
+        final_ids: list[np.ndarray] = []
+        final_scores: list[np.ndarray] = []
+        n_final = 0
+        threshold = -np.inf
+
+        for cell in sorted(cell_ub, key=lambda c: -cell_ub[c]):
+            if n_final >= k and cell_ub[cell] < threshold:
+                break
+            lo, hi = cell * cell_span, (cell + 1) * cell_span
+            # gather per-term slices within [lo, hi), in query-term order
+            acc_ids: np.ndarray | None = None
+            acc_scores: np.ndarray | None = None
+            bis = sorted(cell_blocks[cell], key=lambda bi: blocks[bi][0])
+            for ti in range(n_terms):
+                t_ids, t_tfs = [], []
+                for bi in bis:
+                    if blocks[bi][0] != ti:
+                        continue
+                    d, tf = get_block(bi)
+                    m = (d >= lo) & (d < hi)
+                    if m.any():
+                        t_ids.append(d[m])
+                        t_tfs.append(tf[m])
+                if not t_ids:
+                    continue
+                d = np.concatenate(t_ids)
+                tf = np.concatenate(t_tfs).astype(np.float64)
+                dl = doc_lens[d].astype(np.float64)
+                s = self._score_arrays(tf, dl, numer_by_ti[ti], k1_1mb, k1b_avg)
+                if acc_ids is None:
+                    acc_ids, acc_scores = d, s
+                else:
+                    all_ids = np.concatenate([acc_ids, d])
+                    uniq, inv = np.unique(all_ids, return_inverse=True)
+                    merged = np.zeros(len(uniq), dtype=np.float64)
+                    np.add.at(merged, inv[: len(acc_ids)], acc_scores)
+                    np.add.at(merged, inv[len(acc_ids) :], s)
+                    acc_ids, acc_scores = uniq, merged
+            if acc_ids is None:
+                continue
+            final_ids.append(acc_ids)
+            final_scores.append(acc_scores)
+            n_final += len(acc_ids)
+            if n_final >= k:
+                scores_now = np.concatenate(final_scores)
+                threshold = float(np.partition(scores_now, -k)[-k])
+
+        if not final_ids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return _topk(np.concatenate(final_ids), np.concatenate(final_scores), k)
+
+
+def format_trec(qid: str, doc_ids, scores, docnos, run_id: str = "indri55ray") -> list[str]:
+    """TREC result lines ``qid Q0 docno rank score runID``
+    (ref:runquery/IndriRunQuery.cpp:459-466)."""
+    return [
+        f"{qid} Q0 {docno} {rank + 1} {score:.6f} {run_id}"
+        for rank, (docno, score) in enumerate(zip(docnos, scores))
+    ]

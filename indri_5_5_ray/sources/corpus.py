@@ -1,0 +1,261 @@
+"""Corpus sources: the (repo, path, commit, lang, content) Parquet table.
+
+Three producers:
+
+* ``plan_chunks`` — deterministic work-item planning over a Parquet corpus
+  directory: files in sorted path order, row-group-aligned chunks, sequential
+  ``doc_id`` bases.  This reproduces the reference's sequential ingest-order
+  docID assignment (``MemoryIndex::addDocument`` ref:src/MemoryIndex.cpp:550)
+  deterministically under parallelism: doc_id = rows-before-file + row offset.
+* ``synthetic_corpus`` — seeded code-like corpus per FIXTURES.md §1: keyword
+  skew, shared license header on ~30% of rows, UTF-8/acronym/number tokens,
+  exact-duplicate contents for dedup.
+* ``corpus_from_documents`` — deterministic mapping of the driver's
+  ``documents`` table into the corpus shape (repo=source, path=doc_<id>.txt,
+  commit=md5(text), content=text) so DuckDB oracles over the ``documents``
+  view can replicate corpus-derived results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+CORPUS_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# chunk planning (ingest work items)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Chunk:
+    """One resumable unit of ingest work: a row range of one parquet file."""
+
+    file_path: str
+    row_start: int      # row offset within the file
+    row_end: int        # exclusive
+    doc_id_base: int    # global doc_id of row_start
+
+    @property
+    def chunk_id(self) -> str:
+        return f"{self.doc_id_base:012d}-{self.doc_id_base + self.row_end - self.row_start:012d}"
+
+
+def corpus_files(corpus: str | list[str]) -> list[str]:
+    if isinstance(corpus, (list, tuple)):
+        return sorted(str(p) for p in corpus)
+    p = Path(corpus)
+    if p.is_file():
+        return [str(p)]
+    return sorted(str(f) for f in p.rglob("*.parquet"))
+
+
+def plan_chunks(corpus: str | list[str], max_chunk_docs: int = 4096) -> list[Chunk]:
+    """Deterministic chunk plan. Row-group aligned where possible; row groups
+    larger than 4× the target are sliced (small-scale parallelism); the
+    metadata scan is per-file and cheap (footer reads only)."""
+    chunks: list[Chunk] = []
+    base = 0
+    for fp in corpus_files(corpus):
+        md = pq.read_metadata(fp)
+        row = 0
+        rg_sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        pending = 0
+        pending_start = 0
+        for n in rg_sizes:
+            if n > 4 * max_chunk_docs:
+                if pending:
+                    chunks.append(Chunk(fp, pending_start, pending_start + pending, base + pending_start))
+                    pending = 0
+                # slice the big row group
+                s = row
+                while s < row + n:
+                    e = min(s + max_chunk_docs, row + n)
+                    chunks.append(Chunk(fp, s, e, base + s))
+                    s = e
+                row += n
+                pending_start = row
+                continue
+            if pending == 0:
+                pending_start = row
+            pending += n
+            row += n
+            if pending >= max_chunk_docs:
+                chunks.append(Chunk(fp, pending_start, pending_start + pending, base + pending_start))
+                pending = 0
+                pending_start = row
+        if pending:
+            chunks.append(Chunk(fp, pending_start, pending_start + pending, base + pending_start))
+        base += row
+    return chunks
+
+
+def read_chunk(chunk: Chunk, columns: list[str] | None = None) -> pa.Table:
+    """Read one chunk's rows (column-pruned)."""
+    f = pq.ParquetFile(chunk.file_path)
+    # find covering row groups
+    start, end = chunk.row_start, chunk.row_end
+    covered = []
+    row = 0
+    for i in range(f.num_row_groups):
+        n = f.metadata.row_group(i).num_rows
+        if row + n > start and row < end:
+            covered.append((i, row))
+        row += n
+        if row >= end:
+            break
+    tables = [f.read_row_group(i, columns=columns) for i, _ in covered]
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    first_covered_row = covered[0][1]
+    return t.slice(start - first_covered_row, end - start)
+
+
+# ---------------------------------------------------------------------------
+# synthetic corpus (FIXTURES.md §1)
+# ---------------------------------------------------------------------------
+
+_LANGS = ["c", "cpp", "py", "java", "go", "js", "md", "txt"]
+
+_KEYWORDS = {
+    "c": ["int", "char", "void", "return", "if", "else", "for", "while", "struct",
+          "static", "const", "sizeof", "include", "define"],
+    "py": ["def", "return", "if", "else", "for", "while", "class", "import",
+           "from", "self", "None", "True", "False", "lambda"],
+    "java": ["public", "private", "static", "void", "class", "return", "new",
+             "int", "String", "final", "import", "extends"],
+    "go": ["func", "return", "if", "else", "for", "range", "struct", "var",
+           "package", "import", "defer", "chan"],
+    "js": ["function", "return", "if", "else", "for", "while", "const", "let",
+           "var", "new", "class", "export"],
+}
+_KEYWORDS["cpp"] = _KEYWORDS["c"] + ["namespace", "template", "class", "virtual"]
+_KEYWORDS["md"] = ["the", "and", "is", "of", "to", "a", "in", "that", "it", "for"]
+_KEYWORDS["txt"] = _KEYWORDS["md"]
+
+LICENSE_HEADER = (
+    "Copyright (c) 2004 Example Project Contributors. All Rights Reserved. "
+    "Use of this software is subject to the terms of the license agreement "
+    "set forth in the LICENSE file included with this distribution and "
+    "available at http://www.example.org/license.html"
+)
+
+_IDENT_PARTS = [
+    "get", "set", "index", "build", "merge", "token", "stream", "batch", "shard",
+    "buffer", "writer", "reader", "count", "total", "offset", "length", "hash",
+    "table", "node", "query", "score", "rank", "doc", "term", "posting", "block",
+]
+
+_COMMENT_WORDS = [
+    "computes", "returns", "the", "value", "for", "given", "input", "when",
+    "buffer", "overflow", "happens", "retry", "U.S.A.", "don't", "naïve",
+    "café", "Zürich", "résumé", "running", "flies", "indexed", "normalization",
+    "e.g.", "i.e.", "TODO", "FIXME", "x86-64", "IPv6", "3.14", "-42",
+]
+
+
+def synthetic_corpus(n_rows: int, seed: int = 42, dup_fraction: float = 0.02) -> pa.Table:
+    """Deterministic code-like corpus (FIXTURES.md §1)."""
+    rng = random.Random(seed)
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    for i in range(n_rows):
+        lang = _LANGS[rng.randrange(len(_LANGS))]
+        repo = f"org{rng.randrange(64):04d}/proj{rng.randrange(16)}"
+        path = (
+            f"src/{rng.choice(_IDENT_PARTS)}/{rng.choice(_IDENT_PARTS)}"
+            f"_{rng.choice(_IDENT_PARTS)}{i}.{lang}"
+        )
+        commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
+        if dup_fraction > 0 and i > 10 and rng.random() < dup_fraction:
+            content = contents[rng.randrange(len(contents))]  # exact duplicate
+        else:
+            parts = []
+            if rng.random() < 0.30:
+                parts.append(LICENSE_HEADER)
+            kw = _KEYWORDS.get(lang, _KEYWORDS["txt"])
+            n_lines = rng.randrange(5, 60)
+            for _ in range(n_lines):
+                line = []
+                for _ in range(rng.randrange(3, 12)):
+                    r = rng.random()
+                    if r < 0.45:
+                        line.append(kw[rng.randrange(len(kw))])
+                    elif r < 0.75:
+                        line.append(
+                            rng.choice(_IDENT_PARTS) + "_" + rng.choice(_IDENT_PARTS)
+                        )
+                    elif r < 0.85:
+                        line.append(str(rng.randrange(10000)))
+                    else:
+                        line.append(rng.choice(_COMMENT_WORDS))
+                parts.append(" ".join(line))
+            content = "\n".join(parts)
+        repos.append(repo)
+        paths.append(path)
+        commits.append(commit)
+        langs.append(lang)
+        contents.append(content)
+    return pa.table(
+        {"repo": repos, "path": paths, "commit": commits, "lang": langs,
+         "content": contents},
+        schema=CORPUS_SCHEMA,
+    )
+
+
+def write_synthetic_corpus(
+    out_dir: str, n_rows: int, seed: int = 42, rows_per_file: int = 10000
+) -> list[str]:
+    """Write the synthetic corpus as multiple parquet files (sharded)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    files = []
+    start = 0
+    shard = 0
+    while start < n_rows:
+        n = min(rows_per_file, n_rows - start)
+        t = synthetic_corpus(n, seed=seed + shard)
+        fp = out / f"corpus-{shard:05d}.parquet"
+        pq.write_table(t, fp)
+        files.append(str(fp))
+        start += n
+        shard += 1
+    return files
+
+
+# ---------------------------------------------------------------------------
+# documents-table mapping (for DuckDB-oracle-checkable pipelines)
+# ---------------------------------------------------------------------------
+
+
+def corpus_from_documents(sf_dir: str) -> pa.Table:
+    """Map the driver's documents table into the corpus shape, 1:1 and
+    SQL-reproducible (commit = md5(text), docno = source/doc_<id>.txt@commit)."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    sources = t.column("source").to_pylist()
+    langs = t.column("lang").to_pylist()
+    return pa.table(
+        {
+            "repo": sources,
+            "path": [f"doc_{i}.txt" for i in ids],
+            "commit": [hashlib.md5(x.encode()).hexdigest() for x in texts],
+            "lang": langs,
+            "content": texts,
+        },
+        schema=CORPUS_SCHEMA,
+    )

@@ -1,0 +1,245 @@
+"""Ingest stage: tokenize → stop → stem → per-chunk partial postings.
+
+This is the Ray analogue of the reference's single-threaded chain
+``tokenize → parse → transforms → MemoryIndex::addDocument``
+(ref:src/IndexEnvironment.cpp:356-421, ref:src/MemoryIndex.cpp:538-651) run
+as an actor-pool ``map_batches`` over a dataset of resumable work items
+(one item = one row-group-aligned chunk of one corpus file).
+
+Each actor holds the per-worker state the reference keeps per process —
+the Krovetz dictionary + cache and a term-processing memo — and for each
+chunk writes two deterministic side outputs before committing a lineage
+record:
+
+* ``docs/docs-<range>.parquet``  — (doc_id, docno, sha256, dl, unique_terms)
+* ``partials/partials-<range>.parquet`` — per (term) partial posting run:
+  ascending doc_ids, tfs, dls, flattened positions + partial cf/df stats
+  (the role of ``MemoryIndex``'s in-memory postings,
+  ref:src/MemoryIndex.cpp:560-651)
+
+Document-length semantics: stopped terms keep their position slot and count
+toward ``dl`` (ref:src/StopperTransformation.cpp:102-110,
+ref:src/MemoryIndex.cpp:617,647-648) but emit no posting.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import IndexConfig
+from ..kstem import KrovetzStemmer
+from ..sources.corpus import Chunk, read_chunk
+from ..state import lineage
+from ..tokenizer import tokenize
+from .postings import PARTIALS_SCHEMA
+
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("docno", pa.string()),
+        ("sha256", pa.string()),
+        ("dl", pa.int32()),
+        ("unique_terms", pa.int32()),
+    ]
+)
+
+
+class TermProcessor:
+    """normalize→stop→stem memo shared by build and query sides
+    (query terms go through the same chain: ``Repository::processTerm``
+    ref:src/Repository.cpp:1087-1112)."""
+
+    def __init__(self, cfg: IndexConfig):
+        self.stop = frozenset(cfg.stopwords)
+        self.stemmer = KrovetzStemmer() if cfg.stemmer == "krovetz" else None
+        self._memo: dict[str, str | None] = {}
+
+    def process(self, term: str) -> str | None:
+        """Tokenized+normalized term → indexed term, or None if stopped."""
+        r = self._memo.get(term, "\x00missing")
+        if r != "\x00missing":
+            return r
+        if self.stop and term in self.stop:
+            out = None
+        elif self.stemmer is not None:
+            out = self.stemmer.stem(term)
+        else:
+            out = term
+        self._memo[term] = out
+        return out
+
+
+class IngestWorker:
+    """Actor-pool UDF over chunk work items (batch_size=1)."""
+
+    def __init__(self, out_dir: str, cfg_dict: dict, losers_path: str | None = None):
+        self.out_dir = out_dir
+        self.cfg = IndexConfig.from_dict(cfg_dict)
+        self.proc = TermProcessor(self.cfg)
+        self.losers_path = losers_path
+
+    def _losers_in_range(self, lo: int, hi: int) -> np.ndarray:
+        """Dedup losers (doc_ids to drop) intersecting [lo, hi) — row-group
+        pruned read of the doc_id-sorted losers parquet."""
+        if not self.losers_path:
+            return np.empty(0, dtype=np.int64)
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(self.losers_path, format="parquet")
+        t = dset.to_table(filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi))
+        return t.column("doc_id").to_numpy()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_records = []
+        for item in batch.to_pylist():
+            out_records.append(self._process_chunk(Chunk(**{
+                k: item[k] for k in ("file_path", "row_start", "row_end", "doc_id_base")
+            })))
+        return pa.Table.from_pylist(out_records)
+
+    def _process_chunk(self, chunk: Chunk) -> dict:
+        t0 = time.perf_counter()
+        cid = chunk.chunk_id
+        fingerprint = f"{chunk.file_path}:{chunk.row_start}:{chunk.row_end}"
+        if lineage.is_done(self.out_dir, "ingest", cid, fingerprint):
+            rec = lineage.read_record(self.out_dir, "ingest", cid)
+            rec["skipped"] = True
+            return rec
+
+        tbl = read_chunk(chunk, columns=["repo", "path", "commit", "content"])
+        # docno = repo/path@commit (SURVEY.md §1.3: docno is the implicit key)
+        docnos = [
+            f"{r}/{p}@{c}"
+            for r, p, c in zip(
+                tbl.column("repo").to_pylist(),
+                tbl.column("path").to_pylist(),
+                tbl.column("commit").to_pylist(),
+            )
+        ]
+        contents = tbl.column("content").to_pylist()
+        n = len(contents)
+        doc_ids = np.arange(chunk.doc_id_base, chunk.doc_id_base + n, dtype=np.int64)
+        drop = self._losers_in_range(int(doc_ids[0]), int(doc_ids[-1]) + 1)
+        drop_set = set(drop.tolist())
+
+        shas, dls, uniq = [], [], []
+        # term → [doc_ids, tfs, dls, positions(list of arrays)]
+        acc: dict[str, list] = {}
+        proc = self.proc.process
+        for local_i in range(n):
+            content = contents[local_i]
+            sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            shas.append(sha)
+            did = int(doc_ids[local_i])
+            if did in drop_set:
+                dls.append(-1)
+                uniq.append(0)
+                continue
+            raw_terms = tokenize(content)
+            dl = len(raw_terms)  # includes stopped slots
+            per_doc: dict[str, list[int]] = {}
+            for pos, rt in enumerate(raw_terms):
+                term = proc(rt)
+                if term is None:
+                    continue
+                lst = per_doc.get(term)
+                if lst is None:
+                    per_doc[term] = [pos]
+                else:
+                    lst.append(pos)
+            dls.append(dl)
+            uniq.append(len(per_doc))
+            for term, positions in per_doc.items():
+                ent = acc.get(term)
+                if ent is None:
+                    acc[term] = ent = [[], [], [], []]
+                ent[0].append(did)
+                ent[1].append(len(positions))
+                ent[2].append(dl)
+                ent[3].extend(positions)
+
+        kept = np.array([d >= 0 for d in dls], dtype=bool)
+        docs_tbl = pa.table(
+            {
+                "doc_id": doc_ids[kept],
+                "docno": pa.array(np.array(docnos, dtype=object)[kept].tolist(), pa.string()),
+                "sha256": pa.array(np.array(shas, dtype=object)[kept].tolist(), pa.string()),
+                "dl": pa.array(np.array(dls)[kept].astype(np.int32), pa.int32()),
+                "unique_terms": pa.array(np.array(uniq)[kept].astype(np.int32), pa.int32()),
+            },
+            schema=DOCS_SCHEMA,
+        )
+
+        terms = sorted(acc.keys())
+        salt_span = self.cfg.salt_docs_per_group
+        n_buckets = self.cfg.n_buckets
+        rows = {
+            "term": [], "bucket": [], "salt": [], "first_doc": [], "last_doc": [],
+            "doc_ids": [], "tfs": [], "dls": [], "positions": [],
+        }
+        for term in terms:
+            d, tf, dlv, pos = acc[term]
+            rows["term"].append(term)
+            h = int.from_bytes(hashlib.md5(term.encode()).digest()[:4], "little")
+            rows["bucket"].append(h % n_buckets)
+            rows["salt"].append(d[0] // salt_span)
+            rows["first_doc"].append(d[0])
+            rows["last_doc"].append(d[-1])
+            rows["doc_ids"].append(d)
+            rows["tfs"].append(tf)
+            rows["dls"].append(dlv)
+            rows["positions"].append(pos if self.cfg.store_positions else [])
+        partials_tbl = pa.table(rows, schema=PARTIALS_SCHEMA)
+
+        docs_path = f"{self.out_dir}/docs/docs-{cid}.parquet"
+        partials_path = f"{self.out_dir}/partials/partials-{cid}.parquet"
+        os.makedirs(f"{self.out_dir}/docs", exist_ok=True)
+        os.makedirs(f"{self.out_dir}/partials", exist_ok=True)
+        pq.write_table(docs_tbl, docs_path)
+        pq.write_table(partials_tbl, partials_path)
+        nbytes = docs_tbl.nbytes + partials_tbl.nbytes
+        wall = (time.perf_counter() - t0) * 1000
+        rec = lineage.write_record(
+            self.out_dir, "ingest", cid, fingerprint,
+            rows=n, bytes_written=int(nbytes), wall_ms=wall,
+            extra={
+                "kept_docs": int(kept.sum()),
+                "total_term_slots": int(sum(x for x in dls if x >= 0)),
+                "distinct_terms": len(terms),
+            },
+        )
+        return rec
+
+
+class ShaDedupScanner:
+    """Phase-0 scanner for content-sha dedup: emits (doc_id, key) per row.
+
+    The reference dedups at ingest by docno backward lookup
+    (ref:src/IndexEnvironment.cpp:388-404); keying by sha256(content) is the
+    exact-dedup generalization (SURVEY.md §2.8)."""
+
+    def __init__(self, key: str):
+        self.key = key  # "sha256" | "docno"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.key == "sha256":
+            keys = [
+                hashlib.sha256(c.encode("utf-8")).hexdigest()
+                for c in batch.column("content").to_pylist()
+            ]
+        else:
+            keys = [
+                f"{r}/{p}@{c}"
+                for r, p, c in zip(
+                    batch.column("repo").to_pylist(),
+                    batch.column("path").to_pylist(),
+                    batch.column("commit").to_pylist(),
+                )
+            ]
+        return pa.table({"doc_id": batch.column("doc_id"), "key": pa.array(keys)})

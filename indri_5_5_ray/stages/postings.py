@@ -1,0 +1,162 @@
+"""Postings merge: the groupby-term shuffle.
+
+The Ray analogue of the reference's k-way heap merge over term-sorted partial
+indexes (``IndexWriter::write``/``_mergeData``, ref:src/IndexWriter.cpp:810-879):
+partial posting runs shuffled by (term, salt), concatenated in doc-id order
+(doc ranges of partials are disjoint — docIDs are partition-ranged by
+construction), delta+vbyte encoded into ~4 KB blocks with block-max metadata
+(the generalization of Indri's topdocs lists, ref:src/IndexWriter.cpp:531-607),
+and per-term cf/df/max_dl/min_dl merged exactly like ``termdata_merge``
+(ref:include/indri/TermData.hpp:126-140).
+
+Skew handling (SURVEY.md §4): hot terms (license boilerplate, language
+keywords) are *salted* by doc-id range — each (term, salt) group is an
+independent merge task and an independent output row, so no single reducer
+sees more than ``salt_docs_per_group`` docs' worth of one term's postings,
+and very long posting lists are naturally split across rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codec import cut_blocks
+
+PARTIALS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("bucket", pa.int32()),
+        ("salt", pa.int64()),
+        ("first_doc", pa.int64()),
+        ("last_doc", pa.int64()),
+        ("doc_ids", pa.list_(pa.int64())),
+        ("tfs", pa.list_(pa.int32())),
+        ("dls", pa.list_(pa.int32())),
+        ("positions", pa.list_(pa.int64())),
+    ]
+)
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("bucket", pa.int32()),
+        ("salt", pa.int64()),
+        ("cf", pa.int64()),
+        ("df", pa.int64()),
+        ("max_dl", pa.int32()),
+        ("min_dl", pa.int32()),
+        ("first_doc", pa.int64()),
+        ("last_doc", pa.int64()),
+        ("postings", pa.large_binary()),
+        ("block_last_doc", pa.list_(pa.int64())),
+        ("block_n_docs", pa.list_(pa.int32())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_min_dl", pa.list_(pa.int32())),
+        ("block_offset", pa.list_(pa.int64())),
+        ("block_length", pa.list_(pa.int32())),
+    ]
+)
+
+
+def _flatten_list_column(tbl: pa.Table, name: str) -> tuple[np.ndarray, np.ndarray]:
+    """List column → (flat values ndarray, per-row lengths). Zero-copy where
+    arrow allows."""
+    col = tbl.column(name).combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks == 1 else pa.concat_arrays(col.chunks)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    lengths = np.diff(offsets)
+    return flat.astype(np.int64, copy=False), lengths.astype(np.int64)
+
+
+def merge_bucket(
+    group: pa.Table, store_positions: bool, target_block_bytes: int
+) -> pa.Table:
+    """Merge ALL partial runs of one bucket → one merged output row per
+    (term, salt).
+
+    Operating at bucket granularity (not per term) amortizes per-group Python
+    overhead across a whole reducer: a single sort + arrow flatten gives
+    contiguous numpy runs per (term, salt), already concatenated in doc-id
+    order. Reducer memory ≈ index_bytes / n_buckets — size ``n_buckets`` so a
+    bucket fits a worker's heap (the scale knob; the reference's analogue is
+    its merge-memory halving heuristic ref:src/Repository.cpp:824-872).
+    """
+    if group.num_rows == 0:
+        return POSTINGS_SCHEMA.empty_table()
+    group = group.sort_by(
+        [("term", "ascending"), ("salt", "ascending"), ("first_doc", "ascending")]
+    )
+    terms = group.column("term").to_pylist()
+    salts = group.column("salt").to_numpy()
+    n_rows = len(terms)
+    doc_flat, doc_lens_per_row = _flatten_list_column(group, "doc_ids")
+    tf_flat, _ = _flatten_list_column(group, "tfs")
+    dl_flat, _ = _flatten_list_column(group, "dls")
+    if store_positions:
+        pos_flat, pos_lens_per_row = _flatten_list_column(group, "positions")
+        pos_row_starts = np.concatenate(([0], np.cumsum(pos_lens_per_row)))
+    row_starts = np.concatenate(([0], np.cumsum(doc_lens_per_row)))
+
+    # group boundaries: rows where (term, salt) changes
+    bounds = [0]
+    for i in range(1, n_rows):
+        if terms[i] != terms[i - 1] or salts[i] != salts[i - 1]:
+            bounds.append(i)
+    bounds.append(n_rows)
+
+    cols: dict[str, list] = {f.name: [] for f in POSTINGS_SCHEMA}
+    bucket_val = int(group.column("bucket")[0].as_py()) if n_rows else 0
+
+    for gi in range(len(bounds) - 1):
+        r0, r1 = bounds[gi], bounds[gi + 1]
+        v0, v1 = row_starts[r0], row_starts[r1]
+        doc_ids = doc_flat[v0:v1]
+        tfs = tf_flat[v0:v1]
+        dls = dl_flat[v0:v1]
+        positions = pos_flat[pos_row_starts[r0] : pos_row_starts[r1]] if store_positions else None
+
+        # ascending-docID invariant (the reference asserts this at write:
+        # ref:src/IndexWriter.cpp:618)
+        assert np.all(np.diff(doc_ids) > 0), (
+            f"posting doc_ids not strictly ascending for term {terms[r0]!r}"
+        )
+
+        blocks = cut_blocks(doc_ids, tfs, positions, target_bytes=target_block_bytes)
+        payload = bytearray()
+        b_last, b_n, b_maxtf, b_mindl, b_off, b_len = [], [], [], [], [], []
+        cursor = 0
+        dls_cursor = 0
+        for _first_doc, last_doc, block_bytes, block_docs, block_tfs in blocks:
+            nb = len(block_docs)
+            block_dls = dls[dls_cursor : dls_cursor + nb]
+            dls_cursor += nb
+            b_last.append(int(last_doc))
+            b_n.append(nb)
+            b_maxtf.append(int(block_tfs.max()))
+            b_mindl.append(int(block_dls.min()))
+            b_off.append(cursor)
+            b_len.append(len(block_bytes))
+            payload.extend(block_bytes)
+            cursor += len(block_bytes)
+
+        cols["term"].append(terms[r0])
+        cols["bucket"].append(bucket_val)
+        cols["salt"].append(int(salts[r0]))
+        cols["cf"].append(int(tfs.sum()))
+        cols["df"].append(int(len(doc_ids)))
+        cols["max_dl"].append(int(dls.max()))
+        cols["min_dl"].append(int(dls.min()))
+        cols["first_doc"].append(int(doc_ids[0]))
+        cols["last_doc"].append(int(doc_ids[-1]))
+        cols["postings"].append(bytes(payload))
+        cols["block_last_doc"].append(b_last)
+        cols["block_n_docs"].append(b_n)
+        cols["block_max_tf"].append(b_maxtf)
+        cols["block_min_dl"].append(b_mindl)
+        cols["block_offset"].append(b_off)
+        cols["block_length"].append(b_len)
+
+    return pa.Table.from_pydict(cols, schema=POSTINGS_SCHEMA)

@@ -1,0 +1,279 @@
+"""Indri "word" tokenizer + normalization chain, re-implemented from the rules.
+
+Semantics replicated (rank-identity contract, SURVEY.md §7.0):
+
+* flex rule set ref:src/TextTokenizer.l:46-61 — comment/markup/entity zapping,
+  tag events, acronym tokens ``[A-Z0-9].([A-Z0-9].)*``, ASCII tokens
+  ``[a-zA-Z0-9']+``, negative numbers ``-[0-9]+(.[0-9]+)?``, UTF-8 runs
+  ``[a-zA-Z0-9\\x80-\\xFD]+`` re-tokenized by Unicode character class
+  (ref:src/TextTokenizer.l:372-528), with flex *maximal munch* (longest match
+  wins; ties → earliest rule);
+* trailing ASCII punctuation stripped from ASCII tokens, first char kept
+  (``processASCIIToken``, ref:src/TextTokenizer.l:530-555);
+* ``NormalizationTransformation``: terms containing ``[A-Z.']`` get periods
+  and apostrophes deleted then ASCII A-Z lowercased
+  (ref:src/NormalizationTransformation.cpp:59-88; acronym exception list is
+  empty by default);
+* ``UTF8CaseNormalizationTransformation``: terms containing bytes >0x7F are
+  decoded and downcased via the explicit case-pair table
+  (ref:src/UTF8CaseNormalizationTransformation.cpp:41-112, table extracted to
+  data/utf8_tables.py);
+* chain order = tokenize → normalize → utf8-case → stop → stem, per
+  ``Repository::_buildChain`` ref:src/Repository.cpp:137-177.
+
+Tokenization operates on UTF-8 *bytes* (as flex does); positions are token
+ordinals.  Stopping sets a term slot to None but keeps the position — document
+length counts stopped slots (ref:src/MemoryIndex.cpp:617,647-648).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from .data.utf8_tables import CASE_PAIRS, CLASS_INTERVALS
+
+# ---------------------------------------------------------------------------
+# unicode tables
+# ---------------------------------------------------------------------------
+
+_CLASS_MAP: dict[int, int] = {}
+for _start, _end, _cls in CLASS_INTERVALS:
+    for _cp in range(_start, _end + 1):
+        _CLASS_MAP[_cp] = _cls
+
+_CASE_MAP: dict[int, int] = {}
+for _upper, _lower in CASE_PAIRS:
+    _CASE_MAP.setdefault(_upper, _lower)
+
+# CharClass ids (ref:include/indri/UTF8Transcoder.hpp:34-48)
+_APOSTROPHE, _PERCENT, _CONTROL, _CURRENCY = 1, 2, 3, 4
+_SYMBOL, _LETTER, _DIGIT, _PUNCT = 5, 6, 7, 8
+_WHITESPACE, _DECIMAL, _HYPHEN, _THOUSAND = 9, 10, 11, 12
+
+# ---------------------------------------------------------------------------
+# the scanner
+# ---------------------------------------------------------------------------
+
+# Alternation ordered to reproduce flex maximal munch for this rule set (see
+# module docstring); verified against the rule-interaction analysis in
+# tests/test_tokenizer.py.
+_SCANNER = re.compile(
+    rb"(?s)"
+    rb"(?P<comment><!--(?:.*?-->|.*))"          # <!-- ... -->   (ZAP)
+    rb"|(?P<bang><![^-][^>]*>)"                  # <!DOCTYPE ...> (ZAP)
+    rb"|(?P<pct><%[^%>]+%>)"                     # <% ... %>      (ZAP)
+    rb"|(?P<xml><\?xml[^>]*>)"                   # <?xml ...>     (ZAP)
+    rb"|(?P<tag><[a-zA-Z/][^>]*>)"               # tag event (no term)
+    rb"|(?P<entity>&(?:[a-zA-Z]+|#(?:[0-9]+|[xX][a-fA-F0-9]+));)"  # &x; (ZAP)
+    rb"|(?P<acronym>(?:[A-Z0-9]\.)+)"            # U.S.A.
+    rb"|(?P<word>[a-zA-Z0-9'\x80-\xFD]+)"        # ASCII/UTF-8 token run
+    rb"|(?P<negnum>-[0-9]+(?:\.[0-9]+)?)"        # -3.14
+)
+
+_ASCII_PUNCT = frozenset(
+    b"!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+)
+
+_HIGH = re.compile(rb"[\x80-\xFD]")
+_QUOTE_RUN = re.compile(rb"[a-zA-Z0-9']+")
+_UTF8_RUN = re.compile(rb"[a-zA-Z0-9\x80-\xFD]+")
+
+
+def _strip_trailing_punct(tok: bytes) -> bytes:
+    """processASCIIToken: drop trailing punct bytes, always keep byte 0
+    (ref:src/TextTokenizer.l:530-545, loop bound ``i > 0``)."""
+    n = len(tok)
+    while n > 1 and tok[n - 1] in _ASCII_PUNCT:
+        n -= 1
+    return tok[:n]
+
+
+def _decode_utf8_chars(data: bytes) -> list[tuple[int, int, int]]:
+    """Decode a byte run → [(codepoint, byte_offset, byte_len)].
+
+    Mirrors ``UTF8Transcoder::utf8_decode`` (ref:src/UTF8Transcoder.cpp:150-292):
+    malformed lead/continuation bytes are skipped without emitting a char.
+    """
+    out = []
+    i, n = 0, len(data)
+    while i < n:
+        b0 = data[i]
+        if b0 < 0x80:
+            out.append((b0, i, 1))
+            i += 1
+            continue
+        if b0 >= 0xFC:
+            seq = 6
+        elif b0 >= 0xF8:
+            seq = 5
+        elif b0 >= 0xF0:
+            seq = 4
+        elif b0 >= 0xE0:
+            seq = 3
+        elif b0 >= 0xC0:
+            seq = 2
+        else:  # stray continuation byte
+            i += 1
+            continue
+        if i + seq > n or any(not (0x80 <= data[i + k] < 0xC0) for k in range(1, seq)):
+            i += 1
+            continue
+        masks = {2: 0x1F, 3: 0x0F, 4: 0x07, 5: 0x03, 6: 0x01}
+        cp = b0 & masks[seq]
+        for k in range(1, seq):
+            cp = (cp << 6) | (data[i + k] & 0x3F)
+        out.append((cp, i, seq))
+        i += seq
+    return out
+
+
+def _utf8_word_tokens(run: bytes) -> list[bytes]:
+    """Word-mode re-tokenization of a UTF-8 run by character class.
+
+    Port of ``processUTF8Token`` (ref:src/TextTokenizer.l:372-528): letters /
+    digits / apostrophes / decimal separators extend the token; percent,
+    punctuation, thousands separators and hyphens extend the extent but mark a
+    boundary (``no_letter``); currency symbols are emitted alone; control /
+    symbol / whitespace / unclassified characters flush the token.
+    """
+    chars = _decode_utf8_chars(run)
+    tokens: list[bytes] = []
+    if not chars:
+        return tokens
+    offset = chars[0][1]
+    extent = 0
+    token_len = 0
+    no_letter = False
+
+    for idx, (cp, coff, clen) in enumerate(chars):
+        cls = _CLASS_MAP.get(cp, 0)
+        # byte-gap check (skipped malformed bytes OR punctuation that advanced
+        # ``extent`` past ``token_len``) — flushes the pending token; this is
+        # the path that actually terminates tokens at punctuation in word mode
+        # (ref:src/TextTokenizer.l:427-443)
+        if idx != 0 and offset + token_len != coff:
+            if token_len > 0:
+                tokens.append(run[offset : offset + token_len])
+            extent = 0
+            token_len = 0
+            no_letter = False
+            offset = coff
+        if cls == _CURRENCY:
+            # writes the pending *extent* (may be empty — faithful to the
+            # unguarded writeToken, ref:src/TextTokenizer.l:448-462)
+            tokens.append(run[offset : offset + extent])
+            offset += extent
+            tokens.append(run[offset : offset + clen])
+            offset += clen
+            token_len = 0
+            extent = 0
+            no_letter = False
+        elif cls in (_APOSTROPHE, _DECIMAL, _LETTER, _DIGIT):
+            if no_letter:  # unreachable in practice (gap check fires first)
+                tokens.append(run[offset : offset + token_len])
+                offset += extent
+                extent = 0
+                token_len = 0
+                no_letter = False
+            extent += clen
+            token_len += clen
+        elif cls in (_PERCENT, _PUNCT, _THOUSAND, _HYPHEN):
+            no_letter = True
+            extent += clen
+        else:  # control, symbol, whitespace, unclassified: unguarded write —
+            # consecutive such chars emit empty terms, as the reference does
+            # (ref:src/TextTokenizer.l:496-509)
+            tokens.append(run[offset : offset + token_len])
+            offset += extent + clen
+            extent = 0
+            token_len = 0
+            no_letter = False
+    if token_len > 0:
+        tokens.append(run[offset : offset + token_len])
+    return tokens
+
+
+def _split_mixed_run(run: bytes) -> list[tuple[bytes, bool]]:
+    """Maximal munch between the ASCII rule charset [a-zA-Z0-9'] and the UTF-8
+    rule charset [a-zA-Z0-9 0x80-0xFD] for runs containing both ``'`` and high
+    bytes (the only case where the union regex over-merges).  Returns
+    [(sub_run, is_ascii_rule)]."""
+    out = []
+    i, n = 0, len(run)
+    while i < n:
+        m_a = _QUOTE_RUN.match(run, i)
+        m_u = _UTF8_RUN.match(run, i)
+        len_a = (m_a.end() - i) if m_a else 0
+        len_u = (m_u.end() - i) if m_u else 0
+        if len_a >= len_u and len_a > 0:  # tie → earlier flex rule (ASCII)
+            out.append((run[i : i + len_a], True))
+            i += len_a
+        else:
+            out.append((run[i : i + len_u], False))
+            i += len_u
+    return out
+
+
+def tokenize_bytes(content: bytes) -> list[bytes]:
+    """Tokenize document bytes → raw token list (pre-normalization)."""
+    tokens: list[bytes] = []
+    for m in _SCANNER.finditer(content):
+        kind = m.lastgroup
+        if kind == "acronym":
+            tokens.append(_strip_trailing_punct(m.group()))
+        elif kind == "negnum":
+            tokens.append(_strip_trailing_punct(m.group()))
+        elif kind == "word":
+            run = m.group()
+            has_high = _HIGH.search(run) is not None
+            if not has_high:
+                tokens.append(_strip_trailing_punct(run))
+            elif b"'" not in run:
+                tokens.extend(_utf8_word_tokens(run))
+            else:
+                for sub, is_ascii in _split_mixed_run(run):
+                    if is_ascii:
+                        tokens.append(_strip_trailing_punct(sub))
+                    else:
+                        tokens.extend(_utf8_word_tokens(sub))
+        # comment/bang/pct/xml/tag/entity → no term emitted
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+_NEEDS_NORM = re.compile(rb"[A-Z.']")
+_STRIP = re.compile(rb"[.']")
+_ASCII_LOWER = bytes.maketrans(
+    bytes(range(ord("A"), ord("Z") + 1)), bytes(range(ord("a"), ord("z") + 1))
+)
+
+
+def normalize_token(tok: bytes) -> bytes:
+    """NormalizationTransformation + UTF8CaseNormalization for one term."""
+    if _NEEDS_NORM.search(tok):
+        tok = _STRIP.sub(b"", tok)
+        tok = tok.translate(_ASCII_LOWER)
+    if _HIGH.search(tok):
+        chars = _decode_utf8_chars(tok)
+        cps = [_CASE_MAP.get(cp, cp) for cp, _, _ in chars]
+        tok = "".join(chr(c) for c in cps).encode("utf-8", errors="ignore")
+    return tok
+
+
+@lru_cache(maxsize=262144)
+def _normalize_cached(tok: bytes) -> str:
+    return normalize_token(tok).decode("utf-8", errors="replace")
+
+
+def tokenize(content: str | bytes) -> list[str]:
+    """Full tokenize + normalize chain → list of term strings.
+
+    Stopping/stemming are applied by the caller (they are configurable).
+    Positions are list indices; stopped terms later become None in-place.
+    """
+    data = content.encode("utf-8") if isinstance(content, str) else content
+    return [_normalize_cached(t) for t in tokenize_bytes(data)]

@@ -1,0 +1,229 @@
+"""End-to-end build + BM25 rank-identity vs an independent brute-force oracle.
+
+The oracle plays the role of IndriRunQuery (SURVEY.md §5): it never touches
+the index — it tokenizes every document directly, computes global df/N/avgdl
+in plain dicts, applies the okapi formula from the reference
+(ref:src/TermScoreFunctionFactory.cpp:89-101,
+ref:include/indri/TFIDFTermScoreFunction.hpp:92-109,140-143) and ranks with
+the exact tie-break (score desc → doc_id desc,
+ref:include/indri/ScoredExtentResult.hpp:32-47).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from indri_5_5_ray.config import IndexConfig
+from indri_5_5_ray.pipelines.query import BM25Scorer, IndexReader, process_query
+from indri_5_5_ray.sources.corpus import corpus_files
+from indri_5_5_ray.stages.ingest import TermProcessor
+from indri_5_5_ray.tokenizer import tokenize
+
+QUERIES = [
+    "merge token stream",
+    "buffer overflow retry",
+    "running flies indexed",        # stemming paths
+    "U.S.A. don't -3.14",           # normalizer paths
+    "the the the value",            # qtf > 1 (k3 weighting)
+    "zzz_not_in_corpus",            # df=0 path
+    "return if else for while",     # common keywords (negative idf)
+    "naïve café Zürich",            # UTF-8
+    "int",                          # single common term
+    "Copyright license agreement",  # license-header skew terms
+]
+
+
+def brute_force_corpus(corpus_dir: str, cfg: IndexConfig):
+    """Independent in-memory model: doc_id → (docno, dl, {term: tf})."""
+    proc = TermProcessor(cfg)
+    docs = {}
+    seen_sha = {}
+    doc_id = 0
+    import hashlib
+
+    for f in corpus_files(corpus_dir):
+        t = pq.read_table(f)
+        for row in t.to_pylist():
+            did = doc_id
+            doc_id += 1
+            sha = hashlib.sha256(row["content"].encode()).hexdigest()
+            if cfg.dedup_key == "sha256":
+                if sha in seen_sha:
+                    continue
+                seen_sha[sha] = did
+            raw = tokenize(row["content"])
+            tf: dict[str, int] = {}
+            for rt in raw:
+                term = proc.process(rt)
+                if term is None:
+                    continue
+                tf[term] = tf.get(term, 0) + 1
+            docno = f"{row['repo']}/{row['path']}@{row['commit']}"
+            docs[did] = (docno, len(raw), tf)
+    return docs
+
+
+def brute_force_topk(docs, query: str, cfg: IndexConfig, k: int):
+    proc = TermProcessor(cfg)
+    counts: dict[str, int] = {}
+    for rt in tokenize(query):
+        t = proc.process(rt)
+        if t is not None:
+            counts[t] = counts.get(t, 0) + 1
+    N = len(docs)
+    total = sum(dl for _, dl, _ in docs.values())
+    avgdl = total / N
+    k1, b, k3 = cfg.k1, cfg.b, cfg.k3
+    df = {t: sum(1 for _, _, tfm in docs.values() if t in tfm) for t in counts}
+    scores: dict[int, float] = {}
+    for term, qtf in counts.items():
+        if df[term] == 0:
+            continue
+        idf = math.log((N - df[term] + 0.5) / (df[term] + 0.5))
+        qtw = ((k3 + 1) * qtf) / (k3 + qtf)
+        for did, (_dn, dl, tfm) in docs.items():
+            tf = tfm.get(term)
+            if not tf:
+                continue
+            s = (qtw * idf * (k1 + 1) * tf) / (tf + k1 * (1 - b) + k1 * b / avgdl * dl)
+            scores[did] = scores.get(did, 0.0) + s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], -kv[0]))
+    return ranked[:k]
+
+
+@pytest.fixture(scope="module")
+def oracle_model(small_corpus_dir):
+    cfg = IndexConfig(max_chunk_docs=64, n_buckets=4, dedup_key="sha256")
+    return brute_force_corpus(small_corpus_dir, cfg)
+
+
+def test_manifest_stats_match_oracle(built_index, oracle_model):
+    _, manifest = built_index
+    assert manifest["doc_count"] == len(oracle_model)
+    assert manifest["total_terms"] == sum(dl for _, dl, _ in oracle_model.values())
+
+
+def test_doc_table_invariants(built_index, oracle_model):
+    out, _ = built_index
+    t = pq.read_table(f"{out}/docs")
+    ids = t.column("doc_id").to_pylist()
+    assert sorted(ids) == sorted(oracle_model.keys())
+    by_id = dict(zip(ids, zip(t.column("docno").to_pylist(), t.column("dl").to_pylist())))
+    for did, (docno, dl, _) in oracle_model.items():
+        assert by_id[did] == (docno, dl)
+
+
+def test_dictionary_df_cf_match_oracle(built_index, oracle_model):
+    out, _ = built_index
+    t = pq.read_table(f"{out}/dictionary")
+    got = {
+        term: (cf, df)
+        for term, cf, df in zip(
+            t.column("term").to_pylist(), t.column("cf").to_pylist(),
+            t.column("df").to_pylist(),
+        )
+    }
+    want_cf: dict[str, int] = {}
+    want_df: dict[str, int] = {}
+    for _, (_dn, _dl, tfm) in oracle_model.items():
+        for term, tf in tfm.items():
+            want_cf[term] = want_cf.get(term, 0) + tf
+            want_df[term] = want_df.get(term, 0) + 1
+    assert set(got) == set(want_cf)
+    for term in want_cf:
+        assert got[term] == (want_cf[term], want_df[term]), term
+
+
+@pytest.mark.parametrize("query", QUERIES, ids=[q[:25] for q in QUERIES])
+def test_rank_identity(built_index, oracle_model, query):
+    out, _ = built_index
+    reader = IndexReader(out)
+    scorer = BM25Scorer(reader)
+    terms = process_query(query, reader.cfg)
+    k = 50
+    expected = brute_force_topk(oracle_model, query, reader.cfg, k)
+
+    ids, scores = scorer.score_exhaustive(terms, k=k)
+    assert ids.tolist() == [d for d, _ in expected]
+    np.testing.assert_allclose(scores, [s for _, s in expected], rtol=1e-12, atol=1e-12)
+
+    ids2, scores2 = scorer.score_blockmax(terms, k=k)
+    assert ids2.tolist() == ids.tolist()
+    np.testing.assert_array_equal(scores, scores2)  # bit-identical paths
+
+
+def test_positions_roundtrip_against_oracle(built_index, small_corpus_dir):
+    """Decode a few terms' positions from the index and check them against
+    direct tokenization (the dumpindex `termpositions` analogue)."""
+    from indri_5_5_ray.codec import decode_block
+
+    out, _ = built_index
+    reader = IndexReader(out)
+    cfg = reader.cfg
+    proc = TermProcessor(cfg)
+    docs = {}
+    doc_id = 0
+    import hashlib
+
+    seen = set()
+    for f in corpus_files(small_corpus_dir):
+        for row in pq.read_table(f).to_pylist():
+            did, doc_id = doc_id, doc_id + 1
+            sha = hashlib.sha256(row["content"].encode()).hexdigest()
+            if sha in seen:
+                continue
+            seen.add(sha)
+            docs[did] = [proc.process(rt) for rt in tokenize(row["content"])]
+
+    for probe in ["merge", "int", "copyright"]:
+        rows = reader.term_rows([probe])
+        if rows.num_rows == 0:
+            continue
+        for ri in range(rows.num_rows):
+            payload = rows.column("postings")[ri].as_py()
+            for off, ln in zip(
+                rows.column("block_offset")[ri].as_py(),
+                rows.column("block_length")[ri].as_py(),
+            ):
+                d, tf, pos = decode_block(payload[off : off + ln], True)
+                cursor = 0
+                for did, n in zip(d.tolist(), tf.tolist()):
+                    want = [i for i, t in enumerate(docs[did]) if t == probe]
+                    assert pos[cursor : cursor + n].tolist() == want
+                    cursor += n
+
+
+def test_resume_skips_completed_chunks(small_corpus_dir, tmp_path):
+    """Kill-and-resume: rerunning a finished build is a no-op; a partial build
+    (some chunks done) skips them and completes identically."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    from indri_5_5_ray.pipelines.build import build_index
+
+    cfg = IndexConfig(max_chunk_docs=64, n_buckets=4, dedup_key="sha256")
+    a = str(tmp_path / "a")
+    m1 = build_index(small_corpus_dir, a, cfg, resume=False)
+    # finished build: resume returns the same manifest without rebuilding
+    m2 = build_index(small_corpus_dir, a, cfg, resume=True)
+    assert m1 == m2
+
+    # simulate a crash after ingest: delete the manifest + merged outputs
+    b_dir = Path(a)
+    (b_dir / "manifest.json").unlink()
+    shutil.rmtree(b_dir / "postings")
+    shutil.rmtree(b_dir / "dictionary")
+    m3 = build_index(small_corpus_dir, a, cfg, resume=True)
+    assert m3["doc_count"] == m1["doc_count"]
+    assert m3["total_terms"] == m1["total_terms"]
+    # all ingest chunks were skipped (lineage hit)
+    recs = json.loads(json.dumps(m3))  # structure check only
+    from indri_5_5_ray.state.lineage import all_records
+
+    ingest_recs = [r for r in all_records(a) if r["stage"] == "ingest"]
+    assert len(ingest_recs) == m1["n_chunks"]

@@ -1,0 +1,104 @@
+"""Tokenizer/normalizer unit vectors (FIXTURES.md §7).
+
+Each vector pins a rule from ref:src/TextTokenizer.l:46-61 +
+ref:src/NormalizationTransformation.cpp:59-88 +
+ref:src/UTF8CaseNormalizationTransformation.cpp.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from indri_5_5_ray.tokenizer import normalize_token, tokenize, tokenize_bytes
+
+VECTORS = [
+    # acronyms: [A-Z0-9]"."([A-Z0-9]".")* then trailing '.' stripped, then
+    # normalization deletes remaining periods
+    ("U.S.A.", ["usa"]),
+    # without the final dot, the acronym rule consumes only "U.S." and the
+    # word rule takes "A" (flex maximal munch)
+    ("U.S.A", ["us", "a"]),
+    ("I.B.M. stock", ["ibm", "stock"]),
+    # apostrophes kept by tokenizer, stripped by normalizer
+    ("don't", ["dont"]),
+    ("o'clock", ["oclock"]),
+    # negative numbers: period removed by the normalizer ("-3.14" → "-314")
+    ("-3.14", ["-314"]),
+    ("-42", ["-42"]),
+    ("x - y", ["x", "y"]),
+    # trailing punctuation stripped from ASCII tokens
+    ("end.", ["end"]),
+    ("wait...", ["wait"]),
+    # trailing-punct strip keeps first char (loop bound i>0) → token "'",
+    # then the normalizer deletes apostrophes → empty term slot (faithful:
+    # the reference indexes the empty string in this case)
+    ("'''", [""]),
+    # numbers and mixed identifiers
+    ("3.14", ["3", "14"]),      # "3." via acronym rule (strip '.'), then "14"
+    ("x86-64", ["x86", "-64"]),
+    ("foo_bar", ["foo", "bar"]),
+    ("snake_case_name", ["snake", "case", "name"]),
+    # markup zapping
+    ("<b>bold</b>", ["bold"]),
+    ("<!-- gone --> kept", ["kept"]),
+    ("<!DOCTYPE html> x", ["x"]),
+    ("<?xml version='1.0'?> y", ["y"]),   # note: '?>' tail consumed by rule
+    ("<% server %> z", ["z"]),
+    ("&amp; &#38; &#x26; q", ["q"]),
+    ("a < b > c", ["a", "b", "c"]),
+    # case normalization
+    ("MixedCase WORD", ["mixedcase", "word"]),
+    # UTF-8: letters join, case map applies
+    ("naïve CAFÉ", ["naïve", "café"]),
+    ("Zürich", ["zürich"]),
+    # empty input
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", VECTORS, ids=[v[0][:20] or "empty" for v in VECTORS])
+def test_vectors(text, expected):
+    assert tokenize(text) == expected
+
+
+def test_maximal_munch_acronym_vs_word():
+    # flex longest-match: at "U" the acronym rule wins with "U.S.A." over "U"
+    assert tokenize_bytes(b"U.S.A.") == [b"U.S.A"]
+    # "ABC" has no dot after first char: word rule
+    assert tokenize_bytes(b"ABC.DEF") == [b"ABC", b"DEF"]
+    # "A.BCD": acronym matches "A." only
+    assert tokenize_bytes(b"A.BCD") == [b"A", b"BCD"]
+
+
+def test_mixed_ascii_utf8_run():
+    # rule8 charset [a-zA-Z0-9'] vs rule10 [a-zA-Z0-9 0x80-FD]: longest wins
+    # "don'" (4) beats "don" (3) → ASCII token, whose trailing apostrophe is
+    # then stripped by processASCIIToken; "ét" continues as a UTF-8 token
+    raw = "don'ét".encode("utf-8")
+    assert tokenize_bytes(raw) == [b"don", "ét".encode("utf-8")]
+
+
+def test_utf8_currency_and_whitespace():
+    # currency symbols are emitted alone; the preceding pending token is
+    # flushed via the unguarded extent write (may produce empty terms —
+    # faithful to ref:src/TextTokenizer.l:448-462)
+    toks = tokenize_bytes("a€5".encode("utf-8"))
+    assert toks == [b"a", "€".encode("utf-8"), b"5"]
+    # consecutive non-breaking spaces inside a UTF-8 run emit empty slots
+    toks = tokenize_bytes("a  b".encode("utf-8"))
+    assert toks == [b"a", b"", b"b"]
+
+
+def test_normalize_acronym_periods_and_case():
+    assert normalize_token(b"U.S.A") == b"usa"
+    assert normalize_token(b"don't") == b"dont"
+    assert normalize_token(b"lower") == b"lower"  # untouched fast path
+    assert normalize_token("CAFÉ".encode()) == "café".encode()
+
+
+def test_stopped_positions_count_in_doc_length():
+    # dl counts every token slot, including later-stopped ones
+    # (ref:src/MemoryIndex.cpp:617,647-648) — positions are ordinals
+    toks = tokenize("the quick the dead")
+    assert len(toks) == 4
+    assert toks == ["the", "quick", "the", "dead"]
