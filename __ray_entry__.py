@@ -1,44 +1,353 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the indri_5_5_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline: build the full inverted index (Indri
+tokenizer + Krovetz stemming, delta+vbyte block-encoded postings) over the
+corpus derived from sf0.001, then answer the regression query set with the
+block-max BM25 engine.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` — one entry per operator (SURVEY.md §2 plus
+the training-data-pipeline extensions); SQL-expressible operators carry exact
+DuckDB oracles (md5-based hashing everywhere so both sides are reproducible).
+
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_CACHE = os.environ.get("INDRI55_CACHE", "/tmp/indri55_ray_cache")
+
+# fixed BM25 regression query set over the documents vocabulary
+# (bag-of-words, baseline-legal: no '#' operators, no '.' fields —
+# ref:runquery/IndriRunQuery.cpp:634-636); q8 has qtf=2 to exercise k3
+BM25_QUERIES: list[tuple[str, str]] = [
+    ("1", "merge join filter"),
+    ("2", "window sort"),
+    ("3", "the batch stream data"),
+    ("4", "spark"),
+    ("5", "customer line value"),
+    ("6", "group agg row table"),
+    ("7", "slow fast big small"),
+    ("8", "key hash scan scan"),
+]
+
+TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+# ---------------------------------------------------------------------------
+# index build/cache helpers
+# ---------------------------------------------------------------------------
+
+
+def _ensure_index(sf_dir: str, stem: bool) -> str:
+    """Build (once) the index over the documents-derived corpus; cached per
+    (sf_dir, stemmer) under /tmp."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.sources.corpus import corpus_from_documents
+
+    key = hashlib.md5(f"{sf_dir}:{stem}:v1".encode()).hexdigest()[:16]
+    root = Path(_CACHE) / key
+    index_dir = root / "index"
+    if (index_dir / "manifest.json").exists():
+        return str(index_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    corpus_dir = root / "corpus"
+    if not (corpus_dir / "corpus.parquet").exists():
+        import pyarrow.parquet as pq
+
+        corpus_dir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(corpus_from_documents(sf_dir), corpus_dir / "corpus.parquet")
+    cfg = IndexConfig(
+        stemmer="krovetz" if stem else None,
+        dedup_key=None,  # 1:1 with the documents table for SQL parity
+        n_buckets=8,
+        max_chunk_docs=256,
+    )
+    build_index(str(corpus_dir), str(index_dir), cfg)
+    return str(index_dir)
+
+
+def _bm25_topk(sf_dir: str, stem: bool, k: int = 10):
+    """(qid, rank, doc_id) — ranks by score rounded to 9 decimals (desc),
+    then doc_id desc, so the DuckDB oracle (whose float summation order is
+    unspecified) ranks identically."""
+    import numpy as np
+    import pyarrow as pa
+
+    from indri_5_5_ray.pipelines.query import BM25Scorer, IndexReader, process_query
+
+    index_dir = _ensure_index(sf_dir, stem)
+    reader = IndexReader(index_dir)
+    scorer = BM25Scorer(reader)
+    out_q, out_r, out_d = [], [], []
+    for qid, text in BM25_QUERIES:
+        terms = process_query(text, reader.cfg)
+        ids, scores = scorer.score_exhaustive(terms, k=k + 40)
+        r9 = np.round(scores, 9)
+        order = np.lexsort((-ids, -r9))[:k]
+        out_q.extend([int(qid)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_d.extend(ids[order].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
+def _index_term_stats(sf_dir: str):
+    """(term, cf, df) straight out of the built index's dictionary —
+    validates tokenize→partials→shuffle→merge end-to-end against SQL."""
+    import pyarrow.parquet as pq
+
+    index_dir = _ensure_index(sf_dir, stem=False)
+    t = pq.read_table(f"{index_dir}/dictionary", columns=["term", "cf", "df"])
+    return t.select(["term", "cf", "df"])
+
+
+def _index_doc_lens(sf_dir: str):
+    """(doc_id, dl) from the index's document table; doc_id equals the
+    documents table's (ingest order = row order, dedup off)."""
+    import pyarrow.parquet as pq
+
+    index_dir = _ensure_index(sf_dir, stem=False)
+    return pq.read_table(f"{index_dir}/docs", columns=["doc_id", "dl"])
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full index build (kstem) + block-max BM25 over sf0.001."""
+    from indri_5_5_ray.pipelines.run import run_queries
+
+    index_dir = _ensure_index("/root/testdata/sf0.001", stem=True)
+    res = run_queries(index_dir, BM25_QUERIES, k=20, method="blockmax")
+    return res.to_pandas().drop(columns=["latency_ms"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from indri_5_5_ray.functions import dedup, multimodal, simsearch, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- inverted index + BM25 (the reference's core) ---
+        "index_term_stats": _index_term_stats,
+        "index_doc_lens": _index_doc_lens,
+        "bm25_topk": lambda sf: _bm25_topk(sf, stem=False),
+        "bm25_topk_kstem": lambda sf: _bm25_topk(sf, stem=True),
+        # --- text statistics / analysis ---
+        "token_counts": textstats.token_counts,
+        "term_stats": textstats.term_stats,
+        "top_terms": textstats.top_terms,
+        "quality_scores": textstats.quality_scores,
+        "lang_id": textstats.lang_id,
+        "lang_table_stats": textstats.lang_table_stats,
+        # --- dedup family ---
+        "exact_dup_groups": dedup.exact_dup_groups,
+        "dedup_keep_first": dedup.dedup_keep_first,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_signatures": dedup.minhash_signatures,
+        "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        # --- similarity search ---
+        "knn_bruteforce": simsearch.knn_bruteforce,
+        "cosine_pairs": simsearch.cosine_pairs,
+        "lsh_ann_topk": simsearch.lsh_ann_topk,
+        # --- multimodal plumbing ---
+        "media_features": multimodal.media_features,
+        "media_stats": multimodal.media_stats,
+    }
+
+
+def _bm25_values_clause() -> str:
+    """VALUES rows (qid, term, qtf) for the fixed query set (terms via the
+    same [a-z0-9]+ tokenization; qtf counts duplicates)."""
+    import re
+
+    rows = []
+    for qid, text in BM25_QUERIES:
+        counts: dict[str, int] = {}
+        for t in re.findall(r"[a-z0-9]+", text.lower()):
+            counts[t] = counts.get(t, 0) + 1
+        for term, qtf in counts.items():
+            rows.append(f"({qid}, '{term}', {qtf})")
+    return ", ".join(rows)
+
+
+_BM25_SQL = f"""
+WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(len(toks))::DOUBLE AS total FROM docs),
+tf AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(toks) AS t FROM docs) GROUP BY doc_id, t),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(qid, term, qtf) AS (VALUES {{values}}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         SUM( ((7.0 + 1) * q.qtf / (7.0 + q.qtf))
+              * ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (1.2 + 1) * tf.tf
+              / (tf.tf + 1.2 * (1 - 0.75) + 1.2 * 0.75 * dl.dl / (s.total / s.n))
+         ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, rank, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id DESC) AS rank
+  FROM scores)
+WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+_SHINGLE_SQL = f"""
+toks AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3))
+"""
+
+_LANG_COUNTS = {
+    "de": "('der','die','das','und','nicht','ist','ein','mit')",
+    "en": "('the','and','of','to','is','in','that','it')",
+    "es": "('el','la','de','que','y','en','un','es')",
+    "fr": "('le','la','de','et','un','est','que','pour')",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_cols = ",\n  ".join(
+        f"len(list_filter(t, x -> x IN {words})) AS c_{lg}"
+        for lg, words in _LANG_COUNTS.items()
+    )
+    greatest = "greatest(c_de, c_en, c_es, c_fr)"
+    lang_case = " ".join(
+        f"WHEN c_{lg} = {greatest} THEN '{lg}'" for lg in sorted(_LANG_COUNTS)
+    )
+    return {
+        "index_term_stats": f"""
+            SELECT t AS term, count(*) AS cf, count(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest({TOKEN_SQL}) AS t FROM documents)
+            GROUP BY t ORDER BY term""",
+        "index_doc_lens": f"""
+            SELECT doc_id, len({TOKEN_SQL}) AS dl FROM documents ORDER BY doc_id""",
+        "bm25_topk": _BM25_SQL.replace("{values}", _bm25_values_clause()),
+        "token_counts": f"""
+            SELECT doc_id, len({TOKEN_SQL}) AS n_tokens FROM documents ORDER BY doc_id""",
+        "term_stats": f"""
+            SELECT t AS term, count(*) AS cf, count(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest({TOKEN_SQL}) AS t FROM documents)
+            GROUP BY t ORDER BY term""",
+        "top_terms": f"""
+            SELECT t AS term, count(*) AS cf, count(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest({TOKEN_SQL}) AS t FROM documents)
+            GROUP BY t ORDER BY cf DESC, term ASC LIMIT 20""",
+        "quality_scores": f"""
+            SELECT doc_id, len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct,
+                   round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS distinct_ratio
+            FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents)
+            ORDER BY doc_id""",
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN {greatest} <= 0 THEN 'und' {lang_case} ELSE 'und' END AS pred_lang
+            FROM (SELECT doc_id, {lang_cols}
+                  FROM (SELECT doc_id, {TOKEN_SQL} AS t FROM documents))
+            ORDER BY doc_id""",
+        "lang_table_stats": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "exact_dup_groups": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY content_hash""",
+        "dedup_keep_first": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ORDER BY doc_id""",
+        "ngram_jaccard_pairs": f"""
+            WITH {_SHINGLE_SQL},
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS c
+                      FROM sh a JOIN sh b USING (shingle)
+                      WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   round(c / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(c / (sa.n + sb.n - c), 6) >= 0.2
+            ORDER BY doc_a, doc_b""",
+        "minhash_signatures": f"""
+            WITH {_SHINGLE_SQL}
+            SELECT doc_id, p AS perm,
+                   min(md5(p::VARCHAR || ':' || shingle)) AS minhash
+            FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
+            GROUP BY doc_id, p ORDER BY doc_id, perm""",
+        "lsh_candidate_pairs": f"""
+            WITH {_SHINGLE_SQL},
+            mh AS (SELECT doc_id, p AS perm,
+                          min(md5(p::VARCHAR || ':' || shingle)) AS minhash
+                   FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
+                   GROUP BY doc_id, p),
+            bands AS (SELECT doc_id, perm // 4 AS band,
+                             string_agg(minhash, '|' ORDER BY perm) AS sig
+                      FROM mh GROUP BY doc_id, perm // 4),
+            buckets AS (SELECT doc_id, md5(band::VARCHAR || '|' || sig) AS bucket
+                        FROM bands)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b USING (bucket)
+            WHERE a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b""",
+        "simhash_fingerprints": f"""
+            WITH tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf
+                        FROM (SELECT doc_id, unnest({TOKEN_SQL}) AS t FROM documents)
+                        GROUP BY doc_id, t),
+            h AS (SELECT doc_id, tf,
+                         ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv
+                  FROM tf),
+            bits AS (SELECT doc_id, b,
+                            SUM(CASE WHEN (hv >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+                     FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+                     GROUP BY doc_id, b)
+            SELECT doc_id,
+                   SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+            FROM bits GROUP BY doc_id ORDER BY doc_id""",
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 10),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+                  FROM q CROSS JOIN embeddings e),
+            r AS (SELECT query_id, vec_id, round(cos, 6) AS cosine,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, vec_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, rank, vec_id, cosine FROM r
+            WHERE rank <= 10 ORDER BY query_id, rank""",
+        "cosine_pairs": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            ORDER BY vec_id_a, vec_id_b""",
+        # bm25_topk_kstem, lsh_ann_topk, media_*: non-SQL-expressible
+        # (stemmer dictionary / seeded hyperplanes / binary decode) →
+        # rows-only driver check; semantics are pytest-verified instead.
+    }

@@ -1,0 +1,189 @@
+"""Benchmark harness — one JSON line per run.
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+
+1. index build (tokenize+kstem → partial postings → groupby merge →
+   block-encoded shards) over the deterministic synthetic source-code corpus
+   sized to the scale factor → docs/sec;
+2. BM25 block-max top-k over a 100-query set → p50/p95 latency;
+3. representative operator pipelines (term_stats, MinHash LSH, knn).
+
+`--scaling`: same build job in two fresh processes at num_cpus=8 and 32 on
+identical input; reports both throughputs + efficiency T32/(4·T8) — the
+in-sandbox stand-in for the N vs 4N cluster rule (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CACHE = os.environ.get("INDRI55_BENCH_CACHE", "/tmp/indri55_bench")
+
+
+def _sf_label(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _corpus_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    doc_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return min(200_000, doc_rows * 40)
+
+
+def ensure_bench_corpus(sf_dir: str) -> str:
+    """Deterministic synthetic code corpus sized to the scale factor;
+    generated in parallel (one seeded task per shard), cached under /tmp."""
+    n_rows = _corpus_rows(sf_dir)
+    out = Path(BENCH_CACHE) / f"corpus-{n_rows}"
+    marker = out / "_COMPLETE"
+    if marker.exists():
+        return str(out)
+    import ray
+
+    from indri_5_5_ray.sources.corpus import synthetic_corpus
+
+    out.mkdir(parents=True, exist_ok=True)
+    rows_per_file = 5000
+    shards = [(i, min(rows_per_file, n_rows - i * rows_per_file))
+              for i in range((n_rows + rows_per_file - 1) // rows_per_file)]
+
+    @ray.remote
+    def gen(shard: int, rows: int) -> str:
+        import pyarrow.parquet as pq
+
+        t = synthetic_corpus(rows, seed=42 + shard)
+        fp = out / f"corpus-{shard:05d}.parquet"
+        pq.write_table(t, fp)
+        return str(fp)
+
+    ray.get([gen.remote(s, r) for s, r in shards])
+    marker.write_text(str(n_rows))
+    return str(out)
+
+
+def bench_queries_set(index_dir: str) -> list[tuple[str, str]]:
+    """100 deterministic queries drawn from the index vocabulary."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{index_dir}/dictionary", columns=["term", "cf"])
+    terms = t.sort_by([("cf", "descending"), ("term", "ascending")])
+    vocab = terms.column("term").to_pylist()
+    common = [w for w in vocab[:200] if w]
+    rare = [w for w in vocab[len(vocab) // 2 :] if w][:500]
+    rng = random.Random(7)
+    queries = []
+    for i in range(100):
+        n = rng.randint(1, 5)
+        pool = common if i % 3 else (common + rare)
+        words = [rng.choice(pool) for _ in range(n)]
+        queries.append((str(i + 1), " ".join(words)))
+    return queries
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.functions import dedup, simsearch, textstats
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.run import run_queries
+
+    results: dict[str, float] = {}
+    corpus_dir = ensure_bench_corpus(SF_DIR)
+    index_dir = f"{BENCH_CACHE}/index-{Path(corpus_dir).name}-{NUM_CPUS}"
+
+    t0 = time.perf_counter()
+    cfg = IndexConfig(dedup_key="sha256", n_buckets=32, max_chunk_docs=2048)
+    manifest = build_index(corpus_dir, index_dir, cfg, resume=False)
+    build_s = time.perf_counter() - t0
+    results["build"] = round(build_s, 3)
+    docs_per_sec = manifest["doc_count"] / build_s
+
+    queries = bench_queries_set(index_dir)
+    t0 = time.perf_counter()
+    res = run_queries(index_dir, queries, k=100, method="blockmax",
+                      concurrency=(2, max(2, NUM_CPUS // 2)))
+    results["bm25_100q"] = round(time.perf_counter() - t0, 3)
+    lat = res.group_by("qid").aggregate([("latency_ms", "max")])
+    lat_ms = np.array(lat.column("latency_ms_max").to_pylist(), dtype=float)
+    p50 = float(np.percentile(lat_ms, 50)) / 1000
+    p95 = float(np.percentile(lat_ms, 95)) / 1000
+    results["bm25_p50"] = round(p50, 4)
+    results["bm25_p95"] = round(p95, 4)
+
+    for name, fn in [
+        ("term_stats", lambda: textstats.term_stats(SF_DIR).count()),
+        ("minhash_lsh", lambda: dedup.lsh_candidate_pairs(SF_DIR).count()),
+        ("knn", lambda: simsearch.knn_bruteforce(SF_DIR).num_rows),
+    ]:
+        t0 = time.perf_counter()
+        fn()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    total = sum(v for k, v in results.items() if k not in ("bm25_p50", "bm25_p95"))
+    out = {
+        "metric": "index-build docs/sec + BM25 p50/p95 + operator pipelines (sec)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "build_docs": manifest["doc_count"],
+        "build_docs_per_sec": round(docs_per_sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same build at num_cpus=8 and 32 in fresh processes → efficiency."""
+    runs = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = SF_DIR
+        p = subprocess.run(
+            [sys.executable, __file__, "--single"],
+            capture_output=True, text=True, env=env, cwd=str(Path(__file__).parent),
+        )
+        line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        runs[cpus] = json.loads(line)
+    t8 = runs[8]["build_docs_per_sec"]
+    t32 = runs[32]["build_docs_per_sec"]
+    eff = t32 / (4 * t8)
+    return {
+        "metric": "scaling efficiency (build docs/sec, num_cpus 8 vs 32)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            "docs_per_sec_8cpu": t8,
+            "docs_per_sec_32cpu": t32,
+            "build_s_8cpu": runs[8]["queries"]["build"],
+            "build_s_32cpu": runs[32]["queries"]["build"],
+        },
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": 32,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,215 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+* ``knn_bruteforce`` — exact cosine top-k: the query matrix is broadcast once
+  via ``ray.put`` and every batch does one numpy matmul against it
+  (per-batch partial top-k, final top-k merge at the driver) — the baseline
+  ANN path;
+* ``cosine_pairs`` — all pairs above a cosine threshold (block-wise matmul);
+* ``lsh_ann_topk`` — random-hyperplane LSH bucketing as the scale path:
+  signature buckets shrink the candidate set, then exact cosine re-ranks;
+  recall measured against brute force in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _emb(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy()
+    col = batch.column("embedding").combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks == 1 else pa.concat_arrays(col.chunks)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // len(ids) if len(ids) else 0
+    return ids, flat.reshape(len(ids), dim)
+
+
+def load_query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """First n_queries vectors by vec_id (deterministic query set)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = t.sort_by("vec_id").slice(0, n_queries)
+    ids, m = _batch_matrix(t)
+    return ids, m
+
+
+def knn_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 10) -> pa.Table:
+    """(query_id, rank, vec_id, cosine) exact top-k by cosine.
+
+    Tie-break: cosine desc, then vec_id asc. Scores in float64; cosine is
+    rounded to 6 decimals in the output (and in the SQL oracle)."""
+    q_ids, Q = load_query_matrix(sf_dir, n_queries)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, Qn))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q_ids_, Qn_ = ray.get(q_ref)
+        ids, M = _batch_matrix(batch)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Qn_ @ Mn.T  # (nq, nb)
+        nb = S.shape[1]
+        kk = min(k, nb)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(S.shape[0]):
+            idx = np.argpartition(-S[qi], kk - 1)[:kk] if nb > kk else np.arange(nb)
+            out_q.extend([int(q_ids_[qi])] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_c.extend(S[qi, idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    parts = _emb(sf_dir).map_batches(partial_topk, batch_format="pyarrow")
+    t = parts.to_arrow_refs()
+    tables = [ray.get(r) for r in t]
+    allt = pa.concat_tables([x for x in tables if x.num_rows])
+    qs = allt.column("query_id").to_numpy()
+    vs = allt.column("vec_id").to_numpy()
+    cs = allt.column("cosine").to_numpy()
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    for q in np.unique(qs):
+        m = qs == q
+        order = np.lexsort((vs[m], -cs[m]))[:k]
+        rows["query_id"].extend([int(q)] * len(order))
+        rows["rank"].extend(range(1, len(order) + 1))
+        rows["vec_id"].extend(vs[m][order].tolist())
+        rows["cosine"].extend(np.round(cs[m][order], 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "cosine": pa.array(rows["cosine"], pa.float64()),
+        }
+    )
+
+
+def cosine_pairs(sf_dir: str, tau: float = 0.4) -> pa.Table:
+    """(vec_id_a, vec_id_b, cosine) pairs with cosine ≥ tau, a < b.
+
+    Block-wise: each batch compares against the full (broadcast) matrix —
+    O(N²) exact path; at scale, bucket by LSH signature first."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
+    all_ids, M = _batch_matrix(t)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    m_ref = ray.put((all_ids, Mn))
+
+    def block(batch: pa.Table) -> pa.Table:
+        ids_all, Mn_ = ray.get(m_ref)
+        ids, B = _batch_matrix(batch)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        S = Bn @ Mn_.T
+        rows_a, rows_b, rows_c = [], [], []
+        for i in range(S.shape[0]):
+            hits = np.nonzero(S[i] >= tau)[0]
+            for j in hits:
+                if ids[i] < ids_all[j]:
+                    rows_a.append(int(ids[i]))
+                    rows_b.append(int(ids_all[j]))
+                    rows_c.append(round(float(S[i, j]), 6))
+        return pa.table(
+            {
+                "vec_id_a": pa.array(rows_a, pa.int64()),
+                "vec_id_b": pa.array(rows_b, pa.int64()),
+                "cosine": pa.array(rows_c, pa.float64()),
+            }
+        )
+
+    parts = _emb(sf_dir).map_batches(block, batch_format="pyarrow")
+    tables = [ray.get(r) for r in parts.to_arrow_refs()]
+    tables = [x for x in tables if x.num_rows]
+    if not tables:
+        return pa.table(
+            {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+    return pa.concat_tables(tables).sort_by([("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN (scale path)
+# ---------------------------------------------------------------------------
+
+LSH_PLANES = 12
+LSH_SEED = 1234
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((LSH_PLANES, dim))
+
+
+def lsh_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
+                 probe_bits: int = 1) -> pa.Table:
+    """(query_id, rank, vec_id, cosine) approximate top-k.
+
+    Random-hyperplane signatures bucket the corpus (actor-side signature
+    computation per batch); queries probe their own bucket plus all buckets
+    within ``probe_bits`` Hamming distance, then exact cosine re-ranks the
+    candidates. Deterministic (fixed seed)."""
+    q_ids, Q = load_query_matrix(sf_dir, n_queries)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    H = _hyperplanes(Q.shape[1])
+    q_sig = (Qn @ H.T > 0).astype(np.uint32)
+    q_codes = (q_sig << np.arange(LSH_PLANES, dtype=np.uint32)).sum(axis=1)
+
+    wanted: set[int] = set()
+    for code in q_codes.tolist():
+        wanted.add(code)
+        if probe_bits >= 1:
+            for b in range(LSH_PLANES):
+                wanted.add(code ^ (1 << b))
+    h_ref = ray.put((H, wanted))
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        H_, wanted_ = ray.get(h_ref)
+        ids, M = _batch_matrix(batch)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sig = (Mn @ H_.T > 0).astype(np.uint32)
+        codes = (sig << np.arange(LSH_PLANES, dtype=np.uint32)).sum(axis=1)
+        mask = np.array([c in wanted_ for c in codes.tolist()])
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float32()))})
+        return batch.filter(pa.array(mask))
+
+    cands = _emb(sf_dir).map_batches(bucket_filter, batch_format="pyarrow")
+    tables = [ray.get(r) for r in cands.to_arrow_refs()]
+    tables = [x for x in tables if x.num_rows]
+    if not tables:
+        return pa.table({"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+    cand = pa.concat_tables(tables)
+    ids, M = _batch_matrix(cand)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Qn @ Mn.T
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    for qi in range(S.shape[0]):
+        order = np.lexsort((ids, -S[qi]))[:k]
+        rows["query_id"].extend([int(q_ids[qi])] * len(order))
+        rows["rank"].extend(range(1, len(order) + 1))
+        rows["vec_id"].extend(ids[order].tolist())
+        rows["cosine"].extend(np.round(S[qi][order], 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "cosine": pa.array(rows["cosine"], pa.float64()),
+        }
+    )

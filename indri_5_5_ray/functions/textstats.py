@@ -1,0 +1,147 @@
+"""Text analysis operators over the ``documents`` table.
+
+Every operator is a Ray Data pipeline shaped for scale: tokenization and
+per-batch partial aggregation inside ``map_batches`` (vectorized via polars),
+then a small ``groupby`` finalize — the classic partial+final pattern the
+reference uses for term statistics (``termdata_merge``,
+ref:include/indri/TermData.hpp:126-140).
+
+The simple tokenizer here is ``[a-z0-9]+`` over lowercased text so every
+operator has an exact DuckDB SQL oracle; the full Indri tokenizer chain is
+exercised by the index pipelines (see pipelines/build.py).
+"""
+
+from __future__ import annotations
+
+import polars as pl
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+TOKEN_RE = r"[a-z0-9]+"
+
+# small marker-word sets for the language-ID heuristic (argmax of hits,
+# alphabetical language order tie-break, 'und' if no hits)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour"),
+}
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def token_counts(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens) — whitespace/regex token counting."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("text").str.count_matches(TOKEN_RE).cast(pl.Int64).alias("n_tokens"),
+        )
+        return out.to_arrow()
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def term_stats(sf_dir: str) -> ray.data.Dataset:
+    """(term, cf, df) global term statistics — partial per batch, then a
+    small groupby finalize (map-side combine keeps the shuffle tiny)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            pl.col("text").str.extract_all(TOKEN_RE).alias("toks")
+        )
+        ex = df.select("doc_id", "toks").explode("toks").rename({"toks": "term"})
+        cf = ex.group_by("term").agg(pl.len().alias("cf"))
+        dfc = ex.unique(["doc_id", "term"]).group_by("term").agg(pl.len().alias("df"))
+        return cf.join(dfc, on="term").to_arrow()
+
+    partials = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("term").aggregate(
+        Sum("cf", alias_name="cf"), Sum("df", alias_name="df")
+    )
+    return agg
+
+
+def top_terms(sf_dir: str, n: int = 20) -> ray.data.Dataset:
+    """Top-n terms by cf (tie → term ascending) — global sort + limit."""
+    stats = term_stats(sf_dir)
+
+    def negate(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns((-pl.col("cf")).alias("neg_cf"))
+        return df.to_arrow()
+
+    ranked = stats.map_batches(negate, batch_format="pyarrow").sort(
+        ["neg_cf", "term"]
+    ).limit(n)
+    return ranked.drop_columns(["neg_cf"])
+
+
+def quality_scores(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_distinct, distinct_ratio) quality heuristics.
+
+    distinct_ratio = distinct/total tokens rounded to 6 decimals (rounded the
+    same way in the SQL oracle)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            pl.col("text").str.extract_all(TOKEN_RE).alias("toks")
+        )
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("toks").list.len().cast(pl.Int64).alias("n_tokens"),
+            pl.col("toks").list.n_unique().cast(pl.Int64).alias("n_distinct"),
+        ).with_columns(
+            (pl.col("n_distinct") / pl.col("n_tokens")).round(6).alias("distinct_ratio")
+        )
+        return out.to_arrow()
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, pred_lang) marker-word language-ID heuristic.
+
+    Argmax of marker hits over LANG_MARKERS; ties resolved by alphabetical
+    language order; 0 hits → 'und'."""
+    langs = sorted(LANG_MARKERS)
+
+    def f(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            pl.col("text").str.extract_all(TOKEN_RE).alias("toks")
+        )
+        counts = [
+            pl.col("toks")
+            .list.eval(pl.element().is_in(list(LANG_MARKERS[lg])))
+            .list.sum()
+            .alias(f"c_{lg}")
+            for lg in langs
+        ]
+        df = df.with_columns(counts)
+        best = pl.max_horizontal([pl.col(f"c_{lg}") for lg in langs])
+        pred = pl.when(best <= 0).then(pl.lit("und"))
+        for lg in langs:  # alphabetical order → first max wins
+            pred = pred.when(pl.col(f"c_{lg}") == best).then(pl.lit(lg))
+        out = df.select(pl.col("doc_id"), pred.otherwise(pl.lit("und")).alias("pred_lang"))
+        return out.to_arrow()
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def lang_table_stats(sf_dir: str) -> ray.data.Dataset:
+    """(lang, n_docs, total_chars) relational aggregate over documents."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    from ray.data.aggregate import Count
+
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )

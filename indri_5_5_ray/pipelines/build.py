@@ -38,7 +38,13 @@ from ..sources.corpus import Chunk, plan_chunks, read_chunk
 from ..stages.ingest import IngestWorker
 from ..stages.postings import merge_bucket
 
-_INGEST_CONCURRENCY = (2, 16)
+def _ingest_concurrency() -> tuple[int, int]:
+    """Actor-pool size tracks the cluster CPU count (one CPU per actor)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(2, cpus))
 
 
 def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str) -> str | None:
@@ -66,6 +72,8 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str) -> st
         return pa.table({"doc_id": pa.array(out_ids, pa.int64()), "key": pa.array(out_keys)})
 
     def keep_losers(group: pa.Table) -> pa.Table:
+        if "doc_id" not in group.column_names:  # empty reduce partition
+            return pa.table({"doc_id": pa.array([], pa.int64())})
         ids = group.column("doc_id").to_numpy()
         if len(ids) <= 1:
             return pa.table({"doc_id": pa.array([], pa.int64())})
@@ -138,7 +146,7 @@ def build_index(
         IngestWorker,
         batch_size=1,
         batch_format="pyarrow",
-        concurrency=_INGEST_CONCURRENCY,
+        concurrency=_ingest_concurrency(),
         num_cpus=1,
         fn_constructor_kwargs={
             "out_dir": str(out),

@@ -1,0 +1,149 @@
+"""Tests for the training-data-pipeline operators (dedup, simsearch,
+textstats, multimodal) against small hand-checkable inputs and
+brute-force references."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mini_sf(tmp_path_factory):
+    """A tiny documents+embeddings 'sf dir' with known duplicates and
+    near-duplicates."""
+    d = tmp_path_factory.mktemp("minisf")
+    texts = [
+        "the quick brown fox jumps over the lazy dog",      # 0
+        "the quick brown fox jumps over the lazy cat",      # 1: near-dup of 0
+        "completely different words entirely here now",     # 2
+        "the quick brown fox jumps over the lazy dog",      # 3: exact dup of 0
+        "another unrelated document about databases",       # 4
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 5),
+            "source": pa.array([f"s{i}" for i in range(5)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, d / "documents.parquet")
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((6, 8)).astype(np.float32)
+    vecs[5] = vecs[0] + 0.01 * rng.standard_normal(8).astype(np.float32)  # near-dup
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 2, 3, 4, 0], pa.int32()),
+        }
+    )
+    pq.write_table(emb, d / "embeddings.parquet")
+    return str(d)
+
+
+def test_exact_dedup(mini_sf):
+    from indri_5_5_ray.functions.dedup import dedup_keep_first, exact_dup_groups
+
+    groups = exact_dup_groups(mini_sf).to_pandas()
+    assert len(groups) == 4  # docs 0 and 3 collapse
+    dup = groups[groups.n_copies == 2]
+    assert len(dup) == 1 and dup.iloc[0].rep_doc_id == 0
+    kept = sorted(dedup_keep_first(mini_sf).to_pandas().doc_id)
+    assert kept == [0, 1, 2, 4]
+
+
+def test_ngram_jaccard(mini_sf):
+    from indri_5_5_ray.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(mini_sf, tau=0.2).to_pandas()
+    got = {(a, b): j for a, b, j in pairs.itertuples(index=False)}
+    # docs 0/3 identical → jaccard 1.0; docs 0/1 share 6 of 8 distinct 3-grams
+    assert got[(0, 3)] == 1.0
+    assert abs(got[(0, 1)] - 6 / 8) < 1e-9
+    assert got[(1, 3)] == got[(0, 1)]
+    assert (0, 2) not in got
+
+
+def test_minhash_lsh_finds_exact_dups(mini_sf):
+    from indri_5_5_ray.functions.dedup import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(mini_sf).to_pandas()
+    got = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 3) in got  # identical docs always collide in every band
+
+
+def test_simhash_properties(mini_sf):
+    from indri_5_5_ray.functions.dedup import simhash_fingerprints
+
+    fp = simhash_fingerprints(mini_sf).to_pandas().set_index("doc_id").simhash
+    assert fp[0] == fp[3]  # identical text → identical fingerprint
+    ham01 = bin(int(fp[0]) ^ int(fp[1])).count("1")
+    ham02 = bin(int(fp[0]) ^ int(fp[2])).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+
+
+def test_knn_and_lsh_ann(mini_sf):
+    from indri_5_5_ray.functions.simsearch import knn_bruteforce, lsh_ann_topk
+
+    knn = knn_bruteforce(mini_sf, n_queries=3, k=3).to_pandas()
+    # rank 1 of each query is the query vector itself (cosine 1.0)
+    r1 = knn[knn["rank"] == 1]
+    assert (r1.query_id.values == r1.vec_id.values).all()
+    assert (r1.cosine.values >= 0.999999).all()
+    # vec 5 is a near-dup of vec 0 → rank 2 for query 0
+    q0 = knn[knn.query_id == 0].sort_values("rank")
+    assert q0.iloc[1].vec_id == 5
+
+    ann = lsh_ann_topk(mini_sf, n_queries=3, k=3).to_pandas()
+    # recall vs brute force on rank-1 (self) is exact
+    a1 = ann[ann["rank"] == 1]
+    assert (a1.query_id.values == a1.vec_id.values).all()
+
+
+def test_cosine_pairs(mini_sf):
+    from indri_5_5_ray.functions.simsearch import cosine_pairs
+
+    pairs = cosine_pairs(mini_sf, tau=0.9).to_pandas()
+    assert {(0, 5)} == set(zip(pairs.vec_id_a, pairs.vec_id_b))
+
+
+def test_media_pipeline(mini_sf):
+    from indri_5_5_ray.functions.multimodal import (
+        MediaFeatureExtractor,
+        media_features,
+        synth_media_table,
+    )
+
+    # real decoder is stubbed: requesting it must raise
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(use_real_decoder=True)
+
+    feats = media_features(mini_sf).to_pandas()
+    assert len(feats) == 5
+    # features are normalized histograms
+    for row in feats.features:
+        assert abs(sum(row) - 1.0) < 1e-9
+    # checksum is deterministic md5 of payload
+    tbl = synth_media_table(mini_sf)
+    p0 = tbl.column("payload")[0].as_py()
+    want = int.from_bytes(hashlib.md5(p0).digest()[:8], "little") >> 1
+    got = feats.set_index("item_id").loc[0, "checksum"]
+    assert got == want
+
+
+def test_textstats_term_stats(mini_sf):
+    from indri_5_5_ray.functions.textstats import term_stats, token_counts
+
+    stats = term_stats(mini_sf).to_pandas().set_index("term")
+    assert stats.loc["the", "cf"] == 6  # 2 per fox-doc × 3
+    assert stats.loc["the", "df"] == 3
+    assert stats.loc["databases", "df"] == 1
+    counts = token_counts(mini_sf).to_pandas().set_index("doc_id")
+    assert counts.loc[0, "n_tokens"] == 9
