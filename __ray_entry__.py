@@ -104,6 +104,36 @@ def _bm25_topk(sf_dir: str, stem: bool, k: int = 10):
     )
 
 
+def _lm_topk(sf_dir: str, stem: bool, method: str = "dirichlet", k: int = 10):
+    """(qid, rank, doc_id) language-model #combine top-k (Indri's default
+    retrieval path); ranked by score rounded to 9 decimals for SQL parity."""
+    import numpy as np
+    import pyarrow as pa
+
+    from indri_5_5_ray.pipelines.lm import LMScorer, process_query_lm
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    index_dir = _ensure_index(sf_dir, stem)
+    reader = IndexReader(index_dir)
+    scorer = LMScorer(reader, method=method)
+    out_q, out_r, out_d = [], [], []
+    for qid, text in BM25_QUERIES:
+        terms = process_query_lm(text, reader.cfg)
+        ids, scores = scorer.score(terms, k=k + 40)
+        r9 = np.round(scores, 9)
+        order = np.lexsort((-ids, -r9))[:k]
+        out_q.extend([int(qid)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_d.extend(ids[order].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
 def _index_term_stats(sf_dir: str):
     """(term, cf, df) straight out of the built index's dictionary —
     validates tokenize→partials→shuffle→merge end-to-end against SQL."""
@@ -146,6 +176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_doc_lens": _index_doc_lens,
         "bm25_topk": lambda sf: _bm25_topk(sf, stem=False),
         "bm25_topk_kstem": lambda sf: _bm25_topk(sf, stem=True),
+        "lm_topk_dirichlet": lambda sf: _lm_topk(sf, stem=False, method="dirichlet"),
+        "lm_topk_jm": lambda sf: _lm_topk(sf, stem=False, method="jm"),
+        "lm_topk_kstem": lambda sf: _lm_topk(sf, stem=True, method="dirichlet"),
         # --- text statistics / analysis ---
         "token_counts": textstats.token_counts,
         "term_stats": textstats.term_stats,
@@ -215,6 +248,49 @@ WHERE rank <= 10
 ORDER BY qid, rank
 """
 
+def _lm_sql(method: str) -> str:
+    if method == "dirichlet":
+        contrib = (
+            "q.qtf * ln((coalesce(tf.tf, 0) + 2500.0 * coalesce(cfreq.cf, 0.5) / s.total)"
+            " / (dl.dl + 2500.0))"
+        )
+    else:  # jelinek-mercer, lambda=0.4
+        contrib = (
+            "q.qtf * ln(0.6 * coalesce(tf.tf, 0) / dl.dl"
+            " + 0.4 * coalesce(cfreq.cf, 0.5) / s.total)"
+        )
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents),
+stats AS (SELECT sum(len(toks))::DOUBLE AS total FROM docs),
+tf AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(toks) AS t FROM docs) GROUP BY doc_id, t),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+cfreq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+q(qid, term, qtf) AS (VALUES {{values}}),
+qn AS (SELECT qid, sum(qtf)::DOUBLE AS n FROM q GROUP BY qid),
+cand AS (SELECT DISTINCT q.qid, tf.doc_id FROM q JOIN tf ON tf.term = q.term),
+contrib AS (
+  SELECT c.qid, c.doc_id, {contrib} AS v
+  FROM cand c
+  JOIN q ON q.qid = c.qid
+  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = q.term
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN cfreq ON cfreq.term = q.term
+  CROSS JOIN stats s),
+scores AS (
+  SELECT contrib.qid, doc_id, sum(v) / qn.n AS score
+  FROM contrib JOIN qn ON qn.qid = contrib.qid
+  GROUP BY contrib.qid, doc_id, qn.n)
+SELECT qid, rank, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id DESC) AS rank
+  FROM scores)
+WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
 _SHINGLE_SQL = f"""
 toks AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
 sh AS (
@@ -248,6 +324,8 @@ def oracle_sql() -> dict[str, str]:
         "index_doc_lens": f"""
             SELECT doc_id, len({TOKEN_SQL}) AS dl FROM documents ORDER BY doc_id""",
         "bm25_topk": _BM25_SQL.replace("{values}", _bm25_values_clause()),
+        "lm_topk_dirichlet": _lm_sql("dirichlet").replace("{values}", _bm25_values_clause()),
+        "lm_topk_jm": _lm_sql("jm").replace("{values}", _bm25_values_clause()),
         "token_counts": f"""
             SELECT doc_id, len({TOKEN_SQL}) AS n_tokens FROM documents ORDER BY doc_id""",
         "term_stats": f"""

@@ -1,0 +1,197 @@
+"""Index inspection CLI — the ``dumpindex`` analogue
+(ref:dumpindex/dumpindex.cpp:532-601).
+
+Commands:
+
+    python -m indri_5_5_ray.cli <index_dir> stats
+    python -m indri_5_5_ray.cli <index_dir> term <term>          # stem + postings summary
+    python -m indri_5_5_ray.cli <index_dir> termpositions <term> # full postings w/ positions
+    python -m indri_5_5_ray.cli <index_dir> vocabulary [limit]
+    python -m indri_5_5_ray.cli <index_dir> documentname <doc_id>
+    python -m indri_5_5_ray.cli <index_dir> documentid <docno>
+    python -m indri_5_5_ray.cli <index_dir> validate             # invariants walk
+    python -m indri_5_5_ray.cli <index_dir> query "<text>" [k]   # BM25 top-k
+
+Standalone use auto-initialises Ray only if needed (queries don't need it).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from .codec import decode_block
+from .pipelines.query import BM25Scorer, IndexReader, format_trec, process_query
+from .stages.ingest import TermProcessor
+
+
+def cmd_stats(reader: IndexReader, *_args) -> None:
+    m = dict(reader.manifest)
+    m["avgdl"] = round(reader.avgdl, 4)
+    print(json.dumps(m, indent=2))
+
+
+def _term_of(reader: IndexReader, raw: str) -> str:
+    proc = TermProcessor(reader.cfg)
+    out = process_query(raw, reader.cfg, proc)
+    return out[0][0] if out else raw
+
+
+def cmd_term(reader: IndexReader, raw: str) -> None:
+    term = _term_of(reader, raw)
+    stats = reader.term_stats([term]).get(term)
+    if stats is None:
+        print(f"{raw} -> {term}: not in index")
+        return
+    cf, df = stats
+    rows = reader.term_rows([term])
+    n_blocks = sum(len(x) for x in rows.column("block_offset").to_pylist())
+    print(f"{raw} -> {term}: cf={cf} df={df} rows={rows.num_rows} blocks={n_blocks}")
+
+
+def cmd_termpositions(reader: IndexReader, raw: str) -> None:
+    term = _term_of(reader, raw)
+    rows = reader.term_rows([term])
+    has_pos = reader.cfg.store_positions
+    for ri in range(rows.num_rows):
+        payload = rows.column("postings")[ri].as_py()
+        for off, ln in zip(
+            rows.column("block_offset")[ri].as_py(),
+            rows.column("block_length")[ri].as_py(),
+        ):
+            d, tf, pos = decode_block(payload[off : off + ln], has_pos)
+            cursor = 0
+            for did, n in zip(d.tolist(), tf.tolist()):
+                ps = pos[cursor : cursor + n].tolist() if pos is not None else []
+                cursor += n
+                print(f"{term} doc={did} tf={n} positions={ps}")
+
+
+def cmd_vocabulary(reader: IndexReader, limit: str = "50") -> None:
+    t = pq.read_table(f"{reader.index_dir}/dictionary")
+    t = t.sort_by("term").slice(0, int(limit))
+    for row in t.to_pylist():
+        print(f"{row['term']}\tcf={row['cf']}\tdf={row['df']}")
+
+
+def cmd_documentname(reader: IndexReader, doc_id: str) -> None:
+    print(reader.docnos([int(doc_id)])[0])
+
+
+def cmd_documentid(reader: IndexReader, docno: str) -> None:
+    t = pq.read_table(f"{reader.index_dir}/docs", columns=["doc_id", "docno"])
+    for did, dn in zip(t.column("doc_id").to_pylist(), t.column("docno").to_pylist()):
+        if dn == docno:
+            print(did)
+            return
+    print(-1)
+
+
+def cmd_validate(reader: IndexReader, *_args) -> None:
+    """Invariant walk (the ``dumpindex validate`` analogue,
+    ref:dumpindex/dumpindex.cpp:593-595): decodes every posting block and
+    cross-checks against the document table and the dictionary."""
+    doc_lens = reader.doc_lens()
+    docs = pq.read_table(f"{reader.index_dir}/docs", columns=["doc_id", "dl"])
+    known = set(docs.column("doc_id").to_pylist())
+    dict_t = pq.read_table(f"{reader.index_dir}/dictionary")
+    dict_stats = {
+        t: (cf, df)
+        for t, cf, df in zip(
+            dict_t.column("term").to_pylist(),
+            dict_t.column("cf").to_pylist(),
+            dict_t.column("df").to_pylist(),
+        )
+    }
+    post = pq.read_table(f"{reader.index_dir}/postings")
+    errors = 0
+    seen: dict[str, list[int]] = {}
+    has_pos = reader.cfg.store_positions
+    for row in post.to_pylist():
+        term = row["term"]
+        total_cf = 0
+        total_df = 0
+        prev_doc = -1
+        for off, ln, last, nd in zip(
+            row["block_offset"], row["block_length"],
+            row["block_last_doc"], row["block_n_docs"],
+        ):
+            d, tf, pos = decode_block(bytes(row["postings"][off : off + ln]), has_pos)
+            if len(d) != nd or (len(d) and d[-1] != last):
+                print(f"ERROR {term}: block meta mismatch")
+                errors += 1
+            if len(d) and (np.diff(d) <= 0).any():
+                print(f"ERROR {term}: non-ascending doc ids in block")
+                errors += 1
+            if len(d) and prev_doc >= d[0]:
+                print(f"ERROR {term}: block overlaps predecessor")
+                errors += 1
+            prev_doc = int(d[-1]) if len(d) else prev_doc
+            for did in d.tolist():
+                if did not in known:
+                    print(f"ERROR {term}: unknown doc {did}")
+                    errors += 1
+            if tf.max(initial=0) and len(d):
+                bad = tf > doc_lens[d]
+                if bad.any():
+                    print(f"ERROR {term}: tf exceeds doc length")
+                    errors += 1
+            if pos is not None and len(pos):
+                cursor = 0
+                for did, n in zip(d.tolist(), tf.tolist()):
+                    ps = pos[cursor : cursor + n]
+                    cursor += n
+                    if (np.diff(ps) <= 0).any() or ps[-1] >= doc_lens[did]:
+                        print(f"ERROR {term}: bad positions doc {did}")
+                        errors += 1
+            total_cf += int(tf.sum())
+            total_df += len(d)
+        seen.setdefault(term, [0, 0])
+        seen[term][0] += total_cf
+        seen[term][1] += total_df
+    for term, (cf, df) in seen.items():
+        want = dict_stats.get(term)
+        if want is None or want != (cf, df):
+            print(f"ERROR {term}: dictionary says {want}, postings say {(cf, df)}")
+            errors += 1
+    if len(seen) != len(dict_stats):
+        print(f"ERROR: {len(dict_stats)} dictionary terms, {len(seen)} posting terms")
+        errors += 1
+    print(f"validate: {len(seen)} terms, {len(known)} docs, {errors} errors")
+    if errors:
+        raise SystemExit(1)
+
+
+def cmd_query(reader: IndexReader, text: str, k: str = "10") -> None:
+    scorer = BM25Scorer(reader)
+    terms = process_query(text, reader.cfg)
+    ids, scores = scorer.score_blockmax(terms, k=int(k))
+    for line in format_trec("Q", ids, scores, reader.docnos(ids.tolist())):
+        print(line)
+
+
+COMMANDS = {
+    "stats": cmd_stats,
+    "term": cmd_term,
+    "termpositions": cmd_termpositions,
+    "vocabulary": cmd_vocabulary,
+    "documentname": cmd_documentname,
+    "documentid": cmd_documentid,
+    "validate": cmd_validate,
+    "query": cmd_query,
+}
+
+
+def main(argv: list[str]) -> None:
+    if len(argv) < 2 or argv[1] not in COMMANDS:
+        print(__doc__)
+        raise SystemExit(2)
+    reader = IndexReader(argv[0])
+    COMMANDS[argv[1]](reader, *argv[2:])
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -182,6 +182,66 @@ def encode_block(
     )
 
 
+def assemble_block(doc_ids: np.ndarray, tfs: np.ndarray,
+                   pos_stream: bytes | None) -> bytes:
+    """Build a block from (doc_ids, tfs) plus an ALREADY-ENCODED position
+    stream (per-doc delta vbyte, reset per doc — the exact stream-B layout).
+    Identical output to ``encode_block``; avoids re-encoding positions in the
+    merge reducer."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = len(doc_ids)
+    if n == 0:
+        return b""
+    inter = np.empty(2 * n, dtype=np.uint64)
+    inter[0::2] = delta_encode(doc_ids).astype(np.uint64)
+    inter[1::2] = tfs.astype(np.uint64)
+    stream_a = vbyte_encode(inter)
+    prefix = vbyte_encode(np.array([len(stream_a)], dtype=np.uint64))
+    if pos_stream is None:
+        return prefix + stream_a
+    return prefix + stream_a + pos_stream
+
+
+def cut_blocks_pre(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    pos_payload: bytes | None,
+    pos_byte_lens: np.ndarray | None,
+    target_bytes: int = TARGET_BLOCK_BYTES,
+) -> list[tuple[int, int, bytes, np.ndarray, np.ndarray]]:
+    """``cut_blocks`` variant taking pre-encoded positions: ``pos_payload``
+    is the concatenation of per-doc delta-vbyte streams and
+    ``pos_byte_lens[i]`` the byte length of doc i's stream.  Blocks slice the
+    payload — no position decode/re-encode."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = len(doc_ids)
+    if n == 0:
+        return []
+    has_pos = pos_payload is not None
+    if has_pos:
+        byte_starts = np.concatenate(([0], np.cumsum(pos_byte_lens)))
+        per_doc = 4.0 + float(byte_starts[-1]) / n
+    else:
+        per_doc = 4.0
+    docs_per_block = max(8, int(target_bytes / per_doc))
+    out = []
+    for start in range(0, n, docs_per_block):
+        end = min(start + docs_per_block, n)
+        block_tfs = tfs[start:end]
+        if has_pos:
+            stream_b = pos_payload[byte_starts[start] : byte_starts[end]]
+        else:
+            stream_b = None
+        payload = assemble_block(doc_ids[start:end], block_tfs, stream_b)
+        out.append(
+            (int(doc_ids[start]), int(doc_ids[end - 1]), payload,
+             doc_ids[start:end], block_tfs)
+        )
+    return out
+
+
 def decode_block(
     buf: bytes | memoryview, has_positions: bool
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:

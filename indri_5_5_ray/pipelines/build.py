@@ -10,10 +10,12 @@ Phases (SURVEY.md §7.2):
    ingest-time docno dedup, ref:src/IndexEnvironment.cpp:388-404);
 2. ingest — actor-pool map_batches over work items (stemmer state per actor),
    side outputs docs/ + partials/ parquet per chunk + lineage records;
-3. postings merge — ``groupby(bucket).map_groups`` shuffle of partial runs →
-   delta+vbyte block-encoded posting lists with block-max metadata (the
-   ``IndexWriter`` k-way merge, ref:src/IndexWriter.cpp:810-879);
-4. dictionary + global statistics aggregates → manifest.json (completion
+3. postings merge — map-only reducers over term-hash buckets (the shuffle is
+   done by the filesystem: ingest wrote bucket-sorted partials, each reducer
+   reads its bucket by predicate pushdown) → delta+vbyte block-encoded
+   posting lists with block-max metadata + per-bucket dictionary slices
+   (the ``IndexWriter`` k-way merge, ref:src/IndexWriter.cpp:810-879);
+4. global statistics from lineage records → manifest.json (completion
    marker; stats are GLOBAL as required for rank-identity,
    ref:src/QueryEnvironment.cpp:957-970).
 
@@ -36,26 +38,44 @@ import ray.data
 from ..config import IndexConfig
 from ..sources.corpus import Chunk, plan_chunks, read_chunk
 from ..stages.ingest import IngestWorker
-from ..stages.postings import merge_bucket
+from ..stages.postings import MergeWorker
 
-def _ingest_concurrency() -> tuple[int, int]:
-    """Actor-pool size tracks the cluster CPU count (one CPU per actor)."""
+def _ingest_concurrency() -> int:
+    """Fixed actor-pool size (one CPU per actor), default = cluster CPUs,
+    overridable via INDRI55_INGEST_CONCURRENCY.  A fixed pool spawns all
+    actors up front; the autoscaling (min,max) pool ramps up too slowly for
+    a build whose tasks are all ready at start."""
+    import os
+
+    override = os.environ.get("INDRI55_INGEST_CONCURRENCY")
+    if override:
+        return max(2, int(override))
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return (1, max(2, cpus))
+    return max(2, cpus)
+
+
+_DEDUP_BUCKETS = 32
 
 
 def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str) -> str | None:
     """Phase 1: find duplicate doc_ids to drop (keep first arrival = min
-    doc_id, mirroring the reference's keep-first ingest dedup)."""
+    doc_id, mirroring the reference's keep-first ingest dedup).
+
+    Same filesystem-shuffle shape as the postings merge — scan tasks write
+    (key, doc_id) pairs sorted by key-hash bucket, reduce tasks read one
+    bucket each by predicate pushdown — so there is no object-store
+    all-to-all and both phases are plain task pools on warm workers."""
     key = cfg.dedup_key
 
     def scan(batch: pa.Table) -> pa.Table:
         import hashlib
 
-        out_ids, out_keys = [], []
+        import pyarrow.parquet as pq
+
+        out_rows = []
         for item in batch.to_pylist():
             chunk = Chunk(**{k: item[k] for k in ("file_path", "row_start", "row_end", "doc_id_base")})
             if key == "sha256":
@@ -67,18 +87,50 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str) -> st
                 ks = [f"{r}/{p}@{c}" for r, p, c in zip(
                     t.column("repo").to_pylist(), t.column("path").to_pylist(),
                     t.column("commit").to_pylist())]
-            out_ids.extend(range(chunk.doc_id_base, chunk.doc_id_base + len(ks)))
-            out_keys.extend(ks)
-        return pa.table({"doc_id": pa.array(out_ids, pa.int64()), "key": pa.array(out_keys)})
+            kb = [int(k2[:4], 16) % _DEDUP_BUCKETS if key == "sha256"
+                  else int(hashlib.md5(k2.encode()).hexdigest()[:4], 16) % _DEDUP_BUCKETS
+                  for k2 in ks]
+            tbl = pa.table(
+                {
+                    "kbucket": pa.array(kb, pa.int32()),
+                    "key": pa.array(ks),
+                    "doc_id": pa.array(
+                        range(chunk.doc_id_base, chunk.doc_id_base + len(ks)), pa.int64()
+                    ),
+                }
+            ).sort_by([("kbucket", "ascending")])
+            import os
 
-    def keep_losers(group: pa.Table) -> pa.Table:
-        if "doc_id" not in group.column_names:  # empty reduce partition
+            os.makedirs(f"{out_dir}/dedup_keys", exist_ok=True)
+            pq.write_table(
+                tbl, f"{out_dir}/dedup_keys/keys-{chunk.chunk_id}.parquet",
+                row_group_size=max(256, tbl.num_rows // _DEDUP_BUCKETS),
+            )
+            out_rows.append({"chunk_id": chunk.chunk_id, "rows": tbl.num_rows})
+        return pa.Table.from_pylist(out_rows)
+
+    def reduce_bucket(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.dataset as pads
+
+        out = []
+        for b in batch.column("kbucket").to_pylist():
+            dset = pads.dataset(f"{out_dir}/dedup_keys", format="parquet")
+            t = dset.to_table(filter=pads.field("kbucket") == b, columns=["key", "doc_id"],
+                              use_threads=False)
+            if t.num_rows == 0:
+                continue
+            df = pl.from_arrow(t)
+            winners = df.group_by("key").agg(pl.col("doc_id").min().alias("keep"))
+            losers = (
+                df.join(winners, on="key")
+                .filter(pl.col("doc_id") != pl.col("keep"))
+                .select("doc_id")
+            )
+            out.append(losers.to_arrow())
+        if not out:
             return pa.table({"doc_id": pa.array([], pa.int64())})
-        ids = group.column("doc_id").to_numpy()
-        if len(ids) <= 1:
-            return pa.table({"doc_id": pa.array([], pa.int64())})
-        keep = ids.min()
-        return pa.table({"doc_id": pa.array(sorted(int(i) for i in ids if i != keep), pa.int64())})
+        return pa.concat_tables(out)
 
     import pyarrow.parquet as _pq
 
@@ -97,12 +149,28 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str) -> st
 
     t0 = time.perf_counter()
     shutil.rmtree(losers_dir, ignore_errors=True)
-    ds = ray.data.from_items(chunk_dicts)
-    pairs = ds.map_batches(scan, batch_size=1, batch_format="pyarrow")
-    losers = pairs.groupby("key").map_groups(keep_losers, batch_format="pyarrow")
+    shutil.rmtree(f"{out_dir}/dedup_keys", ignore_errors=True)
+    # plain Ray tasks: the work lists are fixed and all data moves through
+    # the filesystem, so the Dataset streaming executor would only add
+    # per-phase scheduling overhead here
+    scan_t = ray.remote(num_cpus=1)(lambda item: scan(pa.Table.from_pylist([item])).num_rows)
+    ray.get([scan_t.remote(c) for c in chunk_dicts])
+    reduce_t = ray.remote(num_cpus=1)(
+        lambda b: reduce_bucket(pa.table({"kbucket": pa.array([b], pa.int32())}))
+    )
+    parts = [t for t in ray.get([reduce_t.remote(b) for b in range(_DEDUP_BUCKETS)])
+             if t.num_rows]
+    import os as _os
+
+    _os.makedirs(losers_dir, exist_ok=True)
+    losers_tbl = (
+        pa.concat_tables(parts).sort_by([("doc_id", "ascending")])
+        if parts else pa.table({"doc_id": pa.array([], pa.int64())})
+    )
     # doc_id-sorted output → ingest workers range-prune their losers lookup
-    losers.sort("doc_id").write_parquet(losers_dir)
-    n = _count_rows()
+    _pq.write_table(losers_tbl, f"{losers_dir}/losers.parquet",
+                    row_group_size=65536)
+    n = losers_tbl.num_rows
     _lineage.write_record(
         out_dir, "dedup", "all", fingerprint, rows=n, bytes_written=0,
         wall_ms=(time.perf_counter() - t0) * 1000,
@@ -156,46 +224,47 @@ def build_index(
     ).take_all()
     timings["ingest_s"] = time.perf_counter() - t0
 
-    # -- phase 3: postings merge (the groupby-term shuffle) -----------------
+    # brief capped wait for the ingest actor pool to release most CPUs —
+    # teardown is async and a few actors can linger; merge tasks queue on
+    # Ray's resource accounting anyway, so 75% free is enough to proceed
     t0 = time.perf_counter()
-    partials = ray.data.read_parquet(f"{out}/partials")
-    store_positions = cfg.store_positions
-    target = cfg.target_block_bytes
+    want = 0.75 * _ingest_concurrency()
+    while time.perf_counter() - t0 < 5.0:
+        if ray.available_resources().get("CPU", 0) >= want:
+            break
+        time.sleep(0.1)
+    timings["barrier_s"] = time.perf_counter() - t0
 
-    def _merge(group: pa.Table) -> pa.Table:
-        return merge_bucket(group, store_positions, target)
+    # -- phase 3: postings merge (filesystem-shuffled, map-only) ------------
+    # ingest wrote bucket-sorted partials; each merge task reads exactly its
+    # bucket (predicate pushdown) and writes postings + dictionary slices —
+    # no object-store shuffle, independently resumable per bucket
+    t0 = time.perf_counter()
+    out_str = str(out)
+    cfg_dict = cfg.to_dict()
+    plan_fp = f"{len(chunks)}:{chunks[-1].doc_id_base if chunks else 0}"
 
-    merged = partials.groupby("bucket").map_groups(_merge, batch_format="pyarrow")
-    postings_dir = f"{out}/postings"
-    merged.write_parquet(postings_dir)
+    @ray.remote(num_cpus=1)
+    def _merge_task(bucket: int) -> dict:
+        # plain task: the work list is fixed and all IO goes through the
+        # filesystem (bucket-pruned parquet reads), so raw tasks avoid the
+        # Dataset executor's per-phase overhead
+        t = MergeWorker(out_str, cfg_dict, plan_fp)(
+            pa.table({"bucket": pa.array([bucket], pa.int32())})
+        )
+        return t.to_pylist()[0]
+
+    merge_records = ray.get([_merge_task.remote(b) for b in range(cfg.n_buckets)])
     timings["merge_s"] = time.perf_counter() - t0
 
-    # -- phase 4: dictionary + global stats → manifest ----------------------
+    # -- phase 4: global stats → manifest -----------------------------------
+    # corpus statistics come straight from the committed lineage records and
+    # the merge outputs (no extra pass over the data)
     t0 = time.perf_counter()
-    post_stats = ray.data.read_parquet(
-        postings_dir, columns=["term", "cf", "df", "max_dl", "min_dl"]
-    )
-    from ray.data.aggregate import Max, Min, Sum
-
-    dictionary = post_stats.groupby("term").aggregate(
-        Sum("cf", alias_name="cf"),
-        Sum("df", alias_name="df"),
-        Max("max_dl", alias_name="max_dl"),
-        Min("min_dl", alias_name="min_dl"),
-    )
-    dictionary.write_parquet(f"{out}/dictionary")
-
-    # global corpus statistics come straight from the committed lineage
-    # records (no extra pass over the data); unique_terms from the written
-    # dictionary's parquet footers (driver-side metadata only)
-    import pyarrow.parquet as _pq
-
     doc_count = sum(r.get("kept_docs", 0) for r in records)
     total_terms = sum(r.get("total_term_slots", 0) for r in records)
     max_doc_id = max(c.doc_id_base + (c.row_end - c.row_start) for c in chunks) - 1
-    unique_terms = sum(
-        _pq.read_metadata(f).num_rows for f in Path(f"{out}/dictionary").glob("*.parquet")
-    )
+    unique_terms = sum(r.get("n_terms", 0) for r in merge_records)
     timings["stats_s"] = time.perf_counter() - t0
     timings["total_s"] = time.perf_counter() - t_start
 

@@ -1,0 +1,111 @@
+"""Language-model retrieval — Indri's DEFAULT scoring path.
+
+``#combine(t1 … tn)`` over bag-of-words = WeightedAndNode with weights 1/n →
+the document score is the MEAN of per-child log-probabilities
+(ref:src/InferenceNetworkBuilder.cpp:891, ref:src/WeightedAndNode.cpp).
+Duplicated query terms are separate children (no qtf collapsing in the
+default path), so a duplicate contributes its log twice.
+
+Smoothing functions (ref:src/TermScoreFunctionFactory.cpp:42-78):
+
+* dirichlet (default, mu=2500):  log((tf + mu·P(t|C)) / (dl + mu))
+  (ref:include/indri/DirichletTermScoreFunction.hpp:44-47)
+* jelinek-mercer (lambda=0.4):   log((1-λ)·tf/dl + λ·P(t|C))
+  (ref:include/indri/JelinekMercerTermScoreFunction.hpp)
+
+with P(t|C) = cf/|C|, |C| = total term count including stopped slots, and
+zero-cf terms given P = 1/(2·|C|) (ref:src/TermScoreFunctionFactory.cpp:52-53).
+Candidates are docs matching ≥1 query term (the DAAT union,
+ref:src/InferenceNetwork.cpp:285-332) — absent terms contribute their
+background probability to candidate docs.  Tie-break identical to BM25:
+score desc → doc_id desc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import IndexConfig
+from ..stages.ingest import TermProcessor
+from ..tokenizer import tokenize
+from .query import IndexReader, _topk
+
+
+def process_query_lm(text: str, cfg: IndexConfig,
+                     proc: TermProcessor | None = None) -> list[str]:
+    """Query text → child term list (duplicates preserved, stopped dropped)."""
+    proc = proc or TermProcessor(cfg)
+    out = []
+    for raw in tokenize(text):
+        term = proc.process(raw)
+        if term is not None:
+            out.append(term)
+    return out
+
+
+class LMScorer:
+    """Dirichlet / Jelinek-Mercer #combine scorer (exhaustive union DAAT)."""
+
+    def __init__(self, reader: IndexReader, method: str = "dirichlet",
+                 mu: float = 2500.0, lam: float = 0.4):
+        self.r = reader
+        self.method = method
+        self.mu = mu
+        self.lam = lam
+
+    def score(self, terms: list[str], k: int = 1000) -> tuple[np.ndarray, np.ndarray]:
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        r = self.r
+        uniq_terms = list(dict.fromkeys(terms))
+        stats = r.term_stats(uniq_terms)
+        total = float(r.total_terms)
+        # background model probability per term; zero-cf terms get 1/(2|C|)
+        p_c = {
+            t: (stats[t][0] / total if t in stats and stats[t][0] > 0 else 1.0 / (2.0 * total))
+            for t in uniq_terms
+        }
+        rows = r.term_rows([t for t in uniq_terms if t in stats])
+        doc_lens = r.doc_lens()
+        has_pos = r.cfg.store_positions
+
+        from ..codec import decode_block
+
+        term_postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        row_terms = rows.column("term").to_pylist() if rows.num_rows else []
+        payloads = rows.column("postings").to_pylist() if rows.num_rows else []
+        offs = rows.column("block_offset").to_pylist() if rows.num_rows else []
+        lens = rows.column("block_length").to_pylist() if rows.num_rows else []
+        for term in uniq_terms:
+            t_ids, t_tfs = [], []
+            for ri, rt in enumerate(row_terms):
+                if rt != term:
+                    continue
+                for off, ln in zip(offs[ri], lens[ri]):
+                    d, tf, _ = decode_block(payloads[ri][off : off + ln], has_pos)
+                    t_ids.append(d)
+                    t_tfs.append(tf)
+            if t_ids:
+                term_postings[term] = (np.concatenate(t_ids), np.concatenate(t_tfs))
+
+        if not term_postings:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        cand = np.unique(np.concatenate([d for d, _ in term_postings.values()]))
+        dl = doc_lens[cand].astype(np.float64)
+        idx = {int(d): i for i, d in enumerate(cand)}
+        acc = np.zeros(len(cand), dtype=np.float64)
+        n_children = len(terms)
+        for term in terms:  # children in query order, duplicates included
+            tf = np.zeros(len(cand), dtype=np.float64)
+            tp = term_postings.get(term)
+            if tp is not None:
+                d, t = tp
+                pos = np.searchsorted(cand, d)
+                tf[pos] = t.astype(np.float64)
+            bg = self.mu * p_c[term]
+            if self.method == "dirichlet":
+                acc += np.log((tf + bg) / (dl + self.mu))
+            else:  # jelinek-mercer
+                acc += np.log((1.0 - self.lam) * tf / dl + self.lam * p_c[term])
+        acc /= n_children
+        return _topk(cand, acc, k)

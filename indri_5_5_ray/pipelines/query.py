@@ -40,6 +40,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
@@ -80,6 +81,10 @@ class IndexReader:
         self.avgdl = self.total_terms / self.doc_count
         self._doc_lens: np.ndarray | None = None
         self._docnos: dict[int, str] | None = None
+        self._postings_ds: pads.Dataset | None = None
+        self._dict_ds: pads.Dataset | None = None
+        self._row_cache: dict[str, pa.Table] = {}
+        self._stats_cache: dict[str, tuple[int, int] | None] = {}
 
     # -- doc metadata -------------------------------------------------------
 
@@ -116,18 +121,30 @@ class IndexReader:
         output file (merge reducers are per-bucket) so row-group statistics
         skip non-matching files wholesale; the term filter prunes row groups
         within the bucket file (``BulkTree`` lookup analogue,
-        ref:src/IndexWriter.cpp:885-901).
+        ref:src/IndexWriter.cpp:885-901).  Fetched rows are cached per reader
+        (one reader per scoring actor — the ListCache analogue,
+        ref:include/indri/ListCache.hpp).
         """
+        from ..stages.postings import POSTINGS_SCHEMA
+
         if not terms:
-            import pyarrow as _pa
-
-            from ..stages.postings import POSTINGS_SCHEMA
-
             return POSTINGS_SCHEMA.empty_table()
-        buckets = sorted({self._bucket_of(t) for t in terms})
-        dset = pads.dataset(f"{self.index_dir}/postings", format="parquet")
-        expr = pads.field("bucket").isin(buckets) & pads.field("term").isin(terms)
-        t = dset.to_table(filter=expr)
+        missing = [t for t in terms if t not in self._row_cache]
+        if missing:
+            if self._postings_ds is None:
+                self._postings_ds = pads.dataset(
+                    f"{self.index_dir}/postings", format="parquet"
+                )
+            buckets = sorted({self._bucket_of(t) for t in missing})
+            expr = pads.field("bucket").isin(buckets) & pads.field("term").isin(missing)
+            fetched = self._postings_ds.to_table(filter=expr)
+            for term in missing:
+                mask = pc.equal(fetched.column("term"), term)
+                self._row_cache[term] = fetched.filter(mask)
+        tables = [self._row_cache[t] for t in terms if self._row_cache[t].num_rows]
+        if not tables:
+            return POSTINGS_SCHEMA.empty_table()
+        t = pa.concat_tables(tables)
         return t.sort_by([("term", "ascending"), ("first_doc", "ascending")])
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -135,16 +152,24 @@ class IndexReader:
         the statistics gather of ref:src/QueryEnvironment.cpp:957-965)."""
         if not terms:
             return {}
-        dset = pads.dataset(f"{self.index_dir}/dictionary", format="parquet")
-        t = dset.to_table(filter=pads.field("term").isin(terms))
-        return {
-            term: (int(cf), int(df))
-            for term, cf, df in zip(
-                t.column("term").to_pylist(),
-                t.column("cf").to_pylist(),
-                t.column("df").to_pylist(),
-            )
-        }
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            if self._dict_ds is None:
+                self._dict_ds = pads.dataset(
+                    f"{self.index_dir}/dictionary", format="parquet"
+                )
+            t = self._dict_ds.to_table(filter=pads.field("term").isin(missing))
+            found = {
+                term: (int(cf), int(df))
+                for term, cf, df in zip(
+                    t.column("term").to_pylist(),
+                    t.column("cf").to_pylist(),
+                    t.column("df").to_pylist(),
+                )
+            }
+            for term in missing:
+                self._stats_cache[term] = found.get(term)
+        return {t: s for t in terms if (s := self._stats_cache.get(t)) is not None}
 
 
 def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -119,7 +119,9 @@ def read_chunk(chunk: Chunk, columns: list[str] | None = None) -> pa.Table:
         row += n
         if row >= end:
             break
-    tables = [f.read_row_group(i, columns=columns) for i, _ in covered]
+    # single-threaded read: worker tasks are already one-per-CPU; letting
+    # pyarrow fan out its own thread pool oversubscribes the node
+    tables = [f.read_row_group(i, columns=columns, use_threads=False) for i, _ in covered]
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
     first_covered_row = covered[0][1]
     return t.slice(start - first_covered_row, end - start)

@@ -32,11 +32,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..codec import segmented_delta, vbyte_encode, vbyte_sizes
 from ..config import IndexConfig
 from ..kstem import KrovetzStemmer
 from ..sources.corpus import Chunk, read_chunk
 from ..state import lineage
-from ..tokenizer import tokenize
+from ..tokenizer import normalize_token, tokenize_bytes
 from .postings import PARTIALS_SCHEMA
 
 DOCS_SCHEMA = pa.schema(
@@ -55,15 +56,20 @@ class TermProcessor:
     (query terms go through the same chain: ``Repository::processTerm``
     ref:src/Repository.cpp:1087-1112)."""
 
+    _MISSING = object()
+
     def __init__(self, cfg: IndexConfig):
         self.stop = frozenset(cfg.stopwords)
         self.stemmer = KrovetzStemmer() if cfg.stemmer == "krovetz" else None
         self._memo: dict[str, str | None] = {}
+        # raw-token-bytes → final term (or None): one dict hop per token in
+        # the hot ingest loop (normalize + stop + stem fused)
+        self._raw_memo: dict[bytes, str | None] = {}
 
     def process(self, term: str) -> str | None:
         """Tokenized+normalized term → indexed term, or None if stopped."""
-        r = self._memo.get(term, "\x00missing")
-        if r != "\x00missing":
+        r = self._memo.get(term, TermProcessor._MISSING)
+        if r is not TermProcessor._MISSING:
             return r
         if self.stop and term in self.stop:
             out = None
@@ -72,6 +78,16 @@ class TermProcessor:
         else:
             out = term
         self._memo[term] = out
+        return out
+
+    def process_raw(self, raw: bytes) -> str | None:
+        """Raw tokenizer output bytes → indexed term (memoized whole chain)."""
+        r = self._raw_memo.get(raw, TermProcessor._MISSING)
+        if r is not TermProcessor._MISSING:
+            return r
+        term = normalize_token(raw).decode("utf-8", errors="replace")
+        out = self.process(term)
+        self._raw_memo[raw] = out
         return out
 
 
@@ -129,22 +145,23 @@ class IngestWorker:
         drop_set = set(drop.tolist())
 
         shas, dls, uniq = [], [], []
-        # term → [doc_ids, tfs, dls, positions(list of arrays)]
+        # term → [doc_ids, tfs, dls, positions-flat]
         acc: dict[str, list] = {}
-        proc = self.proc.process
+        proc = self.proc.process_raw
         for local_i in range(n):
             content = contents[local_i]
-            sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            data = content.encode("utf-8")
+            sha = hashlib.sha256(data).hexdigest()
             shas.append(sha)
             did = int(doc_ids[local_i])
             if did in drop_set:
                 dls.append(-1)
                 uniq.append(0)
                 continue
-            raw_terms = tokenize(content)
-            dl = len(raw_terms)  # includes stopped slots
+            raw_tokens = tokenize_bytes(data)
+            dl = len(raw_tokens)  # includes stopped slots
             per_doc: dict[str, list[int]] = {}
-            for pos, rt in enumerate(raw_terms):
+            for pos, rt in enumerate(raw_tokens):
                 term = proc(rt)
                 if term is None:
                     continue
@@ -179,9 +196,10 @@ class IngestWorker:
         terms = sorted(acc.keys())
         salt_span = self.cfg.salt_docs_per_group
         n_buckets = self.cfg.n_buckets
+        store_pos = self.cfg.store_positions
         rows = {
             "term": [], "bucket": [], "salt": [], "first_doc": [], "last_doc": [],
-            "doc_ids": [], "tfs": [], "dls": [], "positions": [],
+            "doc_ids": [], "tfs": [], "dls": [], "pos_bytes": [], "pos_byte_lens": [],
         }
         for term in terms:
             d, tf, dlv, pos = acc[term]
@@ -194,15 +212,33 @@ class IngestWorker:
             rows["doc_ids"].append(d)
             rows["tfs"].append(tf)
             rows["dls"].append(dlv)
-            rows["positions"].append(pos if self.cfg.store_positions else [])
+            if store_pos:
+                # positions are vbyte-encoded ONCE here (per-doc delta with
+                # reset, exactly the final block stream-B layout) and only
+                # byte-sliced at merge — no re-encode in the shuffle reducer
+                tf_arr = np.asarray(tf, dtype=np.int64)
+                deltas = segmented_delta(np.asarray(pos, dtype=np.int64), tf_arr)
+                sizes = vbyte_sizes(deltas.astype(np.uint64))
+                starts = np.concatenate(([0], np.cumsum(tf_arr)[:-1]))
+                byte_lens = np.add.reduceat(sizes, starts)
+                rows["pos_bytes"].append(vbyte_encode(deltas.astype(np.uint64)))
+                rows["pos_byte_lens"].append(byte_lens.astype(np.int32).tolist())
+            else:
+                rows["pos_bytes"].append(b"")
+                rows["pos_byte_lens"].append([])
         partials_tbl = pa.table(rows, schema=PARTIALS_SCHEMA)
+        # sort by bucket (stable → stays term-sorted within bucket) and size
+        # row groups ≈ one bucket each, so the merge worker's per-bucket read
+        # prunes row groups instead of shuffling through the object store
+        partials_tbl = partials_tbl.sort_by([("bucket", "ascending")])
+        rg_size = max(256, partials_tbl.num_rows // max(1, n_buckets))
 
         docs_path = f"{self.out_dir}/docs/docs-{cid}.parquet"
         partials_path = f"{self.out_dir}/partials/partials-{cid}.parquet"
         os.makedirs(f"{self.out_dir}/docs", exist_ok=True)
         os.makedirs(f"{self.out_dir}/partials", exist_ok=True)
         pq.write_table(docs_tbl, docs_path)
-        pq.write_table(partials_tbl, partials_path)
+        pq.write_table(partials_tbl, partials_path, row_group_size=rg_size)
         nbytes = docs_tbl.nbytes + partials_tbl.nbytes
         wall = (time.perf_counter() - t0) * 1000
         rec = lineage.write_record(

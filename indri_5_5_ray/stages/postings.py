@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..codec import cut_blocks
+from ..codec import cut_blocks_pre
 
 PARTIALS_SCHEMA = pa.schema(
     [
@@ -33,7 +33,10 @@ PARTIALS_SCHEMA = pa.schema(
         ("doc_ids", pa.list_(pa.int64())),
         ("tfs", pa.list_(pa.int32())),
         ("dls", pa.list_(pa.int32())),
-        ("positions", pa.list_(pa.int64())),
+        # positions pre-encoded at ingest: concatenated per-doc delta-vbyte
+        # streams + per-doc byte lengths (sliced, never re-encoded, at merge)
+        ("pos_bytes", pa.large_binary()),
+        ("pos_byte_lens", pa.list_(pa.int32())),
     ]
 )
 
@@ -57,6 +60,85 @@ POSTINGS_SCHEMA = pa.schema(
         ("block_length", pa.list_(pa.int32())),
     ]
 )
+
+
+class MergeWorker:
+    """Map-only merge reducer: one work item = one bucket.
+
+    The shuffle is done by the FILESYSTEM, not the object store: ingest wrote
+    partials bucket-sorted with bucket-aligned row groups, so each reducer's
+    read is a predicate-pushdown scan of its bucket only.  Each bucket's
+    output is one postings file (term-sorted → row-group pruning for query
+    term lookups) plus its dictionary slice — a term hashes to exactly one
+    bucket, so per-bucket term aggregation is already global.  A lineage
+    record per bucket makes the merge phase independently resumable.
+    """
+
+    def __init__(self, out_dir: str, cfg_dict: dict, plan_fingerprint: str = ""):
+        from ..config import IndexConfig
+
+        self.out_dir = out_dir
+        self.cfg = IndexConfig.from_dict(cfg_dict)
+        self.plan_fingerprint = plan_fingerprint
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+        import time
+
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        from ..state import lineage
+
+        out_rows = []
+        for bucket in batch.column("bucket").to_pylist():
+            t0 = time.perf_counter()
+            pid = f"{bucket:05d}"
+            fingerprint = f"bucket:{bucket}:{self.plan_fingerprint}"
+            postings_path = f"{self.out_dir}/postings/postings-{pid}.parquet"
+            dict_path = f"{self.out_dir}/dictionary/dictionary-{pid}.parquet"
+            if (
+                lineage.is_done(self.out_dir, "merge", pid, fingerprint)
+                and os.path.exists(postings_path)
+                and os.path.exists(dict_path)
+            ):
+                rec = lineage.read_record(self.out_dir, "merge", pid)
+                rec["skipped"] = True
+                out_rows.append(rec)
+                continue
+            dset = pads.dataset(f"{self.out_dir}/partials", format="parquet")
+            group = dset.to_table(filter=pads.field("bucket") == bucket, use_threads=False)
+            merged = merge_bucket(group, self.cfg.store_positions, self.cfg.target_block_bytes)
+            os.makedirs(f"{self.out_dir}/postings", exist_ok=True)
+            os.makedirs(f"{self.out_dir}/dictionary", exist_ok=True)
+            pq.write_table(merged, postings_path)
+            # per-bucket dictionary: sum stats across a term's salt rows
+            import polars as pl
+
+            if merged.num_rows:
+                d = (
+                    pl.from_arrow(merged.select(["term", "cf", "df", "max_dl", "min_dl"]))
+                    .group_by("term")
+                    .agg(
+                        pl.col("cf").sum(),
+                        pl.col("df").sum(),
+                        pl.col("max_dl").max(),
+                        pl.col("min_dl").min(),
+                    )
+                    .sort("term")
+                    .to_arrow()
+                )
+            else:
+                d = merged.select(["term", "cf", "df", "max_dl", "min_dl"])
+            pq.write_table(d, dict_path)
+            rec = lineage.write_record(
+                self.out_dir, "merge", pid, fingerprint,
+                rows=merged.num_rows, bytes_written=int(merged.nbytes),
+                wall_ms=(time.perf_counter() - t0) * 1000,
+                extra={"n_terms": d.num_rows},
+            )
+            out_rows.append(rec)
+        return pa.Table.from_pylist(out_rows)
 
 
 def _flatten_list_column(tbl: pa.Table, name: str) -> tuple[np.ndarray, np.ndarray]:
@@ -96,8 +178,8 @@ def merge_bucket(
     tf_flat, _ = _flatten_list_column(group, "tfs")
     dl_flat, _ = _flatten_list_column(group, "dls")
     if store_positions:
-        pos_flat, pos_lens_per_row = _flatten_list_column(group, "positions")
-        pos_row_starts = np.concatenate(([0], np.cumsum(pos_lens_per_row)))
+        pos_rows: list[bytes] = group.column("pos_bytes").to_pylist()
+        blen_flat, _ = _flatten_list_column(group, "pos_byte_lens")
     row_starts = np.concatenate(([0], np.cumsum(doc_lens_per_row)))
 
     # group boundaries: rows where (term, salt) changes
@@ -116,7 +198,6 @@ def merge_bucket(
         doc_ids = doc_flat[v0:v1]
         tfs = tf_flat[v0:v1]
         dls = dl_flat[v0:v1]
-        positions = pos_flat[pos_row_starts[r0] : pos_row_starts[r1]] if store_positions else None
 
         # ascending-docID invariant (the reference asserts this at write:
         # ref:src/IndexWriter.cpp:618)
@@ -124,7 +205,14 @@ def merge_bucket(
             f"posting doc_ids not strictly ascending for term {terms[r0]!r}"
         )
 
-        blocks = cut_blocks(doc_ids, tfs, positions, target_bytes=target_block_bytes)
+        if store_positions:
+            pos_payload = b"".join(pos_rows[r0:r1])
+            pos_byte_lens = blen_flat[v0:v1]
+        else:
+            pos_payload, pos_byte_lens = None, None
+        blocks = cut_blocks_pre(
+            doc_ids, tfs, pos_payload, pos_byte_lens, target_bytes=target_block_bytes
+        )
         payload = bytearray()
         b_last, b_n, b_maxtf, b_mindl, b_off, b_len = [], [], [], [], [], []
         cursor = 0
