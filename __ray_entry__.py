@@ -134,6 +134,44 @@ def _lm_topk(sf_dir: str, stem: bool, method: str = "dirichlet", k: int = 10):
     )
 
 
+STRUCTURED_QUERIES: list[tuple[str, str]] = [
+    ("1", "#combine(#od1(table hash) merge)"),
+    ("2", "#combine(#od2(customer join))"),
+    ("3", "#weight(2.0 spark 1.0 window)"),
+    ("4", "#max(sort filter)"),
+    ("5", "#or(slow key)"),
+]
+
+
+def _structured_topk(sf_dir: str, stem: bool = False, k: int = 10):
+    """(qid, rank, doc_id) structured-query retrieval (windows, weight, max,
+    or) — ranks by score rounded to 9 decimals for SQL parity."""
+    import numpy as np
+    import pyarrow as pa
+
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    index_dir = _ensure_index(sf_dir, stem)
+    reader = IndexReader(index_dir)
+    eng = StructuredQueryEngine(reader)
+    out_q, out_r, out_d = [], [], []
+    for qid, text in STRUCTURED_QUERIES:
+        ids, scores = eng.run(text, k=k + 40)
+        r9 = np.round(scores, 9)
+        order = np.lexsort((-ids, -r9))[:k]
+        out_q.extend([int(qid)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_d.extend(ids[order].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
 def _index_term_stats(sf_dir: str):
     """(term, cf, df) straight out of the built index's dictionary —
     validates tokenize→partials→shuffle→merge end-to-end against SQL."""
@@ -179,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_topk_dirichlet": lambda sf: _lm_topk(sf, stem=False, method="dirichlet"),
         "lm_topk_jm": lambda sf: _lm_topk(sf, stem=False, method="jm"),
         "lm_topk_kstem": lambda sf: _lm_topk(sf, stem=True, method="dirichlet"),
+        "structured_topk": lambda sf: _structured_topk(sf, stem=False),
         # --- text statistics / analysis ---
         "token_counts": textstats.token_counts,
         "term_stats": textstats.term_stats,
@@ -291,6 +330,95 @@ ORDER BY qid, rank
 """
 
 
+def _structured_sql() -> str:
+    """DuckDB oracle for STRUCTURED_QUERIES: dirichlet beliefs with global
+    node statistics; window tf via positional self-checks on the token
+    list; same candidates (union of leaf matches) and tie-break."""
+
+    def dir_term(alias: str, term: str) -> str:
+        cfv = f"(SELECT cf FROM cfreq WHERE term = '{term}')"
+        return (
+            f"ln((coalesce({alias}.tf, 0) + 2500.0 * "
+            f"(CASE WHEN coalesce({cfv}, 0) > 0 THEN {cfv} ELSE 0.5 END) / s.total)"
+            f" / (dl.dl + 2500.0))"
+        )
+
+    def dir_w(walias: str, wcf: str) -> str:
+        return (
+            f"ln((coalesce({walias}.wtf, 0) + 2500.0 * "
+            f"(CASE WHEN {wcf}.cf > 0 THEN {wcf}.cf ELSE 0.5 END) / s.total)"
+            f" / (dl.dl + 2500.0))"
+        )
+
+    def cand(terms: list[str]) -> str:
+        inlist = ", ".join(f"'{t}'" for t in terms)
+        return f"(SELECT DISTINCT doc_id FROM tf WHERE term IN ({inlist}))"
+
+    q1 = f"""
+  SELECT 1 AS qid, c.doc_id, ({dir_w('w1', 'w1cf')} + {dir_term('t_m', 'merge')}) / 2 AS score
+  FROM {cand(['table', 'hash', 'merge'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN w1 ON w1.doc_id = c.doc_id
+  LEFT JOIN tf t_m ON t_m.doc_id = c.doc_id AND t_m.term = 'merge'
+  CROSS JOIN stats s CROSS JOIN w1cf"""
+    q2 = f"""
+  SELECT 2 AS qid, c.doc_id, {dir_w('w2', 'w2cf')} AS score
+  FROM {cand(['customer', 'join'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN w2 ON w2.doc_id = c.doc_id
+  CROSS JOIN stats s CROSS JOIN w2cf"""
+    q3 = f"""
+  SELECT 3 AS qid, c.doc_id,
+         (2.0 * {dir_term('t_s', 'spark')} + 1.0 * {dir_term('t_w', 'window')}) / 3.0 AS score
+  FROM {cand(['spark', 'window'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN tf t_s ON t_s.doc_id = c.doc_id AND t_s.term = 'spark'
+  LEFT JOIN tf t_w ON t_w.doc_id = c.doc_id AND t_w.term = 'window'
+  CROSS JOIN stats s"""
+    q4 = f"""
+  SELECT 4 AS qid, c.doc_id,
+         greatest({dir_term('t_a', 'sort')}, {dir_term('t_b', 'filter')}) AS score
+  FROM {cand(['sort', 'filter'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN tf t_a ON t_a.doc_id = c.doc_id AND t_a.term = 'sort'
+  LEFT JOIN tf t_b ON t_b.doc_id = c.doc_id AND t_b.term = 'filter'
+  CROSS JOIN stats s"""
+    q5 = f"""
+  SELECT 5 AS qid, c.doc_id,
+         ln(1.0 - (1.0 - exp({dir_term('t_a', 'slow')})) * (1.0 - exp({dir_term('t_b', 'key')}))) AS score
+  FROM {cand(['slow', 'key'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN tf t_a ON t_a.doc_id = c.doc_id AND t_a.term = 'slow'
+  LEFT JOIN tf t_b ON t_b.doc_id = c.doc_id AND t_b.term = 'key'
+  CROSS JOIN stats s"""
+
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
+stats AS (SELECT sum(len(t))::DOUBLE AS total FROM docs),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM docs),
+tf AS (SELECT doc_id, x AS term, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(t) AS x FROM docs) GROUP BY doc_id, x),
+cfreq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+seq AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM docs WHERE len(t) >= 2),
+w1 AS (SELECT doc_id, count(*)::DOUBLE AS wtf FROM seq
+       WHERE t[i] = 'table' AND t[i+1] = 'hash' GROUP BY doc_id),
+w1cf AS (SELECT coalesce(sum(wtf), 0)::DOUBLE AS cf FROM w1),
+w2 AS (SELECT doc_id, count(*)::DOUBLE AS wtf FROM seq
+       WHERE t[i] = 'customer' AND (t[i+1] = 'join' OR t[i+2] = 'join')
+       GROUP BY doc_id),
+w2cf AS (SELECT coalesce(sum(wtf), 0)::DOUBLE AS cf FROM w2),
+scores AS ({q1} UNION ALL {q2} UNION ALL {q3} UNION ALL {q4} UNION ALL {q5})
+SELECT qid, rank, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id DESC) AS rank
+  FROM scores)
+WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
 _SHINGLE_SQL = f"""
 toks AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
 sh AS (
@@ -326,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL.replace("{values}", _bm25_values_clause()),
         "lm_topk_dirichlet": _lm_sql("dirichlet").replace("{values}", _bm25_values_clause()),
         "lm_topk_jm": _lm_sql("jm").replace("{values}", _bm25_values_clause()),
+        "structured_topk": _structured_sql(),
         "token_counts": f"""
             SELECT doc_id, len({TOKEN_SQL}) AS n_tokens FROM documents ORDER BY doc_id""",
         "term_stats": f"""

@@ -1,0 +1,186 @@
+"""Structured query language tests: parser, window counting, operator
+semantics vs independent brute-force computation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from indri_5_5_ray.pipelines.indriql import (
+    Node,
+    StructuredQueryEngine,
+    ordered_window_count,
+    parse_query,
+    unordered_window_count,
+)
+
+
+# -- parser ------------------------------------------------------------------
+
+
+def test_parse_shapes():
+    r = parse_query("#combine(#od2(a b) c)")
+    assert r.op == "combine" and len(r.children) == 2
+    assert r.children[0].op == "od" and r.children[0].n == 2
+    assert [c.term for c in r.children[0].children] == ["a", "b"]
+    assert r.children[1].term == "c"
+
+    r = parse_query("#weight(2.0 a 1.5 b)")
+    assert r.op == "weight" and r.weights == [2.0, 1.5]
+
+    r = parse_query("#uw8(x y z)")
+    assert r.op == "uw" and r.n == 8 and len(r.children) == 3
+
+    r = parse_query("#3(a b)")  # '#N' alias for #odN
+    assert r.op == "od" and r.n == 3
+
+    r = parse_query("a b c")  # implicit #combine
+    assert r.op == "combine" and len(r.children) == 3
+
+    r = parse_query("pre*")
+    assert r.op == "wildcard" and r.term == "pre"
+
+
+# -- window counting ---------------------------------------------------------
+
+
+def brute_od(seqs: list[list[int]], n: int) -> int:
+    """Independent greedy sweep: for each start in seqs[0], extend with the
+    next position of each following term; count if all gaps ≤ n."""
+    count = 0
+    for start in seqs[0]:
+        prev, ok = start, True
+        for s in seqs[1:]:
+            nxt = next((p for p in s if p > prev), None)
+            if nxt is None or nxt - prev > n:
+                ok = False
+                break
+            prev = nxt
+        count += ok
+    return count
+
+
+@pytest.mark.parametrize(
+    "seqs,n",
+    [
+        ([[0, 5], [1, 6]], 1),
+        ([[0, 2, 4], [1, 3, 5]], 1),
+        ([[0], [10]], 5),
+        ([[0, 1, 2], [3], [4]], 2),
+        ([[3, 9, 15], [4, 16], [5, 17]], 1),
+        ([[0, 7], [1, 8], [2, 9]], 3),
+    ],
+)
+def test_ordered_window_matches_brute(seqs, n):
+    pls = [np.array(s) for s in seqs]
+    assert ordered_window_count(pls, n) == brute_od(seqs, n)
+
+
+def test_unordered_window():
+    # all terms within a span < n around each anchor (first term occurrence)
+    a = np.array([0, 10])
+    b = np.array([2, 50])
+    assert unordered_window_count([a, b], 4) == 1   # anchor 0: span {0,2} < 4
+    assert unordered_window_count([a, b], 2) == 0   # span 3 not < 2... 2-0=2, hi-lo=2 < 2 false
+    assert unordered_window_count([a, b], 3) == 1
+
+
+# -- engine semantics vs corpus ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def engine(built_index):
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    out, _ = built_index
+    return StructuredQueryEngine(IndexReader(out))
+
+
+def test_combine_equals_lm(engine, built_index):
+    from indri_5_5_ray.pipelines.lm import LMScorer, process_query_lm
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    out, _ = built_index
+    r = IndexReader(out)
+    lm = LMScorer(r)
+    ids1, s1 = engine.run("#combine(merge token buffer)", k=20)
+    ids2, s2 = lm.score(process_query_lm("merge token buffer", r.cfg), k=20)
+    assert ids1.tolist() == ids2.tolist()
+    np.testing.assert_allclose(s1, s2, rtol=1e-12)
+
+
+def test_operator_identities(engine):
+    # single-child identities: #max(t) == #or(t) == #combine(t) == t-belief
+    base_ids, base = engine.run("#combine(merge)", k=15)
+    for q in ["#max(merge)", "#or(merge)"]:
+        ids, s = engine.run(q, k=15)
+        assert ids.tolist() == base_ids.tolist()
+        np.testing.assert_allclose(s, base, rtol=1e-9)
+    # #weight with equal weights == #combine
+    ids_w, s_w = engine.run("#weight(1.0 merge 1.0 token)", k=15)
+    ids_c, s_c = engine.run("#combine(merge token)", k=15)
+    assert ids_w.tolist() == ids_c.tolist()
+    np.testing.assert_allclose(s_w, s_c, rtol=1e-12)
+
+
+def test_not_is_complement(engine):
+    ids, s = engine.run("#not(merge)", k=5)
+    assert len(ids) and (s < 0).all()
+    # docs scoring LOWEST on the term score HIGHEST on #not
+    ids_t, _ = engine.run("#combine(merge)", k=10_000)
+    assert ids[0] == ids_t[-1] or len(ids_t) < 10_000
+
+
+def test_od_window_against_tokenized_corpus(engine, small_corpus_dir, built_index):
+    """Window counts must equal a direct scan of the tokenized docs."""
+    import pyarrow.parquet as pq
+
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.stages.ingest import TermProcessor
+    from indri_5_5_ray.tokenizer import tokenize
+    from indri_5_5_ray.sources.corpus import corpus_files
+
+    out, _ = built_index
+    reader = IndexReader(out)
+    proc = TermProcessor(reader.cfg)
+    # reconstruct term sequences (first arrival only, sha dedup)
+    import hashlib
+
+    seqs = {}
+    seen = set()
+    did = 0
+    for f in corpus_files(small_corpus_dir):
+        for row in pq.read_table(f).to_pylist():
+            d, did = did, did + 1
+            sha = hashlib.sha256(row["content"].encode()).hexdigest()
+            if sha in seen:
+                continue
+            seen.add(sha)
+            seqs[d] = [proc.process(t) for t in tokenize(row["content"])]
+
+    eng = engine
+    root = parse_query("#combine(#od1(return 0))")
+    # use engine internals to get per-candidate counts
+    leaf = root.children[0]
+    terms = set()
+    eng._leaf_terms(root, terms)
+    eng._postings = eng._fetch_postings(sorted(terms))
+    if not eng._postings:
+        pytest.skip("terms absent from corpus")
+    cand = np.unique(np.concatenate([d for d, _, _ in eng._postings.values()]))
+    counts = eng._node_counts(leaf, eng._postings, cand)
+
+    for i, d in enumerate(cand.tolist()):
+        toks = seqs[d]
+        pos_a = [j for j, t in enumerate(toks) if t == "return"]
+        pos_b = [j for j, t in enumerate(toks) if t == "0"]
+        want = brute_od([pos_a, pos_b], 1) if pos_a and pos_b else 0
+        assert counts[i] == want, f"doc {d}"
+
+
+def test_wildcard_expansion(engine):
+    terms = engine._expand_wildcard("bu")  # buffer, build, ...
+    assert terms and all(t.startswith("bu") for t in terms)
+    assert len(terms) <= 100
+    ids, s = engine.run("#combine(bu*)", k=5)
+    assert len(ids)
