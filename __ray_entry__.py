@@ -172,6 +172,32 @@ def _structured_topk(sf_dir: str, stem: bool = False, k: int = 10):
     )
 
 
+def _rm3_topk(sf_dir: str, k: int = 10):
+    """(qid, rank, doc_id) RM3 pseudo-relevance-feedback retrieval (rows-only
+    driver check; semantics pytest-verified — feedback weights depend on
+    exp() of scores, beyond robust SQL float parity)."""
+    import pyarrow as pa
+
+    from indri_5_5_ray.pipelines.feedback import rm3_search
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    index_dir = _ensure_index(sf_dir, stem=False)
+    reader = IndexReader(index_dir)
+    out_q, out_r, out_d = [], [], []
+    for qid, text in BM25_QUERIES[:4]:
+        ids, _scores = rm3_search(reader, text, k=k, fb_docs=5, fb_terms=10)
+        out_q.extend([int(qid)] * len(ids))
+        out_r.extend(range(1, len(ids) + 1))
+        out_d.extend(ids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
 def _index_term_stats(sf_dir: str):
     """(term, cf, df) straight out of the built index's dictionary —
     validates tokenize→partials→shuffle→merge end-to-end against SQL."""
@@ -218,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_topk_jm": lambda sf: _lm_topk(sf, stem=False, method="jm"),
         "lm_topk_kstem": lambda sf: _lm_topk(sf, stem=True, method="dirichlet"),
         "structured_topk": lambda sf: _structured_topk(sf, stem=False),
+        "rm3_topk": _rm3_topk,
         # --- text statistics / analysis ---
         "token_counts": textstats.token_counts,
         "term_stats": textstats.term_stats,

@@ -1,0 +1,173 @@
+"""Pseudo-relevance feedback — RM1/RM3 relevance models.
+
+The reference ships RM1/RM3 expansion (``RelevanceModel``,
+ref:src/RelevanceModel.cpp, 326 LoC; used for query expansion by ``rmodel/``
+and the baseline TFIDF feedback path ref:runquery/IndriRunQuery.cpp:589-594).
+Semantics implemented here:
+
+* run the original query → take the top ``fb_docs`` documents;
+* P(d|Q) ∝ exp(score_d) normalized over the feedback set (scores are
+  log-probabilities under the LM scorers);
+* RM1:  P(w|R) = Σ_d P(w|d) · P(d|Q) with ML estimate P(w|d) = tf/dl over
+  the feedback docs' direct vectors (read from the inverted index by doc
+  slice — the direct-list role, SURVEY.md §1.2);
+* keep the top ``fb_terms`` terms by P(w|R);
+* RM3:  interpolate with the original query: w' = λ·P(w|Q) + (1-λ)·P(w|R)
+  (original-query weight ``orig_weight``), then re-run as a ``#weight``
+  query over the LM engine.
+
+Ray shape: the per-doc term vectors for the feedback set are recovered by a
+bucket-pruned scan of the postings shards restricted to the feedback doc
+range — no direct/forward index is required (a doc-sliced read of the
+inverted file, which block metadata makes cheap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .lm import LMScorer, process_query_lm
+from .query import IndexReader
+
+
+def _feedback_doc_vectors(reader: IndexReader, doc_ids: list[int]) -> dict[int, dict[str, int]]:
+    """doc_id → {term: tf} for a small doc set, via a doc-sliced scan of the
+    postings shards (block-level pruning on the doc range)."""
+    import pyarrow.dataset as pads
+
+    from ..codec import decode_block
+
+    want = set(doc_ids)
+    lo, hi = min(want), max(want)
+    dset = pads.dataset(f"{reader.index_dir}/postings", format="parquet")
+    # prune rows whose doc range cannot intersect the feedback set
+    t = dset.to_table(
+        filter=(pads.field("first_doc") <= hi) & (pads.field("last_doc") >= lo),
+        columns=["term", "postings", "block_offset", "block_length",
+                 "block_last_doc", "first_doc"],
+    )
+    has_pos = reader.cfg.store_positions
+    vecs: dict[int, dict[str, int]] = {d: {} for d in want}
+    for ri in range(t.num_rows):
+        term = t.column("term")[ri].as_py()
+        payload = t.column("postings")[ri].as_py()
+        prev_last = t.column("first_doc")[ri].as_py() - 1
+        for off, ln, last in zip(
+            t.column("block_offset")[ri].as_py(),
+            t.column("block_length")[ri].as_py(),
+            t.column("block_last_doc")[ri].as_py(),
+        ):
+            first = prev_last + 1
+            prev_last = last
+            if last < lo or first > hi:
+                continue  # block-level skip
+            d, tf, _ = decode_block(payload[off : off + ln], has_pos)
+            for did, f in zip(d.tolist(), tf.tolist()):
+                if did in want:
+                    vecs[did][term] = f
+    return vecs
+
+
+def rm_expand(
+    reader: IndexReader,
+    query: str,
+    fb_docs: int = 10,
+    fb_terms: int = 20,
+    orig_weight: float = 0.5,
+    method: str = "dirichlet",
+) -> list[tuple[str, float]]:
+    """RM3 expansion: returns the expanded [(term, weight)] list."""
+    lm = LMScorer(reader, method=method)
+    q_terms = process_query_lm(query, reader.cfg)
+    if not q_terms:
+        return []
+    ids, scores = lm.score(q_terms, k=fb_docs)
+    if len(ids) == 0:
+        return [(t, 1.0) for t in q_terms]
+    # P(d|Q) over the feedback set (log-sum-exp normalized)
+    s = scores - scores.max()
+    p_d = np.exp(s)
+    p_d /= p_d.sum()
+    vecs = _feedback_doc_vectors(reader, ids.tolist())
+    doc_lens = reader.doc_lens()
+    p_w: dict[str, float] = {}
+    for did, w in zip(ids.tolist(), p_d.tolist()):
+        dl = float(doc_lens[did])
+        for term, tf in vecs[did].items():
+            p_w[term] = p_w.get(term, 0.0) + w * (tf / dl)
+    top = sorted(p_w.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+    z = sum(v for _, v in top)
+    rm1 = {t: v / z for t, v in top} if z > 0 else {}
+    # original query model P(w|Q) = qtf/|Q|
+    n = len(q_terms)
+    p_q: dict[str, float] = {}
+    for t in q_terms:
+        p_q[t] = p_q.get(t, 0.0) + 1.0 / n
+    terms = sorted(set(rm1) | set(p_q))
+    out = [
+        (t, orig_weight * p_q.get(t, 0.0) + (1 - orig_weight) * rm1.get(t, 0.0))
+        for t in terms
+    ]
+    return [(t, w) for t, w in out if w > 0]
+
+
+def rm3_search(
+    reader: IndexReader,
+    query: str,
+    k: int = 1000,
+    fb_docs: int = 10,
+    fb_terms: int = 20,
+    orig_weight: float = 0.5,
+    method: str = "dirichlet",
+    mu: float = 2500.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """RM3: expand, then score the #weight-style normalized weighted sum of
+    per-term log-beliefs.  Expanded terms are already index terms, so they
+    bypass query-side re-processing (stemming a stem is not guaranteed to
+    be a no-op)."""
+    from ..codec import decode_block
+    from .query import _topk
+
+    expanded = rm_expand(reader, query, fb_docs, fb_terms, orig_weight, method)
+    if not expanded:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    terms = [t for t, _ in expanded]
+    weights = np.array([w for _, w in expanded], dtype=np.float64)
+    weights /= weights.sum()
+
+    stats = reader.term_stats(terms)
+    rows = reader.term_rows([t for t in terms if t in stats])
+    has_pos = reader.cfg.store_positions
+    postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    row_terms = rows.column("term").to_pylist() if rows.num_rows else []
+    for term in set(row_terms):
+        t_ids, t_tfs = [], []
+        for ri, rt in enumerate(row_terms):
+            if rt != term:
+                continue
+            payload = rows.column("postings")[ri].as_py()
+            for off, ln in zip(
+                rows.column("block_offset")[ri].as_py(),
+                rows.column("block_length")[ri].as_py(),
+            ):
+                d, tf, _ = decode_block(payload[off : off + ln], has_pos)
+                t_ids.append(d)
+                t_tfs.append(tf)
+        if t_ids:
+            postings[term] = (np.concatenate(t_ids), np.concatenate(t_tfs))
+    if not postings:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    cand = np.unique(np.concatenate([d for d, _ in postings.values()]))
+    dl = reader.doc_lens()[cand].astype(np.float64)
+    total = float(reader.total_terms)
+    acc = np.zeros(len(cand), dtype=np.float64)
+    for term, w in zip(terms, weights):
+        cf = float(stats[term][0]) if term in stats else 0.0
+        p_c = cf / total if cf > 0 else 1.0 / (2.0 * total)
+        tf = np.zeros(len(cand), dtype=np.float64)
+        tp = postings.get(term)
+        if tp is not None:
+            d, t = tp
+            tf[np.searchsorted(cand, d)] = t.astype(np.float64)
+        acc += w * np.log((tf + mu * p_c) / (dl + mu))
+    return _topk(cand, acc, k)

@@ -108,6 +108,10 @@ def parse_query(text: str) -> Node:
                 return Node(op="od", n=int(m_od.group(1)), children=children)
             if m_uw:
                 return Node(op="uw", n=int(m_uw.group(1)), children=children)
+            if opname == "prior":
+                if len(children) != 1 or children[0].op != "term":
+                    raise ValueError("#prior takes a single name")
+                return Node(op="prior", term=children[0].term)
             if opname in ("combine", "max", "or", "not", "band", "syn"):
                 return Node(op=opname if opname != "or" else "or_", children=children)
             raise ValueError(f"unsupported operator #{opname}")
@@ -343,6 +347,18 @@ class StructuredQueryEngine:
     _COUNT_OPS = {"term", "wildcard", "band", "syn", "od", "uw"}
 
     def _belief(self, node: Node, cand: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        if node.op == "prior":
+            # per-doc log-prior lookup (PriorNode,
+            # ref:src/InferenceNetworkBuilder.cpp:788); docs absent from the
+            # prior table get log(1/N)
+            from .priors import load_prior
+
+            ids, lps = load_prior(self.r.index_dir, node.term)
+            out = np.full(len(cand), -np.log(float(self.r.doc_count)))
+            pos = np.searchsorted(ids, cand)
+            valid = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == cand)
+            out[valid] = lps[pos[valid]]
+            return out
         if node.op in self._COUNT_OPS:
             counts = self._node_counts(node, self._postings, cand)
             # global node statistics: a term's cf comes from the dictionary;

@@ -219,14 +219,22 @@ class BM25Scorer:
 
     # -- exhaustive path ----------------------------------------------------
 
-    def score_exhaustive(self, terms_qtf: list[tuple[str, int]], k: int = 1000
+    def score_exhaustive(self, terms_qtf: list[tuple[str, int]], k: int = 1000,
+                         doc_range: tuple[int, int] | None = None
                          ) -> tuple[np.ndarray, np.ndarray]:
+        """Exhaustive scoring; ``doc_range=(lo, hi)`` restricts to a doc-id
+        shard — the doc-partitioned scatter of the reference
+        (ref:src/QueryEnvironment.cpp:111-122) with range shards instead of
+        ``docID % serverCount``: block metadata lets each shard decode only
+        its slice of every posting list, and global statistics keep shard
+        scores identical to the unsharded ones."""
         consts, k1_1mb, k1b_avg = self._term_constants(terms_qtf)
         if not consts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         rows = self.r.term_rows([t for t, _ in consts])
         doc_lens = self.r.doc_lens()
         has_pos = self.r.cfg.store_positions
+        lo, hi = doc_range if doc_range is not None else (0, 1 << 62)
 
         # decode per term in query order; accumulate into a doc->score map
         acc_ids: np.ndarray | None = None
@@ -235,14 +243,26 @@ class BM25Scorer:
         payloads = rows.column("postings").to_pylist()
         offs = rows.column("block_offset").to_pylist()
         lens = rows.column("block_length").to_pylist()
+        row_first = rows.column("first_doc").to_pylist()
+        all_block_last = rows.column("block_last_doc").to_pylist()
         for term, numer_const in consts:  # fixed query order = fixed float order
             t_ids, t_tfs = [], []
             for ri, rt in enumerate(row_terms):
                 if rt != term:
                     continue
                 payload = payloads[ri]
-                for off, ln in zip(offs[ri], lens[ri]):
+                prev_last = row_first[ri] - 1
+                for off, ln, blast in zip(offs[ri], lens[ri], all_block_last[ri]):
+                    bfirst = prev_last + 1
+                    prev_last = blast
+                    if blast < lo or bfirst >= hi:
+                        continue  # block outside this shard's doc range
                     d, tf, _ = decode_block(payload[off : off + ln], has_pos)
+                    if doc_range is not None:
+                        m = (d >= lo) & (d < hi)
+                        d, tf = d[m], tf[m]
+                        if not len(d):
+                            continue
                     t_ids.append(d)
                     t_tfs.append(tf)
             if not t_ids:

@@ -62,6 +62,96 @@ class QueryWorker:
         )
 
 
+class ShardedQueryWorker:
+    """Scores (query × doc-range shard) pairs — the multi-node query
+    architecture: one worker set per doc-range partition, global statistics
+    from the manifest, driver-side merge with the exact tie-break
+    (ref:src/QueryEnvironment.cpp:111-122, 985-988)."""
+
+    def __init__(self, index_dir: str, k: int, n_shards: int):
+        self.reader = IndexReader(index_dir)
+        self.scorer = BM25Scorer(self.reader)
+        self.k = k
+        span = (self.reader.manifest["max_doc_id"] + n_shards) // n_shards
+        self.ranges = [(s * span, (s + 1) * span) for s in range(n_shards)]
+        self.reader.doc_lens()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"qid": [], "doc_id": [], "score": []}
+        for qid, text, shard in zip(
+            batch.column("qid").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("shard").to_pylist(),
+        ):
+            terms = process_query(text, self.reader.cfg)
+            ids, scores = self.scorer.score_exhaustive(
+                terms, k=self.k, doc_range=self.ranges[shard]
+            )
+            out["qid"].extend([qid] * len(ids))
+            out["doc_id"].extend(ids.tolist())
+            out["score"].extend(scores.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.string()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+            }
+        )
+
+
+def run_queries_sharded(
+    index_dir: str,
+    queries: list[tuple[str, str]],
+    k: int = 1000,
+    n_shards: int = 4,
+    concurrency: tuple[int, int] | int = (1, 8),
+) -> pa.Table:
+    """Distributed per-query scoring over doc-range shards; per-shard top-k
+    then a driver merge with score desc → doc_id desc. Identical results to
+    ``run_queries`` (global statistics; rank-safe shard merge)."""
+    import numpy as np
+    import ray as _ray
+
+    items = [
+        {"qid": q, "text": t, "shard": s}
+        for q, t in queries
+        for s in range(n_shards)
+    ]
+    ds = ray.data.from_items(items)
+    res = ds.map_batches(
+        ShardedQueryWorker,
+        batch_size=max(1, len(items) // 32) or 1,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "n_shards": n_shards},
+    )
+    tables = [_ray.get(r) for r in res.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    out = {"qid": [], "rank": [], "doc_id": [], "score": []}
+    if tables:
+        allt = pa.concat_tables(tables)
+        qids = np.array(allt.column("qid").to_pylist())
+        dids = allt.column("doc_id").to_numpy()
+        scores = allt.column("score").to_numpy()
+        for qid, _text in queries:
+            m = qids == qid
+            d, s = dids[m], scores[m]
+            order = np.lexsort((-d, -s))[:k]
+            out["qid"].extend([qid] * len(order))
+            out["rank"].extend(range(1, len(order) + 1))
+            out["doc_id"].extend(d[order].tolist())
+            out["score"].extend(s[order].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], pa.string()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+        }
+    )
+
+
 def run_queries(
     index_dir: str,
     queries: list[tuple[str, str]],

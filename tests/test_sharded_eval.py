@@ -1,0 +1,56 @@
+"""Doc-range-sharded query execution equals unsharded; TREC eval sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def test_sharded_equals_unsharded(built_index):
+    from indri_5_5_ray.pipelines.query import BM25Scorer, IndexReader, process_query
+    from indri_5_5_ray.pipelines.run import run_queries_sharded
+
+    out, _ = built_index
+    reader = IndexReader(out)
+    scorer = BM25Scorer(reader)
+    queries = [("1", "merge token buffer"), ("2", "int return"), ("3", "copyright license")]
+    sharded = run_queries_sharded(out, queries, k=25, n_shards=3, concurrency=2)
+    for qid, text in queries:
+        terms = process_query(text, reader.cfg)
+        ids, scores = scorer.score_exhaustive(terms, k=25)
+        m = np.array(sharded.column("qid").to_pylist()) == qid
+        got_ids = sharded.column("doc_id").to_numpy()[m]
+        got_scores = sharded.column("score").to_numpy()[m]
+        assert got_ids.tolist() == ids.tolist(), qid
+        np.testing.assert_array_equal(got_scores, scores)  # bit-identical
+
+
+def test_doc_range_restriction(built_index):
+    from indri_5_5_ray.pipelines.query import BM25Scorer, IndexReader, process_query
+
+    out, _ = built_index
+    reader = IndexReader(out)
+    scorer = BM25Scorer(reader)
+    terms = process_query("merge token", reader.cfg)
+    full_ids, full_scores = scorer.score_exhaustive(terms, k=10_000)
+    lo, hi = 50, 150
+    part_ids, part_scores = scorer.score_exhaustive(terms, k=10_000, doc_range=(lo, hi))
+    assert ((part_ids >= lo) & (part_ids < hi)).all()
+    # shard scores equal the global scores for the same docs
+    full = dict(zip(full_ids.tolist(), full_scores.tolist()))
+    for d, s in zip(part_ids.tolist(), part_scores.tolist()):
+        assert full[d] == s
+
+
+def test_trec_eval():
+    from indri_5_5_ray.pipelines.evaluation import evaluate_run, parse_qrels
+
+    qrels = parse_qrels([
+        "1 0 docA 1", "1 0 docB 0", "1 0 docC 2",
+        "2 0 docX 1",
+    ])
+    run = {"1": ["docC", "docB", "docA"], "2": ["docY", "docX"]}
+    m = evaluate_run(run, qrels, k=2)
+    # qid1: rel at ranks 1,3 → AP = (1/1 + 2/3)/2 = 5/6; qid2: AP = 1/2
+    assert abs(m["map"] - (5 / 6 + 1 / 2) / 2) < 1e-9
+    assert m["p_at_2"] == (0.5 + 0.5) / 2
+    assert m["topics"] == 2
