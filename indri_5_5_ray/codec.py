@@ -73,12 +73,25 @@ def vbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
     if len(arr) == 0:
         return np.empty(0, dtype=np.uint64)
     term_mask = (arr & 0x80) != 0
+    if term_mask.all():  # fast path: every value fits 7 bits
+        return (arr & 0x7F).astype(np.uint64)
+    ends = np.nonzero(term_mask)[0]
+    n_values = len(ends)
     group = np.zeros(len(arr), dtype=np.int64)  # value index each byte belongs to
     group[1:] = np.cumsum(term_mask[:-1])
-    n_values = int(term_mask.sum())
-    starts_of_group = np.concatenate(([0], np.nonzero(term_mask)[0][:-1] + 1))
+    starts_of_group = np.concatenate(([0], ends[:-1] + 1))
     pos_in_group = (np.arange(len(arr)) - starts_of_group[group]).astype(np.uint64)
     payload = (arr & 0x7F).astype(np.uint64) << (np.uint64(7) * pos_in_group)
+    if int(pos_in_group.max()) < 4:
+        # values < 2^28 → per-byte weights < 2^28, so a running uint64
+        # cumsum cannot overflow for any realistic stream length; value =
+        # segment sum = cumsum difference at group ends (much faster than
+        # the unbuffered np.add.at)
+        cum = np.cumsum(payload)
+        out = np.empty(n_values, dtype=np.uint64)
+        out[0] = cum[ends[0]]
+        np.subtract(cum[ends[1:]], cum[ends[:-1]], out=out[1:])
+        return out
     out = np.zeros(n_values, dtype=np.uint64)
     np.add.at(out, group, payload)
     return out
@@ -261,6 +274,42 @@ def decode_block(
     pos_deltas = vbyte_decode(arr[prefix_end + a_len :]).astype(np.int64)
     positions = segmented_cumsum(pos_deltas, tfs)
     return doc_ids, tfs, positions
+
+
+def decode_doc_tf_batch(
+    payload: bytes,
+    offsets: list[int] | np.ndarray,
+    lengths: list[int] | np.ndarray,
+    n_docs: list[int] | np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the (doc_id, tf) pairs of MANY blocks in one vectorized pass
+    (positions skipped).  ~50× fewer numpy round-trips than per-block
+    ``decode_block`` — the hot path of exhaustive/LM scoring.
+
+    ``n_docs`` per block comes from the stored block metadata."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n_blocks = len(offsets)
+    if n_blocks == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    slices = []
+    for off, _ln in zip(offsets, lengths):
+        # parse the stream-A byte-length prefix inline (1-2 vbyte bytes)
+        p = off
+        a_len = 0
+        shift = 0
+        while True:
+            byte = int(arr[p])
+            a_len |= (byte & 0x7F) << shift
+            p += 1
+            shift += 7
+            if byte & 0x80:
+                break
+        slices.append(arr[p : p + a_len])
+    flat = vbyte_decode(np.concatenate(slices))
+    doc_deltas = flat[0::2].astype(np.int64)
+    tfs = flat[1::2].astype(np.int64)
+    doc_ids = segmented_cumsum(doc_deltas, np.asarray(n_docs, dtype=np.int64))
+    return doc_ids, tfs
 
 
 def cut_blocks(

@@ -125,7 +125,7 @@ def rm3_search(
     per-term log-beliefs.  Expanded terms are already index terms, so they
     bypass query-side re-processing (stemming a stem is not guaranteed to
     be a no-op)."""
-    from ..codec import decode_block
+    from ..codec import decode_doc_tf_batch
     from .query import _topk
 
     expanded = rm_expand(reader, query, fb_docs, fb_terms, orig_weight, method)
@@ -137,22 +137,20 @@ def rm3_search(
 
     stats = reader.term_stats(terms)
     rows = reader.term_rows([t for t in terms if t in stats])
-    has_pos = reader.cfg.store_positions
     postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     row_terms = rows.column("term").to_pylist() if rows.num_rows else []
+    payloads = rows.column("postings").to_pylist() if rows.num_rows else []
+    offs = rows.column("block_offset").to_pylist() if rows.num_rows else []
+    lens = rows.column("block_length").to_pylist() if rows.num_rows else []
+    ndocs = rows.column("block_n_docs").to_pylist() if rows.num_rows else []
     for term in set(row_terms):
         t_ids, t_tfs = [], []
         for ri, rt in enumerate(row_terms):
             if rt != term:
                 continue
-            payload = rows.column("postings")[ri].as_py()
-            for off, ln in zip(
-                rows.column("block_offset")[ri].as_py(),
-                rows.column("block_length")[ri].as_py(),
-            ):
-                d, tf, _ = decode_block(payload[off : off + ln], has_pos)
-                t_ids.append(d)
-                t_tfs.append(tf)
+            d, tf = decode_doc_tf_batch(payloads[ri], offs[ri], lens[ri], ndocs[ri])
+            t_ids.append(d)
+            t_tfs.append(tf)
         if t_ids:
             postings[term] = (np.concatenate(t_ids), np.concatenate(t_tfs))
     if not postings:

@@ -67,24 +67,23 @@ class LMScorer:
         }
         rows = r.term_rows([t for t in uniq_terms if t in stats])
         doc_lens = r.doc_lens()
-        has_pos = r.cfg.store_positions
 
-        from ..codec import decode_block
+        from ..codec import decode_doc_tf_batch
 
         term_postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         row_terms = rows.column("term").to_pylist() if rows.num_rows else []
         payloads = rows.column("postings").to_pylist() if rows.num_rows else []
         offs = rows.column("block_offset").to_pylist() if rows.num_rows else []
         lens = rows.column("block_length").to_pylist() if rows.num_rows else []
+        ndocs = rows.column("block_n_docs").to_pylist() if rows.num_rows else []
         for term in uniq_terms:
             t_ids, t_tfs = [], []
             for ri, rt in enumerate(row_terms):
                 if rt != term:
                     continue
-                for off, ln in zip(offs[ri], lens[ri]):
-                    d, tf, _ = decode_block(payloads[ri][off : off + ln], has_pos)
-                    t_ids.append(d)
-                    t_tfs.append(tf)
+                d, tf = decode_doc_tf_batch(payloads[ri], offs[ri], lens[ri], ndocs[ri])
+                t_ids.append(d)
+                t_tfs.append(tf)
             if t_ids:
                 term_postings[term] = (np.concatenate(t_ids), np.concatenate(t_tfs))
 

@@ -237,55 +237,69 @@ class BM25Scorer:
         lo, hi = doc_range if doc_range is not None else (0, 1 << 62)
 
         # decode per term in query order; accumulate into a doc->score map
-        acc_ids: np.ndarray | None = None
-        acc_scores: np.ndarray | None = None
+        from ..codec import decode_doc_tf_batch
+
         row_terms = rows.column("term").to_pylist()
         payloads = rows.column("postings").to_pylist()
         offs = rows.column("block_offset").to_pylist()
         lens = rows.column("block_length").to_pylist()
+        ndocs = rows.column("block_n_docs").to_pylist()
         row_first = rows.column("first_doc").to_pylist()
         all_block_last = rows.column("block_last_doc").to_pylist()
+        term_doc_arrays: list[np.ndarray] = []
+        term_score_arrays: list[np.ndarray] = []
         for term, numer_const in consts:  # fixed query order = fixed float order
             t_ids, t_tfs = [], []
             for ri, rt in enumerate(row_terms):
                 if rt != term:
                     continue
-                payload = payloads[ri]
+                # select the blocks overlapping this shard's doc range, then
+                # decode them all in one vectorized pass
+                sel_off, sel_len, sel_nd = [], [], []
                 prev_last = row_first[ri] - 1
-                for off, ln, blast in zip(offs[ri], lens[ri], all_block_last[ri]):
+                for off, ln, blast, nd in zip(
+                    offs[ri], lens[ri], all_block_last[ri], ndocs[ri]
+                ):
                     bfirst = prev_last + 1
                     prev_last = blast
                     if blast < lo or bfirst >= hi:
                         continue  # block outside this shard's doc range
-                    d, tf, _ = decode_block(payload[off : off + ln], has_pos)
-                    if doc_range is not None:
-                        m = (d >= lo) & (d < hi)
-                        d, tf = d[m], tf[m]
-                        if not len(d):
-                            continue
-                    t_ids.append(d)
-                    t_tfs.append(tf)
+                    sel_off.append(off)
+                    sel_len.append(ln)
+                    sel_nd.append(nd)
+                if not sel_off:
+                    continue
+                d, tf = decode_doc_tf_batch(payloads[ri], sel_off, sel_len, sel_nd)
+                if doc_range is not None:
+                    m = (d >= lo) & (d < hi)
+                    d, tf = d[m], tf[m]
+                    if not len(d):
+                        continue
+                t_ids.append(d)
+                t_tfs.append(tf)
             if not t_ids:
                 continue
             d = np.concatenate(t_ids)
             tf = np.concatenate(t_tfs).astype(np.float64)
             dl = doc_lens[d].astype(np.float64)
             s = self._score_arrays(tf, dl, numer_const, k1_1mb, k1b_avg)
-            if acc_ids is None:
-                acc_ids, acc_scores = d, s
-            else:
-                # merge accumulator with this term's postings
-                all_ids = np.concatenate([acc_ids, d])
-                uniq, inv = np.unique(all_ids, return_inverse=True)
-                merged = np.zeros(len(uniq), dtype=np.float64)
-                # add accumulator first, then this term — per-doc order equals
-                # query-term order, matching PlusNode's summation sequence
-                np.add.at(merged, inv[: len(acc_ids)], acc_scores)
-                np.add.at(merged, inv[len(acc_ids) :], s)
-                acc_ids, acc_scores = uniq, merged
-        if acc_ids is None:
+            term_doc_arrays.append(d)
+            term_score_arrays.append(s)
+        if not term_doc_arrays:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        return _topk(acc_ids, acc_scores, k)
+        # dense accumulation over the (per-shard) doc-id space: one
+        # fancy-index += per term — exact because a term's doc_ids are
+        # unique, and per-doc addition order equals query-term order,
+        # matching PlusNode's summation sequence (ref:src/PlusNode.cpp:75-106).
+        # Memory is O(shard doc span), which doc-range sharding bounds at
+        # scale.
+        dense = np.zeros(len(doc_lens), dtype=np.float64)
+        touched = np.zeros(len(doc_lens), dtype=bool)
+        for d, s in zip(term_doc_arrays, term_score_arrays):
+            dense[d] += s
+            touched[d] = True
+        cand = np.nonzero(touched)[0]
+        return _topk(cand, dense[cand], k)
 
     # -- block-max path -----------------------------------------------------
 
@@ -343,8 +357,10 @@ class BM25Scorer:
         if not blocks:
             return np.empty(0, np.int64), np.empty(0, np.float64)
 
-        # doc-range cells ≈ 4 blocks wide on average
-        n_cells = max(1, min(len(blocks), 1024))
+        # doc-range cells sized so each holds several blocks per term —
+        # too-fine cells pay per-cell numpy overhead without extra pruning
+        n_cells = max(16, min(256, len(blocks) // max(1, 4 * n_terms)))
+        n_cells = min(n_cells, max(1, len(blocks)))
         cell_span = (max_doc + n_cells) // n_cells
         cell_blocks: dict[int, list[int]] = {}
         for bi, (_ti, first, last, _ub, _ri, _off, _ln) in enumerate(blocks):
@@ -375,6 +391,7 @@ class BM25Scorer:
         final_scores: list[np.ndarray] = []
         n_final = 0
         threshold = -np.inf
+        running_topk: np.ndarray | None = None
 
         for cell in sorted(cell_ub, key=lambda c: -cell_ub[c]):
             if n_final >= k and cell_ub[cell] < threshold:
@@ -414,9 +431,16 @@ class BM25Scorer:
             final_ids.append(acc_ids)
             final_scores.append(acc_scores)
             n_final += len(acc_ids)
-            if n_final >= k:
-                scores_now = np.concatenate(final_scores)
-                threshold = float(np.partition(scores_now, -k)[-k])
+            # bounded running top-k: threshold from (previous top-k ∪ this
+            # cell) only — O(k + cell) per update instead of O(n_final)
+            running_topk = (
+                acc_scores if running_topk is None
+                else np.concatenate([running_topk, acc_scores])
+            )
+            if len(running_topk) > k:
+                running_topk = np.partition(running_topk, -k)[-k:]
+            if len(running_topk) == k:
+                threshold = float(running_topk.min())
 
         if not final_ids:
             return np.empty(0, np.int64), np.empty(0, np.float64)
