@@ -198,6 +198,56 @@ def _rm3_topk(sf_dir: str, k: int = 10):
     )
 
 
+STOPWORDS_SMALL = (
+    "the", "a", "in", "of", "to", "and", "is", "it", "that", "for",
+)
+
+
+def _ensure_stopped_index(sf_dir: str) -> str:
+    """Index variant with the small stopword list ON (no stemming)."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.sources.corpus import corpus_from_documents
+
+    key = hashlib.md5(f"{sf_dir}:stopped:v1".encode()).hexdigest()[:16]
+    root = Path(_CACHE) / key
+    index_dir = root / "index"
+    if (index_dir / "manifest.json").exists():
+        return str(index_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    corpus_dir = root / "corpus"
+    if not (corpus_dir / "corpus.parquet").exists():
+        import pyarrow.parquet as pq
+
+        corpus_dir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(corpus_from_documents(sf_dir), corpus_dir / "corpus.parquet")
+    cfg = IndexConfig(
+        stemmer=None, stopwords=STOPWORDS_SMALL, dedup_key=None,
+        n_buckets=8, max_chunk_docs=256,
+    )
+    build_index(str(corpus_dir), str(index_dir), cfg)
+    return str(index_dir)
+
+
+def _index_stopped_stats(sf_dir: str):
+    """(term, cf, df) with stopping ON — stopwords must be absent from the
+    postings/dictionary entirely."""
+    import pyarrow.parquet as pq
+
+    index_dir = _ensure_stopped_index(sf_dir)
+    t = pq.read_table(f"{index_dir}/dictionary", columns=["term", "cf", "df"])
+    return t.select(["term", "cf", "df"])
+
+
+def _index_stopped_doc_lens(sf_dir: str):
+    """(doc_id, dl) with stopping ON — dl still counts stopped slots
+    (ref:src/MemoryIndex.cpp:617,647-648), so it equals the full token count."""
+    import pyarrow.parquet as pq
+
+    index_dir = _ensure_stopped_index(sf_dir)
+    return pq.read_table(f"{index_dir}/docs", columns=["doc_id", "dl"])
+
+
 def _index_term_stats(sf_dir: str):
     """(term, cf, df) straight out of the built index's dictionary —
     validates tokenize→partials→shuffle→merge end-to-end against SQL."""
@@ -238,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- inverted index + BM25 (the reference's core) ---
         "index_term_stats": _index_term_stats,
         "index_doc_lens": _index_doc_lens,
+        "index_stopped_stats": _index_stopped_stats,
+        "index_stopped_doc_lens": _index_stopped_doc_lens,
         "bm25_topk": lambda sf: _bm25_topk(sf, stem=False),
         "bm25_topk_kstem": lambda sf: _bm25_topk(sf, stem=True),
         "lm_topk_dirichlet": lambda sf: _lm_topk(sf, stem=False, method="dirichlet"),
@@ -476,6 +528,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT t AS term, count(*) AS cf, count(DISTINCT doc_id) AS df
             FROM (SELECT doc_id, unnest({TOKEN_SQL}) AS t FROM documents)
             GROUP BY t ORDER BY term""",
+        "index_stopped_stats": f"""
+            SELECT t AS term, count(*) AS cf, count(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest({TOKEN_SQL}) AS t FROM documents)
+            WHERE t NOT IN ('the', 'a', 'in', 'of', 'to', 'and', 'is', 'it', 'that', 'for')
+            GROUP BY t ORDER BY term""",
+        "index_stopped_doc_lens": f"""
+            SELECT doc_id, len({TOKEN_SQL}) AS dl FROM documents ORDER BY doc_id""",
         "index_doc_lens": f"""
             SELECT doc_id, len({TOKEN_SQL}) AS dl FROM documents ORDER BY doc_id""",
         "bm25_topk": _BM25_SQL.replace("{values}", _bm25_values_clause()),

@@ -8,6 +8,7 @@ Commands:
     python -m indri_5_5_ray.cli <index_dir> termpositions <term> # full postings w/ positions
     python -m indri_5_5_ray.cli <index_dir> vocabulary [limit]
     python -m indri_5_5_ray.cli <index_dir> documentname <doc_id>
+    python -m indri_5_5_ray.cli <index_dir> documenttext <doc_id> # docstore builds
     python -m indri_5_5_ray.cli <index_dir> documentid <docno>
     python -m indri_5_5_ray.cli <index_dir> validate             # invariants walk
     python -m indri_5_5_ray.cli <index_dir> query "<text>" [k]   # BM25 top-k
@@ -88,6 +89,22 @@ def cmd_documentid(reader: IndexReader, docno: str) -> None:
             print(did)
             return
     print(-1)
+
+
+def cmd_documenttext(reader: IndexReader, doc_id: str) -> None:
+    """Original document text from the docstore (requires a build with
+    store_content=True — the CompressedCollection role)."""
+    t = pq.read_table(f"{reader.index_dir}/docs")
+    if "content" not in t.column_names:
+        print("ERROR: index built without store_content=True")
+        raise SystemExit(1)
+    did = int(doc_id)
+    for row_id, content in zip(t.column("doc_id").to_pylist(), t.column("content").to_pylist()):
+        if row_id == did:
+            print(content)
+            return
+    print(f"ERROR: doc {did} not found")
+    raise SystemExit(1)
 
 
 def cmd_validate(reader: IndexReader, *_args) -> None:
@@ -179,6 +196,7 @@ COMMANDS = {
     "termpositions": cmd_termpositions,
     "vocabulary": cmd_vocabulary,
     "documentname": cmd_documentname,
+    "documenttext": cmd_documenttext,
     "documentid": cmd_documentid,
     "validate": cmd_validate,
     "query": cmd_query,

@@ -20,6 +20,7 @@ class IndexConfig:
     stemmer: str | None = "krovetz"       # None | "krovetz"
     stopwords: tuple[str, ...] = ()        # empty = no stopping
     store_positions: bool = True
+    store_content: bool = False   # docstore: keep original content in docs/
     dedup_key: str | None = "docno"        # None | "docno" | "sha256"
     target_block_bytes: int = 4096         # ref:src/IndexWriter.cpp:527
     n_buckets: int = 32                    # term-hash partition dirs for pruning
@@ -35,6 +36,7 @@ class IndexConfig:
             "stemmer": self.stemmer,
             "stopwords": list(self.stopwords),
             "store_positions": self.store_positions,
+            "store_content": self.store_content,
             "dedup_key": self.dedup_key,
             "target_block_bytes": self.target_block_bytes,
             "n_buckets": self.n_buckets,

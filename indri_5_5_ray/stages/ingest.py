@@ -50,6 +50,10 @@ DOCS_SCHEMA = pa.schema(
     ]
 )
 
+# docstore variant (CompressedCollection analogue — parquet compression
+# replaces the reference's zlib framing, ref:src/CompressedCollection.cpp:58-110)
+DOCS_SCHEMA_WITH_CONTENT = DOCS_SCHEMA.append(pa.field("content", pa.string()))
+
 
 class TermProcessor:
     """normalize→stop→stem memo shared by build and query sides
@@ -182,16 +186,20 @@ class IngestWorker:
                 ent[3].extend(positions)
 
         kept = np.array([d >= 0 for d in dls], dtype=bool)
-        docs_tbl = pa.table(
-            {
-                "doc_id": doc_ids[kept],
-                "docno": pa.array(np.array(docnos, dtype=object)[kept].tolist(), pa.string()),
-                "sha256": pa.array(np.array(shas, dtype=object)[kept].tolist(), pa.string()),
-                "dl": pa.array(np.array(dls)[kept].astype(np.int32), pa.int32()),
-                "unique_terms": pa.array(np.array(uniq)[kept].astype(np.int32), pa.int32()),
-            },
-            schema=DOCS_SCHEMA,
-        )
+        docs_cols = {
+            "doc_id": doc_ids[kept],
+            "docno": pa.array(np.array(docnos, dtype=object)[kept].tolist(), pa.string()),
+            "sha256": pa.array(np.array(shas, dtype=object)[kept].tolist(), pa.string()),
+            "dl": pa.array(np.array(dls)[kept].astype(np.int32), pa.int32()),
+            "unique_terms": pa.array(np.array(uniq)[kept].astype(np.int32), pa.int32()),
+        }
+        if self.cfg.store_content:
+            docs_cols["content"] = pa.array(
+                np.array(contents, dtype=object)[kept].tolist(), pa.string()
+            )
+            docs_tbl = pa.table(docs_cols, schema=DOCS_SCHEMA_WITH_CONTENT)
+        else:
+            docs_tbl = pa.table(docs_cols, schema=DOCS_SCHEMA)
 
         terms = sorted(acc.keys())
         salt_span = self.cfg.salt_docs_per_group

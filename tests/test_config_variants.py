@@ -1,0 +1,118 @@
+"""Config-variant builds: salted hot terms, tf-only (no positions), and
+stopword semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+
+def _rank(index_dir: str, query: str, k: int = 30):
+    from indri_5_5_ray.pipelines.query import BM25Scorer, IndexReader, process_query
+
+    r = IndexReader(index_dir)
+    sc = BM25Scorer(r)
+    terms = process_query(query, r.cfg)
+    return sc.score_exhaustive(terms, k=k)
+
+
+def test_salted_build_splits_hot_terms_and_ranks_identically(small_corpus_dir, tmp_path):
+    """A tiny salt range forces multi-row posting lists for hot terms; the
+    merged index must contain the same postings and produce identical
+    rankings as the unsalted build."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+
+    base = IndexConfig(max_chunk_docs=64, n_buckets=4, dedup_key="sha256")
+    salted = IndexConfig(max_chunk_docs=64, n_buckets=4, dedup_key="sha256",
+                         salt_docs_per_group=64)
+    a, b = str(tmp_path / "plain"), str(tmp_path / "salted")
+    build_index(small_corpus_dir, a, base, resume=False)
+    build_index(small_corpus_dir, b, salted, resume=False)
+
+    # hot terms actually split across salt rows
+    t = pq.read_table(f"{b}/postings", columns=["term", "salt"])
+    import collections
+
+    rows_per_term = collections.Counter(t.column("term").to_pylist())
+    assert max(rows_per_term.values()) > 1, "no term was salted"
+
+    # dictionaries identical
+    da = pq.read_table(f"{a}/dictionary").sort_by("term")
+    db = pq.read_table(f"{b}/dictionary").sort_by("term")
+    assert da.equals(db)
+
+    for q in ["merge token buffer", "int return", "copyright license"]:
+        ids_a, s_a = _rank(a, q)
+        ids_b, s_b = _rank(b, q)
+        assert ids_a.tolist() == ids_b.tolist()
+        np.testing.assert_array_equal(s_a, s_b)
+
+    # block-max path also works across salted rows
+    from indri_5_5_ray.pipelines.query import BM25Scorer, IndexReader, process_query
+
+    r = IndexReader(b)
+    sc = BM25Scorer(r)
+    terms = process_query("merge token buffer", r.cfg)
+    ids_bm, s_bm = sc.score_blockmax(terms, k=30)
+    ids_ex, s_ex = sc.score_exhaustive(terms, k=30)
+    assert ids_bm.tolist() == ids_ex.tolist()
+    np.testing.assert_array_equal(s_bm, s_ex)
+
+
+def test_tf_only_index(small_corpus_dir, tmp_path):
+    """store_positions=False: smaller index, same rankings; window ops fail
+    with a clear error."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    cfg_pos = IndexConfig(max_chunk_docs=64, n_buckets=4, dedup_key="sha256")
+    cfg_tf = IndexConfig(max_chunk_docs=64, n_buckets=4, dedup_key="sha256",
+                         store_positions=False)
+    a, b = str(tmp_path / "pos"), str(tmp_path / "tf")
+    build_index(small_corpus_dir, a, cfg_pos, resume=False)
+    build_index(small_corpus_dir, b, cfg_tf, resume=False)
+
+    size = lambda d: sum(f.stat().st_size for f in __import__("pathlib").Path(d, "postings").glob("*"))
+    assert size(b) < size(a) * 0.7  # positions dominate index size
+
+    for q in ["merge token buffer", "int return"]:
+        ids_a, s_a = _rank(a, q)
+        ids_b, s_b = _rank(b, q)
+        assert ids_a.tolist() == ids_b.tolist()
+        np.testing.assert_array_equal(s_a, s_b)
+
+    eng = StructuredQueryEngine(IndexReader(b))
+    with pytest.raises(ValueError, match="without positions"):
+        eng.run("#combine(#od1(merge token))", k=5)
+
+
+def test_stopword_semantics(small_corpus_dir, tmp_path):
+    """Stopped terms: absent from postings, present in dl (the reference's
+    NULL-slot semantics, ref:src/StopperTransformation.cpp:102-110,
+    ref:src/MemoryIndex.cpp:617,647-648)."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+
+    stop = ("the", "if", "return", "int")
+    cfg_plain = IndexConfig(max_chunk_docs=64, n_buckets=4, dedup_key="sha256")
+    cfg_stop = IndexConfig(max_chunk_docs=64, n_buckets=4, dedup_key="sha256",
+                           stopwords=stop)
+    a, b = str(tmp_path / "plain"), str(tmp_path / "stopped")
+    ma = build_index(small_corpus_dir, a, cfg_plain, resume=False)
+    mb = build_index(small_corpus_dir, b, cfg_stop, resume=False)
+
+    # dl unchanged: total_terms counts stopped slots
+    assert ma["total_terms"] == mb["total_terms"]
+    da = pq.read_table(f"{a}/docs").sort_by("doc_id")
+    db = pq.read_table(f"{b}/docs").sort_by("doc_id")
+    assert da.column("dl").to_pylist() == db.column("dl").to_pylist()
+
+    vocab_a = set(pq.read_table(f"{a}/dictionary", columns=["term"]).column("term").to_pylist())
+    vocab_b = set(pq.read_table(f"{b}/dictionary", columns=["term"]).column("term").to_pylist())
+    assert vocab_a & set(stop)           # plain index has the stopwords
+    assert not (vocab_b & set(stop))     # stopped index doesn't
+    assert vocab_b == vocab_a - set(stop)
