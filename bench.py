@@ -128,10 +128,24 @@ def run_bench() -> dict:
     results["bm25_p50"] = round(p50, 4)
     results["bm25_p95"] = round(p95, 4)
 
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.lm import LMScorer, process_query_lm
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    reader = IndexReader(index_dir)
+    lm = LMScorer(reader)
+    eng = StructuredQueryEngine(reader)
+    reader.doc_lens()
+    sq = queries[0][1].split()[:2]
+
     for name, fn in [
         ("term_stats", lambda: textstats.term_stats(SF_DIR).count()),
         ("minhash_lsh", lambda: dedup.lsh_candidate_pairs(SF_DIR).count()),
         ("knn", lambda: simsearch.knn_bruteforce(SF_DIR).num_rows),
+        ("lm_20q", lambda: [lm.score(process_query_lm(t, reader.cfg), k=100)
+                            for _, t in queries[:20]]),
+        ("window_5q", lambda: [eng.run(f"#combine(#od2({sq[0]} {sq[1]}) {t.split()[0]})", k=100)
+                               for _, t in queries[:5]]),
     ]:
         t0 = time.perf_counter()
         fn()
