@@ -64,7 +64,17 @@ class TermProcessor:
 
     def __init__(self, cfg: IndexConfig):
         self.stop = frozenset(cfg.stopwords)
-        self.stemmer = KrovetzStemmer() if cfg.stemmer == "krovetz" else None
+        if cfg.stemmer == "krovetz":
+            self.stemmer = KrovetzStemmer()
+        elif cfg.stemmer == "porter":
+            from ..porter import porter_stem
+
+            class _Porter:
+                stem = staticmethod(porter_stem)
+
+            self.stemmer = _Porter()
+        else:
+            self.stemmer = None
         self._memo: dict[str, str | None] = {}
         # raw-token-bytes → final term (or None): one dict hop per token in
         # the hot ingest loop (normalize + stop + stem fused)
