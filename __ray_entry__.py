@@ -281,8 +281,37 @@ def entry() -> Any:
     return res.to_pandas().drop(columns=["latency_ms"])
 
 
+def _quality_filter(sf_dir: str):
+    """doc_ids passing the quality gate (distinct_ratio >= 0.5 and
+    20 <= n_tokens) — the filter step of a training-data pipeline."""
+    import pyarrow as pa
+
+    from indri_5_5_ray.functions.textstats import quality_scores
+
+    ds = quality_scores(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        if df.height == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        out = df.filter(
+            (pl.col("distinct_ratio") >= 0.5) & (pl.col("n_tokens") >= 20)
+        ).select("doc_id")
+        return out.to_arrow()
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    from indri_5_5_ray.functions import dedup, multimodal, simsearch, textstats
+    from indri_5_5_ray.functions import (
+        dedup,
+        events,
+        multimodal,
+        simsearch,
+        textstats,
+    )
 
     return {
         # --- inverted index + BM25 (the reference's core) ---
@@ -315,6 +344,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": simsearch.knn_bruteforce,
         "cosine_pairs": simsearch.cosine_pairs,
         "lsh_ann_topk": simsearch.lsh_ann_topk,
+        # --- event-stream operators ---
+        "tumbling_counts": events.tumbling_counts,
+        "sessionize": events.sessionize,
+        "user_activity": events.user_activity,
+        "quality_filter": _quality_filter,
         # --- multimodal plumbing ---
         "media_features": multimodal.media_features,
         "media_stats": multimodal.media_stats,
@@ -621,6 +655,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
             FROM bits GROUP BY doc_id ORDER BY doc_id""",
+        "tumbling_counts": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "sessionize": """
+            WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000000000)::BIGINT AS ts_s FROM events),
+            flagged AS (
+              SELECT user_id, ts_s,
+                     CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                               > 1800 OR lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM e),
+            numbered AS (
+              SELECT user_id, ts_s,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+                                            ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM flagged)
+            SELECT user_id, min(ts_s) AS session_start, count(*) AS n_events,
+                   max(ts_s) - min(ts_s) AS duration_s
+            FROM numbered GROUP BY user_id, session_no
+            ORDER BY user_id, session_start""",
+        "user_activity": """
+            SELECT user_id, count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types,
+                   min(epoch_ns(ts) // 1000000000)::BIGINT AS first_ts,
+                   max(epoch_ns(ts) // 1000000000)::BIGINT AS last_ts
+            FROM events GROUP BY user_id ORDER BY user_id""",
+        "quality_filter": f"""
+            SELECT doc_id FROM (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS dr
+              FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents))
+            WHERE dr >= 0.5 AND n_tokens >= 20 ORDER BY doc_id""",
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings ORDER BY vec_id LIMIT 10),

@@ -1,0 +1,142 @@
+"""Event-stream operators over the ``events`` table (ts, user_id,
+event_type, value).
+
+The reference is batch-only (SURVEY.md §2.11: no windows/watermarks); these
+are the training-data-pipeline time-series extensions, built with the
+canonical Ray shapes:
+
+* tumbling windows — map-side partial aggregation per batch (bucket by
+  truncated timestamp), small groupby finalize;
+* sessionization — ``groupby(user_id).map_groups`` with an in-group sort +
+  gap split (the stateful-per-key pattern; at scale user_id is the shuffle
+  key and groups are small).
+
+Timestamps are emitted as epoch seconds (int64) so DuckDB oracles compare
+exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+SESSION_GAP_S = 1800  # 30 min
+
+
+def _events(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def tumbling_counts(sf_dir: str) -> ray.data.Dataset:
+    """(hour_start, event_type, n_events, sum_value) — 1-hour tumbling
+    windows; hour_start = epoch seconds, sum_value rounded to 6 decimals."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = (
+            df.with_columns(
+                (pl.col("ts").dt.epoch("s") // 3600 * 3600).alias("hour_start")
+            )
+            .group_by(["hour_start", "event_type"])
+            .agg(pl.len().alias("n_events"), pl.col("value").sum().alias("sum_value"))
+        )
+        return out.to_arrow()
+
+    parts = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby(["hour_start", "event_type"]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        if df.height == 0 or "hour_start" not in df.columns:
+            return pa.table({"hour_start": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value": pa.array([], pa.float64())})
+        return df.with_columns(pl.col("sum_value").round(6)).to_arrow()
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S) -> ray.data.Dataset:
+    """(user_id, session_start, n_events, duration_s) — gap-based sessions
+    per user; session_start = epoch seconds of the first event."""
+
+    def sessions_of_user(group: pa.Table) -> pa.Table:
+        if "user_id" not in group.column_names or group.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "session_start": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "duration_s": pa.array([], pa.int64())})
+        df = pl.from_arrow(group).sort("ts")
+        ts = df["ts"].dt.epoch("s").to_numpy()
+        uid = int(df["user_id"][0])
+        gaps = np.diff(ts) > gap_s
+        starts = np.concatenate(([0], np.nonzero(gaps)[0] + 1))
+        ends = np.concatenate((starts[1:], [len(ts)]))
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(starts), pa.int64()),
+                "session_start": pa.array(ts[starts], pa.int64()),
+                "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
+                "duration_s": pa.array(ts[ends - 1] - ts[starts], pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir)
+        .groupby("user_id")
+        .map_groups(sessions_of_user, batch_format="pyarrow")
+    )
+
+
+def user_activity(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, n_events, n_types, first_ts, last_ts) relational rollup."""
+    ds = _events(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.with_columns(pl.col("ts").dt.epoch("s").alias("ts_s")).select(
+            "user_id", "event_type", "ts_s"
+        ).to_arrow()
+
+    pre = ds.map_batches(prep, batch_format="pyarrow")
+    agg = pre.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Min("ts_s", alias_name="first_ts"),
+        Max("ts_s", alias_name="last_ts"),
+    )
+    # exact distinct event types per user: reducer-side n_unique (a partial
+    # per-batch unique would double-count across batches)
+    def exact_distinct(group: pa.Table) -> pa.Table:
+        if "user_id" not in group.column_names or group.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_types": pa.array([], pa.int64())})
+        df = pl.from_arrow(group)
+        return pa.table(
+            {
+                "user_id": pa.array([int(df["user_id"][0])], pa.int64()),
+                "n_types": pa.array([df["event_type"].n_unique()], pa.int64()),
+            }
+        )
+
+    distinct = (
+        pre.groupby("user_id").map_groups(exact_distinct, batch_format="pyarrow")
+    )
+    import ray as _ray
+
+    # small join at the driver: both sides are per-user rollups
+    a_tables = [t for t in (_ray.get(r) for r in agg.to_arrow_refs()) if t.num_rows]
+    b_tables = [t for t in (_ray.get(r) for r in distinct.to_arrow_refs()) if t.num_rows]
+    a = pa.concat_tables(a_tables)
+    b = pa.concat_tables(b_tables)
+    da = pl.from_arrow(a)
+    db = pl.from_arrow(b)
+    out = da.join(db, on="user_id").sort("user_id").select(
+        "user_id", "n_events", "n_types", "first_ts", "last_ts"
+    )
+    return ray.data.from_arrow(out.to_arrow())

@@ -215,28 +215,35 @@ def _split_mixed_run(run: bytes) -> list[tuple[bytes, bool]]:
     return out
 
 
+# group indexes in _SCANNER (1-based): 1 comment, 2 bang, 3 pct, 4 xml,
+# 5 tag, 6 entity, 7 acronym, 8 word, 9 negnum
+_G_ACRONYM, _G_WORD, _G_NEGNUM = 7, 8, 9
+
+
 def tokenize_bytes(content: bytes) -> list[bytes]:
     """Tokenize document bytes → raw token list (pre-normalization)."""
     tokens: list[bytes] = []
+    append = tokens.append
+    high_search = _HIGH.search
     for m in _SCANNER.finditer(content):
-        kind = m.lastgroup
-        if kind == "acronym":
-            tokens.append(_strip_trailing_punct(m.group()))
-        elif kind == "negnum":
-            tokens.append(_strip_trailing_punct(m.group()))
-        elif kind == "word":
+        kind = m.lastindex
+        if kind == _G_WORD:  # the hot branch
             run = m.group()
-            has_high = _HIGH.search(run) is not None
-            if not has_high:
-                tokens.append(_strip_trailing_punct(run))
+            if high_search(run) is None:
+                n = len(run)
+                while n > 1 and run[n - 1] in _ASCII_PUNCT:
+                    n -= 1
+                append(run[:n])
             elif b"'" not in run:
                 tokens.extend(_utf8_word_tokens(run))
             else:
                 for sub, is_ascii in _split_mixed_run(run):
                     if is_ascii:
-                        tokens.append(_strip_trailing_punct(sub))
+                        append(_strip_trailing_punct(sub))
                     else:
                         tokens.extend(_utf8_word_tokens(sub))
+        elif kind == _G_ACRONYM or kind == _G_NEGNUM:
+            append(_strip_trailing_punct(m.group()))
         # comment/bang/pct/xml/tag/entity → no term emitted
     return tokens
 
