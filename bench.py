@@ -36,6 +36,9 @@ def _sf_label(sf_dir: str) -> float:
 
 
 def _corpus_rows(sf_dir: str) -> int:
+    override = os.environ.get("INDRI55_BENCH_ROWS")
+    if override:
+        return int(override)
     import pyarrow.parquet as pq
 
     doc_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
@@ -213,6 +216,10 @@ def run_scaling() -> dict:
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
             env["GRAFT_SF_DIR"] = SF_DIR
+            # larger corpus for the scaling pair: amortizes fixed phase
+            # costs (actor spawn, merge fan-in) so the ratio measures the
+            # scalable pipeline, not per-run constants
+            env.setdefault("INDRI55_BENCH_ROWS", "400000")
             p = subprocess.run(
                 [sys.executable, __file__, "--build-only"],
                 capture_output=True, text=True, env=env, cwd=str(Path(__file__).parent),

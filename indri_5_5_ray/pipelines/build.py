@@ -26,6 +26,7 @@ the merge restarts from persisted partials.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import time
 from dataclasses import asdict
@@ -155,10 +156,18 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str) -> st
     # per-phase scheduling overhead here
     scan_t = ray.remote(num_cpus=1)(lambda item: scan(pa.Table.from_pylist([item])).num_rows)
     ray.get([scan_t.remote(c) for c in chunk_dicts])
-    reduce_t = ray.remote(num_cpus=1)(
-        lambda b: reduce_bucket(pa.table({"kbucket": pa.array([b], pa.int32())}))
+    reduce_t = ray.remote(num_cpus=0.9)(
+        lambda bs: reduce_bucket(pa.table({"kbucket": pa.array(bs, pa.int32())}))
     )
-    parts = [t for t in ray.get([reduce_t.remote(b) for b in range(_DEDUP_BUCKETS)])
+    try:
+        n_cpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n_cpu = 8
+    n_tasks = max(1, min(_DEDUP_BUCKETS, n_cpu))
+    bucket_groups: list[list[int]] = [[] for _ in range(n_tasks)]
+    for b in range(_DEDUP_BUCKETS):
+        bucket_groups[b % n_tasks].append(b)
+    parts = [t for t in ray.get([reduce_t.remote(g) for g in bucket_groups if g])
              if t.num_rows]
     import os as _os
 
@@ -209,31 +218,52 @@ def build_index(
 
     # -- phase 2: ingest (tokenize/stem/partial postings) -------------------
     t0 = time.perf_counter()
-    items = ray.data.from_items(chunk_dicts)
-    records = items.map_batches(
-        IngestWorker,
-        batch_size=1,
-        batch_format="pyarrow",
-        concurrency=_ingest_concurrency(),
-        num_cpus=1,
-        fn_constructor_kwargs={
-            "out_dir": str(out),
-            "cfg_dict": cfg.to_dict(),
-            "losers_path": losers_path,
-        },
-    ).take_all()
-    timings["ingest_s"] = time.perf_counter() - t0
+    ingest_mode = os.environ.get("INDRI55_INGEST_MODE", "tasks")
+    out_str_i = str(out)
+    cfg_dict_i = cfg.to_dict()
+    if ingest_mode == "actors":
+        # Ray Data actor-pool path (kept for reference/testing): identical
+        # results; measurably slower phase utilization than warm-task reuse
+        items = ray.data.from_items(chunk_dicts)
+        ingest_ds = items.map_batches(
+            IngestWorker,
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=_ingest_concurrency(),
+            num_cpus=1,
+            fn_constructor_kwargs={
+                "out_dir": out_str_i,
+                "cfg_dict": cfg_dict_i,
+                "losers_path": losers_path,
+            },
+        )
+        records = ingest_ds.take_all()
+        # release the actor pool: the executor (and its actors) lives until
+        # the dataset object is garbage-collected — without this the dying
+        # actors hold whole CPUs and starve the merge tasks
+        import gc
 
-    # brief capped wait for the ingest actor pool to release most CPUs —
-    # teardown is async and a few actors can linger; merge tasks queue on
-    # Ray's resource accounting anyway, so 75% free is enough to proceed
-    t0 = time.perf_counter()
-    want = 0.75 * _ingest_concurrency()
-    while time.perf_counter() - t0 < 5.0:
-        if ray.available_resources().get("CPU", 0) >= want:
-            break
-        time.sleep(0.1)
-    timings["barrier_s"] = time.perf_counter() - t0
+        del ingest_ds, items
+        gc.collect()
+        t_b = time.perf_counter()
+        want = 0.75 * _ingest_concurrency()
+        while time.perf_counter() - t_b < 2.0:
+            if ray.available_resources().get("CPU", 0) >= want:
+                break
+            time.sleep(0.05)
+    else:
+        # default: plain Ray tasks; per-worker state (stemmer dict + memo
+        # caches) lives in a process-global via get_process_worker — the
+        # same state model as an actor, minus pool spawn/dispatch overhead
+        from ..stages.ingest import get_process_worker
+
+        @ray.remote(num_cpus=1)
+        def _ingest_task(chunk_dict: dict) -> dict:
+            w = get_process_worker(out_str_i, cfg_dict_i, losers_path)
+            return w._process_chunk(Chunk(**chunk_dict))
+
+        records = ray.get([_ingest_task.remote(c) for c in chunk_dicts])
+    timings["ingest_s"] = time.perf_counter() - t0
 
     # -- phase 3: postings merge (filesystem-shuffled, map-only) ------------
     # ingest wrote bucket-sorted partials; each merge task reads exactly its
@@ -244,17 +274,27 @@ def build_index(
     cfg_dict = cfg.to_dict()
     plan_fp = f"{len(chunks)}:{chunks[-1].doc_id_base if chunks else 0}"
 
-    @ray.remote(num_cpus=1)
-    def _merge_task(bucket: int) -> dict:
+    # num_cpus=0.9: lets merge tasks schedule even while the last dying
+    # ingest actors still hold whole CPUs (teardown is async)
+    @ray.remote(num_cpus=0.9)
+    def _merge_task(buckets: list[int]) -> list[dict]:
         # plain task: the work list is fixed and all IO goes through the
         # filesystem (bucket-pruned parquet reads), so raw tasks avoid the
-        # Dataset executor's per-phase overhead
+        # Dataset executor's per-phase overhead; buckets are batched into
+        # ~one task per CPU so small clusters pay one worker spawn, not one
+        # per bucket
         t = MergeWorker(out_str, cfg_dict, plan_fp)(
-            pa.table({"bucket": pa.array([bucket], pa.int32())})
+            pa.table({"bucket": pa.array(buckets, pa.int32())})
         )
-        return t.to_pylist()[0]
+        return t.to_pylist()
 
-    merge_records = ray.get([_merge_task.remote(b) for b in range(cfg.n_buckets)])
+    n_tasks = max(1, min(cfg.n_buckets, _ingest_concurrency()))
+    groups: list[list[int]] = [[] for _ in range(n_tasks)]
+    for b in range(cfg.n_buckets):
+        groups[b % n_tasks].append(b)
+    merge_records = [
+        r for rs in ray.get([_merge_task.remote(g) for g in groups if g]) for r in rs
+    ]
     timings["merge_s"] = time.perf_counter() - t0
 
     # -- phase 4: global stats → manifest -----------------------------------

@@ -105,14 +105,37 @@ class TermProcessor:
         return out
 
 
+_PROCESS_WORKERS: dict[tuple, "IngestWorker"] = {}
+
+
+def get_process_worker(out_dir: str, cfg_dict: dict,
+                       losers_path: str | None) -> "IngestWorker":
+    """Process-global IngestWorker for the plain-task ingest mode: Ray
+    reuses warm worker processes across tasks, so the per-worker state
+    (stemmer dictionary + caches) persists exactly as it would in an actor —
+    without actor-pool spawn/dispatch overhead."""
+    import json as _json
+
+    key = (out_dir, _json.dumps(cfg_dict, sort_keys=True), losers_path)
+    w = _PROCESS_WORKERS.get(key)
+    if w is None:
+        w = IngestWorker(out_dir, cfg_dict, losers_path)
+        _PROCESS_WORKERS.clear()  # one live config per worker is enough
+        _PROCESS_WORKERS[key] = w
+    return w
+
+
 class IngestWorker:
-    """Actor-pool UDF over chunk work items (batch_size=1)."""
+    """Stateful ingest worker: used as a Ray Data actor-pool UDF
+    (``ingest_mode='actors'``) or via ``get_process_worker`` from plain Ray
+    tasks (default mode)."""
 
     def __init__(self, out_dir: str, cfg_dict: dict, losers_path: str | None = None):
         self.out_dir = out_dir
         self.cfg = IndexConfig.from_dict(cfg_dict)
         self.proc = TermProcessor(self.cfg)
         self.losers_path = losers_path
+        self._bucket_memo: dict[str, int] = {}
 
     def _losers_in_range(self, lo: int, hi: int) -> np.ndarray:
         """Dedup losers (doc_ids to drop) intersecting [lo, hi) — row-group
@@ -215,36 +238,80 @@ class IngestWorker:
         salt_span = self.cfg.salt_docs_per_group
         n_buckets = self.cfg.n_buckets
         store_pos = self.cfg.store_positions
-        rows = {
-            "term": [], "bucket": [], "salt": [], "first_doc": [], "last_doc": [],
-            "doc_ids": [], "tfs": [], "dls": [], "pos_bytes": [], "pos_byte_lens": [],
-        }
-        for term in terms:
-            d, tf, dlv, pos = acc[term]
-            rows["term"].append(term)
-            h = int.from_bytes(hashlib.md5(term.encode()).digest()[:4], "little")
-            rows["bucket"].append(h % n_buckets)
-            rows["salt"].append(d[0] // salt_span)
-            rows["first_doc"].append(d[0])
-            rows["last_doc"].append(d[-1])
-            rows["doc_ids"].append(d)
-            rows["tfs"].append(tf)
-            rows["dls"].append(dlv)
-            if store_pos:
-                # positions are vbyte-encoded ONCE here (per-doc delta with
-                # reset, exactly the final block stream-B layout) and only
-                # byte-sliced at merge — no re-encode in the shuffle reducer
-                tf_arr = np.asarray(tf, dtype=np.int64)
-                deltas = segmented_delta(np.asarray(pos, dtype=np.int64), tf_arr)
+        bucket_memo = self._bucket_memo
+        n_terms = len(terms)
+
+        # flat-array construction (ListArray.from_arrays) instead of
+        # per-term Python lists-of-lists: arrow conversion of nested Python
+        # objects is allocation-heavy and is what limits multi-actor scaling
+        lens = np.fromiter((len(acc[t][0]) for t in terms), dtype=np.int64,
+                           count=n_terms)
+        total = int(lens.sum())
+        offsets = np.zeros(n_terms + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        doc_flat = np.fromiter(
+            (x for t in terms for x in acc[t][0]), dtype=np.int64, count=total)
+        tf_flat = np.fromiter(
+            (x for t in terms for x in acc[t][1]), dtype=np.int32, count=total)
+        dl_flat = np.fromiter(
+            (x for t in terms for x in acc[t][2]), dtype=np.int32, count=total)
+        starts = offsets[:-1].astype(np.int64)
+        ends = offsets[1:].astype(np.int64) - 1
+        first_docs = doc_flat[starts] if total else np.empty(0, np.int64)
+        last_docs = doc_flat[ends] if total else np.empty(0, np.int64)
+
+        buckets = np.empty(n_terms, dtype=np.int32)
+        for i, t in enumerate(terms):
+            b = bucket_memo.get(t)
+            if b is None:
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "little")
+                b = h % n_buckets
+                bucket_memo[t] = b
+            buckets[i] = b
+
+        pos_bytes_col: list[bytes] = []
+        blen_values: np.ndarray
+        if store_pos:
+            blen_parts = []
+            for t in terms:
+                tf_arr = np.asarray(acc[t][1], dtype=np.int64)
+                # positions vbyte-encoded ONCE here (per-doc delta with
+                # reset, exactly the final block stream-B layout); merge
+                # only byte-slices
+                deltas = segmented_delta(np.asarray(acc[t][3], dtype=np.int64), tf_arr)
                 sizes = vbyte_sizes(deltas.astype(np.uint64))
-                starts = np.concatenate(([0], np.cumsum(tf_arr)[:-1]))
-                byte_lens = np.add.reduceat(sizes, starts)
-                rows["pos_bytes"].append(vbyte_encode(deltas.astype(np.uint64)))
-                rows["pos_byte_lens"].append(byte_lens.astype(np.int32).tolist())
-            else:
-                rows["pos_bytes"].append(b"")
-                rows["pos_byte_lens"].append([])
-        partials_tbl = pa.table(rows, schema=PARTIALS_SCHEMA)
+                tf_starts = np.concatenate(([0], np.cumsum(tf_arr)[:-1]))
+                blen_parts.append(np.add.reduceat(sizes, tf_starts).astype(np.int32))
+                pos_bytes_col.append(vbyte_encode(deltas.astype(np.uint64)))
+            blen_values = (
+                np.concatenate(blen_parts) if blen_parts else np.empty(0, np.int32)
+            )
+            blen_offsets = offsets
+        else:
+            pos_bytes_col = [b""] * n_terms
+            blen_values = np.empty(0, np.int32)
+            blen_offsets = np.zeros(n_terms + 1, dtype=np.int32)
+
+        partials_tbl = pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "bucket": pa.array(buckets, pa.int32()),
+                "salt": pa.array(first_docs // salt_span, pa.int64()),
+                "first_doc": pa.array(first_docs, pa.int64()),
+                "last_doc": pa.array(last_docs, pa.int64()),
+                "doc_ids": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(doc_flat, pa.int64())),
+                "tfs": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(tf_flat, pa.int32())),
+                "dls": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(dl_flat, pa.int32())),
+                "pos_bytes": pa.array(pos_bytes_col, pa.large_binary()),
+                "pos_byte_lens": pa.ListArray.from_arrays(
+                    pa.array(blen_offsets, pa.int32()),
+                    pa.array(blen_values, pa.int32())),
+            },
+            schema=PARTIALS_SCHEMA,
+        )
         # sort by bucket (stable → stays term-sorted within bucket) and size
         # row groups ≈ one bucket each, so the merge worker's per-bucket read
         # prunes row groups instead of shuffling through the object store
