@@ -8,8 +8,10 @@ Phases (SURVEY.md §7.2):
 1. optional exact-dedup scan — (doc_id, key) pairs → groupby(key) → losers
    written doc_id-sorted for range-pruned lookup in ingest (the reference's
    ingest-time docno dedup, ref:src/IndexEnvironment.cpp:388-404);
-2. ingest — actor-pool map_batches over work items (stemmer state per actor),
-   side outputs docs/ + partials/ parquet per chunk + lineage records;
+2. ingest — one Ray task per work item with process-global worker state
+   (stemmer dictionary + caches persist via Ray worker reuse; an actor-pool
+   map_batches mode is kept behind INDRI55_INGEST_MODE=actors), side
+   outputs docs/ + partials/ parquet per chunk + lineage records;
 3. postings merge — map-only reducers over term-hash buckets (the shuffle is
    done by the filesystem: ingest wrote bucket-sorted partials, each reducer
    reads its bucket by predicate pushdown) → delta+vbyte block-encoded

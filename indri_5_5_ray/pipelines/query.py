@@ -138,6 +138,8 @@ class IndexReader:
             buckets = sorted({self._bucket_of(t) for t in missing})
             expr = pads.field("bucket").isin(buckets) & pads.field("term").isin(missing)
             fetched = self._postings_ds.to_table(filter=expr)
+            if len(self._row_cache) > 8192:  # bound long-lived actor memory
+                self._row_cache.clear()
             for term in missing:
                 mask = pc.equal(fetched.column("term"), term)
                 self._row_cache[term] = fetched.filter(mask)
