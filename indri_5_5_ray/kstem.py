@@ -667,11 +667,15 @@ class KrovetzStemmer:
 
     # -- driver -------------------------------------------------------------
 
+    _CACHE_CAP = 500_000  # the reference bounds its cache at 30013 2-way slots
+
     def stem(self, term: str) -> str:
         """kstem_stem_tobuffer port (ref:src/KrovetzStemmer.cpp:995-1116)."""
         cached = self._cache.get(term)
         if cached is not None:
             return cached
+        if len(self._cache) > KrovetzStemmer._CACHE_CAP:
+            self._cache.clear()
 
         n = len(term)
         if n < 3 or n >= MAX_WORD_LENGTH or not term.isascii() or not term.isalpha():

@@ -205,7 +205,8 @@ def build_index(
         shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
     if not resume:
-        for sub in ("docs", "partials", "postings", "lineage", "dedup_losers"):
+        for sub in ("docs", "partials", "postings", "dictionary", "priors",
+                    "lineage", "dedup_losers", "dedup_keys"):
             shutil.rmtree(out / sub, ignore_errors=True)
 
     t_start = time.perf_counter()

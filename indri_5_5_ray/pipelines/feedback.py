@@ -46,7 +46,6 @@ def _feedback_doc_vectors(reader: IndexReader, doc_ids: list[int]) -> dict[int, 
         columns=["term", "postings", "block_offset", "block_length",
                  "block_last_doc", "first_doc"],
     )
-    has_pos = reader.cfg.store_positions
     vecs: dict[int, dict[str, int]] = {d: {} for d in want}
     for ri in range(t.num_rows):
         term = t.column("term")[ri].as_py()
@@ -61,7 +60,8 @@ def _feedback_doc_vectors(reader: IndexReader, doc_ids: list[int]) -> dict[int, 
             prev_last = last
             if last < lo or first > hi:
                 continue  # block-level skip
-            d, tf, _ = decode_block(payload[off : off + ln], has_pos)
+            # positions are not needed for term vectors — skip stream B
+            d, tf, _ = decode_block(payload[off : off + ln], False)
             for did, f in zip(d.tolist(), tf.tolist()):
                 if did in want:
                     vecs[did][term] = f

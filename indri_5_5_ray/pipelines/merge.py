@@ -72,8 +72,11 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
     """Merge N compatible indexes into one (docIDs rebased in input order)."""
     manifests = [json.loads((Path(d) / "manifest.json").read_text()) for d in index_dirs]
     cfgs = [m["config"] for m in manifests]
-    for c in cfgs[1:]:  # compatibility validation (stemmer/stopwords/positions)
-        for key in ("stemmer", "stopwords", "store_positions"):
+    for c in cfgs[1:]:  # compatibility validation (like the reference's
+        # stemmer/field check, ref:src/Repository.cpp:1365-1483) — layout
+        # parameters must match too, or partials land in unmergeable buckets
+        for key in ("stemmer", "stopwords", "store_positions", "n_buckets",
+                    "salt_docs_per_group", "target_block_bytes"):
             if c[key] != cfgs[0][key]:
                 raise ValueError(f"incompatible indexes: {key} differs")
     cfg = IndexConfig.from_dict(cfgs[0])

@@ -98,13 +98,20 @@ class IndexReader:
         return self._doc_lens
 
     def docnos(self, doc_ids: list[int]) -> list[str]:
-        """docID → docno forward lookup (ref:src/LocalQueryServer.cpp:167-206)."""
-        if self._docnos is None:
-            t = pq.read_table(f"{self.index_dir}/docs", columns=["doc_id", "docno"])
-            self._docnos = dict(
-                zip(t.column("doc_id").to_pylist(), t.column("docno").to_pylist())
-            )
-        return [self._docnos.get(d, "") for d in doc_ids]
+        """docID → docno forward lookup (ref:src/LocalQueryServer.cpp:167-206).
+
+        Answered by a doc_id-filtered parquet read (docs files are doc-range
+        partitioned, so row-group stats prune) — no corpus-sized resident
+        dict in query actors."""
+        if not doc_ids:
+            return []
+        dset = pads.dataset(f"{self.index_dir}/docs", format="parquet")
+        t = dset.to_table(
+            filter=pads.field("doc_id").isin(list(set(doc_ids))),
+            columns=["doc_id", "docno"],
+        )
+        lookup = dict(zip(t.column("doc_id").to_pylist(), t.column("docno").to_pylist()))
+        return [lookup.get(d, "") for d in doc_ids]
 
     # -- postings access ----------------------------------------------------
 
@@ -139,7 +146,9 @@ class IndexReader:
             expr = pads.field("bucket").isin(buckets) & pads.field("term").isin(missing)
             fetched = self._postings_ds.to_table(filter=expr)
             if len(self._row_cache) > 8192:  # bound long-lived actor memory
-                self._row_cache.clear()
+                keep = set(terms)
+                for k in [k for k in self._row_cache if k not in keep]:
+                    del self._row_cache[k]
             for term in missing:
                 mask = pc.equal(fetched.column("term"), term)
                 self._row_cache[term] = fetched.filter(mask)
@@ -289,19 +298,20 @@ class BM25Scorer:
             term_score_arrays.append(s)
         if not term_doc_arrays:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        # dense accumulation over the (per-shard) doc-id space: one
+        # dense accumulation over the shard's doc-id SPAN (offset by lo): one
         # fancy-index += per term — exact because a term's doc_ids are
         # unique, and per-doc addition order equals query-term order,
         # matching PlusNode's summation sequence (ref:src/PlusNode.cpp:75-106).
-        # Memory is O(shard doc span), which doc-range sharding bounds at
-        # scale.
-        dense = np.zeros(len(doc_lens), dtype=np.float64)
-        touched = np.zeros(len(doc_lens), dtype=bool)
+        # Memory is O(hi - lo), which doc-range sharding bounds at scale.
+        base = lo if doc_range is not None else 0
+        span = (min(hi, len(doc_lens)) - base) if doc_range is not None else len(doc_lens)
+        dense = np.zeros(span, dtype=np.float64)
+        touched = np.zeros(span, dtype=bool)
         for d, s in zip(term_doc_arrays, term_score_arrays):
-            dense[d] += s
-            touched[d] = True
-        cand = np.nonzero(touched)[0]
-        return _topk(cand, dense[cand], k)
+            dense[d - base] += s
+            touched[d - base] = True
+        cand = np.nonzero(touched)[0] + base
+        return _topk(cand, dense[cand - base], k)
 
     # -- block-max path -----------------------------------------------------
 
@@ -384,7 +394,8 @@ class BM25Scorer:
             key = (ri, off)
             hit = decoded.get(key)
             if hit is None:
-                d, tf, _ = decode_block(payloads[ri][off : off + ln], has_pos)
+                # positions are never used in scoring — skip stream B
+                d, tf, _ = decode_block(payloads[ri][off : off + ln], False)
                 hit = (d, tf)
                 decoded[key] = hit
             return hit

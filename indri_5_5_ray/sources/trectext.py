@@ -47,7 +47,7 @@ def read_trectext(paths: list[str] | str) -> ray.data.Dataset:
     """Dataset of (docno, content) rows from TREC-text files."""
     if isinstance(paths, str):
         p = Path(paths)
-        paths = [str(p)] if p.is_file() else sorted(str(f) for f in p.rglob("*"))
+        paths = [str(p)] if p.is_file() else sorted(str(f) for f in p.rglob("*") if f.is_file())
 
     def parse_file(row: dict) -> list[dict]:
         data = Path(row["path"]).read_text(errors="replace")

@@ -80,6 +80,13 @@ class TermProcessor:
         # the hot ingest loop (normalize + stop + stem fused)
         self._raw_memo: dict[bytes, str | None] = {}
 
+    # the reference's MemoryIndex skips empty words and words at/over the
+    # keyfile limit, emitting termID 0 (position slot kept, no posting) —
+    # ref:src/MemoryIndex.cpp:559-570,
+    # ref:contrib/lemur/include/lemur/Keyfile.hpp:108 (MAX_KEY_LENGTH=512)
+    MAX_TERM_BYTES = 511
+    _MEMO_CAP = 500_000  # the reference caps its stem cache too (30013 slots)
+
     def process(self, term: str) -> str | None:
         """Tokenized+normalized term → indexed term, or None if stopped."""
         r = self._memo.get(term, TermProcessor._MISSING)
@@ -91,6 +98,12 @@ class TermProcessor:
             out = self.stemmer.stem(term)
         else:
             out = term
+        if out is not None and (
+            out == "" or len(out.encode("utf-8")) >= TermProcessor.MAX_TERM_BYTES
+        ):
+            out = None  # termID-0 semantics: slot counts in dl, no posting
+        if len(self._memo) > TermProcessor._MEMO_CAP:
+            self._memo.clear()
         self._memo[term] = out
         return out
 
@@ -101,6 +114,8 @@ class TermProcessor:
             return r
         term = normalize_token(raw).decode("utf-8", errors="replace")
         out = self.process(term)
+        if len(self._raw_memo) > TermProcessor._MEMO_CAP:
+            self._raw_memo.clear()
         self._raw_memo[raw] = out
         return out
 
@@ -159,7 +174,16 @@ class IngestWorker:
     def _process_chunk(self, chunk: Chunk) -> dict:
         t0 = time.perf_counter()
         cid = chunk.chunk_id
-        fingerprint = f"{chunk.file_path}:{chunk.row_start}:{chunk.row_end}"
+        # fingerprint covers the input slice AND the processing config +
+        # dedup losers source: a resumed build after a config change must
+        # NOT reuse chunks ingested under the old semantics
+        cfg_fp = hashlib.md5(
+            repr(sorted(self.cfg.to_dict().items())).encode()
+        ).hexdigest()[:12]
+        fingerprint = (
+            f"{chunk.file_path}:{chunk.row_start}:{chunk.row_end}"
+            f":{cfg_fp}:{self.losers_path or ''}"
+        )
         if lineage.is_done(self.out_dir, "ingest", cid, fingerprint):
             rec = lineage.read_record(self.out_dir, "ingest", cid)
             rec["skipped"] = True
