@@ -588,7 +588,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": f"""
             SELECT doc_id, len(toks) AS n_tokens,
                    len(list_distinct(toks)) AS n_distinct,
-                   round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS distinct_ratio
+                   CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(len(list_distinct(toks))::DOUBLE / len(toks), 6) END AS distinct_ratio
             FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents)
             ORDER BY doc_id""",
         "lang_id": f"""
@@ -706,7 +706,7 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
             FROM embeddings a CROSS JOIN embeddings b
             WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
             ORDER BY vec_id_a, vec_id_b""",
         # bm25_topk_kstem, lsh_ann_topk, media_*: non-SQL-expressible
         # (stemmer dictionary / seeded hyperplanes / binary decode) →

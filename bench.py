@@ -224,8 +224,17 @@ def run_scaling() -> dict:
                 [sys.executable, __file__, "--build-only"],
                 capture_output=True, text=True, env=env, cwd=str(Path(__file__).parent),
             )
-            line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
-            r = json.loads(line)
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"scaling child (cpus={cpus}) failed rc={p.returncode}:\n"
+                    f"{p.stderr[-4000:]}"
+                )
+            lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
+            if not lines:
+                raise RuntimeError(
+                    f"scaling child (cpus={cpus}) produced no JSON:\n{p.stderr[-4000:]}"
+                )
+            r = json.loads(lines[-1])
             if best is None or r["build_docs_per_sec"] > best["build_docs_per_sec"]:
                 best = r
         runs[cpus] = best

@@ -285,6 +285,7 @@ def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
         ex = (
             df.select("doc_id", "toks")
             .explode("toks")
+            .drop_nulls()  # zero-token docs explode to a null row
             .group_by(["doc_id", "toks"])
             .agg(pl.len().alias("tf"))
         )

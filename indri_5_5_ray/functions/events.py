@@ -132,6 +132,13 @@ def user_activity(sf_dir: str) -> ray.data.Dataset:
     # small join at the driver: both sides are per-user rollups
     a_tables = [t for t in (_ray.get(r) for r in agg.to_arrow_refs()) if t.num_rows]
     b_tables = [t for t in (_ray.get(r) for r in distinct.to_arrow_refs()) if t.num_rows]
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "n_types": pa.array([], pa.int64()),
+                      "first_ts": pa.array([], pa.int64()),
+                      "last_ts": pa.array([], pa.int64())})
+    if not a_tables or not b_tables:
+        return ray.data.from_arrow(empty)
     a = pa.concat_tables(a_tables)
     b = pa.concat_tables(b_tables)
     da = pl.from_arrow(a)

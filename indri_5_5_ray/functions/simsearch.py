@@ -60,7 +60,9 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 10) -> pa.Table:
         kk = min(k, nb)
         out_q, out_v, out_c = [], [], []
         for qi in range(S.shape[0]):
-            idx = np.argpartition(-S[qi], kk - 1)[:kk] if nb > kk else np.arange(nb)
+            # partial top-k must honor the final tie-break (cos desc, vec_id
+            # asc) or ties straddling the cut lose the wrong members
+            idx = np.lexsort((ids, -S[qi]))[:kk]
             out_q.extend([int(q_ids_[qi])] * len(idx))
             out_v.extend(ids[idx].tolist())
             out_c.extend(S[qi, idx].tolist())
@@ -115,13 +117,14 @@ def cosine_pairs(sf_dir: str, tau: float = 0.4) -> pa.Table:
         Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
         S = Bn @ Mn_.T
         rows_a, rows_b, rows_c = [], [], []
-        for i in range(S.shape[0]):
-            hits = np.nonzero(S[i] >= tau)[0]
+        S_r = np.round(S, 6)  # threshold on the rounded value, same as the oracle
+        for i in range(S_r.shape[0]):
+            hits = np.nonzero(S_r[i] >= tau)[0]
             for j in hits:
                 if ids[i] < ids_all[j]:
                     rows_a.append(int(ids[i]))
                     rows_b.append(int(ids_all[j]))
-                    rows_c.append(round(float(S[i, j]), 6))
+                    rows_c.append(float(S_r[i, j]))
         return pa.table(
             {
                 "vec_id_a": pa.array(rows_a, pa.int64()),
@@ -168,12 +171,17 @@ def lsh_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
     q_sig = (Qn @ H.T > 0).astype(np.uint32)
     q_codes = (q_sig << np.arange(LSH_PLANES, dtype=np.uint32)).sum(axis=1)
 
+    import itertools
+
     wanted: set[int] = set()
     for code in q_codes.tolist():
         wanted.add(code)
-        if probe_bits >= 1:
-            for b in range(LSH_PLANES):
-                wanted.add(code ^ (1 << b))
+        for nbits in range(1, probe_bits + 1):
+            for bits in itertools.combinations(range(LSH_PLANES), nbits):
+                flipped = code
+                for b in bits:
+                    flipped ^= 1 << b
+                wanted.add(flipped)
     h_ref = ray.put((H, wanted))
 
     def bucket_filter(batch: pa.Table) -> pa.Table:

@@ -58,7 +58,10 @@ def term_stats(sf_dir: str) -> ray.data.Dataset:
         df = pl.from_arrow(batch).with_columns(
             pl.col("text").str.extract_all(TOKEN_RE).alias("toks")
         )
-        ex = df.select("doc_id", "toks").explode("toks").rename({"toks": "term"})
+        ex = (
+            df.select("doc_id", "toks").explode("toks").drop_nulls()
+            .rename({"toks": "term"})  # zero-token docs explode to a null row
+        )
         cf = ex.group_by("term").agg(pl.len().alias("cf"))
         dfc = ex.unique(["doc_id", "term"]).group_by("term").agg(pl.len().alias("df"))
         return cf.join(dfc, on="term").to_arrow()
@@ -99,7 +102,10 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
             pl.col("toks").list.len().cast(pl.Int64).alias("n_tokens"),
             pl.col("toks").list.n_unique().cast(pl.Int64).alias("n_distinct"),
         ).with_columns(
-            (pl.col("n_distinct") / pl.col("n_tokens")).round(6).alias("distinct_ratio")
+            pl.when(pl.col("n_tokens") == 0)
+            .then(0.0)
+            .otherwise((pl.col("n_distinct") / pl.col("n_tokens")).round(6))
+            .alias("distinct_ratio")
         )
         return out.to_arrow()
 

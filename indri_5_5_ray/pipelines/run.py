@@ -42,14 +42,15 @@ class QueryWorker:
             terms = process_query(text, self.reader.cfg)
             ids, scores = score(terms, k=self.k)
             ms = (time.perf_counter() - t0) * 1000
-            docnos = self.reader.docnos(ids.tolist())
             n = len(ids)
             out["qid"].extend([qid] * n)
             out["rank"].extend(range(1, n + 1))
             out["doc_id"].extend(ids.tolist())
-            out["docno"].extend(docnos)
             out["score"].extend(scores.tolist())
             out["latency_ms"].extend([ms] * n)
+        # one batched docno lookup for the whole query batch (the lookup is
+        # a doc_id-filtered parquet read, not a resident corpus dict)
+        out["docno"] = self.reader.docnos(out["doc_id"])
         return pa.table(
             {
                 "qid": pa.array(out["qid"], pa.string()),

@@ -290,6 +290,8 @@ class IngestWorker:
             if b is None:
                 h = int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "little")
                 b = h % n_buckets
+                if len(bucket_memo) > TermProcessor._MEMO_CAP:
+                    bucket_memo.clear()
                 bucket_memo[t] = b
             buckets[i] = b
 

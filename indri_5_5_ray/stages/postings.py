@@ -91,6 +91,7 @@ class MergeWorker:
         from ..state import lineage
 
         out_rows = []
+        dset = pads.dataset(f"{self.out_dir}/partials", format="parquet")
         for bucket in batch.column("bucket").to_pylist():
             t0 = time.perf_counter()
             pid = f"{bucket:05d}"
@@ -106,7 +107,6 @@ class MergeWorker:
                 rec["skipped"] = True
                 out_rows.append(rec)
                 continue
-            dset = pads.dataset(f"{self.out_dir}/partials", format="parquet")
             group = dset.to_table(filter=pads.field("bucket") == bucket, use_threads=False)
             merged = merge_bucket(group, self.cfg.store_positions, self.cfg.target_block_bytes)
             os.makedirs(f"{self.out_dir}/postings", exist_ok=True)
