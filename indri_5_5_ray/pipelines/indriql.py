@@ -155,27 +155,34 @@ def ordered_window_count(pos_lists: list[np.ndarray], n: int) -> int:
 
 
 def unordered_window_count(pos_lists: list[np.ndarray], n: int) -> int:
-    """Count unordered-window matches: for each occurrence of the first
-    term, all member terms must appear within a span of ≤ n positions
-    around it (the reference anchors on its first child's extents,
-    ref:src/UnorderedWindowNode.cpp)."""
+    """Count unordered-window matches — the reference's smallest-window-per-
+    anchor algorithm (ref:src/UnorderedWindowNode.cpp:68-151): merge every
+    term occurrence (any member) sorted by position; for each occurrence as
+    the window START, scan forward while the span fits (``end - begin ≤ n``
+    with term extents [p, p+1)), counting a member type as found when its
+    previous occurrence precedes the anchor; one match per anchor that
+    completes all types."""
+    k = len(pos_lists)
+    events = sorted((int(p), t) for t, pl in enumerate(pos_lists) for p in pl)
+    m = len(events)
+    last = [-1] * k
+    lasts = []
+    for idx, (_p, t) in enumerate(events):
+        lasts.append(last[t])
+        last[t] = idx
     count = 0
-    for anchor in pos_lists[0]:
-        ok = True
-        lo, hi = anchor, anchor
-        for plist in pos_lists[1:]:
-            i = np.searchsorted(plist, anchor)
-            best = None
-            for j in (i - 1, i):
-                if 0 <= j < len(plist):
-                    cand = plist[j]
-                    if best is None or abs(cand - anchor) < abs(best - anchor):
-                        best = cand
-            if best is None:
-                ok = False
+    for i in range(m):
+        pi = events[i][0]
+        found = 1
+        cur = i + 1
+        while cur < m and found != k:
+            pc = events[cur][0]
+            if (pc + 1) - pi > n and n >= 0:
                 break
-            lo, hi = min(lo, best), max(hi, best)
-        if ok and hi - lo < n:
+            if lasts[cur] < i:
+                found += 1
+            cur += 1
+        if found == k:
             count += 1
     return count
 

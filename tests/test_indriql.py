@@ -77,12 +77,16 @@ def test_ordered_window_matches_brute(seqs, n):
 
 
 def test_unordered_window():
-    # all terms within a span < n around each anchor (first term occurrence)
+    # smallest-window-per-anchor (ref UnorderedWindowNode): term extents are
+    # [p, p+1), window fits when end - begin <= n
     a = np.array([0, 10])
     b = np.array([2, 50])
-    assert unordered_window_count([a, b], 4) == 1   # anchor 0: span {0,2} < 4
-    assert unordered_window_count([a, b], 2) == 0   # span 3 not < 2... 2-0=2, hi-lo=2 < 2 false
+    assert unordered_window_count([a, b], 4) == 1   # anchor 0: span [0,3) fits
+    assert unordered_window_count([a, b], 2) == 0   # (2+1)-0 = 3 > 2
     assert unordered_window_count([a, b], 3) == 1
+    # anchors are ALL member occurrences (order-symmetric), one per start
+    assert unordered_window_count([np.array([0, 1]), np.array([2])], 3) == 2
+    assert unordered_window_count([np.array([2]), np.array([0, 1])], 3) == 2
 
 
 # -- engine semantics vs corpus ----------------------------------------------
