@@ -188,3 +188,55 @@ def test_wildcard_expansion(engine):
     assert len(terms) <= 100
     ids, s = engine.run("#combine(bu*)", k=5)
     assert len(ids)
+
+
+def test_wsum_band_syn(engine, small_corpus_dir, built_index):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.sources.corpus import corpus_files
+    from indri_5_5_ray.stages.ingest import TermProcessor
+    from indri_5_5_ray.tokenizer import tokenize
+
+    # #wsum single child == the child belief (log of a weighted mean of one)
+    base_ids, base = engine.run("#combine(merge)", k=15)
+    ids, s = engine.run("#wsum(1.0 merge)", k=15)
+    assert ids.tolist() == base_ids.tolist()
+    np.testing.assert_allclose(s, base, rtol=1e-9)
+    # #wsum(p, p) == p for identical children regardless of weights
+    ids2, s2 = engine.run("#wsum(2.0 merge 3.0 merge)", k=15)
+    assert ids2.tolist() == base_ids.tolist()
+    np.testing.assert_allclose(s2, base, rtol=1e-9)
+
+    # #band and #syn counts vs direct tokenization
+    out, _ = built_index
+    reader = IndexReader(out)
+    proc = TermProcessor(reader.cfg)
+    seqs, seen, did = {}, set(), 0
+    for f in corpus_files(small_corpus_dir):
+        for row in pq.read_table(f).to_pylist():
+            d, did = did, did + 1
+            sha = hashlib.sha256(row["content"].encode()).hexdigest()
+            if sha in seen:
+                continue
+            seen.add(sha)
+            seqs[d] = [proc.process(t) for t in tokenize(row["content"])]
+
+    for query, kind in [("#band(merge token)", "band"), ("#syn(merge token)", "syn")]:
+        root = parse_query(f"#combine({query})")
+        leaf = root.children[0]
+        terms = set()
+        engine._leaf_terms(root, terms)
+        engine._postings = engine._fetch_postings(sorted(terms))
+        cand = np.unique(np.concatenate([d for d, _, _ in engine._postings.values()]))
+        counts = engine._node_counts(leaf, engine._postings, cand)
+        for i, d in enumerate(cand.tolist()):
+            pos_a = {j for j, t in enumerate(seqs[d]) if t == "merge"}
+            pos_b = {j for j, t in enumerate(seqs[d]) if t == "token"}
+            if kind == "band":
+                want = 1.0 if pos_a and pos_b else 0.0
+            else:
+                want = float(len(pos_a | pos_b))
+            assert counts[i] == want, f"{kind} doc {d}"
