@@ -598,7 +598,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM (SELECT doc_id, {TOKEN_SQL} AS t FROM documents))
             ORDER BY doc_id""",
         "lang_table_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY lang ORDER BY lang""",
         "exact_dup_groups": """
             SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id,

@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from .textstats import TOKEN_RE
+from .textstats import tokens_expr
 
 NGRAM_N = 3
 NUM_PERMS = 16
@@ -85,7 +85,7 @@ def dedup_keep_first(sf_dir: str) -> ray.data.Dataset:
 def _doc_shingles(batch: pa.Table) -> pl.DataFrame:
     """(doc_id, shingle) distinct word n-grams per doc (polars-vectorized)."""
     df = pl.from_arrow(batch).with_columns(
-        pl.col("text").str.extract_all(TOKEN_RE).alias("toks")
+        tokens_expr().alias("toks")
     )
     ex = df.select("doc_id", "toks").explode("toks")
     # window shift within doc to build n-grams
@@ -280,7 +280,7 @@ def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
 
     def f(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch).with_columns(
-            pl.col("text").str.extract_all(TOKEN_RE).alias("toks")
+            tokens_expr().alias("toks")
         )
         ex = (
             df.select("doc_id", "toks")

@@ -20,6 +20,13 @@ from ray.data.aggregate import Sum
 
 TOKEN_RE = r"[a-z0-9]+"
 
+
+def tokens_expr() -> pl.Expr:
+    """``lower(text)`` tokenized by TOKEN_RE — matches the DuckDB oracles'
+    ``regexp_extract_all(lower(text), '[a-z0-9]+')`` on any input (not just
+    the all-lowercase testdata)."""
+    return pl.col("text").str.to_lowercase().str.extract_all(TOKEN_RE)
+
 # small marker-word sets for the language-ID heuristic (argmax of hits,
 # alphabetical language order tie-break, 'und' if no hits)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -43,7 +50,7 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
         df = pl.from_arrow(batch)
         out = df.select(
             pl.col("doc_id"),
-            pl.col("text").str.count_matches(TOKEN_RE).cast(pl.Int64).alias("n_tokens"),
+            tokens_expr().list.len().cast(pl.Int64).alias("n_tokens"),
         )
         return out.to_arrow()
 
@@ -56,7 +63,7 @@ def term_stats(sf_dir: str) -> ray.data.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch).with_columns(
-            pl.col("text").str.extract_all(TOKEN_RE).alias("toks")
+            tokens_expr().alias("toks")
         )
         ex = (
             df.select("doc_id", "toks").explode("toks").drop_nulls()
@@ -95,7 +102,7 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
 
     def f(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch).with_columns(
-            pl.col("text").str.extract_all(TOKEN_RE).alias("toks")
+            tokens_expr().alias("toks")
         )
         out = df.select(
             pl.col("doc_id"),
@@ -121,7 +128,7 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
 
     def f(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch).with_columns(
-            pl.col("text").str.extract_all(TOKEN_RE).alias("toks")
+            tokens_expr().alias("toks")
         )
         counts = [
             pl.col("toks")

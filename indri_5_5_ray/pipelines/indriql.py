@@ -65,6 +65,9 @@ class Node:
     n: int = 0                   # window width
     children: list["Node"] = field(default_factory=list)
     weights: list[float] = field(default_factory=list)
+    pre: bool = False            # term is ALREADY an index term (wildcard
+                                 # expansion) — skip query-side re-processing
+                                 # (stemming a stem is not idempotent)
 
 
 _TOKEN_RE = re.compile(r"#\w+|\(|\)|[^\s()]+")
@@ -240,6 +243,11 @@ class StructuredQueryEngine:
             return None
         return self.proc.process(toks[0])
 
+    def _node_term(self, node: Node) -> str | None:
+        """Index term of a term node — pre-processed (expansion-derived)
+        terms bypass the normalize/stop/stem chain."""
+        return node.term if node.pre else self._process_term(node.term)
+
     def _fetch_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, list[np.ndarray] | None]]:
         """term → (doc_ids, tfs, per-doc position arrays)."""
         rows = self.r.term_rows(terms)
@@ -282,7 +290,7 @@ class StructuredQueryEngine:
     def _node_counts(self, node: Node, postings, cand: np.ndarray) -> np.ndarray:
         """Per-candidate occurrence counts for a count-bearing node."""
         if node.op == "term":
-            term = self._process_term(node.term)
+            term = self._node_term(node)
             counts = np.zeros(len(cand), dtype=np.float64)
             if term and term in postings:
                 d, tf, _ = postings[term]
@@ -291,7 +299,7 @@ class StructuredQueryEngine:
                 counts[pos[valid]] = tf[valid].astype(np.float64)
             return counts
         if node.op == "wildcard":
-            syn = Node(op="syn", children=[Node(op="term", term=t)
+            syn = Node(op="syn", children=[Node(op="term", term=t, pre=True)
                                            for t in self._expand_wildcard(node.term.lower())])
             return self._node_counts(syn, postings, cand)
         if node.op == "band":
@@ -339,7 +347,7 @@ class StructuredQueryEngine:
         children, as in the reference grammar)."""
         if node.op != "term":
             raise ValueError(f"window/syn members must be terms, got {node.op}")
-        term = self._process_term(node.term)
+        term = self._node_term(node)
         pm: dict[int, np.ndarray] = {}
         tp = self._postings.get(term)
         if tp is None:
@@ -392,14 +400,17 @@ class StructuredQueryEngine:
         if node.op == "max":
             return np.max(kids, axis=0)
         if node.op == "or_":
-            log1m = np.sum([np.log1p(-np.minimum(np.exp(k), 1 - 1e-300)) for k in kids], axis=0)
+            # cap p strictly below 1.0 so log1p(-p) stays finite; 1-1e-300
+            # would round to exactly 1.0 in float64 (dead guard)
+            cap = np.nextafter(1.0, 0.0)
+            log1m = np.sum([np.log1p(-np.minimum(np.exp(k), cap)) for k in kids], axis=0)
             return np.log1p(-np.exp(log1m))
         if node.op == "not":
-            return np.log1p(-np.minimum(np.exp(kids[0]), 1 - 1e-300))
+            return np.log1p(-np.minimum(np.exp(kids[0]), np.nextafter(1.0, 0.0)))
         raise ValueError(f"unknown op {node.op}")
 
     def _term_cf(self, node: Node) -> float:
-        term = self._process_term(node.term)
+        term = self._node_term(node)
         stats = self.r.term_stats([term]) if term else {}
         return float(stats[term][0]) if term in stats else 0.0
 
@@ -409,7 +420,7 @@ class StructuredQueryEngine:
         requires at least one member present)."""
         docs = set()
         for c in self._iter_term_children(node):
-            term = self._process_term(c.term)
+            term = self._node_term(c)
             tp = self._postings.get(term)
             if tp is not None:
                 docs.update(tp[0].tolist())
@@ -424,7 +435,7 @@ class StructuredQueryEngine:
             yield node
         elif node.op == "wildcard":
             for t in self._expand_wildcard(node.term.lower()):
-                yield Node(op="term", term=t)
+                yield Node(op="term", term=t, pre=True)
         else:
             for c in node.children:
                 yield from self._iter_term_children(c)
