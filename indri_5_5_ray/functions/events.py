@@ -21,7 +21,7 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Sum
 
 SESSION_GAP_S = 1800  # 30 min
 
@@ -95,7 +95,12 @@ def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S) -> ray.data.Dataset:
 
 
 def user_activity(sf_dir: str) -> ray.data.Dataset:
-    """(user_id, n_events, n_types, first_ts, last_ts) relational rollup."""
+    """(user_id, n_events, n_types, first_ts, last_ts) relational rollup.
+
+    One ``groupby(user_id).map_groups`` computes all five columns — no
+    driver-side collection or join (the shuffle is the single user_id
+    exchange; groups are per-user and small, so the reducer is bounded at
+    any corpus size)."""
     ds = _events(sf_dir)
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -104,46 +109,28 @@ def user_activity(sf_dir: str) -> ray.data.Dataset:
             "user_id", "event_type", "ts_s"
         ).to_arrow()
 
-    pre = ds.map_batches(prep, batch_format="pyarrow")
-    agg = pre.groupby("user_id").aggregate(
-        Count(alias_name="n_events"),
-        Min("ts_s", alias_name="first_ts"),
-        Max("ts_s", alias_name="last_ts"),
-    )
-    # exact distinct event types per user: reducer-side n_unique (a partial
-    # per-batch unique would double-count across batches)
-    def exact_distinct(group: pa.Table) -> pa.Table:
+    def rollup(group: pa.Table) -> pa.Table:
         if "user_id" not in group.column_names or group.num_rows == 0:
             return pa.table({"user_id": pa.array([], pa.int64()),
-                             "n_types": pa.array([], pa.int64())})
+                             "n_events": pa.array([], pa.int64()),
+                             "n_types": pa.array([], pa.int64()),
+                             "first_ts": pa.array([], pa.int64()),
+                             "last_ts": pa.array([], pa.int64())})
         df = pl.from_arrow(group)
-        return pa.table(
-            {
-                "user_id": pa.array([int(df["user_id"][0])], pa.int64()),
-                "n_types": pa.array([df["event_type"].n_unique()], pa.int64()),
-            }
+        out = (
+            df.group_by("user_id")
+            .agg(
+                pl.len().alias("n_events"),
+                pl.col("event_type").n_unique().cast(pl.Int64).alias("n_types"),
+                pl.col("ts_s").min().alias("first_ts"),
+                pl.col("ts_s").max().alias("last_ts"),
+            )
+            .sort("user_id")
         )
+        return out.to_arrow()
 
-    distinct = (
-        pre.groupby("user_id").map_groups(exact_distinct, batch_format="pyarrow")
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(rollup, batch_format="pyarrow")
     )
-    import ray as _ray
-
-    # small join at the driver: both sides are per-user rollups
-    a_tables = [t for t in (_ray.get(r) for r in agg.to_arrow_refs()) if t.num_rows]
-    b_tables = [t for t in (_ray.get(r) for r in distinct.to_arrow_refs()) if t.num_rows]
-    empty = pa.table({"user_id": pa.array([], pa.int64()),
-                      "n_events": pa.array([], pa.int64()),
-                      "n_types": pa.array([], pa.int64()),
-                      "first_ts": pa.array([], pa.int64()),
-                      "last_ts": pa.array([], pa.int64())})
-    if not a_tables or not b_tables:
-        return ray.data.from_arrow(empty)
-    a = pa.concat_tables(a_tables)
-    b = pa.concat_tables(b_tables)
-    da = pl.from_arrow(a)
-    db = pl.from_arrow(b)
-    out = da.join(db, on="user_id").sort("user_id").select(
-        "user_id", "n_events", "n_types", "first_ts", "last_ts"
-    )
-    return ray.data.from_arrow(out.to_arrow())

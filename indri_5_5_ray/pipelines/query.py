@@ -80,6 +80,7 @@ class IndexReader:
         self.total_terms = self.manifest["total_terms"]
         self.avgdl = self.total_terms / self.doc_count
         self._doc_lens: np.ndarray | None = None
+        self._range_lens: dict[tuple[int, int], np.ndarray] = {}
         self._docnos: dict[int, str] | None = None
         self._postings_ds: pads.Dataset | None = None
         self._dict_ds: pads.Dataset | None = None
@@ -96,6 +97,33 @@ class IndexReader:
             arr[t.column("doc_id").to_numpy()] = t.column("dl").to_numpy()
             self._doc_lens = arr
         return self._doc_lens
+
+    def doc_lens_range(self, lo: int, hi: int) -> np.ndarray:
+        """Dense dl slice for doc_ids in [lo, hi) — index with ``d - lo``.
+
+        Docs files are doc-range partitioned, so the filtered read prunes row
+        groups; a sharded query actor holds O(shard span) memory instead of
+        the whole index's dl array (at 10⁹ docs the dense array is GBs ×
+        actors)."""
+        hi = min(hi, self.manifest["max_doc_id"] + 1)
+        if hi <= lo:
+            return np.empty(0, np.int32)
+        if self._doc_lens is not None:  # full array already resident
+            return self._doc_lens[lo:hi]
+        key = (lo, hi)
+        hit = self._range_lens.get(key)
+        if hit is None:
+            dset = pads.dataset(f"{self.index_dir}/docs", format="parquet")
+            t = dset.to_table(
+                filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi),
+                columns=["doc_id", "dl"],
+            )
+            hit = np.zeros(hi - lo, dtype=np.int32)
+            hit[t.column("doc_id").to_numpy() - lo] = t.column("dl").to_numpy()
+            if len(self._range_lens) > 64:
+                self._range_lens.clear()
+            self._range_lens[key] = hit
+        return hit
 
     def docnos(self, doc_ids: list[int]) -> list[str]:
         """docID → docno forward lookup (ref:src/LocalQueryServer.cpp:167-206).
@@ -243,9 +271,15 @@ class BM25Scorer:
         if not consts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         rows = self.r.term_rows([t for t, _ in consts])
-        doc_lens = self.r.doc_lens()
         has_pos = self.r.cfg.store_positions
         lo, hi = doc_range if doc_range is not None else (0, 1 << 62)
+        if doc_range is None:
+            doc_lens = self.r.doc_lens()
+            base = 0
+        else:
+            # shard-sized dl slice, not the whole index's dense array
+            doc_lens = self.r.doc_lens_range(lo, hi)
+            base = lo
 
         # decode per term in query order; accumulate into a doc->score map
         from ..codec import decode_doc_tf_batch
@@ -292,7 +326,7 @@ class BM25Scorer:
                 continue
             d = np.concatenate(t_ids)
             tf = np.concatenate(t_tfs).astype(np.float64)
-            dl = doc_lens[d].astype(np.float64)
+            dl = doc_lens[d - base].astype(np.float64)
             s = self._score_arrays(tf, dl, numer_const, k1_1mb, k1b_avg)
             term_doc_arrays.append(d)
             term_score_arrays.append(s)
@@ -303,8 +337,7 @@ class BM25Scorer:
         # unique, and per-doc addition order equals query-term order,
         # matching PlusNode's summation sequence (ref:src/PlusNode.cpp:75-106).
         # Memory is O(hi - lo), which doc-range sharding bounds at scale.
-        base = lo if doc_range is not None else 0
-        span = (min(hi, len(doc_lens)) - base) if doc_range is not None else len(doc_lens)
+        span = len(doc_lens)
         dense = np.zeros(span, dtype=np.float64)
         touched = np.zeros(span, dtype=bool)
         for d, s in zip(term_doc_arrays, term_score_arrays):

@@ -75,7 +75,9 @@ class ShardedQueryWorker:
         self.k = k
         span = (self.reader.manifest["max_doc_id"] + n_shards) // n_shards
         self.ranges = [(s * span, (s + 1) * span) for s in range(n_shards)]
-        self.reader.doc_lens()
+        # NO full doc_lens warm-up: each scored shard loads only its own
+        # doc-range dl slice (reader.doc_lens_range), so actor memory is
+        # O(span), not O(index)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"qid": [], "doc_id": [], "score": []}

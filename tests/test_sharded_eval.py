@@ -54,3 +54,21 @@ def test_trec_eval():
     assert abs(m["map"] - (5 / 6 + 1 / 2) / 2) < 1e-9
     assert m["p_at_2"] == (0.5 + 0.5) / 2
     assert m["topics"] == 2
+
+
+def test_doc_lens_range_slices(built_index):
+    """Ranged dl reads equal slices of the dense array and never load the
+    full array into the reader."""
+    import numpy as np
+
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    index_dir, manifest = built_index
+    full = IndexReader(index_dir).doc_lens()
+    r = IndexReader(index_dir)
+    n = manifest["max_doc_id"] + 1
+    for lo, hi in [(0, n), (0, n // 2), (n // 2, n), (n // 3, 2 * n // 3), (n, n + 10)]:
+        sl = r.doc_lens_range(lo, hi)
+        assert len(sl) == max(0, min(hi, n) - lo)
+        assert np.array_equal(sl, full[lo:min(hi, n)])
+    assert r._doc_lens is None  # ranged reads never materialized the full array
