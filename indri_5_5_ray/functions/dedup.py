@@ -5,32 +5,52 @@ The reference only has exact ingest-time dedup
 are the training-data-pipeline extension, built Ray-Data-first:
 
 * exact      — hash-partition on content hash, keep-first (groupby shuffle);
-* n-gram Jaccard — shingle explode → groupby(shingle) pair generation →
-  groupby(pair) count (exact verify path; at 100 TB run it only on LSH
-  candidates);
+* n-gram Jaccard — exact-dup pre-collapse → shingle explode over group
+  representatives → groupby(shingle) pair generation → groupby(pair) count →
+  member expansion (broadcast of the dup-bounded group table).  Exact; the
+  pre-collapse is what
+  keeps a mass-duplicated boilerplate group (n identical docs → one rep)
+  from exploding the per-shingle pair reducer quadratically;
 * MinHash+LSH — md5-based minhash signatures (deterministic & SQL-
-  reproducible), banded into buckets, candidate pairs from bucket groupby;
+  reproducible), banded into buckets, candidate pairs from bucket groupby —
+  also over exact-dup representatives, expanded after;
 * SimHash    — 60-bit fingerprints from md5 token hashes (60 bits so the
   value stays SQL-reproducible via DuckDB's 15-hex-digit BIGINT cast).
 
 All hashing is md5-based so every operator has an exact DuckDB oracle.
+Per-doc shingle counts ride along on the shingle rows themselves, so the
+Jaccard union term needs no driver-side size dict and no broadcast.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
+import os
 
 import numpy as np
 import polars as pl
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Sum
 
 from .textstats import tokens_expr
+
+logger = logging.getLogger(__name__)
 
 NGRAM_N = 3
 NUM_PERMS = 16
 LSH_BANDS = 4  # 4 bands × 4 rows
+
+# Pathological-skew guard for pair generation (AFTER exact-dup collapse a
+# group this large means n distinct docs sharing one shingle/bucket — e.g.
+# templated boilerplate).  Pairs beyond the cap are dropped WITH A LOG LINE:
+# silent truncation would read as full coverage.  The default is high enough
+# that the SQL-oracle-checked test scales never hit it.
+MAX_PAIR_GROUP = int(os.environ.get("INDRI55_MAX_PAIR_GROUP", "8192"))
+
+_EMPTY_PAIRS = pa.table(
+    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+)
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
@@ -44,24 +64,24 @@ def _docs(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _add_hash(batch: pa.Table) -> pa.Table:
+    df = pl.from_arrow(batch)
+    out = df.select(
+        pl.col("doc_id"),
+        pl.col("text").map_elements(
+            lambda s: hashlib.md5(s.encode()).hexdigest(), return_dtype=pl.String
+        ).alias("content_hash"),
+    )
+    return out.to_arrow()
+
+
 def exact_dup_groups(sf_dir: str) -> ray.data.Dataset:
     """(content_hash, rep_doc_id, n_copies) — keep-first exact dedup."""
-
-    def add_hash(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
-        out = df.select(
-            pl.col("doc_id"),
-            pl.col("text").map_elements(
-                lambda s: hashlib.md5(s.encode()).hexdigest(), return_dtype=pl.String
-            ).alias("content_hash"),
-        )
-        return out.to_arrow()
-
     from ray.data.aggregate import Count, Min
 
     return (
         _docs(sf_dir)
-        .map_batches(add_hash, batch_format="pyarrow")
+        .map_batches(_add_hash, batch_format="pyarrow")
         .groupby("content_hash")
         .aggregate(Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="n_copies"))
     )
@@ -78,15 +98,177 @@ def dedup_keep_first(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# exact-dup pre-collapse (shared by the pair-generating operators)
+# ---------------------------------------------------------------------------
+
+
+def _dup_groups(sf_dir: str) -> tuple[dict[int, np.ndarray], dict[int, int], set[int]]:
+    """Content-identical groups with ≥2 members:
+    ``({rep: sorted members}, {rep: n_tokens}, losers)``.
+
+    Only MULTI-member groups reach the driver — memory is O(#duplicated
+    docs), the same bound as the keep-first dedup loser list the index build
+    already materializes (a corpus where this is large is a corpus that
+    needed exact dedup first).  Singleton groups are never collected."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("text").map_elements(
+                lambda s: hashlib.md5(s.encode()).hexdigest(), return_dtype=pl.String
+            ).alias("content_hash"),
+            tokens_expr().list.len().cast(pl.Int64).alias("n_tokens"),
+        )
+        return out.to_arrow()
+
+    def multi_only(group: pa.Table) -> pa.Table:
+        empty = pa.table({"rep_doc_id": pa.array([], pa.int64()),
+                          "members": pa.array([], pa.list_(pa.int64())),
+                          "n_tokens": pa.array([], pa.int64())})
+        if "doc_id" not in group.column_names or group.num_rows < 2:
+            return empty
+        ids = np.sort(group.column("doc_id").to_numpy())
+        return pa.table({
+            "rep_doc_id": pa.array([int(ids[0])], pa.int64()),
+            "members": pa.array([ids.tolist()], pa.list_(pa.int64())),
+            "n_tokens": pa.array([int(group.column("n_tokens")[0].as_py())], pa.int64()),
+        })
+
+    grouped = (
+        _docs(sf_dir)
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(multi_only, batch_format="pyarrow")
+    )
+    groups: dict[int, np.ndarray] = {}
+    ntok: dict[int, int] = {}
+    losers: set[int] = set()
+    for row in grouped.iter_rows():
+        rep = int(row["rep_doc_id"])
+        members = np.asarray(row["members"], dtype=np.int64)
+        groups[rep] = members
+        ntok[rep] = int(row["n_tokens"])
+        losers.update(int(x) for x in members[1:])
+    return groups, ntok, losers
+
+
+def _rep_docs(sf_dir: str, losers: set[int]) -> ray.data.Dataset:
+    """Representative document rows = all docs minus dup losers — a map-side
+    filter against the broadcast loser set (no text shuffle)."""
+    import ray as _ray
+
+    losers_ref = _ray.put(losers)
+
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        lose = _ray.get(losers_ref)
+        if not lose:
+            return batch
+        ids = batch.column("doc_id").to_numpy()
+        mask = np.array([i not in lose for i in ids.tolist()], dtype=bool)
+        return batch.filter(pa.array(mask))
+
+    return _docs(sf_dir).map_batches(drop_losers, batch_format="pyarrow")
+
+
+def _expand_rep_pairs(
+    rep_pairs: ray.data.Dataset,
+    groups: dict[int, np.ndarray],
+    extra_cols: list[str],
+) -> ray.data.Dataset:
+    """Expand pairs over representatives to pairs over ALL group members —
+    a map-side broadcast lookup (most reps are singletons and pass through
+    unchanged; only pairs touching a multi-member group fan out)."""
+    import ray as _ray
+
+    groups_ref = _ray.put(groups)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        g = _ray.get(groups_ref)
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             **{c: pa.array([], pa.float64()) for c in extra_cols}})
+        out_a, out_b = [], []
+        out_extra: dict[str, list] = {c: [] for c in extra_cols}
+        extras = {c: batch.column(c).to_pylist() for c in extra_cols}
+        for i, (a, b) in enumerate(zip(batch.column("doc_a").to_pylist(),
+                                       batch.column("doc_b").to_pylist())):
+            ma = g.get(a)
+            mb = g.get(b)
+            if ma is None and mb is None:
+                out_a.append(a)
+                out_b.append(b)
+                for c in extra_cols:
+                    out_extra[c].append(extras[c][i])
+                continue
+            ma = ma if ma is not None else np.array([a], dtype=np.int64)
+            mb = mb if mb is not None else np.array([b], dtype=np.int64)
+            for x in ma.tolist():
+                for y in mb.tolist():
+                    out_a.append(min(x, y))
+                    out_b.append(max(x, y))
+                    for c in extra_cols:
+                        out_extra[c].append(extras[c][i])
+        return pa.table({
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            **{c: pa.array(out_extra[c], pa.float64()) for c in extra_cols},
+        })
+
+    return rep_pairs.map_batches(expand, batch_format="pyarrow")
+
+
+def _intra_group_pairs(
+    groups: dict[int, np.ndarray],
+    eligible: set[int],
+    extra: dict[str, float],
+) -> ray.data.Dataset:
+    """All within-group pairs for multi-member groups whose rep is in
+    ``eligible``, tagged with constant ``extra`` columns (e.g. jaccard=1.0).
+    One Ray task per group (from_items fan-out), capped at MAX_PAIR_GROUP."""
+    items = [{"rep": int(r), "members": g.tolist()}
+             for r, g in groups.items() if int(r) in eligible]
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      **{c: pa.array([], pa.float64()) for c in extra}})
+    if not items:
+        return ray.data.from_arrow(empty)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        out = [empty]
+        for members in batch.column("members").to_pylist():
+            ids = np.asarray(members, dtype=np.int64)
+            n = len(ids)
+            if n > MAX_PAIR_GROUP:
+                logger.warning(
+                    "intra-group pair cap: content group of %d docs truncated to %d",
+                    n, MAX_PAIR_GROUP)
+                ids, n = ids[:MAX_PAIR_GROUP], MAX_PAIR_GROUP
+            ia, ib = np.triu_indices(n, k=1)
+            out.append(pa.table({
+                "doc_a": pa.array(ids[ia], pa.int64()),
+                "doc_b": pa.array(ids[ib], pa.int64()),
+                **{c: pa.array(np.full(len(ia), v), pa.float64())
+                   for c, v in extra.items()},
+            }))
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(items).map_batches(
+        pairs, batch_format="pyarrow", batch_size=1
+    )
+
+
+# ---------------------------------------------------------------------------
 # shingles
 # ---------------------------------------------------------------------------
 
 
 def _doc_shingles(batch: pa.Table) -> pl.DataFrame:
-    """(doc_id, shingle) distinct word n-grams per doc (polars-vectorized)."""
-    df = pl.from_arrow(batch).with_columns(
-        tokens_expr().alias("toks")
-    )
+    """(doc_id, shingle, n_shingles) distinct word n-grams per doc, with the
+    doc's distinct-shingle count riding along (exact within a batch — shingle
+    sets are per-doc, and batches never split docs)."""
+    df = pl.from_arrow(batch).with_columns(tokens_expr().alias("toks"))
     ex = df.select("doc_id", "toks").explode("toks")
     # window shift within doc to build n-grams
     ex = ex.with_columns(
@@ -102,13 +284,14 @@ def _doc_shingles(batch: pa.Table) -> pl.DataFrame:
             separator=" ",
         ).alias("shingle")
     )
-    return ex.select("doc_id", "shingle").unique()
+    uniq = ex.select("doc_id", "shingle").unique()
+    return uniq.with_columns(pl.len().over("doc_id").alias("n_shingles"))
 
 
 def doc_shingles(sf_dir: str) -> ray.data.Dataset:
-    """(doc_id, shingle) dataset. NOTE: batches must not split documents —
-    read_parquet blocks keep rows contiguous, and the shift window is keyed
-    by doc_id, so document boundaries are safe regardless."""
+    """(doc_id, shingle, n_shingles) dataset. NOTE: batches must not split
+    documents — read_parquet blocks keep rows contiguous, and the shift
+    window is keyed by doc_id, so document boundaries are safe regardless."""
 
     def f(batch: pa.Table) -> pa.Table:
         return _doc_shingles(batch).to_arrow()
@@ -122,66 +305,82 @@ def doc_shingles(sf_dir: str) -> ray.data.Dataset:
 
 
 def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.2) -> ray.data.Dataset:
-    """(doc_a, doc_b, jaccard) for pairs with 3-gram Jaccard ≥ tau.
+    """(doc_a, doc_b, jaccard) for pairs with 3-gram Jaccard ≥ tau.  Exact.
 
-    shuffle plan: explode shingles → groupby(shingle) emits co-occurrence
-    pairs → groupby(pair) counts intersections → broadcast per-doc shingle
-    counts for the union term.  At 100 TB this exact join runs AFTER MinHash
-    LSH candidate pruning (see lsh_candidate_pairs); here it doubles as the
-    oracle-checkable exact path."""
-    sh = doc_shingles(sf_dir)
+    Shuffle plan: exact-dup pre-collapse → shingles over representatives →
+    groupby(shingle) emits co-occurrence pairs (per-doc shingle counts carried
+    on the rows, so the union term needs no size lookup) → groupby(pair)
+    counts intersections → member expansion (broadcast lookup of the
+    dup-bounded group table) + within-group pairs at jaccard 1.0.  The
+    collapse bounds the per-shingle reducer: a group of n identical docs
+    costs one row, not O(n²) pairs; remaining super-frequent shingles
+    (templated boilerplate across distinct docs) are capped at
+    MAX_PAIR_GROUP docs with a logged warning."""
+    groups, ntok, losers = _dup_groups(sf_dir)
+    reps = _rep_docs(sf_dir, losers)
 
-    # per-doc shingle counts: small table → collected and broadcast
-    from ray.data.aggregate import Count
-
-    sizes_ds = sh.groupby("doc_id").aggregate(Count(alias_name="n_shingles"))
-    sizes_tbl = sizes_ds.to_arrow_refs()
-    import ray as _ray
-
-    sizes = {}
-    for ref in sizes_tbl:
-        t = _ray.get(ref)
-        if "doc_id" not in t.column_names:  # empty block
-            continue
-        for did, n in zip(t.column("doc_id").to_pylist(), t.column("n_shingles").to_pylist()):
-            sizes[did] = n
-    sizes_ref = _ray.put(sizes)
+    sh = reps.map_batches(
+        lambda b: _doc_shingles(b).to_arrow(), batch_format="pyarrow"
+    )
 
     def pairs_of_group(group: pa.Table) -> pa.Table:
-        if "doc_id" not in group.column_names:  # empty reduce partition
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-        ids = sorted(group.column("doc_id").to_pylist())
-        if len(ids) < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "n_a": pa.array([], pa.int64()),
+                          "n_b": pa.array([], pa.int64())})
+        if "doc_id" not in group.column_names or group.num_rows < 2:
+            return empty
+        order = np.argsort(group.column("doc_id").to_numpy())
+        ids = group.column("doc_id").to_numpy()[order]
+        sizes = group.column("n_shingles").to_numpy()[order]
+        n = len(ids)
+        if n > MAX_PAIR_GROUP:
+            logger.warning(
+                "per-shingle pair cap: %d docs share shingle %r; truncated to %d",
+                n, group.column("shingle")[0].as_py(), MAX_PAIR_GROUP)
+            ids, sizes, n = ids[:MAX_PAIR_GROUP], sizes[:MAX_PAIR_GROUP], MAX_PAIR_GROUP
+        ia, ib = np.triu_indices(n, k=1)
+        return pa.table({
+            "doc_a": pa.array(ids[ia], pa.int64()),
+            "doc_b": pa.array(ids[ib], pa.int64()),
+            "n_a": pa.array(sizes[ia].astype(np.int64), pa.int64()),
+            "n_b": pa.array(sizes[ib].astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Count, Max
 
     pair_counts = (
         sh.groupby("shingle")
         .map_groups(pairs_of_group, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="inter"))
+        .aggregate(
+            Count(alias_name="inter"),
+            Max("n_a", alias_name="n_a"),  # constant per doc_a
+            Max("n_b", alias_name="n_b"),
+        )
     )
 
     def jaccard(batch: pa.Table) -> pa.Table:
-        s = _ray.get(sizes_ref)
         df = pl.from_arrow(batch)
-        if df.height == 0:
+        if df.height == 0 or "doc_a" not in df.columns:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "jaccard": pa.array([], pa.float64())})
-        na = np.array([s[x] for x in df["doc_a"].to_list()], dtype=np.float64)
-        nb = np.array([s[x] for x in df["doc_b"].to_list()], dtype=np.float64)
+        na = df["n_a"].to_numpy().astype(np.float64)
+        nb = df["n_b"].to_numpy().astype(np.float64)
         inter = df["inter"].to_numpy().astype(np.float64)
         j = np.round(inter / (na + nb - inter), 6)
-        out = df.with_columns(pl.Series("jaccard", j)).drop("inter")
+        out = df.with_columns(pl.Series("jaccard", j)).drop("inter", "n_a", "n_b")
         return out.filter(pl.col("jaccard") >= tau).to_arrow()
 
-    return pair_counts.map_batches(jaccard, batch_format="pyarrow")
+    rep_pairs = pair_counts.map_batches(jaccard, batch_format="pyarrow")
+    expanded = _expand_rep_pairs(rep_pairs, groups, ["jaccard"])
+    # within-group pairs: identical docs share every shingle → jaccard 1.0,
+    # but only for docs that HAVE shingles (≥ NGRAM_N tokens), matching the
+    # all-pairs oracle which never sees shingle-less docs
+    eligible = {r for r, n in ntok.items() if n >= NGRAM_N}
+    intra = _intra_group_pairs(groups, eligible, {"jaccard": 1.0})
+    return expanded.union(intra) if 1.0 >= tau else expanded
 
 
 # ---------------------------------------------------------------------------
@@ -189,82 +388,119 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.2) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_of_shingles(shingles: list[str]) -> list[str]:
-    """NUM_PERMS md5-based minhashes (hex-string min — SQL-reproducible)."""
-    out = []
+def _minhash_wide(sh: pl.DataFrame) -> pl.DataFrame:
+    """(doc_id, shingle) → wide (doc_id, h0..h{P-1}) minhash signatures.
+
+    md5 is computed once per UNIQUE shingle per batch (not per doc), then a
+    vectorized polars join + group-min produces every doc's signature — no
+    per-doc Python loops in the kernel."""
+    if sh.height == 0:
+        return pl.DataFrame({"doc_id": pl.Series([], dtype=pl.Int64),
+                             **{f"h{p}": pl.Series([], dtype=pl.String)
+                                for p in range(NUM_PERMS)}})
+    uniq = sh["shingle"].unique().to_list()
+    cols = {}
     for p in range(NUM_PERMS):
         prefix = f"{p}:".encode()
-        out.append(min(hashlib.md5(prefix + s.encode()).hexdigest() for s in shingles))
-    return out
+        cols[f"h{p}"] = [hashlib.md5(prefix + s.encode()).hexdigest() for s in uniq]
+    hdf = pl.DataFrame({"shingle": uniq, **cols})
+    j = sh.select("doc_id", "shingle").join(hdf, on="shingle")
+    return j.group_by("doc_id").agg(
+        [pl.col(f"h{p}").min() for p in range(NUM_PERMS)]
+    )
 
 
 def minhash_signatures(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, perm, minhash) — md5-permutation MinHash signatures."""
 
     def f(batch: pa.Table) -> pa.Table:
-        sh = _doc_shingles(batch)
-        rows_doc, rows_perm, rows_hash = [], [], []
-        for did, group in sh.group_by("doc_id"):
-            shingles = group["shingle"].to_list()
-            for p, h in enumerate(_minhash_of_shingles(shingles)):
-                rows_doc.append(did[0] if isinstance(did, tuple) else did)
-                rows_perm.append(p)
-                rows_hash.append(h)
-        return pa.table(
-            {
-                "doc_id": pa.array(rows_doc, pa.int64()),
-                "perm": pa.array(rows_perm, pa.int32()),
-                "minhash": pa.array(rows_hash, pa.string()),
-            }
-        )
+        wide = _minhash_wide(_doc_shingles(batch))
+        long = wide.unpivot(index="doc_id", variable_name="perm", value_name="minhash")
+        long = long.with_columns(
+            pl.col("perm").str.strip_prefix("h").cast(pl.Int32)
+        ).sort("doc_id", "perm")
+        return long.to_arrow()
 
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def _band_buckets(wide: pl.DataFrame) -> pl.DataFrame:
+    """Wide signatures → (doc_id, bucket) band-bucket rows."""
+    if wide.height == 0:
+        return pl.DataFrame({"doc_id": pl.Series([], dtype=pl.Int64),
+                             "bucket": pl.Series([], dtype=pl.String)})
+    rows_per_band = NUM_PERMS // LSH_BANDS
+    parts = []
+    for band in range(LSH_BANDS):
+        chunk = [f"h{p}" for p in range(band * rows_per_band, (band + 1) * rows_per_band)]
+        # the oracle's key is md5(band || '|' || '|'.join(chunk)); build the
+        # same string then md5 it rowwise
+        sig = wide.select(
+            "doc_id",
+            pl.concat_str([pl.col(c) for c in chunk], separator="|").alias("sig"),
+        ).with_columns(pl.lit(band).alias("band"))
+        parts.append(sig)
+    allb = pl.concat(parts)
+    return allb.with_columns(
+        pl.concat_str([pl.col("band").cast(pl.String), pl.lit("|"), pl.col("sig")],
+                      separator="")
+        .map_elements(lambda s: hashlib.md5(s.encode()).hexdigest(),
+                      return_dtype=pl.String)
+        .alias("bucket")
+    ).select("doc_id", "bucket")
 
 
 def lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
     """(doc_a, doc_b) candidate near-dup pairs from banded MinHash buckets.
 
     Band key = md5(band || concatenated minhashes of the band's rows);
-    pairs sharing any bucket, deduplicated. The scale path for near-dup:
-    only candidates proceed to exact Jaccard verification."""
+    pairs sharing any bucket, deduplicated.  Runs over exact-dup
+    representatives (identical content → identical signature → the group
+    would otherwise put all n copies in one bucket and cost O(n²) in a
+    single reducer), then expands back to members — identical docs are
+    trivially candidates of each other and of everything their rep pairs
+    with, so the result equals the all-docs oracle."""
+    groups, ntok, losers = _dup_groups(sf_dir)
+    reps = _rep_docs(sf_dir, losers)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        sh = _doc_shingles(batch)
-        docs, keys = [], []
-        rows_per_band = NUM_PERMS // LSH_BANDS
-        for did, group in sh.group_by("doc_id"):
-            did = did[0] if isinstance(did, tuple) else did
-            sig = _minhash_of_shingles(group["shingle"].to_list())
-            for band in range(LSH_BANDS):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                key = hashlib.md5((f"{band}|" + "|".join(chunk)).encode()).hexdigest()
-                docs.append(did)
-                keys.append(key)
-        return pa.table(
-            {"doc_id": pa.array(docs, pa.int64()), "bucket": pa.array(keys, pa.string())}
-        )
+        return _band_buckets(_minhash_wide(_doc_shingles(batch))).to_arrow()
 
-    buckets = _docs(sf_dir).map_batches(bucketize, batch_format="pyarrow")
+    buckets = reps.map_batches(bucketize, batch_format="pyarrow")
 
     def pairs_of_bucket(group: pa.Table) -> pa.Table:
-        if "doc_id" not in group.column_names:  # empty reduce partition
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+        if "doc_id" not in group.column_names or group.num_rows < 2:
+            return _EMPTY_PAIRS
+        ids = np.unique(group.column("doc_id").to_numpy())
+        n = len(ids)
+        if n > MAX_PAIR_GROUP:
+            logger.warning(
+                "LSH bucket cap: %d distinct docs in one bucket; truncated to %d",
+                n, MAX_PAIR_GROUP)
+            ids, n = ids[:MAX_PAIR_GROUP], MAX_PAIR_GROUP
+        ia, ib = np.triu_indices(n, k=1)
+        return pa.table({"doc_a": pa.array(ids[ia], pa.int64()),
+                         "doc_b": pa.array(ids[ib], pa.int64())})
 
     pairs = buckets.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pyarrow")
     # dedup pairs that shared several buckets
     from ray.data.aggregate import Count
 
-    return (
+    rep_pairs = (
         pairs.groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_buckets"))
         .drop_columns(["n_buckets"])
+    )
+    expanded = _expand_rep_pairs(rep_pairs, groups, [])
+    # within-group candidates: any group with ≥2 members whose rep produces
+    # band buckets (i.e. has ≥1 shingle → ≥ NGRAM_N tokens)
+    eligible = {r for r, n in ntok.items() if n >= NGRAM_N}
+    intra = _intra_group_pairs(groups, eligible, {})
+    both = expanded.union(intra)
+    return (
+        both.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_dup"))
+        .drop_columns(["n_dup"])
     )
 
 
@@ -276,35 +512,48 @@ SIMHASH_BITS = 60  # 15 hex digits → reproducible as a DuckDB BIGINT cast
 
 
 def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
-    """(doc_id, simhash) 60-bit SimHash over tf-weighted md5 token hashes."""
+    """(doc_id, simhash) 60-bit SimHash over tf-weighted md5 token hashes.
+
+    Kernel shape: md5 once per unique token per batch, then one vectorized
+    bit-matrix × tf accumulation per doc (no per-token Python in the doc
+    loop)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch).with_columns(
-            tokens_expr().alias("toks")
-        )
+        df = pl.from_arrow(batch).with_columns(tokens_expr().alias("toks"))
         ex = (
             df.select("doc_id", "toks")
             .explode("toks")
             .drop_nulls()  # zero-token docs explode to a null row
             .group_by(["doc_id", "toks"])
             .agg(pl.len().alias("tf"))
+            .sort("doc_id")
         )
-        doc_ids_out, fp_out = [], []
-        for did, group in ex.group_by("doc_id"):
-            did = did[0] if isinstance(did, tuple) else did
-            acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
-            for tok, tf in zip(group["toks"].to_list(), group["tf"].to_list()):
-                hv = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
-                bits = (hv >> np.arange(SIMHASH_BITS)) & 1
-                acc += np.where(bits == 1, tf, -tf)
-            fp = int(((acc > 0).astype(np.int64) << np.arange(SIMHASH_BITS)).sum())
-            doc_ids_out.append(did)
-            fp_out.append(fp)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids_out, pa.int64()),
-                "simhash": pa.array(fp_out, pa.int64()),
-            }
+        if ex.height == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "simhash": pa.array([], pa.int64())})
+        uniq = ex["toks"].unique().to_list()
+        hv = np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in uniq],
+            dtype=np.int64,
         )
+        # unique-token bit matrix: (n_uniq, BITS) of ±1
+        bits = ((hv[:, None] >> np.arange(SIMHASH_BITS)[None, :]) & 1)
+        signs = np.where(bits == 1, 1, -1).astype(np.int64)
+        tok_idx = {t: i for i, t in enumerate(uniq)}
+        rows_idx = np.fromiter((tok_idx[t] for t in ex["toks"].to_list()),
+                               dtype=np.int64, count=ex.height)
+        tfs = ex["tf"].to_numpy().astype(np.int64)
+        doc_ids = ex["doc_id"].to_numpy()
+        # per-doc segment reduce: ex is doc-sorted
+        change = np.nonzero(np.diff(doc_ids))[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(doc_ids)]))
+        weighted = signs[rows_idx] * tfs[:, None]          # (n_rows, BITS)
+        acc = np.add.reduceat(weighted, starts, axis=0)     # (n_docs, BITS)
+        fp = ((acc > 0).astype(np.int64) << np.arange(SIMHASH_BITS)[None, :]).sum(axis=1)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[starts], pa.int64()),
+            "simhash": pa.array(fp, pa.int64()),
+        })
 
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")

@@ -99,48 +99,59 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 10) -> pa.Table:
     )
 
 
-def cosine_pairs(sf_dir: str, tau: float = 0.4) -> pa.Table:
-    """(vec_id_a, vec_id_b, cosine) pairs with cosine ≥ tau, a < b.
+def cosine_pairs(sf_dir: str, tau: float = 0.4,
+                 block_rows: int = 4096) -> pa.Table:
+    """(vec_id_a, vec_id_b, cosine) pairs with cosine ≥ tau, a < b.  Exact.
 
-    Block-wise: each batch compares against the full (broadcast) matrix —
-    O(N²) exact path; at scale, bucket by LSH signature first."""
-    import pyarrow.parquet as pq
+    Block-pair plan: the dataset is cut into ~``block_rows`` blocks that live
+    in the object store ONCE (normalized by one task each); one Ray task per
+    block pair (i ≤ j) does a single matmul and emits only the ≥ tau hits.
+    Nothing reads the full matrix: per-task memory is two blocks, the driver
+    holds only the (output-sized) hit tables, and the O(N²) compute — which
+    exact all-pairs inherently costs — is spread over N²/(2·block²)
+    independent tasks.  For an approximate sub-quadratic path at 100 TB use
+    ``lsh_ann_topk``'s hyperplane bucketing."""
+    empty = pa.table(
+        {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
-    all_ids, M = _batch_matrix(t)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    m_ref = ray.put((all_ids, Mn))
+    @ray.remote(num_cpus=1)
+    def norm_block(t: pa.Table):
+        ids, M = _batch_matrix(t)
+        return ids, M / np.linalg.norm(M, axis=1, keepdims=True)
 
-    def block(batch: pa.Table) -> pa.Table:
-        ids_all, Mn_ = ray.get(m_ref)
-        ids, B = _batch_matrix(batch)
-        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-        S = Bn @ Mn_.T
-        rows_a, rows_b, rows_c = [], [], []
-        S_r = np.round(S, 6)  # threshold on the rounded value, same as the oracle
-        for i in range(S_r.shape[0]):
-            hits = np.nonzero(S_r[i] >= tau)[0]
-            for j in hits:
-                if ids[i] < ids_all[j]:
-                    rows_a.append(int(ids[i]))
-                    rows_b.append(int(ids_all[j]))
-                    rows_c.append(float(S_r[i, j]))
-        return pa.table(
-            {
-                "vec_id_a": pa.array(rows_a, pa.int64()),
-                "vec_id_b": pa.array(rows_b, pa.int64()),
-                "cosine": pa.array(rows_c, pa.float64()),
-            }
-        )
+    @ray.remote(num_cpus=1)
+    def block_pair(a, b, same: bool) -> pa.Table:
+        ids_a, A = a
+        ids_b, B = b
+        S = np.round(A @ B.T, 6)  # threshold on the rounded value, like the oracle
+        I, J = np.nonzero(S >= tau)
+        if same:
+            keep = ids_a[I] < ids_b[J]
+            I, J = I[keep], J[keep]
+        if not len(I):
+            return empty
+        lo = np.minimum(ids_a[I], ids_b[J])
+        hi = np.maximum(ids_a[I], ids_b[J])
+        return pa.table({
+            "vec_id_a": pa.array(lo, pa.int64()),
+            "vec_id_b": pa.array(hi, pa.int64()),
+            "cosine": pa.array(S[I, J], pa.float64()),
+        })
 
-    parts = _emb(sf_dir).map_batches(block, batch_format="pyarrow")
-    tables = [ray.get(r) for r in parts.to_arrow_refs()]
-    tables = [x for x in tables if x.num_rows]
+    blocks = _emb(sf_dir).map_batches(
+        lambda t: t, batch_size=block_rows, batch_format="pyarrow"
+    ).to_arrow_refs()
+    nrefs = [norm_block.remote(r) for r in blocks]
+    tasks = [
+        block_pair.remote(nrefs[i], nrefs[j], i == j)
+        for i in range(len(nrefs))
+        for j in range(i, len(nrefs))
+    ]
+    tables = [t for t in ray.get(tasks) if t.num_rows]
     if not tables:
-        return pa.table(
-            {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64()),
-             "cosine": pa.array([], pa.float64())}
-        )
+        return empty
     return pa.concat_tables(tables).sort_by([("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
 
 
@@ -196,23 +207,53 @@ def lsh_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
                              "embedding": pa.array([], pa.list_(pa.float32()))})
         return batch.filter(pa.array(mask))
 
+    # distributed exact re-rank over the candidates: per-batch partial top-k
+    # (same shape as knn_bruteforce) — the driver merges only k·batches rows,
+    # so a huge probed bucket never materializes at the driver
+    q_ref2 = ray.put((q_ids, Qn))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q_ids_, Qn_ = ray.get(q_ref2)
+        ids, M = _batch_matrix(batch)
+        if not len(ids):
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Qn_ @ Mn.T
+        kk = min(k, S.shape[1])
+        out_q, out_v, out_c = [], [], []
+        for qi in range(S.shape[0]):
+            idx = np.lexsort((ids, -S[qi]))[:kk]
+            out_q.extend([int(q_ids_[qi])] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_c.extend(S[qi, idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
     cands = _emb(sf_dir).map_batches(bucket_filter, batch_format="pyarrow")
-    tables = [ray.get(r) for r in cands.to_arrow_refs()]
-    tables = [x for x in tables if x.num_rows]
+    parts = cands.map_batches(partial_topk, batch_format="pyarrow")
+    tables = [x for x in (ray.get(r) for r in parts.to_arrow_refs()) if x.num_rows]
     if not tables:
         return pa.table({"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
-    cand = pa.concat_tables(tables)
-    ids, M = _batch_matrix(cand)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    S = Qn @ Mn.T
+    allt = pa.concat_tables(tables)
+    qs = allt.column("query_id").to_numpy()
+    vs = allt.column("vec_id").to_numpy()
+    cs = allt.column("cosine").to_numpy()
     rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
-    for qi in range(S.shape[0]):
-        order = np.lexsort((ids, -S[qi]))[:k]
-        rows["query_id"].extend([int(q_ids[qi])] * len(order))
+    for q in q_ids.tolist():
+        m = qs == q
+        order = np.lexsort((vs[m], -cs[m]))[:k]
+        rows["query_id"].extend([int(q)] * len(order))
         rows["rank"].extend(range(1, len(order) + 1))
-        rows["vec_id"].extend(ids[order].tolist())
-        rows["cosine"].extend(np.round(S[qi][order], 6).tolist())
+        rows["vec_id"].extend(vs[m][order].tolist())
+        rows["cosine"].extend(np.round(cs[m][order], 6).tolist())
     return pa.table(
         {
             "query_id": pa.array(rows["query_id"], pa.int64()),
