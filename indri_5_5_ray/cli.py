@@ -107,6 +107,23 @@ def cmd_documenttext(reader: IndexReader, doc_id: str) -> None:
     raise SystemExit(1)
 
 
+def cmd_documentvector(reader: IndexReader, doc_id: str) -> None:
+    """Positional term vector from the direct index (the reference's
+    ``dumpindex documentvector``, ref:dumpindex/dumpindex.cpp:270-305):
+    one ``position: term`` line per slot, ``[OOV]`` for stopped/termID-0
+    slots.  Requires a build with store_direct=True."""
+    try:
+        vec = reader.doc_vector_positional(int(doc_id))
+    except FileNotFoundError:
+        print("ERROR: index built without store_direct=True")
+        raise SystemExit(1)
+    if not vec:
+        print(f"ERROR: doc {doc_id} not found in direct index")
+        raise SystemExit(1)
+    for pos, term in enumerate(vec):
+        print(f"{pos}: {term if term is not None else '[OOV]'}")
+
+
 def cmd_validate(reader: IndexReader, *_args) -> None:
     """Invariant walk (the ``dumpindex validate`` analogue,
     ref:dumpindex/dumpindex.cpp:593-595): decodes every posting block and
@@ -198,6 +215,7 @@ COMMANDS = {
     "documentname": cmd_documentname,
     "documenttext": cmd_documenttext,
     "documentid": cmd_documentid,
+    "documentvector": cmd_documentvector,
     "validate": cmd_validate,
     "query": cmd_query,
 }

@@ -21,6 +21,16 @@ class IndexConfig:
     stopwords: tuple[str, ...] = ()        # empty = no stopping
     store_positions: bool = True
     store_content: bool = False   # docstore: keep original content in docs/
+    store_direct: bool = False    # forward index: per-doc (term, tf, positions)
+                                  # lists (TermList analogue,
+                                  # ref:include/indri/TermList.hpp:105-131)
+    # field (tag) indexing — the reference's <field> specs
+    # (ref:src/Repository.cpp:114-131): names to index, plus which of them
+    # carry numeric / date values (ref:src/NumericFieldAnnotator.cpp,
+    # ref:src/DateFieldAnnotator.cpp)
+    fields: tuple[str, ...] = ()
+    numeric_fields: tuple[str, ...] = ()
+    date_fields: tuple[str, ...] = ()
     dedup_key: str | None = "docno"        # None | "docno" | "sha256"
     target_block_bytes: int = 4096         # ref:src/IndexWriter.cpp:527
     n_buckets: int = 32                    # term-hash partition dirs for pruning
@@ -37,6 +47,10 @@ class IndexConfig:
             "stopwords": list(self.stopwords),
             "store_positions": self.store_positions,
             "store_content": self.store_content,
+            "store_direct": self.store_direct,
+            "fields": list(self.fields),
+            "numeric_fields": list(self.numeric_fields),
+            "date_fields": list(self.date_fields),
             "dedup_key": self.dedup_key,
             "target_block_bytes": self.target_block_bytes,
             "n_buckets": self.n_buckets,
@@ -51,4 +65,6 @@ class IndexConfig:
     def from_dict(d: dict) -> "IndexConfig":
         d = dict(d)
         d["stopwords"] = tuple(d.get("stopwords", ()))
+        for k in ("fields", "numeric_fields", "date_fields"):
+            d[k] = tuple(d.get(k, ()))
         return IndexConfig(**d)

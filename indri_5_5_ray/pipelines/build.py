@@ -206,7 +206,7 @@ def build_index(
     out.mkdir(parents=True, exist_ok=True)
     if not resume:
         for sub in ("docs", "partials", "postings", "dictionary", "priors",
-                    "lineage", "dedup_losers", "dedup_keys"):
+                    "direct", "fields", "lineage", "dedup_losers", "dedup_keys"):
             shutil.rmtree(out / sub, ignore_errors=True)
 
     t_start = time.perf_counter()
@@ -308,6 +308,18 @@ def build_index(
     total_terms = sum(r.get("total_term_slots", 0) for r in records)
     max_doc_id = max(c.doc_id_base + (c.row_end - c.row_start) for c in chunks) - 1
     unique_terms = sum(r.get("n_terms", 0) for r in merge_records)
+    # global per-field statistics (total extent length, extent count, docs
+    # with the field) — the fieldStatistics gather
+    # (ref:src/MemoryIndex.cpp:605-612, write ref:src/IndexWriter.cpp:503-505)
+    field_stats: dict[str, dict[str, int]] = {}
+    for r in records:
+        for fname, (tl, ec, dc) in (r.get("field_stats") or {}).items():
+            st = field_stats.setdefault(
+                fname, {"total_len": 0, "extent_count": 0, "doc_count": 0}
+            )
+            st["total_len"] += tl
+            st["extent_count"] += ec
+            st["doc_count"] += dc
     timings["stats_s"] = time.perf_counter() - t0
     timings["total_s"] = time.perf_counter() - t_start
 
@@ -320,6 +332,7 @@ def build_index(
         "unique_terms": int(unique_terms),
         "n_chunks": len(chunks),
         "n_ingested": sum(1 for r in records if r.get("status") == "ok"),
+        "field_stats": field_stats,
         "timings": {k: round(v, 3) for k, v in timings.items()},
     }
     tmp = manifest_path.with_suffix(".tmp")

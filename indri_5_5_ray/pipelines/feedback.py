@@ -31,8 +31,19 @@ from .query import IndexReader
 
 
 def _feedback_doc_vectors(reader: IndexReader, doc_ids: list[int]) -> dict[int, dict[str, int]]:
-    """doc_id → {term: tf} for a small doc set, via a doc-sliced scan of the
-    postings shards (block-level pruning on the doc range)."""
+    """doc_id → {term: tf} for a small doc set.
+
+    Primary path: a point read of the forward ("direct") index — O(feedback
+    docs), not O(index).  Fallback for indexes built without ``store_direct``:
+    the old doc-sliced scan of the postings shards, whose cost grows with the
+    doc-range density of every query term (a near-full inverted-file read at
+    scale — which is exactly why the direct index exists,
+    ref:include/indri/TermList.hpp:105-131)."""
+    try:
+        vecs = reader.doc_vectors(doc_ids)
+        return {d: vecs.get(d, {}) for d in doc_ids}
+    except FileNotFoundError:
+        pass
     import pyarrow.dataset as pads
 
     from ..codec import decode_block

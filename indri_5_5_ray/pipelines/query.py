@@ -141,6 +141,70 @@ class IndexReader:
         lookup = dict(zip(t.column("doc_id").to_pylist(), t.column("docno").to_pylist()))
         return [lookup.get(d, "") for d in doc_ids]
 
+    def doc_vectors(self, doc_ids: list[int]) -> dict[int, dict[str, int]]:
+        """doc_id → {term: tf} from the forward ("direct") index — a
+        doc-range-pruned point read (the TermList role,
+        ref:include/indri/TermList.hpp:105-131).  Raises FileNotFoundError
+        when the index was built without ``store_direct``."""
+        if not (Path(self.index_dir) / "direct").exists():
+            raise FileNotFoundError(f"{self.index_dir}/direct (store_direct off)")
+        if not doc_ids:
+            return {}
+        dset = pads.dataset(f"{self.index_dir}/direct", format="parquet")
+        t = dset.to_table(
+            filter=pads.field("doc_id").isin(list(set(doc_ids))),
+            columns=["doc_id", "terms", "tfs"],
+        )
+        out: dict[int, dict[str, int]] = {}
+        for did, terms, tfs in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("terms").to_pylist(),
+            t.column("tfs").to_pylist(),
+        ):
+            out[did] = dict(zip(terms, tfs))
+        return out
+
+    def doc_vector_positional(self, doc_id: int) -> list[str | None]:
+        """Positional term vector of one doc (dumpindex documentvector):
+        index i → term at position i, None for stopped/termID-0 slots."""
+        dset = pads.dataset(f"{self.index_dir}/direct", format="parquet")
+        t = dset.to_table(filter=pads.field("doc_id") == doc_id)
+        if t.num_rows == 0:
+            return []
+        dl = int(self.doc_lens_range(doc_id, doc_id + 1)[0])
+        vec: list[str | None] = [None] * dl
+        terms = t.column("terms")[0].as_py()
+        tfs = t.column("tfs")[0].as_py()
+        pos = t.column("positions")[0].as_py()
+        cur = 0
+        for term, tf in zip(terms, tfs):
+            for p in pos[cur : cur + tf]:
+                vec[p] = term
+            cur += tf
+        return vec
+
+    # -- field extents -------------------------------------------------------
+
+    def field_stats(self, field: str) -> dict | None:
+        """Global field statistics from the manifest (total extent length,
+        extent count, docs with field) — the fieldStatistics gather
+        (ref:src/MemoryIndex.cpp:605-612)."""
+        return (self.manifest.get("field_stats") or {}).get(field)
+
+    def field_extents(self, field: str, doc_ids: list[int] | None = None) -> pa.Table:
+        """(doc_id, begins, ends, numbers) extent rows of one field —
+        pruned by field value (row-group stats) and, when given, by doc set
+        (doc-range partitioned files).  Raises FileNotFoundError when the
+        index was built without field specs."""
+        if not (Path(self.index_dir) / "fields").exists():
+            raise FileNotFoundError(f"{self.index_dir}/fields (no field spec)")
+        dset = pads.dataset(f"{self.index_dir}/fields", format="parquet")
+        expr = pads.field("field") == field
+        if doc_ids is not None:
+            expr = expr & pads.field("doc_id").isin(list(set(doc_ids)))
+        return dset.to_table(filter=expr,
+                             columns=["doc_id", "begins", "ends", "numbers"])
+
     # -- postings access ----------------------------------------------------
 
     def _bucket_of(self, term: str) -> int:

@@ -54,6 +54,34 @@ DOCS_SCHEMA = pa.schema(
 # replaces the reference's zlib framing, ref:src/CompressedCollection.cpp:58-110)
 DOCS_SCHEMA_WITH_CONTENT = DOCS_SCHEMA.append(pa.field("content", pa.string()))
 
+# forward ("direct") index — the TermList analogue
+# (ref:include/indri/TermList.hpp:105-131): per doc, its unique indexed terms
+# in first-occurrence order with tf and flattened ascending positions (terms
+# are keyed by string, not termID — the engine has no global term numbering).
+# Files are doc-range partitioned like docs/, so doc-sliced reads prune.
+DIRECT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("terms", pa.list_(pa.string())),
+        ("tfs", pa.list_(pa.int32())),
+        ("positions", pa.list_(pa.int32())),  # concat of per-term position runs
+    ]
+)
+
+# field extent lists (DocExtentListMemoryBuilder / fieldsFile analogue,
+# ref:src/DocExtentListMemoryBuilder.cpp, ref:src/MemoryIndex.cpp:337-393):
+# one row per (doc, field) with begin/end token positions and the numeric/
+# date value per extent.  Files are doc-range partitioned like docs/.
+FIELDS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("field", pa.string()),
+        ("begins", pa.list_(pa.int32())),
+        ("ends", pa.list_(pa.int32())),
+        ("numbers", pa.list_(pa.int64())),
+    ]
+)
+
 
 class TermProcessor:
     """normalize→stop→stem memo shared by build and query sides
@@ -208,6 +236,15 @@ class IngestWorker:
         shas, dls, uniq = [], [], []
         # term → [doc_ids, tfs, dls, positions-flat]
         acc: dict[str, list] = {}
+        store_direct = self.cfg.store_direct
+        d_terms: list[list[str]] = []
+        d_tfs: list[list[int]] = []
+        d_pos: list[list[int]] = []
+        field_spec = self.cfg.fields
+        f_rows: list[tuple[int, str, list, list, list]] = []
+        # per-field [total_len, extent_count, doc_count] for the global
+        # field-statistics pass (ref:src/MemoryIndex.cpp:605-612)
+        f_stats: dict[str, list[int]] = {}
         proc = self.proc.process_raw
         for local_i in range(n):
             content = contents[local_i]
@@ -219,7 +256,27 @@ class IngestWorker:
                 dls.append(-1)
                 uniq.append(0)
                 continue
-            raw_tokens = tokenize_bytes(data)
+            if field_spec:
+                from ..fields import extract_extents, tokenize_bytes_events
+
+                raw_tokens, tag_events = tokenize_bytes_events(data)
+                extmap = extract_extents(
+                    tag_events, len(raw_tokens), field_spec,
+                    self.cfg.numeric_fields, self.cfg.date_fields, raw_tokens,
+                )
+                for fname, exts in sorted(extmap.items()):
+                    f_rows.append((
+                        did, fname,
+                        [b for b, _e, _n in exts],
+                        [e for _b, e, _n in exts],
+                        [num for _b, _e, num in exts],
+                    ))
+                    st = f_stats.setdefault(fname, [0, 0, 0])
+                    st[0] += sum(e - b for b, e, _ in exts)
+                    st[1] += len(exts)
+                    st[2] += 1
+            else:
+                raw_tokens = tokenize_bytes(data)
             dl = len(raw_tokens)  # includes stopped slots
             per_doc: dict[str, list[int]] = {}
             for pos, rt in enumerate(raw_tokens):
@@ -233,6 +290,10 @@ class IngestWorker:
                     lst.append(pos)
             dls.append(dl)
             uniq.append(len(per_doc))
+            if store_direct:
+                d_terms.append(list(per_doc.keys()))
+                d_tfs.append([len(p) for p in per_doc.values()])
+                d_pos.append([p for pl_ in per_doc.values() for p in pl_])
             for term, positions in per_doc.items():
                 ent = acc.get(term)
                 if ent is None:
@@ -351,6 +412,35 @@ class IngestWorker:
         pq.write_table(docs_tbl, docs_path)
         pq.write_table(partials_tbl, partials_path, row_group_size=rg_size)
         nbytes = docs_tbl.nbytes + partials_tbl.nbytes
+        if store_direct:
+            # d_* were appended in loop order for kept docs only → aligned
+            # with doc_ids[kept]; parquet dictionary-encodes the term strings
+            direct_tbl = pa.table(
+                {
+                    "doc_id": pa.array(doc_ids[kept], pa.int64()),
+                    "terms": pa.array(d_terms, pa.list_(pa.string())),
+                    "tfs": pa.array(d_tfs, pa.list_(pa.int32())),
+                    "positions": pa.array(d_pos, pa.list_(pa.int32())),
+                },
+                schema=DIRECT_SCHEMA,
+            )
+            os.makedirs(f"{self.out_dir}/direct", exist_ok=True)
+            pq.write_table(direct_tbl, f"{self.out_dir}/direct/direct-{cid}.parquet")
+            nbytes += direct_tbl.nbytes
+        if field_spec:
+            fields_tbl = pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in f_rows], pa.int64()),
+                    "field": pa.array([r[1] for r in f_rows], pa.string()),
+                    "begins": pa.array([r[2] for r in f_rows], pa.list_(pa.int32())),
+                    "ends": pa.array([r[3] for r in f_rows], pa.list_(pa.int32())),
+                    "numbers": pa.array([r[4] for r in f_rows], pa.list_(pa.int64())),
+                },
+                schema=FIELDS_SCHEMA,
+            )
+            os.makedirs(f"{self.out_dir}/fields", exist_ok=True)
+            pq.write_table(fields_tbl, f"{self.out_dir}/fields/fields-{cid}.parquet")
+            nbytes += fields_tbl.nbytes
         wall = (time.perf_counter() - t0) * 1000
         rec = lineage.write_record(
             self.out_dir, "ingest", cid, fingerprint,
@@ -359,6 +449,7 @@ class IngestWorker:
                 "kept_docs": int(kept.sum()),
                 "total_term_slots": int(sum(x for x in dls if x >= 0)),
                 "distinct_terms": len(terms),
+                **({"field_stats": f_stats} if field_spec else {}),
             },
         )
         return rec
