@@ -52,7 +52,7 @@ def _ensure_index(sf_dir: str, stem: bool) -> str:
     from indri_5_5_ray.pipelines.build import build_index
     from indri_5_5_ray.sources.corpus import corpus_from_documents
 
-    key = hashlib.md5(f"{sf_dir}:{stem}:v1".encode()).hexdigest()[:16]
+    key = hashlib.md5(f"{sf_dir}:{stem}:v2".encode()).hexdigest()[:16]
     root = Path(_CACHE) / key
     index_dir = root / "index"
     if (index_dir / "manifest.json").exists():
@@ -69,6 +69,7 @@ def _ensure_index(sf_dir: str, stem: bool) -> str:
         dedup_key=None,  # 1:1 with the documents table for SQL parity
         n_buckets=8,
         max_chunk_docs=256,
+        store_direct=True,  # forward index: RM3 feedback + documentvector
     )
     build_index(str(corpus_dir), str(index_dir), cfg)
     return str(index_dir)
@@ -198,6 +199,78 @@ def _rm3_topk(sf_dir: str, k: int = 10):
     )
 
 
+FIELD_QUERIES: list[tuple[str, str]] = [
+    ("1", "#combine(merge.(title) join)"),       # field-context restriction
+    ("2", "#combine[title](window sort)"),       # scored-op extent restriction
+    ("3", "#combine(spark.title data)"),         # doc-context restriction
+    ("4", "#combine(#any:title key)"),           # field wildcard
+]
+FIELD_FILTER_QUERY = "#filreq(#between(size 200 600) #combine(merge data))"
+
+
+def _ensure_field_index(sf_dir: str) -> str:
+    """Index over the TAGGED corpus (title + numeric size fields)."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.sources.corpus import corpus_from_documents_tagged
+
+    key = hashlib.md5(f"{sf_dir}:fields:v1".encode()).hexdigest()[:16]
+    root = Path(_CACHE) / key
+    index_dir = root / "index"
+    if (index_dir / "manifest.json").exists():
+        return str(index_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    corpus_dir = root / "corpus"
+    if not (corpus_dir / "corpus.parquet").exists():
+        import pyarrow.parquet as pq
+
+        corpus_dir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(corpus_from_documents_tagged(sf_dir), corpus_dir / "corpus.parquet")
+    cfg = IndexConfig(
+        stemmer=None, dedup_key=None, n_buckets=8, max_chunk_docs=256,
+        fields=("title", "size"), numeric_fields=("size",),
+    )
+    build_index(str(corpus_dir), str(index_dir), cfg)
+    return str(index_dir)
+
+
+def _field_run(sf_dir: str, queries: list[tuple[str, str]], k: int = 10):
+    import numpy as np
+    import pyarrow as pa
+
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    index_dir = _ensure_field_index(sf_dir)
+    eng = StructuredQueryEngine(IndexReader(index_dir))
+    out_q, out_r, out_d = [], [], []
+    for qid, text in queries:
+        ids, scores = eng.run(text, k=k + 40)
+        r9 = np.round(scores, 9)
+        order = np.lexsort((-ids, -r9))[:k]
+        out_q.extend([int(qid)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_d.extend(ids[order].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
+def _field_topk(sf_dir: str):
+    """(qid, rank, doc_id) for field-restricted structured queries (title
+    context / extent restriction / #any) over the tagged corpus."""
+    return _field_run(sf_dir, FIELD_QUERIES)
+
+
+def _field_filter_topk(sf_dir: str):
+    """(qid, rank, doc_id) for the numeric-field semi-join filter query."""
+    return _field_run(sf_dir, [("1", FIELD_FILTER_QUERY)])
+
+
 STOPWORDS_SMALL = (
     "the", "a", "in", "of", "to", "and", "is", "it", "that", "for",
 )
@@ -325,6 +398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_topk_jm": lambda sf: _lm_topk(sf, stem=False, method="jm"),
         "lm_topk_kstem": lambda sf: _lm_topk(sf, stem=True, method="dirichlet"),
         "structured_topk": lambda sf: _structured_topk(sf, stem=False),
+        "field_topk": _field_topk,
+        "field_filter_topk": _field_filter_topk,
         "rm3_topk": _rm3_topk,
         # --- text statistics / analysis ---
         "token_counts": textstats.token_counts,
@@ -532,6 +607,117 @@ ORDER BY qid, rank
 """
 
 
+def _field_sql_common() -> str:
+    """Shared CTEs for the field oracles: rebuild the tagged corpus's token
+    stream (title tokens + text tokens + the n_chars token) and the title/
+    document statistics exactly as the engine indexes them."""
+    return """
+base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t0,
+                n_chars FROM documents),
+docs AS (SELECT doc_id, n_chars,
+                t0[1:least(8, len(t0))] AS tt,
+                t0[1:least(8, len(t0))] || t0 || [n_chars::VARCHAR] AS T
+         FROM base),
+dl AS (SELECT doc_id, len(T)::DOUBLE AS dl, len(tt)::DOUBLE AS dlf, n_chars
+       FROM docs),
+stats AS (SELECT sum(len(T))::DOUBLE AS total, sum(len(tt))::DOUBLE AS totalf,
+                 count(*)::DOUBLE AS n FROM docs),
+tf AS (SELECT doc_id, x AS term, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(T) AS x FROM docs) GROUP BY doc_id, x),
+ttf AS (SELECT doc_id, x AS term, count(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, unnest(tt) AS x FROM docs) GROUP BY doc_id, x),
+cfreq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+tcf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM ttf GROUP BY term)
+"""
+
+
+def _rank_wrap(scores_sql: str) -> str:
+    return f"""
+WITH {_field_sql_common()},
+scores AS ({scores_sql})
+SELECT qid, rank, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id DESC) AS rank
+  FROM scores)
+WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
+def _field_sql() -> str:
+    def cf_of(tbl: str, term: str) -> str:
+        cfv = f"(SELECT cf FROM {tbl} WHERE term = '{term}')"
+        return f"(CASE WHEN coalesce({cfv}, 0) > 0 THEN {cfv} ELSE 0.5 END)"
+
+    def d_title_ctx(alias: str, term: str) -> str:
+        # count in title, FIELD context (dl_f, total_f)
+        return (f"ln((coalesce({alias}.tf, 0) + 2500.0 * {cf_of('tcf', term)}"
+                f" / s.totalf) / (dl.dlf + 2500.0))")
+
+    def d_title_doc(alias: str, term: str) -> str:
+        # count in title, DOC context (dl, total)
+        return (f"ln((coalesce({alias}.tf, 0) + 2500.0 * {cf_of('tcf', term)}"
+                f" / s.total) / (dl.dl + 2500.0))")
+
+    def d_plain(alias: str, term: str) -> str:
+        return (f"ln((coalesce({alias}.tf, 0) + 2500.0 * {cf_of('cfreq', term)}"
+                f" / s.total) / (dl.dl + 2500.0))")
+
+    def cand(terms: list[str]) -> str:
+        inlist = ", ".join(f"'{t}'" for t in terms)
+        return f"(SELECT DISTINCT doc_id FROM tf WHERE term IN ({inlist}))"
+
+    any_title = "ln((1.0 + 2500.0 * s.n / s.total) / (dl.dl + 2500.0))"
+    q1 = f"""
+  SELECT 1 AS qid, c.doc_id, ({d_title_ctx('tm', 'merge')} + {d_plain('tj', 'join')}) / 2 AS score
+  FROM {cand(['merge', 'join'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN ttf tm ON tm.doc_id = c.doc_id AND tm.term = 'merge'
+  LEFT JOIN tf tj ON tj.doc_id = c.doc_id AND tj.term = 'join'
+  CROSS JOIN stats s"""
+    q2 = f"""
+  SELECT 2 AS qid, c.doc_id, ({d_title_ctx('tw', 'window')} + {d_title_ctx('ts', 'sort')}) / 2 AS score
+  FROM {cand(['window', 'sort'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN ttf tw ON tw.doc_id = c.doc_id AND tw.term = 'window'
+  LEFT JOIN ttf ts ON ts.doc_id = c.doc_id AND ts.term = 'sort'
+  CROSS JOIN stats s"""
+    q3 = f"""
+  SELECT 3 AS qid, c.doc_id, ({d_title_doc('tp', 'spark')} + {d_plain('td', 'data')}) / 2 AS score
+  FROM {cand(['spark', 'data'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN ttf tp ON tp.doc_id = c.doc_id AND tp.term = 'spark'
+  LEFT JOIN tf td ON td.doc_id = c.doc_id AND td.term = 'data'
+  CROSS JOIN stats s"""
+    q4 = f"""
+  SELECT 4 AS qid, dl.doc_id, ({any_title} + {d_plain('tk', 'key')}) / 2 AS score
+  FROM dl
+  LEFT JOIN tf tk ON tk.doc_id = dl.doc_id AND tk.term = 'key'
+  CROSS JOIN stats s"""
+    return _rank_wrap(" UNION ALL ".join([q1, q2, q3, q4]))
+
+
+def _field_filter_sql() -> str:
+    def cf_of(term: str) -> str:
+        cfv = f"(SELECT cf FROM cfreq WHERE term = '{term}')"
+        return f"(CASE WHEN coalesce({cfv}, 0) > 0 THEN {cfv} ELSE 0.5 END)"
+
+    def d_plain(alias: str, term: str) -> str:
+        return (f"ln((coalesce({alias}.tf, 0) + 2500.0 * {cf_of(term)}"
+                f" / s.total) / (dl.dl + 2500.0))")
+
+    scores = f"""
+  SELECT 1 AS qid, c.doc_id, ({d_plain('tm', 'merge')} + {d_plain('td', 'data')}) / 2 AS score
+  FROM (SELECT DISTINCT doc_id FROM tf WHERE term IN ('merge', 'data')) c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN tf tm ON tm.doc_id = c.doc_id AND tm.term = 'merge'
+  LEFT JOIN tf td ON td.doc_id = c.doc_id AND td.term = 'data'
+  CROSS JOIN stats s
+  WHERE dl.n_chars >= 200 AND dl.n_chars < 600"""
+    return _rank_wrap(scores)
+
+
 _SHINGLE_SQL = f"""
 toks AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
 sh AS (
@@ -575,6 +761,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_topk_dirichlet": _lm_sql("dirichlet").replace("{values}", _bm25_values_clause()),
         "lm_topk_jm": _lm_sql("jm").replace("{values}", _bm25_values_clause()),
         "structured_topk": _structured_sql(),
+        "field_topk": _field_sql(),
+        "field_filter_topk": _field_filter_sql(),
         "token_counts": f"""
             SELECT doc_id, len({TOKEN_SQL}) AS n_tokens FROM documents ORDER BY doc_id""",
         "term_stats": f"""

@@ -1,0 +1,175 @@
+"""Tagged-text field extraction — the TaggedTextParser analogue.
+
+The reference tokenizer emits tag EVENTS alongside terms
+(ref:src/TextTokenizer.l:63-101 ``<tag>`` rules → ``writeTag``), and
+``TaggedTextParser`` matches open/close events into a TagExtent tree whose
+extents are TOKEN positions (ref:src/TaggedTextParser.cpp:186-279); numeric
+and date annotators then parse the covered text into an INT64 ``number``
+(ref:src/NumericFieldAnnotator.cpp:56-76, ref:src/DateFieldAnnotator.cpp,
+ref:src/DateParse.cpp).
+
+Here the same happens in one pass per document: ``tokenize_bytes_events``
+returns tokens plus (tag, is_close, token_pos) events, and
+``extract_extents`` stack-matches them per tag name (nesting supported,
+unclosed tags close at document end, stray closes ignored — the reference's
+``_findTag``/mismatch handling).  Numbers: a numeric field's value is parsed
+from the raw token bytes inside the extent (first integer-looking token); a
+date field's value is days since 1970-01-01 (the reference uses a Julian-day
+style serial from DateParse — any monotone day number preserves every
+comparison the date operators make, which is the observable contract).
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from .tokenizer import _SCANNER, _G_ACRONYM, _G_NEGNUM, _G_WORD, _HIGH, \
+    _ASCII_PUNCT, _strip_trailing_punct, _split_mixed_run, _utf8_word_tokens
+
+_TAG_NAME = re.compile(rb"<(/?)([a-zA-Z][a-zA-Z0-9_.-]*)")
+
+# group index of the tag alternative in the shared scanner (see tokenizer.py)
+_G_TAG = 5
+
+
+def tokenize_bytes_events(
+    content: bytes,
+) -> tuple[list[bytes], list[tuple[str, bool, int]]]:
+    """Tokenize document bytes → (raw tokens, tag events).
+
+    Events are ``(tag_name_lower, is_close, token_position)`` in document
+    order; the token position is the index the NEXT token would get (flex
+    fires the tag rule between tokens, so an open tag's position is the first
+    covered token and a close tag's position is one past the last covered
+    token)."""
+    tokens: list[bytes] = []
+    events: list[tuple[str, bool, int]] = []
+    append = tokens.append
+    high_search = _HIGH.search
+    for m in _SCANNER.finditer(content):
+        kind = m.lastindex
+        if kind == _G_WORD:  # the hot branch (same as tokenize_bytes)
+            run = m.group()
+            if high_search(run) is None:
+                n = len(run)
+                while n > 1 and run[n - 1] in _ASCII_PUNCT:
+                    n -= 1
+                append(run[:n])
+            elif b"'" not in run:
+                tokens.extend(_utf8_word_tokens(run))
+            else:
+                for sub, is_ascii in _split_mixed_run(run):
+                    if is_ascii:
+                        append(_strip_trailing_punct(sub))
+                    else:
+                        tokens.extend(_utf8_word_tokens(sub))
+        elif kind == _G_ACRONYM or kind == _G_NEGNUM:
+            append(_strip_trailing_punct(m.group()))
+        elif kind == _G_TAG:
+            tm = _TAG_NAME.match(m.group())
+            if tm:
+                events.append(
+                    (tm.group(2).decode("ascii").lower(), tm.group(1) == b"/",
+                     len(tokens))
+                )
+        # comment/bang/pct/xml/entity → nothing
+    return tokens, events
+
+
+_INT_TOKEN = re.compile(rb"-?[0-9]+$")
+
+_MONTHS = {m.lower(): i + 1 for i, m in enumerate(
+    ["January", "February", "March", "April", "May", "June", "July",
+     "August", "September", "October", "November", "December"])}
+_MONTHS.update({m[:3]: v for m, v in list(_MONTHS.items())})
+
+_EPOCH = datetime.date(1970, 1, 1).toordinal()
+
+
+def date_to_days(text: str) -> int | None:
+    """Date string → days since 1970-01-01 (DateParse analogue,
+    ref:src/DateParse.cpp:70-115: accepts ``YYYY-MM-DD``, ``MM/DD/YYYY``,
+    ``DD Month YYYY`` and ``Month DD YYYY``)."""
+    t = text.strip().lower()
+    try:
+        m = re.fullmatch(r"(\d{4})-(\d{1,2})-(\d{1,2})", t)
+        if m:
+            y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            return datetime.date(y, mo, d).toordinal() - _EPOCH
+        m = re.fullmatch(r"(\d{1,2})/(\d{1,2})/(\d{4})", t)
+        if m:
+            mo, d, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            return datetime.date(y, mo, d).toordinal() - _EPOCH
+        m = re.fullmatch(r"(\d{1,2})\s+([a-z]+)\s+(\d{4})", t)
+        if m and m.group(2) in _MONTHS:
+            return datetime.date(
+                int(m.group(3)), _MONTHS[m.group(2)], int(m.group(1))
+            ).toordinal() - _EPOCH
+        m = re.fullmatch(r"([a-z]+)\s+(\d{1,2})\s+(\d{4})", t)
+        if m and m.group(1) in _MONTHS:
+            return datetime.date(
+                int(m.group(3)), _MONTHS[m.group(1)], int(m.group(2))
+            ).toordinal() - _EPOCH
+    except ValueError:
+        return None
+    return None
+
+
+def extract_extents(
+    events: list[tuple[str, bool, int]],
+    n_tokens: int,
+    fields: tuple[str, ...],
+    numeric_fields: tuple[str, ...] = (),
+    date_fields: tuple[str, ...] = (),
+    raw_tokens: list[bytes] | None = None,
+) -> dict[str, list[tuple[int, int, int]]]:
+    """Tag events → per-field extent lists ``[(begin, end, number)]``.
+
+    Stack-matched per tag name (nested same-name tags close innermost-first);
+    an unclosed open tag extends to the document end; a close without an open
+    is dropped.  Extents are emitted in BEGIN order.  ``number`` is 0 unless
+    the field is declared numeric (integer parse of the covered raw tokens)
+    or date (day-serial of the covered text)."""
+    want = set(fields)
+    numeric = set(numeric_fields)
+    dates = set(date_fields)
+    stacks: dict[str, list[int]] = {}
+    out: dict[str, list[tuple[int, int, int]]] = {}
+    for name, is_close, pos in events:
+        if name not in want:
+            continue
+        if not is_close:
+            stacks.setdefault(name, []).append(pos)
+        else:
+            stack = stacks.get(name)
+            if stack:
+                begin = stack.pop()
+                out.setdefault(name, []).append((begin, pos, 0))
+    for name, stack in stacks.items():
+        for begin in stack:
+            out.setdefault(name, []).append((begin, n_tokens, 0))
+    result: dict[str, list[tuple[int, int, int]]] = {}
+    for name, extents in out.items():
+        extents.sort()
+        if name in numeric or name in dates:
+            fixed = []
+            for begin, end, _ in extents:
+                number = 0
+                if raw_tokens is not None:
+                    covered = raw_tokens[begin:end]
+                    if name in numeric:
+                        for tok in covered:
+                            if _INT_TOKEN.match(tok):
+                                number = int(tok)
+                                break
+                    else:
+                        days = date_to_days(
+                            b" ".join(covered).decode("utf-8", errors="replace")
+                        )
+                        number = days if days is not None else 0
+                fixed.append((begin, end, number))
+            result[name] = fixed
+        else:
+            result[name] = extents
+    return result

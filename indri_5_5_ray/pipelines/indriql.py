@@ -60,14 +60,24 @@ MAX_WILDCARD_TERMS = 100  # ref:src/LocalQueryServer.cpp:139
 
 @dataclass
 class Node:
-    op: str                      # term|wildcard|combine|weight|wsum|max|or|not|band|syn|od|uw
-    term: str = ""
-    n: int = 0                   # window width
+    op: str                      # term|wildcard|combine|weight|wsum|max|or|not|
+                                 # band|syn|wsyn|od|uw|prior|restrict|ctx|any|
+                                 # less|greater|between|equals|date*|filreq|filrej
+    term: str = ""               # term text / field name (restrict, any, preds)
+    n: int = 0                   # window width; restrict: 1 = field CONTEXT
+                                 # (.(f) form), 0 = plain extent restriction (.f)
     children: list["Node"] = field(default_factory=list)
-    weights: list[float] = field(default_factory=list)
+    weights: list[float] = field(default_factory=list)  # weights / pred values
     pre: bool = False            # term is ALREADY an index term (wildcard
                                  # expansion) — skip query-side re-processing
                                  # (stemming a stem is not idempotent)
+
+
+_FIELD_NAME = re.compile(r"[a-zA-Z][a-zA-Z0-9_-]*$")
+_BRACKET = re.compile(r"\[([a-zA-Z][a-zA-Z0-9_-]*)\]$")
+
+_NUM_PREDS = {"less": 1, "greater": 1, "equals": 1, "between": 2,
+              "datebefore": 1, "dateafter": 1, "dateequals": 1, "datebetween": 2}
 
 
 _TOKEN_RE = re.compile(r"#\w+|\(|\)|[^\s()]+")
@@ -87,6 +97,67 @@ def parse_query(text: str) -> Node:
         pos += 1
         return t
 
+    def ctx_restrict(node: Node) -> Node:
+        """Consume ``( field )`` after a trailing dot → field-CONTEXT
+        restriction (the ``.(f)`` form, ref:include/indri/QuerySpec.hpp:206 +
+        context in the term scorer)."""
+        if take() != "(":
+            raise ValueError("expected '(' in .(field) restriction")
+        f = take()
+        if not _FIELD_NAME.fullmatch(f):
+            raise ValueError(f"bad field name {f!r}")
+        if take() != ")":
+            raise ValueError("expected ')' in .(field) restriction")
+        return Node(op="restrict", term=f.lower(), n=1, children=[node])
+
+    def apply_dot_fields(node: Node, spec: str) -> Node:
+        """Apply a ``.f1.f2`` / ``.f1.(`` suffix (the grammar's DOT field
+        chain, ref:src/indrilang.g qualifiedTerm → ExtentInside nesting)."""
+        parts = spec.split(".")
+        trailing_ctx = parts and parts[-1] == ""
+        if trailing_ctx:
+            parts = parts[:-1]
+        for f in parts:
+            node = Node(op="restrict", term=f.lower(), n=0, children=[node])
+        if trailing_ctx:
+            node = ctx_restrict(node)
+        return node
+
+    def postfix(node: Node) -> Node:
+        """Postfix field restrictions after any expression: ``.f``, ``.(f)``."""
+        while True:
+            p = peek()
+            if p == ".":
+                take()
+                node = ctx_restrict(node)
+            elif p is not None and p.startswith(".") and len(p) > 1:
+                take()
+                node = apply_dot_fields(node, p[1:] + ("." if p.endswith(".") else ""))
+            else:
+                return node
+
+    def term_from_token(t: str) -> Node:
+        if t.endswith("*") and len(t) > 1 and "." not in t:
+            return Node(op="wildcard", term=t[:-1])
+        if "." in t:
+            head, _, rest = t.partition(".")
+            fields_ok = head != "" and all(
+                _FIELD_NAME.fullmatch(x) for x in rest.rstrip(".").split(".") if x
+            ) and (rest.rstrip(".") != "" or t.endswith("."))
+            if fields_ok:
+                return apply_dot_fields(Node(op="term", term=head), rest)
+        return Node(op="term", term=t)
+
+    def parse_value(tok: str, is_date: bool) -> float:
+        if is_date:
+            from ..fields import date_to_days
+
+            d = date_to_days(tok)
+            if d is None:
+                raise ValueError(f"unparseable date {tok!r}")
+            return float(d)
+        return float(int(tok))
+
     def parse_expr() -> Node:
         nonlocal pos
         t = take()
@@ -94,33 +165,76 @@ def parse_query(text: str) -> Node:
             opname = t[1:].lower()
             m_od = re.fullmatch(r"(?:od)?(\d+)", opname)
             m_uw = re.fullmatch(r"uw(\d+)", opname)
+            if opname == "any":
+                nxt = take()
+                if not nxt.startswith(":") or not _FIELD_NAME.fullmatch(nxt[1:]):
+                    raise ValueError("#any requires :field")
+                return postfix(Node(op="any", term=nxt[1:].lower()))
+            # extent restriction on a scored op: #combine[field](...) — all
+            # count leaves below score in the field's context
+            # (ref:include/indri/QuerySpec.hpp:2221, builder :152)
+            bracket = None
+            nxt = peek()
+            if nxt is not None and (bm := _BRACKET.fullmatch(nxt)):
+                bracket = bm.group(1).lower()
+                take()
+            elif nxt is not None and nxt.startswith("["):
+                raise ValueError(f"unsupported extent restriction {nxt!r} "
+                                 "(passages not implemented)")
             if take() != "(":
                 raise ValueError(f"expected '(' after {t}")
-            if opname in ("weight", "wsum"):
+            if opname in ("weight", "wsum", "wand", "wsyn"):
                 weights, children = [], []
                 while peek() != ")":
                     weights.append(float(take()))
                     children.append(parse_expr())
                 take()
-                return Node(op=opname, children=children, weights=weights)
-            children = []
-            while peek() != ")":
-                children.append(parse_expr())
-            take()
-            if m_od:
-                return Node(op="od", n=int(m_od.group(1)), children=children)
-            if m_uw:
-                return Node(op="uw", n=int(m_uw.group(1)), children=children)
-            if opname == "prior":
-                if len(children) != 1 or children[0].op != "term":
-                    raise ValueError("#prior takes a single name")
-                return Node(op="prior", term=children[0].term)
-            if opname in ("combine", "max", "or", "not", "band", "syn"):
-                return Node(op=opname if opname != "or" else "or_", children=children)
-            raise ValueError(f"unsupported operator #{opname}")
-        if t.endswith("*") and len(t) > 1:
-            return Node(op="wildcard", term=t[:-1])
-        return Node(op="term", term=t)
+                op = {"wand": "weight"}.get(opname, opname)
+                node = Node(op=op, children=children, weights=weights)
+            elif opname in _NUM_PREDS:
+                fld = take()
+                if not _FIELD_NAME.fullmatch(fld):
+                    raise ValueError(f"bad field name {fld!r} in #{opname}")
+                is_date = opname.startswith("date")
+                vals = []
+                while peek() != ")":
+                    vals.append(parse_value(take(), is_date))
+                take()
+                if len(vals) != _NUM_PREDS[opname]:
+                    raise ValueError(f"#{opname} takes {_NUM_PREDS[opname]} value(s)")
+                node = Node(op=opname, term=fld.lower(), weights=vals)
+            else:
+                children = []
+                while peek() != ")":
+                    children.append(parse_expr())
+                take()
+                if m_od:
+                    node = Node(op="od", n=int(m_od.group(1)), children=children)
+                elif m_uw:
+                    node = Node(op="uw", n=int(m_uw.group(1)), children=children)
+                elif opname == "prior":
+                    if len(children) != 1 or children[0].op != "term":
+                        raise ValueError("#prior takes a single name")
+                    node = Node(op="prior", term=children[0].term)
+                elif opname == "sum":
+                    # #sum = WSumNode with equal weights
+                    # (ref:src/indrilang.g:316-321)
+                    node = Node(op="wsum", children=children,
+                                weights=[1.0] * len(children))
+                elif opname in ("filreq", "filrej", "scoreif", "scoreifnot"):
+                    if len(children) != 2:
+                        raise ValueError(f"#{opname} takes (filter scored)")
+                    op = "filreq" if opname in ("filreq", "scoreif") else "filrej"
+                    node = Node(op=op, children=children)
+                elif opname in ("combine", "max", "or", "not", "band", "syn"):
+                    node = Node(op=opname if opname != "or" else "or_",
+                                children=children)
+                else:
+                    raise ValueError(f"unsupported operator #{opname}")
+            if bracket is not None:
+                node = Node(op="ctx", term=bracket, children=[node])
+            return postfix(node)
+        return postfix(term_from_token(t))
 
     root = parse_expr()
     if peek() is not None:
@@ -137,12 +251,14 @@ def parse_query(text: str) -> Node:
 # ---------------------------------------------------------------------------
 
 
-def ordered_window_count(pos_lists: list[np.ndarray], n: int) -> int:
-    """Count ordered-window matches: one per occurrence of the FIRST term
-    that can be extended left-to-right with each next term within n
-    positions after the previous (greedy smallest-next, the reference's
-    iterator sweep, ref:src/OrderedWindowNode.cpp:115-165)."""
-    count = 0
+def ordered_window_extents(pos_lists: list[np.ndarray], n: int
+                           ) -> tuple[list[int], list[int]]:
+    """Ordered-window match extents ``(begins, ends)``: one per occurrence of
+    the FIRST term that can be extended left-to-right with each next term
+    within n positions after the previous (greedy smallest-next, the
+    reference's iterator sweep, ref:src/OrderedWindowNode.cpp:115-165);
+    extent = [first position, last matched position + 1)."""
+    begins, ends = [], []
     for start in pos_lists[0]:
         prev = start
         ok = True
@@ -153,8 +269,13 @@ def ordered_window_count(pos_lists: list[np.ndarray], n: int) -> int:
                 break
             prev = nxt
         if ok:
-            count += 1
-    return count
+            begins.append(int(start))
+            ends.append(int(prev) + 1)
+    return begins, ends
+
+
+def ordered_window_count(pos_lists: list[np.ndarray], n: int) -> int:
+    return len(ordered_window_extents(pos_lists, n)[0])
 
 
 def unordered_window_count(pos_lists: list[np.ndarray], n: int) -> int:
@@ -165,6 +286,14 @@ def unordered_window_count(pos_lists: list[np.ndarray], n: int) -> int:
     with term extents [p, p+1)), counting a member type as found when its
     previous occurrence precedes the anchor; one match per anchor that
     completes all types."""
+    return len(unordered_window_extents(pos_lists, n)[0])
+
+
+def unordered_window_extents(pos_lists: list[np.ndarray], n: int
+                             ) -> tuple[list[int], list[int]]:
+    """Unordered-window match extents (same algorithm as
+    ``unordered_window_count``; extent = [anchor position, last completing
+    position + 1), ref:src/UnorderedWindowNode.cpp:68-151)."""
     k = len(pos_lists)
     events = sorted((int(p), t) for t, pl in enumerate(pos_lists) for p in pl)
     m = len(events)
@@ -173,7 +302,7 @@ def unordered_window_count(pos_lists: list[np.ndarray], n: int) -> int:
     for idx, (_p, t) in enumerate(events):
         lasts.append(last[t])
         last[t] = idx
-    count = 0
+    begins, ends = [], []
     for i in range(m):
         pi = events[i][0]
         found = 1
@@ -186,8 +315,9 @@ def unordered_window_count(pos_lists: list[np.ndarray], n: int) -> int:
                 found += 1
             cur += 1
         if found == k:
-            count += 1
-    return count
+            begins.append(pi)
+            ends.append((events[cur - 1][0] if cur > i + 1 else pi) + 1)
+    return begins, ends
 
 
 # ---------------------------------------------------------------------------
@@ -209,6 +339,8 @@ class StructuredQueryEngine:
             self._positions_ok = False
         else:
             self._positions_ok = True
+        self._ctx_stack: list[str] = []          # active #op[f] field contexts
+        self._field_cache: dict[str, dict] = {}  # field → per-doc extents
 
     # -- leaf data ----------------------------------------------------------
 
@@ -277,39 +409,217 @@ class StructuredQueryEngine:
 
     # -- belief computation -------------------------------------------------
 
+    # -- field extent data ---------------------------------------------------
+
+    def _field_data(self, fname: str) -> dict[int, tuple]:
+        """field → {doc_id: (begins, ends, numbers, field_len)} from the
+        fields file (one filtered read per field per engine, cached).
+        ``field_len`` sums raw extent lengths (nested extents double-count,
+        matching ContextCountAccumulator's contextSize accumulation,
+        ref:src/ContextCountAccumulator.cpp:120-131)."""
+        hit = self._field_cache.get(fname)
+        if hit is not None:
+            return hit
+        try:
+            t = self.r.field_extents(fname)
+        except FileNotFoundError:
+            t = None
+        data: dict[int, tuple] = {}
+        if t is not None:
+            for did, bs, es, ns in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("begins").to_pylist(),
+                t.column("ends").to_pylist(),
+                t.column("numbers").to_pylist(),
+            ):
+                b = np.asarray(bs, dtype=np.int64)
+                e = np.asarray(es, dtype=np.int64)
+                data[did] = (b, e, np.asarray(ns, dtype=np.int64),
+                             int((e - b).sum()))
+        self._field_cache[fname] = data
+        return data
+
+    @staticmethod
+    def _union_intervals(b: np.ndarray, e: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Begin-sorted (possibly nested) extents → merged disjoint union."""
+        ub, ue = [], []
+        cur_e = None
+        for bb, ee in zip(b.tolist(), e.tolist()):
+            if cur_e is None or bb > cur_e:
+                ub.append(bb)
+                ue.append(ee)
+                cur_e = ee
+            elif ee > cur_e:
+                ue[-1] = ee
+                cur_e = ee
+        return np.asarray(ub, dtype=np.int64), np.asarray(ue, dtype=np.int64)
+
+    def _doc_restriction(self, did: int, rfields: tuple[str, ...]):
+        """Union intervals for a doc under a restriction chain (intersection
+        of each field's extent union); None if any field is absent."""
+        cur = None
+        for fname in rfields:
+            ext = self._field_data(fname).get(did)
+            if ext is None:
+                return None
+            u = self._union_intervals(ext[0], ext[1])
+            if cur is None:
+                cur = u
+            else:
+                # intersect two sorted disjoint interval lists
+                b1, e1 = cur
+                b2, e2 = u
+                ob, oe = [], []
+                i = j = 0
+                while i < len(b1) and j < len(b2):
+                    lo = max(b1[i], b2[j])
+                    hi = min(e1[i], e2[j])
+                    if lo < hi:
+                        ob.append(lo)
+                        oe.append(hi)
+                    if e1[i] <= e2[j]:
+                        i += 1
+                    else:
+                        j += 1
+                cur = (np.asarray(ob, dtype=np.int64), np.asarray(oe, dtype=np.int64))
+        return cur
+
+    @staticmethod
+    def _count_positions_in(positions: np.ndarray, union) -> int:
+        ub, ue = union
+        if not len(ub) or not len(positions):
+            return 0
+        return int((np.searchsorted(positions, ue) - np.searchsorted(positions, ub)).sum())
+
+    @staticmethod
+    def _positions_in(positions: np.ndarray, union) -> np.ndarray:
+        ub, ue = union
+        if not len(ub) or not len(positions):
+            return positions[:0]
+        lo = np.searchsorted(positions, ub)
+        hi = np.searchsorted(positions, ue)
+        return np.concatenate([positions[a:b] for a, b in zip(lo, hi)]) if len(lo) else positions[:0]
+
+    def _extents_contained(self, begins, ends, did: int,
+                           rfields: tuple[str, ...]) -> int:
+        """# of match extents contained in an extent of EVERY restriction
+        field (ExtentInsideNode containment: inner.begin ≥ outer.begin and
+        inner.end ≤ outer.end, ref:src/ExtentInsideNode.cpp:54-73)."""
+        if not begins:
+            return 0
+        count = 0
+        fdatas = []
+        for fname in rfields:
+            ext = self._field_data(fname).get(did)
+            if ext is None:
+                return 0
+            fb, fe = ext[0], ext[1]
+            # prefix-max of ends over begin-sorted extents: containment test
+            # becomes max(fe[fb <= mb]) >= me
+            fdatas.append((fb, np.maximum.accumulate(fe)))
+        for mb, me in zip(begins, ends):
+            ok = True
+            for fb, fe_max in fdatas:
+                i = int(np.searchsorted(fb, mb, side="right")) - 1
+                if i < 0 or fe_max[i] < me:
+                    ok = False
+                    break
+            if ok:
+                count += 1
+        return count
+
+    def _field_len_vec(self, fname: str, cand: np.ndarray) -> np.ndarray:
+        data = self._field_data(fname)
+        return np.array([data[d][3] if d in data else 0 for d in cand.tolist()],
+                        dtype=np.float64)
+
+    # -- belief computation (proper) ----------------------------------------
+
     def _belief_from_counts(self, counts: np.ndarray, dl: np.ndarray,
-                            cf: float) -> np.ndarray:
+                            cf: float, total: float | None = None) -> np.ndarray:
         """Smoothed log-probability for a count-bearing node with global
-        node frequency ``cf`` (ref:src/TermScoreFunctionFactory.cpp:42-78)."""
-        total = float(self.r.total_terms)
+        node frequency ``cf`` over context size ``total`` (collection term
+        count, or the field's total length under field context —
+        ref:src/TermScoreFunctionFactory.cpp:42-78)."""
+        if total is None:
+            total = float(self.r.total_terms)
+        if total <= 0:
+            total = 1.0
         p_c = cf / total if cf > 0 else 1.0 / (2.0 * total)
         if self.method == "dirichlet":
             return np.log((counts + self.mu * p_c) / (dl + self.mu))
-        return np.log((1.0 - self.lam) * counts / dl + self.lam * p_c)
+        return np.log((1.0 - self.lam) * counts / np.maximum(dl, 1.0) + self.lam * p_c)
 
-    def _node_counts(self, node: Node, postings, cand: np.ndarray) -> np.ndarray:
-        """Per-candidate occurrence counts for a count-bearing node."""
+    def _node_counts(self, node: Node, postings, cand: np.ndarray,
+                     rfields: tuple[str, ...] = ()) -> np.ndarray:
+        """Per-candidate occurrence counts for a count-bearing node,
+        optionally restricted to the extents of ``rfields``."""
+        if node.op == "restrict":
+            return self._node_counts(node.children[0], postings, cand,
+                                     rfields + (node.term,))
         if node.op == "term":
             term = self._node_term(node)
             counts = np.zeros(len(cand), dtype=np.float64)
-            if term and term in postings:
+            if not term or term not in postings:
+                return counts
+            if not rfields:
                 d, tf, _ = postings[term]
                 pos = np.searchsorted(cand, d)
                 valid = (pos < len(cand)) & (cand[np.minimum(pos, len(cand) - 1)] == d)
                 counts[pos[valid]] = tf[valid].astype(np.float64)
+                return counts
+            pm = self._positions_map(node)
+            for i, did in enumerate(cand.tolist()):
+                pl = pm.get(did)
+                if pl is None:
+                    continue
+                u = self._doc_restriction(did, rfields)
+                if u is not None:
+                    counts[i] = self._count_positions_in(pl, u)
             return counts
         if node.op == "wildcard":
             syn = Node(op="syn", children=[Node(op="term", term=t, pre=True)
                                            for t in self._expand_wildcard(node.term.lower())])
-            return self._node_counts(syn, postings, cand)
+            return self._node_counts(syn, postings, cand, rfields)
+        if node.op == "any":
+            # FieldWildcard/#any:f — count = number of f extents
+            # (ref:src/InferenceNetworkBuilder.cpp:938)
+            data = self._field_data(node.term)
+            return np.array(
+                [len(data[d][0]) if d in data else 0 for d in cand.tolist()],
+                dtype=np.float64)
+        if node.op in _NUM_PREDS:
+            # numeric/date field predicates: count = matching extents
+            # (FieldLess/Greater/Between/Equals,
+            # ref:src/InferenceNetworkBuilder.cpp:555-604; begin ≤ x < end
+            # for #between, ref:src/FieldBetweenNode.cpp:53-57)
+            data = self._field_data(node.term)
+            counts = np.zeros(len(cand), dtype=np.float64)
+            for i, did in enumerate(cand.tolist()):
+                ext = data.get(did)
+                if ext is None:
+                    continue
+                counts[i] = float(self._pred_mask(node, ext[2]).sum())
+            return counts
         if node.op == "band":
-            member_counts = [self._node_counts(c, postings, cand) for c in node.children]
+            member_counts = [self._node_counts(c, postings, cand, rfields)
+                             for c in node.children]
             all_present = np.ones(len(cand), dtype=bool)
             for mc in member_counts:
                 all_present &= mc > 0
             return all_present.astype(np.float64)
-        if node.op == "syn":
-            # exact union of member position sets per doc
+        if node.op in ("syn", "wsyn"):
+            # syn: exact union of member position sets per doc (ExtentOr);
+            # wsyn: weight-normalized weighted sum of member counts
+            # (WeightedExtentOr extent weights accumulated by the count node,
+            # ref:src/WeightedExtentOrNode.cpp:29-60,
+            # ref:src/ContextCountAccumulator.cpp:90)
+            if node.op == "wsyn":
+                w = np.asarray(node.weights, dtype=np.float64)
+                w = w / w.sum()
+                member_counts = [self._node_counts(c, postings, cand, rfields)
+                                 for c in node.children]
+                return np.sum([wi * mc for wi, mc in zip(w, member_counts)], axis=0)
             pos_maps = [self._positions_map(c) for c in node.children]
             counts = np.zeros(len(cand), dtype=np.float64)
             for i, did in enumerate(cand.tolist()):
@@ -319,7 +629,14 @@ class StructuredQueryEngine:
                     if pl is not None:
                         union = set(pl.tolist()) if union is None else union | set(pl.tolist())
                 if union:
-                    counts[i] = len(union)
+                    if rfields:
+                        u = self._doc_restriction(did, rfields)
+                        if u is None:
+                            continue
+                        counts[i] = self._count_positions_in(
+                            np.array(sorted(union), dtype=np.int64), u)
+                    else:
+                        counts[i] = len(union)
             return counts
         if node.op in ("od", "uw"):
             pos_maps = [self._positions_map(c) for c in node.children]
@@ -336,15 +653,42 @@ class StructuredQueryEngine:
                 if not ok:
                     continue
                 if node.op == "od":
-                    counts[i] = ordered_window_count(pls, node.n)
+                    begins, ends = ordered_window_extents(pls, node.n)
                 else:
-                    counts[i] = unordered_window_count(pls, node.n)
+                    begins, ends = unordered_window_extents(pls, node.n)
+                if rfields:
+                    counts[i] = self._extents_contained(begins, ends, did, rfields)
+                else:
+                    counts[i] = len(begins)
             return counts
         raise ValueError(f"not a count-bearing node: {node.op}")
 
+    @staticmethod
+    def _pred_mask(node: Node, numbers: np.ndarray) -> np.ndarray:
+        v = node.weights
+        if node.op in ("less", "datebefore"):
+            return numbers < v[0]
+        if node.op in ("greater", "dateafter"):
+            return numbers > v[0]
+        if node.op in ("equals", "dateequals"):
+            return numbers == v[0]
+        # between: begin ≤ x < end (ref:src/FieldBetweenNode.cpp:53-57)
+        return (numbers >= v[0]) & (numbers < v[1])
+
     def _positions_map(self, node: Node) -> dict[int, np.ndarray]:
-        """term node → {doc_id: positions array} (windows require term
-        children, as in the reference grammar)."""
+        """term node (possibly restrict-wrapped) → {doc_id: positions array}
+        (windows require term children, as in the reference grammar)."""
+        if node.op == "restrict":
+            inner = self._positions_map(node.children[0])
+            out = {}
+            for did, pl in inner.items():
+                u = self._doc_restriction(did, (node.term,))
+                if u is None:
+                    continue
+                kept = self._positions_in(pl, u)
+                if len(kept):
+                    out[did] = kept
+            return out
         if node.op != "term":
             raise ValueError(f"window/syn members must be terms, got {node.op}")
         term = self._node_term(node)
@@ -359,7 +703,15 @@ class StructuredQueryEngine:
             pm[did] = poss[i]
         return pm
 
-    _COUNT_OPS = {"term", "wildcard", "band", "syn", "od", "uw"}
+    _COUNT_OPS = {"term", "wildcard", "band", "syn", "wsyn", "od", "uw",
+                  "restrict", "any"} | set(_NUM_PREDS)
+
+    def _node_ctx_field(self, node: Node) -> str | None:
+        """Field-CONTEXT restriction attached to the node itself (the
+        ``.(f)`` form; outermost ctx restrict wins)."""
+        if node.op == "restrict":
+            return node.term if node.n == 1 else self._node_ctx_field(node.children[0])
+        return None
 
     def _belief(self, node: Node, cand: np.ndarray, dl: np.ndarray) -> np.ndarray:
         if node.op == "prior":
@@ -374,16 +726,45 @@ class StructuredQueryEngine:
             valid = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == cand)
             out[valid] = lps[pos[valid]]
             return out
+        if node.op == "ctx":
+            # scored-node extent restriction #op[f](...): every count leaf
+            # below scores in the field's context
+            # (ref:src/InferenceNetworkBuilder.cpp:152)
+            self._ctx_stack.append(node.term)
+            try:
+                return self._belief(node.children[0], cand, dl)
+            finally:
+                self._ctx_stack.pop()
+        if node.op in ("filreq", "filrej"):
+            # semi/anti-join filter (FilterRequire/FilterReject,
+            # ref:src/InferenceNetworkBuilder.cpp:526,504): docs failing the
+            # filter are excluded (-inf belief → dropped before top-k)
+            fcounts = self._node_counts(node.children[0], self._postings, cand,
+                                        tuple(self._ctx_stack))
+            belief = self._belief(node.children[1], cand, dl)
+            mask = fcounts > 0 if node.op == "filreq" else fcounts == 0
+            return np.where(mask, belief, -np.inf)
         if node.op in self._COUNT_OPS:
-            counts = self._node_counts(node, self._postings, cand)
+            rfields = tuple(self._ctx_stack)
+            counts = self._node_counts(node, self._postings, cand, rfields)
             # global node statistics: a term's cf comes from the dictionary;
-            # a synthetic node's cf is its total match count across the
-            # collection, computed exactly over the node's own candidate set
-            # (the two-pass statistics protocol, ref:src/QueryEnvironment.cpp:957-970)
-            if node.op == "term":
+            # a synthetic/restricted node's cf is its total match count across
+            # the collection, computed exactly over the node's own candidate
+            # set (two-pass statistics, ref:src/QueryEnvironment.cpp:957-970)
+            ctx_field = self._node_ctx_field(node) or (
+                self._ctx_stack[-1] if self._ctx_stack else None)
+            if node.op == "term" and not rfields:
                 cf = self._term_cf(node)
+            elif node.op == "any":
+                st = self.r.field_stats(node.term)
+                cf = float(st["extent_count"]) if st else 0.0
             else:
-                cf = self._node_global_cf(node)
+                cf = self._node_global_cf(node, rfields)
+            if ctx_field is not None:
+                st = self.r.field_stats(ctx_field)
+                total = float(st["total_len"]) if st else 0.0
+                dl_vec = self._field_len_vec(ctx_field, cand)
+                return self._belief_from_counts(counts, dl_vec, cf, total)
             return self._belief_from_counts(counts, dl, cf)
         kids = [self._belief(c, cand, dl) for c in node.children]
         if node.op == "combine":
@@ -414,10 +795,18 @@ class StructuredQueryEngine:
         stats = self.r.term_stats([term]) if term else {}
         return float(stats[term][0]) if term in stats else 0.0
 
-    def _node_global_cf(self, node: Node) -> float:
-        """Global occurrence count of a synthetic node: evaluated over every
-        doc that could match (union of member docs — exact, because a match
-        requires at least one member present)."""
+    def _node_global_cf(self, node: Node, rfields: tuple[str, ...] = ()) -> float:
+        """Global occurrence count of a synthetic/restricted node: evaluated
+        over every doc that could match (union of member docs for term-based
+        nodes; docs carrying the field for field leaves)."""
+        if node.op == "any":
+            st = self.r.field_stats(node.term)
+            return float(st["extent_count"]) if st else 0.0
+        if node.op in _NUM_PREDS:
+            data = self._field_data(node.term)
+            return float(sum(
+                int(self._pred_mask(node, ext[2]).sum()) for ext in data.values()
+            ))
         docs = set()
         for c in self._iter_term_children(node):
             term = self._node_term(c)
@@ -427,7 +816,7 @@ class StructuredQueryEngine:
         if not docs:
             return 0.0
         node_cand = np.array(sorted(docs), dtype=np.int64)
-        counts = self._node_counts(node, self._postings, node_cand)
+        counts = self._node_counts(node, self._postings, node_cand, rfields)
         return float(counts.sum())
 
     def _iter_term_children(self, node: Node):
@@ -440,6 +829,32 @@ class StructuredQueryEngine:
             for c in node.children:
                 yield from self._iter_term_children(c)
 
+    def _cand_docs(self, node: Node, out: set[int]) -> None:
+        """Candidate documents of the SCORED network — the DAAT union
+        (ref:src/InferenceNetwork.cpp:285-332).  Term/wildcard leaves add
+        their posting docs, #any:f adds docs carrying the field, predicates
+        their satisfying docs; the FILTER child of #filreq/#filrej only
+        restricts and contributes no candidates (FilterRequireNode wraps the
+        scored node, ref:src/InferenceNetworkBuilder.cpp:526)."""
+        if node.op in ("term", "wildcard"):
+            for c in ([node] if node.op == "term" else self._iter_term_children(node)):
+                term = self._node_term(c)
+                tp = self._postings.get(term)
+                if tp is not None:
+                    out.update(tp[0].tolist())
+        elif node.op == "any":
+            out.update(self._field_data(node.term).keys())
+        elif node.op in _NUM_PREDS:
+            data = self._field_data(node.term)
+            for did, ext in data.items():
+                if self._pred_mask(node, ext[2]).any():
+                    out.add(did)
+        elif node.op in ("filreq", "filrej"):
+            self._cand_docs(node.children[1], out)
+        else:
+            for c in node.children:
+                self._cand_docs(c, out)
+
     # -- entry point --------------------------------------------------------
 
     def run(self, query: str, k: int = 1000) -> tuple[np.ndarray, np.ndarray]:
@@ -447,9 +862,12 @@ class StructuredQueryEngine:
         leaf_terms: set[str] = set()
         self._leaf_terms(root, leaf_terms)
         self._postings = self._fetch_postings(sorted(leaf_terms))
-        if not self._postings:
+        cand_set: set[int] = set()
+        self._cand_docs(root, cand_set)
+        if not cand_set:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        cand = np.unique(np.concatenate([d for d, _, _ in self._postings.values()]))
+        cand = np.array(sorted(cand_set), dtype=np.int64)
         dl = self.r.doc_lens()[cand].astype(np.float64)
         beliefs = self._belief(root, cand, dl)
-        return _topk(cand, beliefs, k)
+        keep = beliefs > -np.inf  # filreq/filrej exclusions
+        return _topk(cand[keep], beliefs[keep], k)

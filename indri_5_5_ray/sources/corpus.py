@@ -261,3 +261,36 @@ def corpus_from_documents(sf_dir: str) -> pa.Table:
         },
         schema=CORPUS_SCHEMA,
     )
+
+
+def corpus_from_documents_tagged(sf_dir: str) -> pa.Table:
+    """documents table → tagged corpus for FIELD indexing, SQL-reproducibly:
+
+    ``<title> first-8-tokens </title> text <size> n_chars </size>``
+
+    The title repeats the first 8 ``[a-z0-9]+`` tokens of lower(text), so a
+    DuckDB oracle can rebuild the exact token stream (title tokens + text
+    tokens + the n_chars token) and the title extent is [0, min(8, L));
+    ``size`` is a numeric field whose value is n_chars."""
+    import re as _re
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    sources = t.column("source").to_pylist()
+    langs = t.column("lang").to_pylist()
+    n_chars = t.column("n_chars").to_pylist()
+    contents = []
+    for text, nc in zip(texts, n_chars):
+        title = " ".join(_re.findall(r"[a-z0-9]+", text.lower())[:8])
+        contents.append(f"<title> {title} </title> {text} <size> {nc} </size>")
+    return pa.table(
+        {
+            "repo": sources,
+            "path": [f"doc_{i}.txt" for i in ids],
+            "commit": [hashlib.md5(x.encode()).hexdigest() for x in texts],
+            "lang": langs,
+            "content": contents,
+        },
+        schema=CORPUS_SCHEMA,
+    )

@@ -1,0 +1,233 @@
+"""Field indexing + field/extent query operators, end to end: tag parsing at
+ingest, extent lists + global field statistics, restriction semantics
+(``term.f``, ``term.(f)``, ``#op[f]``), ``#any:f``, numeric/date predicates,
+``#filreq``/``#filrej``, ``#wsyn`` and ``#sum`` — checked against
+hand-computed dirichlet beliefs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+MU = 2500.0
+
+DOCS = [
+    "<title>alpha beta</title> alpha gamma <size> 10 </size>",
+    "<title>beta gamma</title> delta delta <size> 20 </size>",
+    "alpha beta no title here <size> 30 </size>",
+    "<title>alpha alpha</title> epsilon <date> 15 January 2004 </date> <size> 15 </size>",
+    "gamma delta <size> 5 </size>",
+]
+
+# token streams (tags consume no slots)
+TOKS = [
+    ["alpha", "beta", "alpha", "gamma", "10"],
+    ["beta", "gamma", "delta", "delta", "20"],
+    ["alpha", "beta", "no", "title", "here", "30"],
+    ["alpha", "alpha", "epsilon", "15", "january", "2004", "15"],
+    ["gamma", "delta", "5"],
+]
+TITLE = {0: (0, 2), 1: (0, 2), 3: (0, 2)}  # doc → title extent
+SIZES = {0: 10, 1: 20, 2: 30, 3: 15, 4: 5}
+
+
+@pytest.fixture(scope="module")
+def field_index(tmp_path_factory):
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+
+    d = tmp_path_factory.mktemp("fieldidx")
+    corpus = d / "corpus"
+    corpus.mkdir()
+    t = pa.table({
+        "repo": ["r"] * len(DOCS),
+        "path": [f"d{i}.txt" for i in range(len(DOCS))],
+        "commit": [f"c{i}" for i in range(len(DOCS))],
+        "lang": ["txt"] * len(DOCS),
+        "content": DOCS,
+    })
+    pq.write_table(t, corpus / "corpus.parquet")
+    out = str(d / "idx")
+    cfg = IndexConfig(
+        stemmer=None, dedup_key=None, n_buckets=4, max_chunk_docs=64,
+        fields=("title", "size", "date"),
+        numeric_fields=("size",), date_fields=("date",),
+    )
+    manifest = build_index(str(corpus), out, cfg, resume=False)
+    return out, manifest
+
+
+def _dir(c, dl, cf, total):
+    p_c = cf / total if cf > 0 else 1.0 / (2.0 * total)
+    return math.log((c + MU * p_c) / (dl + MU))
+
+
+TOTAL = sum(len(t) for t in TOKS)
+DL = [len(t) for t in TOKS]
+
+
+def _engine(field_index):
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    out, _ = field_index
+    return StructuredQueryEngine(IndexReader(out))
+
+
+def _scores(eng, q, k=10) -> dict[int, float]:
+    ids, sc = eng.run(q, k=k)
+    return dict(zip(ids.tolist(), sc.tolist()))
+
+
+def test_extents_and_stats(field_index):
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    out, manifest = field_index
+    r = IndexReader(out)
+    t = r.field_extents("title")
+    got = {d: (b[0], e[0]) for d, b, e in zip(
+        t.column("doc_id").to_pylist(), t.column("begins").to_pylist(),
+        t.column("ends").to_pylist())}
+    assert got == TITLE
+    s = r.field_extents("size")
+    nums = {d: n[0] for d, n in zip(s.column("doc_id").to_pylist(),
+                                    s.column("numbers").to_pylist())}
+    assert nums == SIZES
+    fs = manifest["field_stats"]
+    assert fs["title"] == {"total_len": 6, "extent_count": 3, "doc_count": 3}
+    assert fs["size"]["doc_count"] == 5
+    # date field parsed to a day serial (15 January 2004)
+    import datetime
+    want_days = (datetime.date(2004, 1, 15) - datetime.date(1970, 1, 1)).days
+    dt = r.field_extents("date")
+    assert dt.column("numbers").to_pylist()[0][0] == want_days
+
+
+def test_term_field_restriction_doc_context(field_index):
+    eng = _engine(field_index)
+    got = _scores(eng, "alpha.title")
+    # counts in title: doc0=1, doc3=2; cf restricted = 3; doc context
+    cands = {0: 1, 2: 0, 3: 2}  # candidates = docs containing alpha
+    want = {d: _dir(c, DL[d], 3.0, TOTAL) for d, c in cands.items()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+
+
+def test_term_field_context(field_index):
+    eng = _engine(field_index)
+    got = _scores(eng, "alpha.(title)")
+    # field context: dl_f = title length (2 or 0), total_f = 6, cf = 3
+    dlf = {0: 2, 2: 0, 3: 2}
+    cnt = {0: 1, 2: 0, 3: 2}
+    want = {d: _dir(cnt[d], dlf[d], 3.0, 6.0) for d in cnt}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+
+
+def test_combine_bracket_ctx(field_index):
+    eng = _engine(field_index)
+    got = _scores(eng, "#combine[title](alpha beta)")
+    # both leaves in title context
+    a = {0: 1, 1: 0, 2: 0, 3: 2}
+    b = {0: 1, 1: 1, 2: 0, 3: 0}
+    dlf = {0: 2, 1: 2, 2: 0, 3: 2}
+    want = {d: 0.5 * (_dir(a[d], dlf[d], 3.0, 6.0) + _dir(b[d], dlf[d], 2.0, 6.0))
+            for d in a}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+
+
+def test_any_field(field_index):
+    eng = _engine(field_index)
+    got = _scores(eng, "#any:title")
+    # count = #extents (1 for docs 0,1,3), cf = 3 extents, doc context
+    want = {d: _dir(1, DL[d], 3.0, TOTAL) for d in (0, 1, 3)}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+
+
+def test_numeric_predicates(field_index):
+    eng = _engine(field_index)
+    # sizes: 10,20,30,15,5 → less 20: docs 0,3,4 ; cf = 3
+    got = _scores(eng, "#less(size 20)")
+    want = {d: _dir(1, DL[d], 3.0, TOTAL) for d in (0, 3, 4)}
+    assert set(got) == set(want)
+    # between [10, 20): docs 0,3
+    got = _scores(eng, "#between(size 10 20)")
+    assert set(got) == {0, 3}
+    # equals
+    got = _scores(eng, "#equals(size 30)")
+    assert set(got) == {2}
+    # dates
+    got = _scores(eng, "#dateafter(date 2004-01-01)")
+    assert set(got) == {3}
+    got = _scores(eng, "#datebefore(date 2004-01-01)")
+    assert set(got) == set()
+
+
+def test_filreq_filrej(field_index):
+    eng = _engine(field_index)
+    # alpha docs = {0,2,3}; size<20 docs = {0,3,4}; the filter only
+    # RESTRICTS the scored node's candidates (no doc 4)
+    got = _scores(eng, "#filreq(#less(size 20) alpha)")
+    base = _scores(eng, "alpha")
+    assert set(got) == {0, 3}
+    for d in (0, 3):
+        assert got[d] == pytest.approx(base[d], abs=1e-12)
+    got = _scores(eng, "#filrej(#less(size 20) alpha)")
+    assert set(got) == {2}
+    # scoreif alias
+    assert _scores(eng, "#scoreif(#less(size 20) alpha)") == _scores(
+        eng, "#filreq(#less(size 20) alpha)")
+
+
+def test_wsyn_and_sum(field_index):
+    eng = _engine(field_index)
+    got = _scores(eng, "#wsyn(2.0 alpha 1.0 beta)")
+    # normalized weights 2/3, 1/3; counts = weighted member tfs
+    a = {0: 2, 1: 0, 2: 1, 3: 2, 4: 0}
+    b = {0: 1, 1: 1, 2: 1, 3: 0, 4: 0}
+    cands = {d for d in a if a[d] or b[d]}
+    cf = sum(2 / 3 * a[d] + 1 / 3 * b[d] for d in cands)
+    want = {d: _dir(2 / 3 * a[d] + 1 / 3 * b[d], DL[d], cf, TOTAL) for d in cands}
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+    # #sum = equal-weight #wsum
+    s1 = _scores(eng, "#sum(alpha beta)")
+    s2 = _scores(eng, "#wsum(1.0 alpha 1.0 beta)")
+    for d in s1:
+        assert s1[d] == pytest.approx(s2[d], abs=1e-12)
+
+
+def test_window_restriction(field_index):
+    eng = _engine(field_index)
+    # od1(alpha beta): matches doc0 [0,2), doc2 [0,2); restricted to title →
+    # only doc0 (doc2 has no title)
+    got = _scores(eng, "#od1(alpha beta).title")
+    counts = {d: c for d, c in {0: 1, 2: 0}.items()}
+    # candidates = docs with alpha ∪ beta
+    cands = {0, 1, 2, 3}
+    want = {d: _dir(counts.get(d, 0), DL[d], 1.0, TOTAL) for d in cands}
+    assert set(got) == cands
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+
+
+def test_band_and_syn_restricted(field_index):
+    eng = _engine(field_index)
+    got = _scores(eng, "#combine[title](#syn(alpha gamma))")
+    # syn positions in title: doc0 {0}, doc1 {1}, doc3 {0,1}
+    cnt = {0: 1, 1: 1, 3: 2, 2: 0, 4: 0}
+    dlf = {0: 2, 1: 2, 2: 0, 3: 2, 4: 0}
+    cf = 4.0
+    want = {d: _dir(cnt[d], dlf[d], cf, 6.0) for d in cnt}
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
