@@ -75,7 +75,7 @@ def _ensure_index(sf_dir: str, stem: bool) -> str:
     return str(index_dir)
 
 
-def _bm25_topk(sf_dir: str, stem: bool, k: int = 10):
+def _bm25_topk(sf_dir: str, stem: bool, k: int = 10, variant: str = "okapi"):
     """(qid, rank, doc_id) — ranks by score rounded to 9 decimals (desc),
     then doc_id desc, so the DuckDB oracle (whose float summation order is
     unspecified) ranks identically."""
@@ -86,7 +86,7 @@ def _bm25_topk(sf_dir: str, stem: bool, k: int = 10):
 
     index_dir = _ensure_index(sf_dir, stem)
     reader = IndexReader(index_dir)
-    scorer = BM25Scorer(reader)
+    scorer = BM25Scorer(reader, variant=variant)
     out_q, out_r, out_d = [], [], []
     for qid, text in BM25_QUERIES:
         terms = process_query(text, reader.cfg)
@@ -394,8 +394,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stopped_doc_lens": _index_stopped_doc_lens,
         "bm25_topk": lambda sf: _bm25_topk(sf, stem=False),
         "bm25_topk_kstem": lambda sf: _bm25_topk(sf, stem=True),
+        "tfidf_topk": lambda sf: _bm25_topk(sf, stem=False, variant="tfidf"),
         "lm_topk_dirichlet": lambda sf: _lm_topk(sf, stem=False, method="dirichlet"),
         "lm_topk_jm": lambda sf: _lm_topk(sf, stem=False, method="jm"),
+        "lm_topk_two": lambda sf: _lm_topk(sf, stem=False, method="two"),
         "lm_topk_kstem": lambda sf: _lm_topk(sf, stem=True, method="dirichlet"),
         "structured_topk": lambda sf: _structured_topk(sf, stem=False),
         "field_topk": _field_topk,
@@ -475,11 +477,47 @@ WHERE rank <= 10
 ORDER BY qid, rank
 """
 
+_TFIDF_SQL = f"""
+WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(len(toks))::DOUBLE AS total FROM docs),
+tf AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(toks) AS t FROM docs) GROUP BY doc_id, t),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(qid, term, qtf) AS (VALUES {{values}}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         SUM( (ln((s.n + 1) / (dfreq.df + 0.5)) * 1.2 * q.qtf / (q.qtf + 1.2))
+              * ln((s.n + 1) / (dfreq.df + 0.5)) * 1.2 * tf.tf
+              / (tf.tf + 1.2 * (1 - 0.75) + 1.2 * 0.75 * dl.dl / (s.total / s.n))
+         ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, rank, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id DESC) AS rank
+  FROM scores)
+WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
 def _lm_sql(method: str) -> str:
     if method == "dirichlet":
         contrib = (
             "q.qtf * ln((coalesce(tf.tf, 0) + 2500.0 * coalesce(cfreq.cf, 0.5) / s.total)"
             " / (dl.dl + 2500.0))"
+        )
+    elif method == "two":  # two-stage: dirichlet inner, JM outer (λ=0.4)
+        contrib = (
+            "q.qtf * ln(0.6 * (coalesce(tf.tf, 0) + 2500.0 * coalesce(cfreq.cf, 0.5)"
+            " / s.total) / (dl.dl + 2500.0)"
+            " + 0.4 * coalesce(cfreq.cf, 0.5) / s.total)"
         )
     else:  # jelinek-mercer, lambda=0.4
         contrib = (
@@ -758,8 +796,10 @@ def oracle_sql() -> dict[str, str]:
         "index_doc_lens": f"""
             SELECT doc_id, len({TOKEN_SQL}) AS dl FROM documents ORDER BY doc_id""",
         "bm25_topk": _BM25_SQL.replace("{values}", _bm25_values_clause()),
+        "tfidf_topk": _TFIDF_SQL.replace("{values}", _bm25_values_clause()),
         "lm_topk_dirichlet": _lm_sql("dirichlet").replace("{values}", _bm25_values_clause()),
         "lm_topk_jm": _lm_sql("jm").replace("{values}", _bm25_values_clause()),
+        "lm_topk_two": _lm_sql("two").replace("{values}", _bm25_values_clause()),
         "structured_topk": _structured_sql(),
         "field_topk": _field_sql(),
         "field_filter_topk": _field_filter_sql(),

@@ -18,6 +18,8 @@ from dataclasses import dataclass, field
 @dataclass(frozen=True)
 class IndexConfig:
     stemmer: str | None = "krovetz"       # None | "krovetz"
+    tokenizer: str = "word"                # "word" | "char" (CJK per-char,
+                                           # ref:src/TextTokenizer.l:412-421)
     stopwords: tuple[str, ...] = ()        # empty = no stopping
     store_positions: bool = True
     store_content: bool = False   # docstore: keep original content in docs/
@@ -44,6 +46,7 @@ class IndexConfig:
     def to_dict(self) -> dict:
         return {
             "stemmer": self.stemmer,
+            "tokenizer": self.tokenizer,
             "stopwords": list(self.stopwords),
             "store_positions": self.store_positions,
             "store_content": self.store_content,

@@ -370,7 +370,7 @@ class StructuredQueryEngine:
                 self._leaf_terms(c, out)
 
     def _process_term(self, raw: str) -> str | None:
-        toks = tokenize(raw)
+        toks = tokenize(raw, self.r.cfg.tokenizer)
         if not toks:
             return None
         return self.proc.process(toks[0])

@@ -36,7 +36,7 @@ def process_query_lm(text: str, cfg: IndexConfig,
     """Query text → child term list (duplicates preserved, stopped dropped)."""
     proc = proc or TermProcessor(cfg)
     out = []
-    for raw in tokenize(text):
+    for raw in tokenize(text, cfg.tokenizer):
         term = proc.process(raw)
         if term is not None:
             out.append(term)
@@ -104,6 +104,11 @@ class LMScorer:
             bg = self.mu * p_c[term]
             if self.method == "dirichlet":
                 acc += np.log((tf + bg) / (dl + self.mu))
+            elif self.method in ("two", "two-stage", "twostage"):
+                # two-stage smoothing: dirichlet inner, JM outer
+                # (ref:include/indri/TwoStageTermScoreFunction.hpp:39-48)
+                dirichlet = (tf + bg) / (dl + self.mu)
+                acc += np.log((1.0 - self.lam) * dirichlet + self.lam * p_c[term])
             else:  # jelinek-mercer
                 acc += np.log((1.0 - self.lam) * tf / dl + self.lam * p_c[term])
         acc /= n_children

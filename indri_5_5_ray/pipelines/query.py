@@ -60,7 +60,7 @@ def process_query(text: str, cfg: IndexConfig, proc: TermProcessor | None = None
     """
     proc = proc or TermProcessor(cfg)
     counts: dict[str, int] = {}
-    for raw in tokenize(text):
+    for raw in tokenize(text, cfg.tokenizer):
         term = proc.process(raw)
         if term is None:
             continue
@@ -284,15 +284,26 @@ def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, 
 
 
 class BM25Scorer:
-    """Okapi BM25 scorer over an IndexReader."""
+    """Okapi BM25 / lemur-tfidf scorer over an IndexReader.
+
+    ``variant="okapi"`` (default) is the BM25 rank-identity path;
+    ``variant="tfidf"`` is the factory's other documented rule
+    (ref:src/TermScoreFunctionFactory.cpp:77-88): idf = log((N+1)/(df+0.5)),
+    numerator constant qtw·idf·k1 with qtw = idf·k1·qtf/(qtf+k1)
+    (ref:include/indri/TFIDFTermScoreFunction.hpp:110-126,144-147); the
+    doc-side denominator is shared with okapi."""
 
     def __init__(self, reader: IndexReader, k1: float | None = None,
-                 b: float | None = None, k3: float | None = None):
+                 b: float | None = None, k3: float | None = None,
+                 variant: str = "okapi"):
         self.r = reader
         cfg = reader.cfg
         self.k1 = cfg.k1 if k1 is None else k1
         self.b = cfg.b if b is None else b
         self.k3 = cfg.k3 if k3 is None else k3
+        if variant not in ("okapi", "tfidf"):
+            raise ValueError(f"unknown scorer variant {variant!r}")
+        self.variant = variant
 
     # -- shared machinery ---------------------------------------------------
 
@@ -309,9 +320,14 @@ class BM25Scorer:
             if cf_df is None:
                 continue  # df=0: no postings, contributes nothing
             _cf, df = cf_df
-            idf = np.log((N - df + 0.5) / (df + 0.5))
-            qtw = ((k3 + 1) * qtf) / (k3 + qtf)
-            out.append((term, qtw * idf * (k1 + 1)))
+            if self.variant == "okapi":
+                idf = np.log((N - df + 0.5) / (df + 0.5))
+                qtw = ((k3 + 1) * qtf) / (k3 + qtf)
+                out.append((term, qtw * idf * (k1 + 1)))
+            else:  # lemur tfidf (ref:src/TermScoreFunctionFactory.cpp:77-88)
+                idf = np.log((N + 1) / (df + 0.5))
+                qtw = (idf * k1 * qtf) / (qtf + k1)
+                out.append((term, qtw * idf * k1))
         k1_one_minus_b = k1 * (1 - b)
         k1_b_over_avgdl = k1 * b / avgdl
         return out, k1_one_minus_b, k1_b_over_avgdl

@@ -257,6 +257,7 @@ class IngestWorker:
                 uniq.append(0)
                 continue
             if field_spec:
+                # field (tag) parsing is word-mode only
                 from ..fields import extract_extents, tokenize_bytes_events
 
                 raw_tokens, tag_events = tokenize_bytes_events(data)
@@ -276,7 +277,7 @@ class IngestWorker:
                     st[1] += len(exts)
                     st[2] += 1
             else:
-                raw_tokens = tokenize_bytes(data)
+                raw_tokens = tokenize_bytes(data, self.cfg.tokenizer)
             dl = len(raw_tokens)  # includes stopped slots
             per_doc: dict[str, list[int]] = {}
             for pos, rt in enumerate(raw_tokens):

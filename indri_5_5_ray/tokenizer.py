@@ -220,8 +220,53 @@ def _split_mixed_run(run: bytes) -> list[tuple[bytes, bool]]:
 _G_ACRONYM, _G_WORD, _G_NEGNUM = 7, 8, 9
 
 
-def tokenize_bytes(content: bytes) -> list[bytes]:
+def _utf8_char_tokens(run: bytes) -> list[bytes]:
+    """Char-mode re-tokenization of a UTF-8 run: one token per character,
+    skipping unclassified/control/symbol/whitespace characters
+    (ref:src/TextTokenizer.l:412-421 — ``cls != 0 && != 3 && != 5 && != 9``)."""
+    return [
+        run[off : off + ln]
+        for cp, off, ln in _decode_utf8_chars(run)
+        if _CLASS_MAP.get(cp, 0) not in (0, _CONTROL, _SYMBOL, _WHITESPACE)
+    ]
+
+
+def _ascii_char_tokens(tok: bytes) -> list[bytes]:
+    """Char-mode ASCII token: trailing punct stripped, then one token per
+    byte (ref:src/TextTokenizer.l:549-554)."""
+    stripped = _strip_trailing_punct(tok)
+    return [stripped[i : i + 1] for i in range(len(stripped))]
+
+
+def tokenize_bytes_char(content: bytes) -> list[bytes]:
+    """"char" tokenizer mode (CJK-friendly): every character is its own
+    token (ref:src/TextTokenizer.l:412-421,549-554); the scanner rules and
+    zapping are identical to word mode."""
+    tokens: list[bytes] = []
+    high_search = _HIGH.search
+    for m in _SCANNER.finditer(content):
+        kind = m.lastindex
+        if kind == _G_WORD:
+            run = m.group()
+            if high_search(run) is None:
+                tokens.extend(_ascii_char_tokens(run))
+            elif b"'" not in run:
+                tokens.extend(_utf8_char_tokens(run))
+            else:
+                for sub, is_ascii in _split_mixed_run(run):
+                    if is_ascii:
+                        tokens.extend(_ascii_char_tokens(sub))
+                    else:
+                        tokens.extend(_utf8_char_tokens(sub))
+        elif kind == _G_ACRONYM or kind == _G_NEGNUM:
+            tokens.extend(_ascii_char_tokens(m.group()))
+    return tokens
+
+
+def tokenize_bytes(content: bytes, mode: str = "word") -> list[bytes]:
     """Tokenize document bytes → raw token list (pre-normalization)."""
+    if mode == "char":
+        return tokenize_bytes_char(content)
     tokens: list[bytes] = []
     append = tokens.append
     high_search = _HIGH.search
@@ -276,11 +321,11 @@ def _normalize_cached(tok: bytes) -> str:
     return normalize_token(tok).decode("utf-8", errors="replace")
 
 
-def tokenize(content: str | bytes) -> list[str]:
+def tokenize(content: str | bytes, mode: str = "word") -> list[str]:
     """Full tokenize + normalize chain → list of term strings.
 
     Stopping/stemming are applied by the caller (they are configurable).
     Positions are list indices; stopped terms later become None in-place.
     """
     data = content.encode("utf-8") if isinstance(content, str) else content
-    return [_normalize_cached(t) for t in tokenize_bytes(data)]
+    return [_normalize_cached(t) for t in tokenize_bytes(data, mode)]

