@@ -124,6 +124,52 @@ def cmd_documentvector(reader: IndexReader, doc_id: str) -> None:
         print(f"{pos}: {term if term is not None else '[OOV]'}")
 
 
+def cmd_delete(reader: IndexReader, ident: str) -> None:
+    """Mark a document deleted by docno or docID (``dumpindex delete``,
+    ref:dumpindex/dumpindex.cpp; readers opened afterwards mask it)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pathlib import Path
+
+    if ident.isdigit():
+        doc_id = int(ident)
+    else:
+        t = pq.read_table(f"{reader.index_dir}/docs", columns=["doc_id", "docno"])
+        doc_id = -1
+        for did, dn in zip(t.column("doc_id").to_pylist(), t.column("docno").to_pylist()):
+            if dn == ident:
+                doc_id = did
+                break
+        if doc_id < 0:
+            print(f"ERROR: docno {ident} not found")
+            raise SystemExit(1)
+    path = Path(reader.index_dir) / "deleted.parquet"
+    prev = (pq.read_table(path).column("doc_id").to_numpy()
+            if path.exists() else np.empty(0, np.int64))
+    merged = np.unique(np.concatenate([prev, np.array([doc_id], np.int64)]))
+    tmp = path.with_suffix(".tmp")
+    pq.write_table(pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp)
+    tmp.replace(path)
+    print(f"deleted doc {doc_id} ({len(merged)} total)")
+
+
+def cmd_compact(reader: IndexReader, out_dir: str) -> None:
+    """Rewrite the index without its deleted docs (``dumpindex compact``)."""
+    from .pipelines.repository import compact_index
+
+    m = compact_index(reader.index_dir, out_dir)
+    print(f"compacted: {m['doc_count']} docs, {m['unique_terms']} terms -> {out_dir}")
+
+
+def cmd_merge(reader: IndexReader, out_dir: str, *others: str) -> None:
+    """Offline N-way merge (``dumpindex merge``): this index + others."""
+    from .pipelines.merge import merge_indexes
+
+    m = merge_indexes([reader.index_dir, *others], out_dir, resume=False)
+    print(f"merged {1 + len(others)} indexes: {m['doc_count']} docs -> {out_dir}")
+
+
 def cmd_validate(reader: IndexReader, *_args) -> None:
     """Invariant walk (the ``dumpindex validate`` analogue,
     ref:dumpindex/dumpindex.cpp:593-595): decodes every posting block and
@@ -216,6 +262,9 @@ COMMANDS = {
     "documenttext": cmd_documenttext,
     "documentid": cmd_documentid,
     "documentvector": cmd_documentvector,
+    "delete": cmd_delete,
+    "compact": cmd_compact,
+    "merge": cmd_merge,
     "validate": cmd_validate,
     "query": cmd_query,
 }

@@ -194,8 +194,13 @@ def build_index(
     out_dir: str,
     cfg: IndexConfig | None = None,
     resume: bool = True,
+    doc_id_base: int = 0,
 ) -> dict:
-    """Build a full index from a Parquet corpus directory. Returns the manifest."""
+    """Build a full index from a Parquet corpus directory. Returns the manifest.
+
+    ``doc_id_base`` offsets every docID — segment builds in a Repository get
+    globally disjoint doc ranges (the reference's numbered partial indexes,
+    ref:src/Repository.cpp:754-820)."""
     cfg = cfg or IndexConfig()
     out = Path(out_dir)
     manifest_path = out / "manifest.json"
@@ -211,6 +216,9 @@ def build_index(
 
     t_start = time.perf_counter()
     chunks = plan_chunks(corpus, max_chunk_docs=cfg.max_chunk_docs)
+    if doc_id_base:
+        chunks = [Chunk(c.file_path, c.row_start, c.row_end,
+                        c.doc_id_base + doc_id_base) for c in chunks]
     chunk_dicts = [asdict(c) for c in chunks]
     timings: dict[str, float] = {}
 
@@ -307,6 +315,7 @@ def build_index(
     doc_count = sum(r.get("kept_docs", 0) for r in records)
     total_terms = sum(r.get("total_term_slots", 0) for r in records)
     max_doc_id = max(c.doc_id_base + (c.row_end - c.row_start) for c in chunks) - 1
+    min_doc_id = min(c.doc_id_base for c in chunks) if chunks else doc_id_base
     unique_terms = sum(r.get("n_terms", 0) for r in merge_records)
     # global per-field statistics (total extent length, extent count, docs
     # with the field) — the fieldStatistics gather
@@ -329,6 +338,7 @@ def build_index(
         "doc_count": int(doc_count),
         "total_terms": int(total_terms),
         "max_doc_id": int(max_doc_id),
+        "min_doc_id": int(min_doc_id),
         "unique_terms": int(unique_terms),
         "n_chunks": len(chunks),
         "n_ingested": sum(1 for r in records if r.get("status") == "ok"),

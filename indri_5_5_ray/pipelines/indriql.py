@@ -867,6 +867,9 @@ class StructuredQueryEngine:
         if not cand_set:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         cand = np.array(sorted(cand_set), dtype=np.int64)
+        cand = cand[self.r.keep_mask(cand)]
+        if not len(cand):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         dl = self.r.doc_lens()[cand].astype(np.float64)
         beliefs = self._belief(root, cand, dl)
         keep = beliefs > -np.inf  # filreq/filrej exclusions

@@ -90,6 +90,9 @@ class LMScorer:
         if not term_postings:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         cand = np.unique(np.concatenate([d for d, _ in term_postings.values()]))
+        cand = cand[r.keep_mask(cand)]
+        if not len(cand):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         dl = doc_lens[cand].astype(np.float64)
         idx = {int(d): i for i, d in enumerate(cand)}
         acc = np.zeros(len(cand), dtype=np.float64)

@@ -79,6 +79,15 @@ class IndexReader:
         self.doc_count = self.manifest["doc_count"]
         self.total_terms = self.manifest["total_terms"]
         self.avgdl = self.total_terms / self.doc_count
+        # deleted-document list (DeletedDocumentList analogue,
+        # ref:src/DeletedDocumentList.cpp): collection statistics keep the
+        # deleted docs until compaction, exactly like the reference
+        deleted_path = Path(index_dir) / "deleted.parquet"
+        if deleted_path.exists():
+            t = pq.read_table(deleted_path, columns=["doc_id"])
+            self.deleted: np.ndarray | None = np.unique(t.column("doc_id").to_numpy())
+        else:
+            self.deleted = None
         self._doc_lens: np.ndarray | None = None
         self._range_lens: dict[tuple[int, int], np.ndarray] = {}
         self._docnos: dict[int, str] | None = None
@@ -86,6 +95,14 @@ class IndexReader:
         self._dict_ds: pads.Dataset | None = None
         self._row_cache: dict[str, pa.Table] = {}
         self._stats_cache: dict[str, tuple[int, int] | None] = {}
+
+    def keep_mask(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Boolean mask of NOT-deleted docs (True = keep)."""
+        if self.deleted is None or not len(doc_ids):
+            return np.ones(len(doc_ids), dtype=bool)
+        pos = np.searchsorted(self.deleted, doc_ids)
+        pos = np.minimum(pos, len(self.deleted) - 1)
+        return self.deleted[pos] != doc_ids
 
     # -- doc metadata -------------------------------------------------------
 
@@ -424,6 +441,8 @@ class BM25Scorer:
             dense[d - base] += s
             touched[d - base] = True
         cand = np.nonzero(touched)[0] + base
+        keep = self.r.keep_mask(cand)
+        cand = cand[keep]
         return _topk(cand, dense[cand - base], k)
 
     # -- block-max path -----------------------------------------------------
@@ -553,6 +572,13 @@ class BM25Scorer:
                     np.add.at(merged, inv[len(acc_ids) :], s)
                     acc_ids, acc_scores = uniq, merged
             if acc_ids is None:
+                continue
+            # deleted docs leave the cell BEFORE the threshold update, so
+            # pruning stays rank-safe with deletions pending compaction
+            keepm = self.r.keep_mask(acc_ids)
+            if not keepm.all():
+                acc_ids, acc_scores = acc_ids[keepm], acc_scores[keepm]
+            if not len(acc_ids):
                 continue
             final_ids.append(acc_ids)
             final_scores.append(acc_scores)

@@ -1,0 +1,443 @@
+"""Repository lifecycle — incremental adds, deletion, trim/merge, compact.
+
+The reference keeps a repository of NUMBERED partial indexes plus an active
+in-memory one: ``addDocument`` fills the memory index, ``_trimIndexes``/
+``_merge`` fold older partial indexes together under a write lock, a
+``DeletedDocumentList`` bitmap masks deleted docs until ``compact`` rewrites
+the index without them (ref:src/Repository.cpp:754-1045,
+ref:src/DeletedDocumentList.cpp, ref:dumpindex/dumpindex.cpp delete/compact).
+
+Ray analogue: every ``add()`` is a normal (parallel, resumable) segment
+build with a disjoint docID range (``build_index(doc_id_base=…)``); queries
+run over all segments through ``MultiIndexReader`` (global statistics are
+the segment sums, so scores are identical to a single merged index);
+``trim()`` folds all segments into one with the existing offline merge
+machinery; ``delete()`` appends to the repository's deleted list, which
+every scorer masks rank-safely; ``compact()`` = trim + physically dropping
+deleted docs from the partials before the re-merge (statistics recomputed,
+like the reference's compacted repository).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+
+from ..config import IndexConfig
+from ..stages.postings import MergeWorker
+from .build import build_index
+from .query import IndexReader
+
+
+class MultiIndexReader:
+    """IndexReader-compatible view over N segment indexes with DISJOINT
+    docID ranges.  Statistics are the segment sums (global, so any scorer
+    produces scores identical to the merged single index); per-term reads
+    concatenate the segments' bucket-pruned reads."""
+
+    def __init__(self, index_dirs: list[str], deleted_path: str | None = None):
+        self.readers = [IndexReader(d) for d in index_dirs]
+        if not self.readers:
+            raise ValueError("no segments")
+        cfg0 = self.readers[0].cfg
+        for r in self.readers[1:]:
+            if r.cfg.to_dict() != cfg0.to_dict():
+                raise ValueError("segment configs differ")
+        self.cfg = cfg0
+        self.doc_count = sum(r.doc_count for r in self.readers)
+        self.total_terms = sum(r.total_terms for r in self.readers)
+        self.avgdl = self.total_terms / self.doc_count
+        self.manifest = {
+            "max_doc_id": max(r.manifest["max_doc_id"] for r in self.readers),
+            "config": cfg0.to_dict(),
+            "doc_count": self.doc_count,
+            "total_terms": self.total_terms,
+        }
+        self.index_dir = index_dirs[0]  # for priors/wildcards of segment 0
+        if deleted_path and Path(deleted_path).exists():
+            t = pq.read_table(deleted_path, columns=["doc_id"])
+            self.deleted: np.ndarray | None = np.unique(t.column("doc_id").to_numpy())
+        else:
+            self.deleted = None
+        self._doc_lens: np.ndarray | None = None
+
+    def keep_mask(self, doc_ids: np.ndarray) -> np.ndarray:
+        if self.deleted is None or not len(doc_ids):
+            return np.ones(len(doc_ids), dtype=bool)
+        pos = np.searchsorted(self.deleted, doc_ids)
+        pos = np.minimum(pos, len(self.deleted) - 1)
+        return self.deleted[pos] != doc_ids
+
+    def doc_lens(self) -> np.ndarray:
+        if self._doc_lens is None:
+            arr = np.zeros(self.manifest["max_doc_id"] + 1, dtype=np.int32)
+            for r in self.readers:
+                t = pq.read_table(f"{r.index_dir}/docs", columns=["doc_id", "dl"])
+                arr[t.column("doc_id").to_numpy()] = t.column("dl").to_numpy()
+            self._doc_lens = arr
+        return self._doc_lens
+
+    def doc_lens_range(self, lo: int, hi: int) -> np.ndarray:
+        hi = min(hi, self.manifest["max_doc_id"] + 1)
+        if hi <= lo:
+            return np.empty(0, np.int32)
+        out = np.zeros(hi - lo, dtype=np.int32)
+        for r in self.readers:
+            r_lo = max(lo, r.manifest.get("min_doc_id", 0))
+            r_hi = min(hi, r.manifest["max_doc_id"] + 1)
+            if r_lo >= r_hi:
+                continue
+            sl = r.doc_lens_range(r_lo, r_hi)
+            out[r_lo - lo : r_hi - lo] = np.maximum(out[r_lo - lo : r_hi - lo], sl)
+        return out
+
+    def docnos(self, doc_ids: list[int]) -> list[str]:
+        lookup: dict[int, str] = {}
+        for r in self.readers:
+            for d, n in zip(doc_ids, r.docnos(doc_ids)):
+                if n:
+                    lookup[d] = n
+        return [lookup.get(d, "") for d in doc_ids]
+
+    def term_rows(self, terms: list[str]) -> pa.Table:
+        tables = [t for t in (r.term_rows(terms) for r in self.readers) if t.num_rows]
+        from ..stages.postings import POSTINGS_SCHEMA
+
+        if not tables:
+            return POSTINGS_SCHEMA.empty_table()
+        return pa.concat_tables(tables).sort_by(
+            [("term", "ascending"), ("first_doc", "ascending")]
+        )
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        out: dict[str, tuple[int, int]] = {}
+        for r in self.readers:
+            for t, (cf, df) in r.term_stats(terms).items():
+                prev = out.get(t, (0, 0))
+                out[t] = (prev[0] + cf, prev[1] + df)
+        return out
+
+    def doc_vectors(self, doc_ids: list[int]) -> dict[int, dict[str, int]]:
+        out: dict[int, dict[str, int]] = {}
+        for r in self.readers:
+            try:
+                out.update(r.doc_vectors(doc_ids))
+            except FileNotFoundError:
+                raise
+        return out
+
+    def field_stats(self, field: str) -> dict | None:
+        agg: dict[str, int] | None = None
+        for r in self.readers:
+            st = r.field_stats(field)
+            if st is None:
+                continue
+            if agg is None:
+                agg = dict(st)
+            else:
+                for k, v in st.items():
+                    agg[k] += v
+        return agg
+
+    def field_extents(self, field: str, doc_ids: list[int] | None = None) -> pa.Table:
+        tables = []
+        for r in self.readers:
+            try:
+                tables.append(r.field_extents(field, doc_ids))
+            except FileNotFoundError:
+                continue
+        if not tables:
+            raise FileNotFoundError("no segment has a fields file")
+        return pa.concat_tables(tables)
+
+
+class Repository:
+    """Directory of numbered segment indexes + deleted list + metadata."""
+
+    META = "repository.json"
+
+    def __init__(self, repo_dir: str):
+        self.dir = Path(repo_dir)
+        self.meta = json.loads((self.dir / self.META).read_text())
+        self.cfg = IndexConfig.from_dict(self.meta["config"])
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def create(cls, repo_dir: str, cfg: IndexConfig | None = None) -> "Repository":
+        d = Path(repo_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "segments").mkdir(exist_ok=True)
+        meta = {
+            "format_version": 1,
+            "config": (cfg or IndexConfig()).to_dict(),
+            "segments": [],
+            "next_doc_id_base": 0,
+            "next_segment": 0,
+        }
+        (d / cls.META).write_text(json.dumps(meta, indent=2))
+        return cls(repo_dir)
+
+    def _save(self) -> None:
+        tmp = self.dir / (self.META + ".tmp")
+        tmp.write_text(json.dumps(self.meta, indent=2))
+        tmp.replace(self.dir / self.META)
+
+    def segment_dirs(self) -> list[str]:
+        return [str(self.dir / "segments" / s) for s in self.meta["segments"]]
+
+    # -- adds ----------------------------------------------------------------
+
+    def add(self, corpus: str | list[str]) -> dict:
+        """Incremental add: build a new numbered segment over ``corpus`` with
+        a disjoint docID range (the numbered-partial-index add,
+        ref:src/Repository.cpp:754-820).  Resumable like any build."""
+        seg_name = f"seg-{self.meta['next_segment']:05d}"
+        seg_dir = self.dir / "segments" / seg_name
+        manifest = build_index(
+            corpus, str(seg_dir), self.cfg, resume=True,
+            doc_id_base=self.meta["next_doc_id_base"],
+        )
+        self.meta["segments"].append(seg_name)
+        self.meta["next_segment"] += 1
+        self.meta["next_doc_id_base"] = manifest["max_doc_id"] + 1
+        self._save()
+        return manifest
+
+    # -- reads ---------------------------------------------------------------
+
+    def reader(self) -> MultiIndexReader | IndexReader:
+        return MultiIndexReader(self.segment_dirs(),
+                                deleted_path=str(self.dir / "deleted.parquet"))
+
+    # -- deletes -------------------------------------------------------------
+
+    def delete(self, doc_ids: list[int]) -> int:
+        """Mark docs deleted (visible to every reader opened afterwards)."""
+        path = self.dir / "deleted.parquet"
+        prev = (pq.read_table(path).column("doc_id").to_numpy()
+                if path.exists() else np.empty(0, np.int64))
+        merged = np.unique(np.concatenate([prev, np.asarray(doc_ids, np.int64)]))
+        tmp = path.with_suffix(".tmp")
+        pq.write_table(pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp)
+        tmp.replace(path)
+        return len(merged)
+
+    def delete_docnos(self, docnos: list[str]) -> int:
+        want = set(docnos)
+        ids = []
+        for seg in self.segment_dirs():
+            t = pq.read_table(f"{seg}/docs", columns=["doc_id", "docno"])
+            for d, n in zip(t.column("doc_id").to_pylist(),
+                            t.column("docno").to_pylist()):
+                if n in want:
+                    ids.append(d)
+        return self.delete(ids)
+
+    def deleted(self) -> np.ndarray:
+        path = self.dir / "deleted.parquet"
+        if not path.exists():
+            return np.empty(0, np.int64)
+        return pq.read_table(path).column("doc_id").to_numpy()
+
+    # -- trim / compact ------------------------------------------------------
+
+    def trim(self, max_segments: int = 1) -> None:
+        """Fold segments into one when over the limit (the reference's
+        ``_trimIndexes`` merge policy, ref:src/Repository.cpp:824-872) —
+        docIDs are already disjoint so the merge needs no rebase."""
+        if len(self.meta["segments"]) <= max_segments:
+            return
+        self._merge_segments(drop_deleted=False)
+
+    def compact(self) -> None:
+        """Merge all segments AND physically drop deleted docs, then clear
+        the deleted list (ref:dumpindex compact)."""
+        self._merge_segments(drop_deleted=True)
+        p = self.dir / "deleted.parquet"
+        if p.exists():
+            p.unlink()
+
+    def _merge_segments(self, drop_deleted: bool) -> None:
+        deleted = self.deleted() if drop_deleted else np.empty(0, np.int64)
+        seg_dirs = self.segment_dirs()
+        out = self.dir / "segments" / f"seg-{self.meta['next_segment']:05d}"
+        out_tmp = Path(str(out) + ".building")
+        _build_merged(seg_dirs, out_tmp, self.cfg, deleted,
+                      plan_fp=f"repo-merge:{':'.join(self.meta['segments'])}:{len(deleted)}")
+        out_tmp.replace(out)
+        old = self.meta["segments"]
+        self.meta["segments"] = [out.name]
+        self.meta["next_segment"] += 1
+        self._save()
+        for s in old:
+            shutil.rmtree(self.dir / "segments" / s, ignore_errors=True)
+
+
+
+def compact_index(index_dir: str, out_dir: str) -> dict:
+    """Compact a single index: rewrite it without its deleted docs and with
+    recomputed collection statistics (``dumpindex compact``,
+    ref:dumpindex/dumpindex.cpp, ref:src/Repository.cpp:1198-1215)."""
+    reader = IndexReader(index_dir)
+    deleted = reader.deleted if reader.deleted is not None else np.empty(0, np.int64)
+    out_tmp = Path(str(out_dir) + ".building")
+    m = _build_merged([index_dir], out_tmp, reader.cfg, deleted,
+                      plan_fp=f"compact:{index_dir}:{len(deleted)}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out_tmp.replace(Path(out_dir))
+    return m
+
+
+def _build_merged(seg_dirs: list[str], out_tmp: Path, cfg: IndexConfig,
+                  deleted: np.ndarray, plan_fp: str) -> dict:
+    """Filter-copy docs/partials/direct/fields of every segment into
+    ``out_tmp`` (dropping ``deleted`` docs), run the bucketed merge, and
+    write a manifest with statistics recomputed from the kept docs."""
+    deleted = np.sort(np.asarray(deleted, dtype=np.int64))
+    shutil.rmtree(out_tmp, ignore_errors=True)
+    (out_tmp / "partials").mkdir(parents=True)
+    (out_tmp / "docs").mkdir()
+    cfg_dict = cfg.to_dict()
+    del_ref = ray.put(deleted)
+
+    @ray.remote(num_cpus=1)
+    def filter_copy(kind: str, src: str, dst: str) -> int:
+        dele = ray.get(del_ref)
+        t = pq.read_table(src)
+        if kind == "partials":
+            if len(dele):
+                t = _filter_partials(t, dele)
+            pq.write_table(t, dst, row_group_size=max(256, t.num_rows // 32))
+            return t.num_rows
+        if len(dele) and "doc_id" in t.column_names:
+            ids = t.column("doc_id").to_numpy()
+            keep = ~np.isin(ids, dele)
+            t = t.filter(pa.array(keep))
+        pq.write_table(t, dst)
+        return t.num_rows
+
+    tasks = []
+    for i, seg in enumerate(seg_dirs):
+        for sub in ("docs", "partials", "direct", "fields"):
+            src_dir = Path(seg) / sub
+            if not src_dir.exists():
+                continue
+            (out_tmp / sub).mkdir(exist_ok=True)
+            for f in sorted(src_dir.glob("*.parquet")):
+                kind = "partials" if sub == "partials" else "docs"
+                tasks.append(filter_copy.remote(
+                    kind, str(f), str(out_tmp / sub / f"s{i}-{f.name}")))
+    ray.get(tasks)
+
+    @ray.remote(num_cpus=1)
+    def merge_task(bucket: int) -> dict:
+        t = MergeWorker(str(out_tmp), cfg_dict, plan_fp)(
+            pa.table({"bucket": pa.array([bucket], pa.int32())})
+        )
+        return t.to_pylist()[0] if t.num_rows else {}
+
+    merge_records = ray.get([merge_task.remote(b) for b in range(cfg.n_buckets)])
+
+    # statistics recomputed from the kept docs (post-compaction the
+    # collection statistics exclude deleted docs, like the reference)
+    doc_count = 0
+    total_terms = 0
+    max_doc_id = 0
+    min_doc_id = None
+    for f in sorted((out_tmp / "docs").glob("*.parquet")):
+        t = pq.read_table(f, columns=["doc_id", "dl"])
+        doc_count += t.num_rows
+        if t.num_rows:
+            total_terms += int(pa.compute.sum(t.column("dl")).as_py())
+            ids = t.column("doc_id").to_numpy()
+            max_doc_id = max(max_doc_id, int(ids.max()))
+            min_doc_id = int(ids.min()) if min_doc_id is None else min(min_doc_id, int(ids.min()))
+    field_stats: dict[str, dict[str, int]] = {}
+    for seg in seg_dirs:  # summed as-built (field totals are refreshed by a
+        # full rebuild; pre-rebuild they keep deleted docs' extents, the same
+        # freshness contract the reference gives un-compacted statistics)
+        m = json.loads((Path(seg) / "manifest.json").read_text())
+        for fname, st in (m.get("field_stats") or {}).items():
+            agg = field_stats.setdefault(
+                fname, {"total_len": 0, "extent_count": 0, "doc_count": 0})
+            for k, v in st.items():
+                agg[k] += v
+    manifest = {
+        "format_version": 1,
+        "config": cfg_dict,
+        "doc_count": doc_count,
+        "total_terms": total_terms,
+        "max_doc_id": max_doc_id,
+        "min_doc_id": min_doc_id or 0,
+        "unique_terms": sum(r.get("n_terms", 0) for r in merge_records),
+        "field_stats": field_stats,
+        "compacted": bool(len(deleted)),
+        "n_chunks": 0,
+        "n_ingested": 0,
+        "timings": {},
+    }
+    (out_tmp / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    return manifest
+
+
+def _filter_partials(t: pa.Table, deleted: np.ndarray) -> pa.Table:
+    """Drop deleted docs from a partials table row by row (doc_ids/tfs/dls
+    list slices + pos_bytes byte-range slices via pos_byte_lens)."""
+    out_rows = []
+    for i in range(t.num_rows):
+        doc_ids = np.asarray(t.column("doc_ids")[i].as_py(), dtype=np.int64)
+        keep = ~np.isin(doc_ids, deleted)
+        if keep.all():
+            out_rows.append(i)
+            continue
+        out_rows.append((i, keep))
+    if all(isinstance(r, int) for r in out_rows):
+        return t
+    cols = {name: [] for name in t.column_names}
+    for r in out_rows:
+        if isinstance(r, int):
+            for name in t.column_names:
+                cols[name].append(t.column(name)[r].as_py())
+            continue
+        i, keep = r
+        doc_ids = np.asarray(t.column("doc_ids")[i].as_py(), dtype=np.int64)
+        if not keep.any():
+            continue  # whole run deleted
+        tfs = np.asarray(t.column("tfs")[i].as_py(), dtype=np.int64)
+        dls = np.asarray(t.column("dls")[i].as_py(), dtype=np.int64)
+        blens = np.asarray(t.column("pos_byte_lens")[i].as_py(), dtype=np.int64)
+        payload = t.column("pos_bytes")[i].as_py()
+        kept_ids = doc_ids[keep]
+        if len(blens):
+            starts = np.concatenate(([0], np.cumsum(blens)))
+            pos_parts = [payload[starts[j]:starts[j + 1]]
+                         for j in np.nonzero(keep)[0]]
+            new_payload = b"".join(pos_parts)
+            new_blens = blens[keep].tolist()
+        else:
+            new_payload = payload
+            new_blens = []
+        cols["term"].append(t.column("term")[i].as_py())
+        cols["bucket"].append(t.column("bucket")[i].as_py())
+        # salt kept as-written: doc ids stay ascending within the (term,
+        # salt) group, which is the only invariant the merge relies on
+        cols["salt"].append(t.column("salt")[i].as_py())
+        cols["first_doc"].append(int(kept_ids[0]))
+        cols["last_doc"].append(int(kept_ids[-1]))
+        cols["doc_ids"].append(kept_ids.tolist())
+        cols["tfs"].append(tfs[keep].tolist())
+        cols["dls"].append(dls[keep].tolist())
+        cols["pos_bytes"].append(new_payload)
+        cols["pos_byte_lens"].append(new_blens)
+    from ..stages.postings import PARTIALS_SCHEMA
+
+    return pa.Table.from_pydict(cols, schema=PARTIALS_SCHEMA)

@@ -1,0 +1,122 @@
+"""Repository lifecycle: incremental adds (numbered segments with disjoint
+docIDs), rank-identity of multi-segment reads vs a single-build index,
+deletion masking, trim and compact."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    from indri_5_5_ray.sources.corpus import write_synthetic_corpus
+
+    d = tmp_path_factory.mktemp("repo_corpora")
+    a = str(d / "a")
+    b = str(d / "b")
+    both = str(d / "both")
+    write_synthetic_corpus(a, 120, seed=21, rows_per_file=60)
+    write_synthetic_corpus(b, 80, seed=22, rows_per_file=40)
+    # combined corpus in the same order (a then b) for the rank-identity check
+    import shutil
+    from pathlib import Path
+
+    Path(both).mkdir()
+    shutil.copy(f"{a}/corpus-00000.parquet", f"{both}/a-00000.parquet")
+    shutil.copy(f"{a}/corpus-00001.parquet", f"{both}/a-00001.parquet")
+    shutil.copy(f"{b}/corpus-00000.parquet", f"{both}/b-00000.parquet")
+    shutil.copy(f"{b}/corpus-00001.parquet", f"{both}/b-00001.parquet")
+    return a, b, both
+
+
+CFG_KW = dict(stemmer=None, dedup_key=None, n_buckets=4, max_chunk_docs=64)
+
+
+def test_incremental_add_rank_identity(corpora, tmp_path):
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.query import BM25Scorer, IndexReader, process_query
+    from indri_5_5_ray.pipelines.repository import Repository
+
+    a, b, both = corpora
+    cfg = IndexConfig(**CFG_KW)
+    repo = Repository.create(str(tmp_path / "repo"), cfg)
+    m1 = repo.add(a)
+    m2 = repo.add(b)
+    assert m2["min_doc_id"] == m1["max_doc_id"] + 1  # disjoint ranges
+
+    mono = str(tmp_path / "mono")
+    build_index(both, mono, cfg, resume=False)
+    rm = repo.reader()
+    rs = IndexReader(mono)
+    assert rm.doc_count == rs.doc_count
+    assert rm.total_terms == rs.total_terms
+    q = process_query("merge buffer token stream", cfg)
+    ids_m, s_m = BM25Scorer(rm).score_exhaustive(q, k=30)
+    ids_s, s_s = BM25Scorer(rs).score_exhaustive(q, k=30)
+    assert np.array_equal(ids_m, ids_s)
+    assert np.allclose(s_m, s_s, rtol=0, atol=1e-12)
+
+    # trim folds segments into one; results unchanged
+    repo.trim(max_segments=1)
+    assert len(repo.meta["segments"]) == 1
+    ids_t, s_t = BM25Scorer(repo.reader()).score_exhaustive(q, k=30)
+    assert np.array_equal(ids_t, ids_s)
+    assert np.allclose(s_t, s_s, rtol=0, atol=1e-12)
+
+
+def test_delete_and_compact(corpora, tmp_path):
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.query import BM25Scorer, process_query
+    from indri_5_5_ray.pipelines.repository import Repository
+
+    a, b, _ = corpora
+    cfg = IndexConfig(**CFG_KW)
+    repo = Repository.create(str(tmp_path / "repo2"), cfg)
+    repo.add(a)
+    repo.add(b)
+    q = process_query("merge buffer token", cfg)
+    ids0, _ = BM25Scorer(repo.reader()).score_exhaustive(q, k=10)
+    victims = ids0[:3].tolist()
+    repo.delete(victims)
+    r = repo.reader()
+    ids1, _ = BM25Scorer(r).score_exhaustive(q, k=10)
+    assert not set(victims) & set(ids1.tolist())
+    # statistics keep deleted docs until compaction (reference semantics)
+    assert r.doc_count == 200
+
+    pre_blockmax, _ = BM25Scorer(r).score_blockmax(q, k=10)
+    assert np.array_equal(pre_blockmax, ids1)  # deletion stays rank-safe
+
+    repo.compact()
+    r2 = repo.reader()
+    assert r2.deleted is None or len(r2.deleted) == 0
+    assert r2.doc_count == 200 - len(victims)
+    # deleted docs are physically gone from the postings
+    ids2, _ = BM25Scorer(r2).score_exhaustive(q, k=10)
+    assert not set(victims) & set(ids2.tolist())
+    vecs = r2.docnos(victims)
+    assert all(v == "" for v in vecs)
+
+
+def test_cli_delete_compact(tmp_path):
+    from indri_5_5_ray import cli
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.sources.corpus import write_synthetic_corpus
+
+    corpus = str(tmp_path / "c")
+    write_synthetic_corpus(corpus, 60, seed=5, rows_per_file=60)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, IndexConfig(**CFG_KW), resume=False)
+    cli.main([idx, "delete", "7"])
+    r = IndexReader(idx)
+    assert r.deleted is not None and 7 in r.deleted.tolist()
+    out = str(tmp_path / "compacted")
+    cli.main([idx, "compact", out])
+    r2 = IndexReader(out)
+    assert r2.deleted is None
+    assert r2.doc_count == r.doc_count - 1
+    assert r2.docnos([7]) == [""]
