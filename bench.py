@@ -141,6 +141,12 @@ def run_bench() -> dict:
     reader.doc_lens()
     sq = queries[0][1].split()[:2]
 
+    # field-restricted structured queries over the tagged documents corpus
+    # (index cached under /tmp by the driver-entry helper)
+    from __ray_entry__ import FIELD_QUERIES, _ensure_field_index
+
+    field_eng = StructuredQueryEngine(IndexReader(_ensure_field_index(SF_DIR)))
+
     for name, fn in [
         ("term_stats", lambda: textstats.term_stats(SF_DIR).count()),
         ("minhash_lsh", lambda: dedup.lsh_candidate_pairs(SF_DIR).count()),
@@ -149,6 +155,7 @@ def run_bench() -> dict:
                             for _, t in queries[:20]]),
         ("window_5q", lambda: [eng.run(f"#combine(#od2({sq[0]} {sq[1]}) {t.split()[0]})", k=100)
                                for _, t in queries[:5]]),
+        ("field_4q", lambda: [field_eng.run(q, k=100) for _, q in FIELD_QUERIES]),
     ]:
         t0 = time.perf_counter()
         fn()
@@ -263,4 +270,14 @@ if __name__ == "__main__":
     elif "--build-only" in sys.argv:
         print(json.dumps(run_build_only()))
     else:
-        print(json.dumps(run_bench()))
+        out = run_bench()
+        # the N-vs-4N scaling evidence rides along in every default run so
+        # each round's BENCH records it (set INDRI55_SKIP_SCALING=1 to skip)
+        if os.environ.get("INDRI55_SKIP_SCALING") != "1":
+            sc = run_scaling()
+            out["queries"]["scaling_eff"] = sc["value"]
+            out["queries"].update(
+                {k: v for k, v in sc["queries"].items() if "docs_per_sec" in k}
+            )
+            out["scaling"] = sc
+        print(json.dumps(out))

@@ -374,6 +374,8 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.2) -> ray.data.Dataset:
         return out.filter(pl.col("jaccard") >= tau).to_arrow()
 
     rep_pairs = pair_counts.map_batches(jaccard, batch_format="pyarrow")
+    if not groups:  # no exact dups: reps == docs, nothing to expand
+        return rep_pairs
     expanded = _expand_rep_pairs(rep_pairs, groups, ["jaccard"])
     # within-group pairs: identical docs share every shingle → jaccard 1.0,
     # but only for docs that HAVE shingles (≥ NGRAM_N tokens), matching the
@@ -491,17 +493,17 @@ def lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Count(alias_name="n_buckets"))
         .drop_columns(["n_buckets"])
     )
+    if not groups:  # no exact dups: candidate set already final and unique
+        return rep_pairs
     expanded = _expand_rep_pairs(rep_pairs, groups, [])
     # within-group candidates: any group with ≥2 members whose rep produces
     # band buckets (i.e. has ≥1 shingle → ≥ NGRAM_N tokens)
     eligible = {r for r, n in ntok.items() if n >= NGRAM_N}
     intra = _intra_group_pairs(groups, eligible, {})
-    both = expanded.union(intra)
-    return (
-        both.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_dup"))
-        .drop_columns(["n_dup"])
-    )
+    # no final dedup shuffle needed: rep pairs were already unique, the
+    # member expansion maps them injectively, and intra pairs (same content
+    # group) are disjoint from expanded pairs (different content groups)
+    return expanded.union(intra)
 
 
 # ---------------------------------------------------------------------------

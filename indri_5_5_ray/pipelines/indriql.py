@@ -278,6 +278,72 @@ def ordered_window_count(pos_lists: list[np.ndarray], n: int) -> int:
     return len(ordered_window_extents(pos_lists, n)[0])
 
 
+def ordered_window_counts_batch(
+    per_doc_lists: list[list[np.ndarray]], n: int
+) -> np.ndarray:
+    """Vectorized #odN counts for MANY docs at once.
+
+    ``per_doc_lists[d]`` is the k position arrays of doc d (every term
+    present).  Each doc's positions are offset into a private block of the
+    number line, the k-1 greedy smallest-next steps become k-1 vectorized
+    ``searchsorted`` calls over ALL docs' anchors simultaneously, and a
+    cross-doc "next" candidate automatically fails the ``≤ n`` distance test
+    because blocks are further apart than any window.  Identical counts to
+    ``ordered_window_extents`` per doc (same greedy sweep,
+    ref:src/OrderedWindowNode.cpp:115-165)."""
+    n_docs = len(per_doc_lists)
+    if n_docs == 0:
+        return np.empty(0, np.int64)
+    k = len(per_doc_lists[0])
+    max_pos = 0
+    for lists in per_doc_lists:
+        for pl in lists:
+            if len(pl):
+                max_pos = max(max_pos, int(pl[-1]))
+    off = max_pos + n + 2
+    term_cat: list[np.ndarray] = []
+    for t in range(k):
+        term_cat.append(np.concatenate(
+            [per_doc_lists[d][t] + d * off for d in range(n_docs)]))
+    anchors = term_cat[0]
+    anchor_doc = np.repeat(
+        np.arange(n_docs), [len(per_doc_lists[d][0]) for d in range(n_docs)])
+    alive = np.ones(len(anchors), dtype=bool)
+    prev = anchors.astype(np.int64)
+    for t in range(1, k):
+        pt = term_cat[t]
+        idx = np.searchsorted(pt, prev + 1)
+        in_range = idx < len(pt)
+        nxt = pt[np.minimum(idx, len(pt) - 1)]
+        ok = in_range & (nxt - prev <= n)
+        alive &= ok
+        prev = np.where(ok, nxt, prev)
+    return np.bincount(anchor_doc[alive], minlength=n_docs).astype(np.int64)
+
+
+def syn_union_counts_batch(per_doc_lists: list[list[np.ndarray]]) -> np.ndarray:
+    """Vectorized #syn counts (|union of member position sets|) for many
+    docs: one concatenate + unique over offset-encoded positions."""
+    n_docs = len(per_doc_lists)
+    if n_docs == 0:
+        return np.empty(0, np.int64)
+    max_pos = 0
+    for lists in per_doc_lists:
+        for pl in lists:
+            if len(pl):
+                max_pos = max(max_pos, int(pl[-1]))
+    off = max_pos + 2
+    parts = []
+    for d, lists in enumerate(per_doc_lists):
+        for pl in lists:
+            if len(pl):
+                parts.append(pl + d * off)
+    if not parts:
+        return np.zeros(n_docs, dtype=np.int64)
+    uniq = np.unique(np.concatenate(parts))
+    return np.bincount(uniq // off, minlength=n_docs).astype(np.int64)
+
+
 def unordered_window_count(pos_lists: list[np.ndarray], n: int) -> int:
     """Count unordered-window matches — the reference's smallest-window-per-
     anchor algorithm (ref:src/UnorderedWindowNode.cpp:68-151): merge every
@@ -622,6 +688,17 @@ class StructuredQueryEngine:
                 return np.sum([wi * mc for wi, mc in zip(w, member_counts)], axis=0)
             pos_maps = [self._positions_map(c) for c in node.children]
             counts = np.zeros(len(cand), dtype=np.float64)
+            if not rfields:
+                # batch kernel: one concat+unique across all candidate docs
+                idxs, lists = [], []
+                for i, did in enumerate(cand.tolist()):
+                    pls = [pm[did] for pm in pos_maps if did in pm]
+                    if pls:
+                        idxs.append(i)
+                        lists.append(pls)
+                if idxs:
+                    counts[idxs] = syn_union_counts_batch(lists).astype(np.float64)
+                return counts
             for i, did in enumerate(cand.tolist()):
                 union: set[int] | None = None
                 for pm in pos_maps:
@@ -629,18 +706,29 @@ class StructuredQueryEngine:
                     if pl is not None:
                         union = set(pl.tolist()) if union is None else union | set(pl.tolist())
                 if union:
-                    if rfields:
-                        u = self._doc_restriction(did, rfields)
-                        if u is None:
-                            continue
-                        counts[i] = self._count_positions_in(
-                            np.array(sorted(union), dtype=np.int64), u)
-                    else:
-                        counts[i] = len(union)
+                    u = self._doc_restriction(did, rfields)
+                    if u is None:
+                        continue
+                    counts[i] = self._count_positions_in(
+                        np.array(sorted(union), dtype=np.int64), u)
             return counts
         if node.op in ("od", "uw"):
             pos_maps = [self._positions_map(c) for c in node.children]
             counts = np.zeros(len(cand), dtype=np.float64)
+            if node.op == "od" and not rfields:
+                # batch kernel: k-1 vectorized searchsorted sweeps over ALL
+                # eligible docs' anchors at once (the round-3 lever from the
+                # round-1 review — no per-doc Python in the hot path)
+                idxs, lists = [], []
+                for i, did in enumerate(cand.tolist()):
+                    pls = [pm.get(did) for pm in pos_maps]
+                    if all(pl is not None for pl in pls):
+                        idxs.append(i)
+                        lists.append(pls)
+                if idxs:
+                    counts[idxs] = ordered_window_counts_batch(
+                        lists, node.n).astype(np.float64)
+                return counts
             for i, did in enumerate(cand.tolist()):
                 pls = []
                 ok = True

@@ -240,3 +240,32 @@ def test_wsum_band_syn(engine, small_corpus_dir, built_index):
             else:
                 want = float(len(pos_a | pos_b))
             assert counts[i] == want, f"{kind} doc {d}"
+
+
+def test_batch_window_kernels_match_per_doc():
+    """Vectorized #odN / #syn batch kernels are count-identical to the
+    per-doc reference algorithms on random position data."""
+    import numpy as np
+
+    from indri_5_5_ray.pipelines.indriql import (
+        ordered_window_counts_batch,
+        ordered_window_extents,
+        syn_union_counts_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    for _ in range(100):
+        k = int(rng.integers(2, 4))
+        n = int(rng.integers(1, 6))
+        docs = []
+        for _ in range(int(rng.integers(1, 8))):
+            docs.append([
+                np.unique(rng.integers(0, 40, size=int(rng.integers(1, 12))))
+                for _ in range(k)
+            ])
+        got = ordered_window_counts_batch(docs, n)
+        want = np.array([len(ordered_window_extents(d, n)[0]) for d in docs])
+        assert np.array_equal(got, want)
+        su = syn_union_counts_batch(docs)
+        wu = np.array([len(set().union(*[set(p.tolist()) for p in d])) for d in docs])
+        assert np.array_equal(su, wu)
