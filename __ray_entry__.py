@@ -173,6 +173,92 @@ def _structured_topk(sf_dir: str, stem: bool = False, k: int = 10):
     )
 
 
+PASSAGE_QUERIES: list[tuple[str, str]] = [
+    ("1", "#combine[passage20:10](merge join)"),
+    ("2", "#combine[passage15:5](window sort group)"),
+]
+
+
+def _passage_topk(sf_dir: str, k: int = 10):
+    """(qid, rank, doc_id) fixed-passage retrieval: doc score = best sliding
+    window (width N stride M) under dirichlet smoothing."""
+    import numpy as np
+    import pyarrow as pa
+
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    index_dir = _ensure_index(sf_dir, stem=False)
+    eng = StructuredQueryEngine(IndexReader(index_dir))
+    out_q, out_r, out_d = [], [], []
+    for qid, text in PASSAGE_QUERIES:
+        ids, scores = eng.run(text, k=k + 40)
+        r9 = np.round(scores, 9)
+        order = np.lexsort((-ids, -r9))[:k]
+        out_q.extend([int(qid)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_d.extend(ids[order].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
+def _passage_sql() -> str:
+    """DuckDB oracle for PASSAGE_QUERIES: max-over-passages of the mean
+    per-term dirichlet belief, counts from 1-indexed token-list slices."""
+
+    def one(qid: int, terms: list[str], width: int, stride: int) -> str:
+        n = len(terms)
+        cnt_cols = ",\n           ".join(
+            f"len(list_filter(t[s + 1 : least(s + {width}, dl)], x -> x = '{term}'))::DOUBLE AS c{i}"
+            for i, term in enumerate(terms)
+        )
+        bel = " + ".join(
+            f"ln((p.c{i} + 2500.0 * (CASE WHEN coalesce("
+            f"(SELECT cf FROM cfreq WHERE term = '{terms[i]}'), 0) > 0 THEN "
+            f"(SELECT cf FROM cfreq WHERE term = '{terms[i]}') ELSE 0.5 END) / s.total)"
+            f" / (p.dlp + 2500.0))"
+            for i in range(n)
+        )
+        inlist = ", ".join(f"'{t}'" for t in terms)
+        return f"""
+  SELECT {qid} AS qid, p.doc_id, max(({bel}) / {n}.0) AS score
+  FROM (
+    SELECT doc_id, s,
+           least(s + {width}, dl) - s AS dlp,
+           {cnt_cols}
+    FROM (SELECT doc_id, t, dl, unnest(generate_series(0,
+                 CAST(floor((dl - 1) / {stride}.0) AS INT))) * {stride} AS s
+          FROM toklen
+          WHERE dl >= 1 AND doc_id IN
+                (SELECT DISTINCT doc_id FROM tf WHERE term IN ({inlist})))
+  ) p CROSS JOIN stats s
+  GROUP BY p.doc_id"""
+
+    q1 = one(1, ["merge", "join"], 20, 10)
+    q2 = one(2, ["window", "sort", "group"], 15, 5)
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
+toklen AS (SELECT doc_id, t, len(t) AS dl FROM docs),
+stats AS (SELECT sum(len(t))::DOUBLE AS total FROM docs),
+tf AS (SELECT doc_id, x AS term, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(t) AS x FROM docs) GROUP BY doc_id, x),
+cfreq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+scores AS ({q1} UNION ALL {q2})
+SELECT qid, rank, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id DESC) AS rank
+  FROM scores)
+WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
 def _rm3_topk(sf_dir: str, k: int = 10):
     """(qid, rank, doc_id) RM3 pseudo-relevance-feedback retrieval (rows-only
     driver check; semantics pytest-verified — feedback weights depend on
@@ -402,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "structured_topk": lambda sf: _structured_topk(sf, stem=False),
         "field_topk": _field_topk,
         "field_filter_topk": _field_filter_topk,
+        "passage_topk": _passage_topk,
         "rm3_topk": _rm3_topk,
         # --- text statistics / analysis ---
         "token_counts": textstats.token_counts,
@@ -803,6 +890,7 @@ def oracle_sql() -> dict[str, str]:
         "structured_topk": _structured_sql(),
         "field_topk": _field_sql(),
         "field_filter_topk": _field_filter_sql(),
+        "passage_topk": _passage_sql(),
         "token_counts": f"""
             SELECT doc_id, len({TOKEN_SQL}) AS n_tokens FROM documents ORDER BY doc_id""",
         "term_stats": f"""

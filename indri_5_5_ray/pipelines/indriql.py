@@ -34,6 +34,10 @@ node semantics ref:src/InferenceNetworkBuilder.cpp):
                               ref:src/ContextCountAccumulator.cpp:98-131)
     #op[f](...)               scored-op extent restriction: every count leaf
                               below scores in f's context (builder :152)
+    #op[passageN:M](...)      fixed-passage retrieval: sliding windows of
+                              width N stride M; doc score = best passage
+                              (ref:include/indri/QuerySpec.hpp:2314,
+                              builder :170)
     #any:f                    field wildcard — count = #extents (builder :938)
     #less/#greater/#between/#equals(f v…)  numeric-field predicates
                               (builder :555-604; between is begin ≤ x < end)
@@ -55,10 +59,12 @@ occurrence per document containing all members; (b) the reference's count
 accumulator drops OVERLAPPING window match extents (greedy by begin,
 ref:src/ContextCountAccumulator.cpp:85-93) — here every match counts, which
 is what the SQL oracles pin (a divergence only for self-overlapping window
-patterns); (c) passage restriction [passageN:M] is not implemented (the
-parser rejects it explicitly); (d) #op[f] restriction approximates Indri's
-per-extent evaluation by scoring over the doc's concatenated f extents —
-exact when a doc has one extent of f, the common single-title case.
+patterns); (c) #op[f] restriction approximates Indri's per-extent
+evaluation by scoring over the doc's concatenated f extents — exact when a
+doc has one extent of f, the common single-title case; passage retrieval
+#op[passageN:M] scores every sliding window separately and keeps the best
+(max), returning DOCUMENT ranks (the reference additionally reports the
+winning extent).
 """
 
 from __future__ import annotations
@@ -198,13 +204,16 @@ def parse_query(text: str) -> Node:
             # count leaves below score in the field's context
             # (ref:include/indri/QuerySpec.hpp:2221, builder :152)
             bracket = None
+            passage = None
             nxt = peek()
-            if nxt is not None and (bm := _BRACKET.fullmatch(nxt)):
+            if nxt is not None and (pm := re.fullmatch(r"\[passage(\d+):(\d+)\]", nxt)):
+                passage = (int(pm.group(1)), int(pm.group(2)))
+                take()
+            elif nxt is not None and (bm := _BRACKET.fullmatch(nxt)):
                 bracket = bm.group(1).lower()
                 take()
             elif nxt is not None and nxt.startswith("["):
-                raise ValueError(f"unsupported extent restriction {nxt!r} "
-                                 "(passages not implemented)")
+                raise ValueError(f"unsupported extent restriction {nxt!r}")
             if take() != "(":
                 raise ValueError(f"expected '(' after {t}")
             if opname in ("weight", "wsum", "wand", "wsyn"):
@@ -257,6 +266,9 @@ def parse_query(text: str) -> Node:
                     raise ValueError(f"unsupported operator #{opname}")
             if bracket is not None:
                 node = Node(op="ctx", term=bracket, children=[node])
+            if passage is not None:
+                node = Node(op="passage", n=passage[0],
+                            weights=[float(passage[1])], children=[node])
             return postfix(node)
         return postfix(term_from_token(t))
 
@@ -431,6 +443,7 @@ class StructuredQueryEngine:
             self._positions_ok = True
         self._ctx_stack: list[str] = []          # active #op[f] field contexts
         self._field_cache: dict[str, dict] = {}  # field → per-doc extents
+        self._passage: tuple[int, int] | None = None  # active passage window
 
     # -- leaf data ----------------------------------------------------------
 
@@ -544,34 +557,40 @@ class StructuredQueryEngine:
                 cur_e = ee
         return np.asarray(ub, dtype=np.int64), np.asarray(ue, dtype=np.int64)
 
+    @staticmethod
+    def _intersect_unions(a, b):
+        """Intersect two sorted disjoint interval lists."""
+        b1, e1 = a
+        b2, e2 = b
+        ob, oe = [], []
+        i = j = 0
+        while i < len(b1) and j < len(b2):
+            lo = max(b1[i], b2[j])
+            hi = min(e1[i], e2[j])
+            if lo < hi:
+                ob.append(lo)
+                oe.append(hi)
+            if e1[i] <= e2[j]:
+                i += 1
+            else:
+                j += 1
+        return (np.asarray(ob, dtype=np.int64), np.asarray(oe, dtype=np.int64))
+
     def _doc_restriction(self, did: int, rfields: tuple[str, ...]):
         """Union intervals for a doc under a restriction chain (intersection
-        of each field's extent union); None if any field is absent."""
+        of each field's extent union and the active passage window); None if
+        a restriction field is absent from the doc."""
         cur = None
         for fname in rfields:
             ext = self._field_data(fname).get(did)
             if ext is None:
                 return None
             u = self._union_intervals(ext[0], ext[1])
-            if cur is None:
-                cur = u
-            else:
-                # intersect two sorted disjoint interval lists
-                b1, e1 = cur
-                b2, e2 = u
-                ob, oe = [], []
-                i = j = 0
-                while i < len(b1) and j < len(b2):
-                    lo = max(b1[i], b2[j])
-                    hi = min(e1[i], e2[j])
-                    if lo < hi:
-                        ob.append(lo)
-                        oe.append(hi)
-                    if e1[i] <= e2[j]:
-                        i += 1
-                    else:
-                        j += 1
-                cur = (np.asarray(ob, dtype=np.int64), np.asarray(oe, dtype=np.int64))
+            cur = u if cur is None else self._intersect_unions(cur, u)
+        if self._passage is not None:
+            p = (np.asarray([self._passage[0]], dtype=np.int64),
+                 np.asarray([self._passage[1]], dtype=np.int64))
+            cur = p if cur is None else self._intersect_unions(cur, p)
         return cur
 
     @staticmethod
@@ -652,7 +671,7 @@ class StructuredQueryEngine:
             counts = np.zeros(len(cand), dtype=np.float64)
             if not term or term not in postings:
                 return counts
-            if not rfields:
+            if not rfields and self._passage is None:
                 d, tf, _ = postings[term]
                 pos = np.searchsorted(cand, d)
                 valid = (pos < len(cand)) & (cand[np.minimum(pos, len(cand) - 1)] == d)
@@ -712,7 +731,7 @@ class StructuredQueryEngine:
                 return np.sum([wi * mc for wi, mc in zip(w, member_counts)], axis=0)
             pos_maps = [self._positions_map(c) for c in node.children]
             counts = np.zeros(len(cand), dtype=np.float64)
-            if not rfields:
+            if not rfields and self._passage is None:
                 # batch kernel: one concat+unique across all candidate docs
                 idxs, lists = [], []
                 for i, did in enumerate(cand.tolist()):
@@ -739,7 +758,7 @@ class StructuredQueryEngine:
         if node.op in ("od", "uw"):
             pos_maps = [self._positions_map(c) for c in node.children]
             counts = np.zeros(len(cand), dtype=np.float64)
-            if node.op == "od" and not rfields:
+            if node.op == "od" and not rfields and self._passage is None:
                 # batch kernel: k-1 vectorized searchsorted sweeps over ALL
                 # eligible docs' anchors at once (the round-3 lever from the
                 # round-1 review — no per-doc Python in the hot path)
@@ -768,6 +787,12 @@ class StructuredQueryEngine:
                     begins, ends = ordered_window_extents(pls, node.n)
                 else:
                     begins, ends = unordered_window_extents(pls, node.n)
+                if self._passage is not None:
+                    ps, pe = self._passage
+                    kept = [(b, e) for b, e in zip(begins, ends)
+                            if b >= ps and e <= pe]
+                    begins = [b for b, _ in kept]
+                    ends = [e for _, e in kept]
                 if rfields:
                     counts[i] = self._extents_contained(begins, ends, did, rfields)
                 else:
@@ -838,6 +863,30 @@ class StructuredQueryEngine:
             valid = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == cand)
             out[valid] = lps[pos[valid]]
             return out
+        if node.op == "passage":
+            # fixed-passage retrieval #op[passageN:M]: sliding windows of
+            # width N, stride M over each doc; doc belief = best passage
+            # (ref:include/indri/QuerySpec.hpp:2314,
+            # ref:src/InferenceNetworkBuilder.cpp:170 FixedPassageNode) —
+            # counts restrict to the window, the smoothing length is the
+            # clipped passage length, backgrounds stay collection-global
+            width, stride = node.n, int(node.weights[0])
+            if width <= 0 or stride <= 0:
+                raise ValueError("passage width/stride must be positive")
+            best = np.full(len(cand), -np.inf)
+            start = 0
+            max_dl = float(dl.max()) if len(dl) else 0.0
+            while start < max_dl:
+                valid = dl > start
+                self._passage = (start, start + width)
+                try:
+                    b = self._belief(node.children[0], cand,
+                                     np.minimum(dl - start, float(width)))
+                finally:
+                    self._passage = None
+                best = np.maximum(best, np.where(valid, b, -np.inf))
+                start += stride
+            return best
         if node.op == "ctx":
             # scored-node extent restriction #op[f](...): every count leaf
             # below scores in the field's context
@@ -871,7 +920,13 @@ class StructuredQueryEngine:
                 st = self.r.field_stats(node.term)
                 cf = float(st["extent_count"]) if st else 0.0
             else:
-                cf = self._node_global_cf(node, rfields)
+                # node statistics are COLLECTION-global: computed with any
+                # active passage window disabled
+                saved, self._passage = self._passage, None
+                try:
+                    cf = self._node_global_cf(node, rfields)
+                finally:
+                    self._passage = saved
             if ctx_field is not None:
                 st = self.r.field_stats(ctx_field)
                 total = float(st["total_len"]) if st else 0.0

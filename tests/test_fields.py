@@ -231,3 +231,46 @@ def test_band_and_syn_restricted(field_index):
     want = {d: _dir(cnt[d], dlf[d], cf, 6.0) for d in cnt}
     for d in want:
         assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+
+
+def test_passage_retrieval(field_index):
+    eng = _engine(field_index)
+    got = _scores(eng, "#combine[passage3:2](alpha)")
+    # alpha positions per doc: d0 {0,2}, d2 {0}, d3 {0,1}
+    pos = {0: [0, 2], 2: [0], 3: [0, 1]}
+    cf = 5.0  # global cf of alpha
+    want = {}
+    for d in (0, 2, 3):
+        best = -1e99
+        start = 0
+        while start < DL[d]:
+            c = sum(1 for p in pos[d] if start <= p < start + 3)
+            dlp = min(DL[d] - start, 3)
+            best = max(best, _dir(c, dlp, cf, TOTAL))
+            start += 2
+        want[d] = best
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+
+
+def test_passage_multi_term(field_index):
+    eng = _engine(field_index)
+    got = _scores(eng, "#combine[passage2:1](alpha beta)")
+    posa = {0: [0, 2], 1: [], 2: [0], 3: [0, 1], 4: []}
+    posb = {0: [1], 1: [0], 2: [1], 3: [], 4: []}
+    cfa, cfb = 5.0, 3.0
+    want = {}
+    for d in (0, 1, 2, 3):  # candidates: docs with alpha or beta
+        best = -1e99
+        start = 0
+        while start < DL[d]:
+            ca = sum(1 for p in posa[d] if start <= p < start + 2)
+            cb = sum(1 for p in posb[d] if start <= p < start + 2)
+            dlp = min(DL[d] - start, 2)
+            best = max(best, 0.5 * (_dir(ca, dlp, cfa, TOTAL) + _dir(cb, dlp, cfb, TOTAL)))
+            start += 1
+        want[d] = best
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
