@@ -449,16 +449,9 @@ class StructuredQueryEngine:
 
     def _expand_wildcard(self, prefix: str) -> list[str]:
         """Dictionary prefix scan, alphabetical, capped (the reference caps
-        at maxWildcardTerms=100 and errors beyond; we truncate)."""
-        import pyarrow.dataset as pads
-
-        dset = pads.dataset(f"{self.r.index_dir}/dictionary", format="parquet")
-        t = dset.to_table(
-            filter=(pads.field("term") >= prefix) & (pads.field("term") < prefix + "￿"),
-            columns=["term"],
-        )
-        terms = sorted(x for x in t.column("term").to_pylist() if x.startswith(prefix))
-        return terms[:MAX_WILDCARD_TERMS]
+        at maxWildcardTerms=100 and errors beyond; we truncate).  Works over
+        multi-segment repositories through the reader's dictionary method."""
+        return self.r.dictionary_prefix(prefix, MAX_WILDCARD_TERMS)
 
     def _leaf_terms(self, node: Node, out: set[str]) -> None:
         if node.op == "term":

@@ -200,6 +200,17 @@ class IndexReader:
             cur += tf
         return vec
 
+    def dictionary_prefix(self, prefix: str, cap: int) -> list[str]:
+        """Alphabetical dictionary terms with ``prefix``, capped (wildcard
+        expansion backend, ref:src/LocalQueryServer.cpp:139)."""
+        dset = pads.dataset(f"{self.index_dir}/dictionary", format="parquet")
+        t = dset.to_table(
+            filter=(pads.field("term") >= prefix) & (pads.field("term") < prefix + "\uffff"),
+            columns=["term"],
+        )
+        terms = sorted(x for x in t.column("term").to_pylist() if x.startswith(prefix))
+        return terms[:cap]
+
     # -- field extents -------------------------------------------------------
 
     def field_stats(self, field: str) -> dict | None:

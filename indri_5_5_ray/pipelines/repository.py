@@ -147,6 +147,12 @@ class MultiIndexReader:
                     agg[k] += v
         return agg
 
+    def dictionary_prefix(self, prefix: str, cap: int) -> list[str]:
+        terms: set[str] = set()
+        for r in self.readers:
+            terms.update(r.dictionary_prefix(prefix, cap))
+        return sorted(terms)[:cap]
+
     def field_extents(self, field: str, doc_ids: list[int] | None = None) -> pa.Table:
         tables = []
         for r in self.readers:

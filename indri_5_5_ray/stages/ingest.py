@@ -359,21 +359,33 @@ class IngestWorker:
 
         pos_bytes_col: list[bytes] = []
         blen_values: np.ndarray
-        if store_pos:
-            blen_parts = []
-            for t in terms:
-                tf_arr = np.asarray(acc[t][1], dtype=np.int64)
-                # positions vbyte-encoded ONCE here (per-doc delta with
-                # reset, exactly the final block stream-B layout); merge
-                # only byte-slices
-                deltas = segmented_delta(np.asarray(acc[t][3], dtype=np.int64), tf_arr)
-                sizes = vbyte_sizes(deltas.astype(np.uint64))
-                tf_starts = np.concatenate(([0], np.cumsum(tf_arr)[:-1]))
-                blen_parts.append(np.add.reduceat(sizes, tf_starts).astype(np.int32))
-                pos_bytes_col.append(vbyte_encode(deltas.astype(np.uint64)))
-            blen_values = (
-                np.concatenate(blen_parts) if blen_parts else np.empty(0, np.int32)
-            )
+        if store_pos and total:
+            # positions vbyte-encoded ONCE here (per-doc delta with reset,
+            # exactly the final block stream-B layout; merge only
+            # byte-slices) — and encoded in ONE numpy pass for the whole
+            # chunk instead of 4 numpy calls per term: per-term tiny-array
+            # overhead was the chunk-processing ceiling
+            n_positions = int(tf_flat.sum())
+            pos_flat = np.fromiter(
+                (x for t in terms for x in acc[t][3]), dtype=np.int64,
+                count=n_positions)
+            run_lens = tf_flat.astype(np.int64)  # one run per (term, doc)
+            deltas = segmented_delta(pos_flat, run_lens)
+            sizes = vbyte_sizes(deltas.astype(np.uint64))
+            big = vbyte_encode(deltas.astype(np.uint64))
+            run_starts = np.concatenate(([0], np.cumsum(run_lens)[:-1]))
+            blen_values = np.add.reduceat(sizes, run_starts).astype(np.int32)
+            byte_ends = np.cumsum(blen_values, dtype=np.int64)
+            term_byte_ends = byte_ends[offsets[1:] - 1]
+            term_byte_starts = np.concatenate(([0], term_byte_ends[:-1]))
+            pos_bytes_col = [
+                big[s:e] for s, e in zip(term_byte_starts.tolist(),
+                                         term_byte_ends.tolist())
+            ]
+            blen_offsets = offsets
+        elif store_pos:  # chunk with zero postings
+            pos_bytes_col = []
+            blen_values = np.empty(0, np.int32)
             blen_offsets = offsets
         else:
             pos_bytes_col = [b""] * n_terms
