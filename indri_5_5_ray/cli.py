@@ -124,6 +124,65 @@ def cmd_documentvector(reader: IndexReader, doc_id: str) -> None:
         print(f"{pos}: {term if term is not None else '[OOV]'}")
 
 
+def cmd_invlist(reader: IndexReader, raw: str) -> None:
+    """Raw inverted list (``dumpindex invlist``): per merged row, the block
+    metadata and decoded (doc, tf) pairs."""
+    term = _term_of(reader, raw)
+    rows = reader.term_rows([term])
+    for ri in range(rows.num_rows):
+        payload = rows.column("postings")[ri].as_py()
+        print(f"row salt={rows.column('salt')[ri].as_py()} "
+              f"cf={rows.column('cf')[ri].as_py()} df={rows.column('df')[ri].as_py()} "
+              f"docs=[{rows.column('first_doc')[ri].as_py()},"
+              f"{rows.column('last_doc')[ri].as_py()}]")
+        for off, ln, blast in zip(
+            rows.column("block_offset")[ri].as_py(),
+            rows.column("block_length")[ri].as_py(),
+            rows.column("block_last_doc")[ri].as_py(),
+        ):
+            d, tf, _ = decode_block(payload[off : off + ln], False)
+            pairs = " ".join(f"{a}:{b}" for a, b in zip(d.tolist(), tf.tolist()))
+            print(f"  block last={blast} {pairs}")
+
+
+def cmd_xcount(reader: IndexReader, expr: str) -> None:
+    """Collection occurrence count of an expression (``dumpindex xcount``):
+    total matches of a term/window/field expression across the index."""
+    from .pipelines.indriql import StructuredQueryEngine, parse_query
+
+    eng = StructuredQueryEngine(reader)
+    root = parse_query(expr)
+    leaf: set[str] = set()
+    eng._leaf_terms(root, leaf)
+    eng._postings = eng._fetch_postings(sorted(leaf))
+    if root.op == "term":
+        print(int(eng._term_cf(root)))
+        return
+    print(int(eng._node_global_cf(root)))
+
+
+def cmd_dxcount(reader: IndexReader, expr: str) -> None:
+    """Document count of an expression (``dumpindex dxcount``): docs with
+    ≥1 match."""
+    import numpy as np
+
+    from .pipelines.indriql import StructuredQueryEngine, parse_query
+
+    eng = StructuredQueryEngine(reader)
+    root = parse_query(expr)
+    leaf: set[str] = set()
+    eng._leaf_terms(root, leaf)
+    eng._postings = eng._fetch_postings(sorted(leaf))
+    cand: set[int] = set()
+    eng._cand_docs(root, cand)
+    if not cand:
+        print(0)
+        return
+    arr = np.array(sorted(cand), dtype=np.int64)
+    counts = eng._node_counts(root, eng._postings, arr)
+    print(int((counts > 0).sum()))
+
+
 def cmd_delete(reader: IndexReader, ident: str) -> None:
     """Mark a document deleted by docno or docID (``dumpindex delete``,
     ref:dumpindex/dumpindex.cpp; readers opened afterwards mask it)."""
@@ -262,6 +321,9 @@ COMMANDS = {
     "documenttext": cmd_documenttext,
     "documentid": cmd_documentid,
     "documentvector": cmd_documentvector,
+    "invlist": cmd_invlist,
+    "xcount": cmd_xcount,
+    "dxcount": cmd_dxcount,
     "delete": cmd_delete,
     "compact": cmd_compact,
     "merge": cmd_merge,

@@ -1017,13 +1017,20 @@ class StructuredQueryEngine:
 
     # -- entry point --------------------------------------------------------
 
-    def run(self, query: str, k: int = 1000) -> tuple[np.ndarray, np.ndarray]:
+    def run(self, query: str, k: int = 1000,
+            doc_set: list[int] | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """Evaluate a structured query; ``doc_set`` restricts evaluation to a
+        working set of docIDs (the reference's documentSet overload,
+        ref:src/QueryEnvironment.cpp:679-707 — statistics stay GLOBAL, only
+        the candidate set shrinks)."""
         root = parse_query(query)
         leaf_terms: set[str] = set()
         self._leaf_terms(root, leaf_terms)
         self._postings = self._fetch_postings(sorted(leaf_terms))
         cand_set: set[int] = set()
         self._cand_docs(root, cand_set)
+        if doc_set is not None:
+            cand_set &= set(int(d) for d in doc_set)
         if not cand_set:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         cand = np.array(sorted(cand_set), dtype=np.int64)

@@ -367,7 +367,8 @@ class BM25Scorer:
     # -- exhaustive path ----------------------------------------------------
 
     def score_exhaustive(self, terms_qtf: list[tuple[str, int]], k: int = 1000,
-                         doc_range: tuple[int, int] | None = None
+                         doc_range: tuple[int, int] | None = None,
+                         doc_set: np.ndarray | list[int] | None = None
                          ) -> tuple[np.ndarray, np.ndarray]:
         """Exhaustive scoring; ``doc_range=(lo, hi)`` restricts to a doc-id
         shard — the doc-partitioned scatter of the reference
@@ -454,6 +455,16 @@ class BM25Scorer:
         cand = np.nonzero(touched)[0] + base
         keep = self.r.keep_mask(cand)
         cand = cand[keep]
+        if doc_set is not None:
+            # working-set restriction (documentSet overload,
+            # ref:src/QueryEnvironment.cpp:679-707): global statistics, the
+            # result set intersected with the given docIDs
+            ws = np.asarray(sorted(set(int(d) for d in doc_set)), dtype=np.int64)
+            if len(ws):
+                pos = np.minimum(np.searchsorted(ws, cand), len(ws) - 1)
+                cand = cand[ws[pos] == cand]
+            else:
+                cand = cand[:0]
         return _topk(cand, dense[cand - base], k)
 
     # -- block-max path -----------------------------------------------------

@@ -82,3 +82,43 @@ def trectext_to_corpus(paths: list[str] | str, out_dir: str,
         str(out), min_rows_per_file=rows_per_file
     )
     return str(out)
+
+
+_DOCHDR_RE = re.compile(r"<DOCHDR>.*?</DOCHDR>", re.DOTALL)
+
+
+def parse_trecweb(data: str) -> list[tuple[str, str]]:
+    """One TREC-web stream → [(docno, content)] — like trectext but the
+    ``<DOCHDR>`` (HTTP headers/URL) section is stripped and the remaining
+    body keeps its HTML markup for the tokenizer's tag handling
+    (file-class 'trecweb', ref:src/FileClassEnvironmentFactory.cpp:105-299)."""
+    out = []
+    for m in _DOC_RE.finditer(data):
+        body = m.group(1)
+        docno_m = _DOCNO_RE.search(body)
+        docno = docno_m.group(1) if docno_m else f"doc{len(out)}"
+        body = _DOCHDR_RE.sub("", body)
+        content = _DOCNO_RE.sub("", body).strip()
+        out.append((docno, content))
+    return out
+
+
+def read_tagged(paths: list[str] | str, file_class: str = "trectext") -> ray.data.Dataset:
+    """Dataset of (docno, content) rows for a registered file class
+    ('trectext' | 'trecweb' | 'html' — html treats each FILE as one doc
+    keyed by its path, like the reference's html file class)."""
+    if isinstance(paths, str):
+        p = Path(paths)
+        paths = [str(p)] if p.is_file() else sorted(str(f) for f in p.rglob("*") if f.is_file())
+    if file_class == "trectext":
+        return read_trectext(paths)
+
+    def parse_file(row: dict) -> list[dict]:
+        data = Path(row["path"]).read_text(errors="replace")
+        if file_class == "trecweb":
+            return [{"docno": d, "content": c} for d, c in parse_trecweb(data)]
+        if file_class == "html":
+            return [{"docno": row["path"], "content": data}]
+        raise ValueError(f"unknown file class {file_class!r}")
+
+    return ray.data.from_items([{"path": p} for p in paths]).flat_map(parse_file)

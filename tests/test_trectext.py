@@ -59,3 +59,74 @@ def test_trectext_to_index(tmp_path):
         process_query("quick fox", r.cfg), k=3)
     assert len(ids) >= 1
     assert r.docnos(ids.tolist())[0] == "trec/WSJ870324-0001@" + __import__("hashlib").sha1(b"WSJ870324-0001").hexdigest()
+
+
+def test_trecweb_and_html_classes(tmp_path):
+    from indri_5_5_ray.sources.trectext import parse_trecweb, read_tagged
+
+    data = """<DOC>
+<DOCNO> WEB-1 </DOCNO>
+<DOCHDR>
+http://example.org/a
+Content-Type: text/html
+</DOCHDR>
+<html><title>Hello Page</title><body>some body text</body></html>
+</DOC>
+<DOC>
+<DOCNO> WEB-2 </DOCNO>
+<DOCHDR>ignored</DOCHDR>
+plain body
+</DOC>"""
+    docs = parse_trecweb(data)
+    assert [d for d, _ in docs] == ["WEB-1", "WEB-2"]
+    assert "Content-Type" not in docs[0][1]
+    assert "<title>Hello Page</title>" in docs[0][1]  # markup kept for tokenizer
+    assert docs[1][1] == "plain body"
+
+    f = tmp_path / "web.trecweb"
+    f.write_text(data)
+    ds = read_tagged(str(f), file_class="trecweb")
+    assert ds.count() == 2
+    h = tmp_path / "page.html"
+    h.write_text("<html><body>word</body></html>")
+    ds2 = read_tagged(str(h), file_class="html")
+    row = ds2.take(1)[0]
+    assert row["docno"].endswith("page.html")
+
+
+def test_working_set_restriction(built_index):
+    import numpy as np
+
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.query import BM25Scorer, IndexReader, process_query
+
+    index_dir, _ = built_index
+    r = IndexReader(index_dir)
+    q = process_query("merge buffer token", r.cfg)
+    full_ids, full_s = BM25Scorer(r).score_exhaustive(q, k=30)
+    ws = full_ids[::2].tolist()  # every other result as the working set
+    ids, s = BM25Scorer(r).score_exhaustive(q, k=30, doc_set=ws)
+    assert set(ids.tolist()) <= set(ws)
+    # scores unchanged (global statistics)
+    lookup = dict(zip(full_ids.tolist(), full_s.tolist()))
+    for d, sc in zip(ids.tolist(), s.tolist()):
+        assert sc == lookup[d]
+    eng = StructuredQueryEngine(r)
+    ids1, s1 = eng.run("#combine(merge buffer)", k=30)
+    ids2, s2 = eng.run("#combine(merge buffer)", k=30, doc_set=ids1[:5].tolist())
+    assert set(ids2.tolist()) == set(ids1[:5].tolist())
+
+
+def test_cli_inspection_commands(built_index, capsys):
+    from indri_5_5_ray import cli
+
+    index_dir, _ = built_index
+    cli.main([index_dir, "xcount", "merge"])
+    n1 = int(capsys.readouterr().out.strip())
+    assert n1 > 0
+    cli.main([index_dir, "dxcount", "#od1(merge buffer)"])
+    out = capsys.readouterr().out.strip()
+    assert int(out) >= 0
+    cli.main([index_dir, "invlist", "merge"])
+    out = capsys.readouterr().out
+    assert "block last=" in out and "row salt=" in out
