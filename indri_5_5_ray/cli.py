@@ -173,12 +173,13 @@ def cmd_dxcount(reader: IndexReader, expr: str) -> None:
     leaf: set[str] = set()
     eng._leaf_terms(root, leaf)
     eng._postings = eng._fetch_postings(sorted(leaf))
-    cand: set[int] = set()
-    eng._cand_docs(root, cand)
-    if not cand:
+    parts: list = []
+    eng._cand_docs(root, parts)
+    parts = [p for p in parts if len(p)]
+    if not parts:
         print(0)
         return
-    arr = np.array(sorted(cand), dtype=np.int64)
+    arr = np.unique(np.concatenate(parts))
     counts = eng._node_counts(root, eng._postings, arr)
     print(int((counts > 0).sum()))
 

@@ -476,8 +476,11 @@ class StructuredQueryEngine:
         terms bypass the normalize/stop/stem chain."""
         return node.term if node.pre else self._process_term(node.term)
 
-    def _fetch_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, list[np.ndarray] | None]]:
-        """term → (doc_ids, tfs, per-doc position arrays)."""
+    def _fetch_postings(self, terms: list[str]) -> dict[str, tuple]:
+        """term → (doc_ids, tfs, flat positions | None, per-doc position
+        start offsets | None).  Positions stay FLAT (block order = doc
+        order) — no per-doc Python splitting; doc i's run is
+        ``flat[starts[i]:starts[i+1]]``."""
         rows = self.r.term_rows(terms)
         has_pos = self.r.cfg.store_positions
         out: dict[str, list] = {}
@@ -492,16 +495,45 @@ class StructuredQueryEngine:
                 ent[0].append(d)
                 ent[1].append(tf)
                 if pos is not None:
-                    cursor = 0
-                    for n in tf.tolist():
-                        ent[2].append(pos[cursor : cursor + n])
-                        cursor += n
+                    ent[2].append(pos)
         result = {}
         for term, (ds, tfs, poss) in out.items():
             d = np.concatenate(ds)
             t = np.concatenate(tfs)
-            result[term] = (d, t, poss if poss else None)
+            if poss:
+                flat = np.concatenate(poss)
+                starts = np.zeros(len(d) + 1, dtype=np.int64)
+                np.cumsum(t, out=starts[1:])
+            else:
+                flat, starts = None, None
+            result[term] = (d, t, flat, starts)
         return result
+
+    def _presence(self, tp, cand: np.ndarray) -> np.ndarray:
+        """Boolean: cand docs present in a term's posting doc list."""
+        if tp is None or not len(tp[0]):
+            return np.zeros(len(cand), dtype=bool)
+        d = tp[0]
+        pos = np.minimum(np.searchsorted(d, cand), len(d) - 1)
+        return d[pos] == cand
+
+    def _gather_flat(self, tp, E: np.ndarray):
+        """Positions of docs E (sorted subset of the term's docs) as ONE flat
+        array plus per-element doc index into E — a fully vectorized ragged
+        gather (no per-doc slicing)."""
+        d, tf, flat, starts = tp
+        pos = np.minimum(np.searchsorted(d, E), len(d) - 1)
+        sel = pos[d[pos] == E]
+        lens_sel = tf[sel].astype(np.int64)
+        total = int(lens_sel.sum())
+        if total == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        out_starts = np.concatenate(([0], np.cumsum(lens_sel)[:-1]))
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(out_starts, lens_sel)
+               + np.repeat(starts[sel], lens_sel))
+        doc_idx = np.searchsorted(E, d[sel])
+        return flat[idx].astype(np.int64), np.repeat(doc_idx, lens_sel)
 
     # -- belief computation -------------------------------------------------
 
@@ -665,7 +697,7 @@ class StructuredQueryEngine:
             if not term or term not in postings:
                 return counts
             if not rfields and self._passage is None:
-                d, tf, _ = postings[term]
+                d, tf = postings[term][0], postings[term][1]
                 pos = np.searchsorted(cand, d)
                 valid = (pos < len(cand)) & (cand[np.minimum(pos, len(cand) - 1)] == d)
                 counts[pos[valid]] = tf[valid].astype(np.float64)
@@ -722,19 +754,32 @@ class StructuredQueryEngine:
                 member_counts = [self._node_counts(c, postings, cand, rfields)
                                  for c in node.children]
                 return np.sum([wi * mc for wi, mc in zip(w, member_counts)], axis=0)
-            pos_maps = [self._positions_map(c) for c in node.children]
             counts = np.zeros(len(cand), dtype=np.float64)
             if not rfields and self._passage is None:
-                # batch kernel: one concat+unique across all candidate docs
-                idxs, lists = [], []
-                for i, did in enumerate(cand.tolist()):
-                    pls = [pm[did] for pm in pos_maps if did in pm]
-                    if pls:
-                        idxs.append(i)
-                        lists.append(pls)
-                if idxs:
-                    counts[idxs] = syn_union_counts_batch(lists).astype(np.float64)
+                # flat batch kernel: one concat + unique over offset-encoded
+                # positions of every member and candidate doc at once
+                tps = [self._postings.get(self._node_term(c)) for c in node.children]
+                tps = [tp for tp in tps if tp is not None]
+                if not tps:
+                    return counts
+                if any(tp[2] is None for tp in tps):
+                    raise ValueError("index built without positions; window ops unavailable")
+                parts, part_docs = [], []
+                max_pos = 0
+                for tp in tps:
+                    f, dix = self._gather_flat(tp, cand)
+                    if len(f):
+                        max_pos = max(max_pos, int(f.max()))
+                        parts.append(f)
+                        part_docs.append(dix)
+                if not parts:
+                    return counts
+                off = max_pos + 2
+                enc = np.concatenate([f + dix * off for f, dix in zip(parts, part_docs)])
+                uniq = np.unique(enc)
+                counts += np.bincount(uniq // off, minlength=len(cand)).astype(np.float64)
                 return counts
+            pos_maps = [self._positions_map(c) for c in node.children]
             for i, did in enumerate(cand.tolist()):
                 union: set[int] | None = None
                 for pm in pos_maps:
@@ -749,22 +794,41 @@ class StructuredQueryEngine:
                         np.array(sorted(union), dtype=np.int64), u)
             return counts
         if node.op in ("od", "uw"):
-            pos_maps = [self._positions_map(c) for c in node.children]
             counts = np.zeros(len(cand), dtype=np.float64)
             if node.op == "od" and not rfields and self._passage is None:
-                # batch kernel: k-1 vectorized searchsorted sweeps over ALL
-                # eligible docs' anchors at once (the round-3 lever from the
-                # round-1 review — no per-doc Python in the hot path)
-                idxs, lists = [], []
-                for i, did in enumerate(cand.tolist()):
-                    pls = [pm.get(did) for pm in pos_maps]
-                    if all(pl is not None for pl in pls):
-                        idxs.append(i)
-                        lists.append(pls)
-                if idxs:
-                    counts[idxs] = ordered_window_counts_batch(
-                        lists, node.n).astype(np.float64)
+                # fully-flat batch kernel: vectorized ragged gathers + k-1
+                # searchsorted sweeps over ALL eligible docs' anchors at
+                # once — zero per-doc Python in the hot path
+                tps = [self._postings.get(self._node_term(c)) for c in node.children]
+                if any(tp is None for tp in tps):
+                    return counts
+                if any(tp[2] is None for tp in tps):
+                    raise ValueError("index built without positions; window ops unavailable")
+                elig = np.ones(len(cand), dtype=bool)
+                for tp in tps:
+                    elig &= self._presence(tp, cand)
+                E = cand[elig]
+                if not len(E):
+                    return counts
+                flats = [self._gather_flat(tp, E) for tp in tps]
+                max_pos = max((int(f[0].max()) if len(f[0]) else 0) for f in flats)
+                off = max_pos + node.n + 2
+                enc = [f[0] + f[1] * off for f in flats]
+                anchors, anchor_doc = enc[0], flats[0][1]
+                alive = np.ones(len(anchors), dtype=bool)
+                prev = anchors
+                for t in range(1, len(enc)):
+                    pt = enc[t]
+                    idx = np.searchsorted(pt, prev + 1)
+                    in_range = idx < len(pt)
+                    nxt = pt[np.minimum(idx, len(pt) - 1)]
+                    ok = in_range & (nxt - prev <= node.n)
+                    alive &= ok
+                    prev = np.where(ok, nxt, prev)
+                per_e = np.bincount(anchor_doc[alive], minlength=len(E))
+                counts[np.searchsorted(cand, E)] = per_e.astype(np.float64)
                 return counts
+            pos_maps = [self._positions_map(c) for c in node.children]
             for i, did in enumerate(cand.tolist()):
                 pls = []
                 ok = True
@@ -826,11 +890,11 @@ class StructuredQueryEngine:
         tp = self._postings.get(term)
         if tp is None:
             return pm
-        d, tf, poss = tp
-        if poss is None:
+        d, _tf, flat, starts = tp
+        if flat is None:
             raise ValueError("index built without positions; window ops unavailable")
         for i, did in enumerate(d.tolist()):
-            pm[did] = poss[i]
+            pm[did] = flat[starts[i] : starts[i + 1]]
         return pm
 
     _COUNT_OPS = {"term", "wildcard", "band", "syn", "wsyn", "od", "uw",
@@ -989,7 +1053,7 @@ class StructuredQueryEngine:
             for c in node.children:
                 yield from self._iter_term_children(c)
 
-    def _cand_docs(self, node: Node, out: set[int]) -> None:
+    def _cand_docs(self, node: Node, out: list[np.ndarray]) -> None:
         """Candidate documents of the SCORED network — the DAAT union
         (ref:src/InferenceNetwork.cpp:285-332).  Term/wildcard leaves add
         their posting docs, #any:f adds docs carrying the field, predicates
@@ -1001,14 +1065,14 @@ class StructuredQueryEngine:
                 term = self._node_term(c)
                 tp = self._postings.get(term)
                 if tp is not None:
-                    out.update(tp[0].tolist())
+                    out.append(tp[0])  # numpy doc array, deduped at the end
         elif node.op == "any":
-            out.update(self._field_data(node.term).keys())
+            out.append(np.fromiter(self._field_data(node.term).keys(), dtype=np.int64))
         elif node.op in _NUM_PREDS:
             data = self._field_data(node.term)
-            for did, ext in data.items():
-                if self._pred_mask(node, ext[2]).any():
-                    out.add(did)
+            out.append(np.fromiter(
+                (did for did, ext in data.items()
+                 if self._pred_mask(node, ext[2]).any()), dtype=np.int64))
         elif node.op in ("filreq", "filrej"):
             self._cand_docs(node.children[1], out)
         else:
@@ -1027,13 +1091,17 @@ class StructuredQueryEngine:
         leaf_terms: set[str] = set()
         self._leaf_terms(root, leaf_terms)
         self._postings = self._fetch_postings(sorted(leaf_terms))
-        cand_set: set[int] = set()
-        self._cand_docs(root, cand_set)
-        if doc_set is not None:
-            cand_set &= set(int(d) for d in doc_set)
-        if not cand_set:
+        cand_parts: list[np.ndarray] = []
+        self._cand_docs(root, cand_parts)
+        cand_parts = [p for p in cand_parts if len(p)]
+        if not cand_parts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        cand = np.array(sorted(cand_set), dtype=np.int64)
+        cand = np.unique(np.concatenate(cand_parts))
+        if doc_set is not None:
+            cand = np.intersect1d(cand, np.asarray(sorted(set(int(d) for d in doc_set)),
+                                                   dtype=np.int64))
+        if not len(cand):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         cand = cand[self.r.keep_mask(cand)]
         if not len(cand):
             return np.empty(0, np.int64), np.empty(0, np.float64)
