@@ -1031,15 +1031,14 @@ class StructuredQueryEngine:
             return float(sum(
                 int(self._pred_mask(node, ext[2]).sum()) for ext in data.values()
             ))
-        docs = set()
+        parts = []
         for c in self._iter_term_children(node):
-            term = self._node_term(c)
-            tp = self._postings.get(term)
-            if tp is not None:
-                docs.update(tp[0].tolist())
-        if not docs:
+            tp = self._postings.get(self._node_term(c))
+            if tp is not None and len(tp[0]):
+                parts.append(tp[0])
+        if not parts:
             return 0.0
-        node_cand = np.array(sorted(docs), dtype=np.int64)
+        node_cand = np.unique(np.concatenate(parts))
         counts = self._node_counts(node, self._postings, node_cand, rfields)
         return float(counts.sum())
 

@@ -120,3 +120,37 @@ def test_cli_delete_compact(tmp_path):
     assert r2.deleted is None
     assert r2.doc_count == r.doc_count - 1
     assert r2.docnos([7]) == [""]
+
+
+def test_multireader_lm_and_structured(corpora, tmp_path):
+    """LM and structured-query engines produce identical results over a
+    multi-segment repository and the equivalent single-build index."""
+    import numpy as np
+
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.lm import LMScorer, process_query_lm
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.pipelines.repository import Repository
+
+    a, b, both = corpora
+    cfg = IndexConfig(**CFG_KW)
+    repo = Repository.create(str(tmp_path / "repo3"), cfg)
+    repo.add(a)
+    repo.add(b)
+    mono = str(tmp_path / "mono3")
+    build_index(both, mono, cfg, resume=False)
+    rm, rs = repo.reader(), IndexReader(mono)
+
+    terms = process_query_lm("merge buffer token", cfg)
+    ids_m, s_m = LMScorer(rm).score(terms, k=20)
+    ids_s, s_s = LMScorer(rs).score(terms, k=20)
+    assert np.array_equal(ids_m, ids_s) and np.allclose(s_m, s_s, atol=0)
+
+    for q in ["#combine(#od2(merge buffer) token)", "#syn(merge buffer)",
+              "merg*"]:
+        im, sm = StructuredQueryEngine(rm).run(q, k=20)
+        is_, ss = StructuredQueryEngine(rs).run(q, k=20)
+        assert np.array_equal(im, is_), q
+        assert np.allclose(sm, ss, atol=0), q
