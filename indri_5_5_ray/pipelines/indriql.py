@@ -828,6 +828,45 @@ class StructuredQueryEngine:
                 per_e = np.bincount(anchor_doc[alive], minlength=len(E))
                 counts[np.searchsorted(cand, E)] = per_e.astype(np.float64)
                 return counts
+            uw_terms = [self._node_term(c) for c in node.children
+                        if c.op == "term"] if node.op == "uw" else []
+            uw_distinct = len(uw_terms) == len(node.children) == len(set(uw_terms))
+            if node.op == "uw" and uw_distinct and not rfields and self._passage is None:
+                # flat #uwN kernel: the reference's anchor scan (count an
+                # anchor when every member type's FIRST occurrence after it
+                # fits the window, ref:src/UnorderedWindowNode.cpp:68-151)
+                # is, for distinct member terms (positions never collide),
+                # exactly: ∀t. p ∈ P_t  or  next_t(p) ≤ p + n - 1 — one
+                # searchsorted per member type over ALL anchors at once
+                tps = [self._postings.get(self._node_term(c)) for c in node.children]
+                if any(tp is None for tp in tps):
+                    return counts
+                if any(tp[2] is None for tp in tps):
+                    raise ValueError("index built without positions; window ops unavailable")
+                elig = np.ones(len(cand), dtype=bool)
+                for tp in tps:
+                    elig &= self._presence(tp, cand)
+                E = cand[elig]
+                if not len(E):
+                    return counts
+                flats = [self._gather_flat(tp, E) for tp in tps]
+                max_pos = max((int(f[0].max()) if len(f[0]) else 0) for f in flats)
+                off = max_pos + node.n + 2
+                enc = [f[0] + f[1] * off for f in flats]
+                anchors = np.concatenate(enc)
+                anchor_doc = np.concatenate([f[1] for f in flats])
+                anchor_type = np.concatenate(
+                    [np.full(len(e), t, dtype=np.int32) for t, e in enumerate(enc)])
+                alive = np.ones(len(anchors), dtype=bool)
+                for t, pt in enumerate(enc):
+                    idx = np.searchsorted(pt, anchors + 1)
+                    in_range = idx < len(pt)
+                    nxt = pt[np.minimum(idx, len(pt) - 1)]
+                    ok = in_range & (nxt <= anchors + node.n - 1)
+                    alive &= ok | (anchor_type == t)
+                per_e = np.bincount(anchor_doc[alive], minlength=len(E))
+                counts[np.searchsorted(cand, E)] = per_e.astype(np.float64)
+                return counts
             pos_maps = [self._positions_map(c) for c in node.children]
             for i, did in enumerate(cand.tolist()):
                 pls = []

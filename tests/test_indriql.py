@@ -269,3 +269,36 @@ def test_batch_window_kernels_match_per_doc():
         su = syn_union_counts_batch(docs)
         wu = np.array([len(set().union(*[set(p.tolist()) for p in d])) for d in docs])
         assert np.array_equal(su, wu)
+
+
+def test_uw_flat_formula_matches_reference_scan():
+    """The vectorized #uwN formula (∀ member type t: anchor ∈ P_t or
+    next_t(anchor) ≤ anchor + n - 1) equals the reference's per-doc anchor
+    scan whenever member position lists are disjoint (distinct terms — a
+    token position holds one term)."""
+    import numpy as np
+
+    from indri_5_5_ray.pipelines.indriql import unordered_window_count
+
+    rng = np.random.default_rng(17)
+    for _ in range(300):
+        k = int(rng.integers(2, 5))
+        n = int(rng.integers(1, 8))
+        # disjoint position lists (sampled without replacement then split)
+        pool = rng.choice(60, size=int(rng.integers(k, 25)), replace=False)
+        splits = np.sort(rng.choice(len(pool), size=k - 1, replace=False)) if len(pool) > k else np.arange(1, k)
+        lists = [np.sort(x) for x in np.split(np.sort(pool), splits)]
+        if any(len(x) == 0 for x in lists):
+            continue
+        want = unordered_window_count(lists, n)
+        # flat formula
+        anchors = np.concatenate(lists)
+        types = np.concatenate([np.full(len(x), t) for t, x in enumerate(lists)])
+        alive = np.ones(len(anchors), dtype=bool)
+        for t, pt in enumerate(lists):
+            idx = np.searchsorted(pt, anchors + 1)
+            in_range = idx < len(pt)
+            nxt = pt[np.minimum(idx, len(pt) - 1)]
+            ok = in_range & (nxt <= anchors + n - 1)
+            alive &= ok | (types == t)
+        assert int(alive.sum()) == want, (lists, n)
