@@ -83,8 +83,9 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str) -> st
             chunk = Chunk(**{k: item[k] for k in ("file_path", "row_start", "row_end", "doc_id_base")})
             if key == "sha256":
                 t = read_chunk(chunk, columns=["content"])
-                ks = [hashlib.sha256(c.encode("utf-8")).hexdigest()
-                      for c in t.column("content").to_pylist()]
+                # utf-8 bytes straight from arrow (no str round trip)
+                ks = [hashlib.sha256(c).hexdigest()
+                      for c in t.column("content").cast(pa.large_binary()).to_pylist()]
             else:
                 t = read_chunk(chunk, columns=["repo", "path", "commit"])
                 ks = [f"{r}/{p}@{c}" for r, p, c in zip(

@@ -227,7 +227,10 @@ class IngestWorker:
                 tbl.column("commit").to_pylist(),
             )
         ]
-        contents = tbl.column("content").to_pylist()
+        # arrow stores UTF-8 already: cast to binary → python bytes directly,
+        # skipping the str-decode + per-doc re-encode round trip (string
+        # materialization is the parallel-ingest bandwidth ceiling)
+        contents = tbl.column("content").cast(pa.large_binary()).to_pylist()
         n = len(contents)
         doc_ids = np.arange(chunk.doc_id_base, chunk.doc_id_base + n, dtype=np.int64)
         drop = self._losers_in_range(int(doc_ids[0]), int(doc_ids[-1]) + 1)
@@ -247,8 +250,7 @@ class IngestWorker:
         f_stats: dict[str, list[int]] = {}
         proc = self.proc.process_raw
         for local_i in range(n):
-            content = contents[local_i]
-            data = content.encode("utf-8")
+            data = contents[local_i]
             sha = hashlib.sha256(data).hexdigest()
             shas.append(sha)
             did = int(doc_ids[local_i])
@@ -313,8 +315,10 @@ class IngestWorker:
             "unique_terms": pa.array(np.array(uniq)[kept].astype(np.int32), pa.int32()),
         }
         if self.cfg.store_content:
+            # contents are utf-8 bytes; the docstore column stays string
             docs_cols["content"] = pa.array(
-                np.array(contents, dtype=object)[kept].tolist(), pa.string()
+                [c.decode("utf-8") for c in np.array(contents, dtype=object)[kept]],
+                pa.string(),
             )
             docs_tbl = pa.table(docs_cols, schema=DOCS_SCHEMA_WITH_CONTENT)
         else:
