@@ -37,7 +37,7 @@ from ..config import IndexConfig
 from ..kstem import KrovetzStemmer
 from ..sources.corpus import Chunk, read_chunk
 from ..state import lineage
-from ..tokenizer import normalize_token, tokenize_bytes
+from ..tokenizer import expand_raw, normalize_token, scan_raw, tokenize_bytes
 from .postings import PARTIALS_SCHEMA
 
 DOCS_SCHEMA = pa.schema(
@@ -148,6 +148,131 @@ class TermProcessor:
         return out
 
 
+def _accumulate_chunk(
+    all_raw: list[bytes],
+    raw_lens: np.ndarray,
+    proc: TermProcessor,
+    pre_expanded: bool,
+):
+    """Vectorized chunk accumulation: flattened raw-token stream → per-doc
+    stats + term-major flat postings arrays.
+
+    Replaces the per-token Python loop (dict hop per token) with a
+    dictionary-encode of the whole chunk's token stream: the normalize→stop→
+    stem chain runs once per UNIQUE raw token, and postings grouping becomes
+    numpy run-length ops over a stable sort.  Output ordering is identical to
+    the reference accumulation (terms sorted by string; per term ascending
+    doc_ids; per (term, doc) ascending positions — the MemoryIndex invariant,
+    ref:src/MemoryIndex.cpp:560-651).
+
+    ``pre_expanded`` is True when ``all_raw`` entries are final token slots
+    (fields/char paths); False when they are raw scan matches needing
+    :func:`expand_raw` (1:N for UTF-8 runs, applied per unique).
+
+    Returns (dl_arr, uniq_arr, names_sorted, lens, doc_flat_local, tf_flat,
+    dl_flat, pos_flat, run_starts, p_s, doc_runs_sorted) where the last three
+    feed the direct-index builder.
+    """
+    n = len(raw_lens)
+    T = len(all_raw)
+    e64 = np.empty(0, np.int64)
+    if T == 0:
+        return (np.zeros(n, np.int64), np.zeros(n, np.int64), [], e64,
+                e64, e64.astype(np.int32), e64.astype(np.int32), e64, e64,
+                e64, e64)
+    arr = pa.array(all_raw, type=pa.large_binary())
+    enc = arr.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary.to_pylist()
+    nu = len(uniq)
+    term_ids: dict[str, int] = {}
+    process_raw = proc.process_raw
+    if pre_expanded:
+        tid_of_uniq = np.empty(nu, np.int64)
+        for ui in range(nu):
+            term = process_raw(uniq[ui])
+            if term is None:
+                tid_of_uniq[ui] = -1
+            else:
+                tid = term_ids.get(term)
+                if tid is None:
+                    tid = len(term_ids)
+                    term_ids[term] = tid
+                tid_of_uniq[ui] = tid
+        tid_stream = tid_of_uniq[idx]
+        total = T
+        dl_arr = raw_lens.astype(np.int64)
+        doc_exp_offsets = np.concatenate(([0], np.cumsum(dl_arr)))
+    else:
+        exp_offsets = np.empty(nu + 1, np.int64)
+        exp_offsets[0] = 0
+        exp_tids_list: list[int] = []
+        for ui in range(nu):
+            for s in expand_raw(uniq[ui]):
+                term = process_raw(s)
+                if term is None:
+                    exp_tids_list.append(-1)
+                else:
+                    tid = term_ids.get(term)
+                    if tid is None:
+                        tid = len(term_ids)
+                        term_ids[term] = tid
+                    exp_tids_list.append(tid)
+            exp_offsets[ui + 1] = len(exp_tids_list)
+        exp_tids = np.asarray(exp_tids_list, np.int64)
+        exp_counts = np.diff(exp_offsets)
+        counts_tok = exp_counts[idx]
+        total = int(counts_tok.sum())
+        # ragged gather: token occurrence → its expansion slots
+        seg_off = np.concatenate(([0], np.cumsum(counts_tok)[:-1]))
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg_off, counts_tok)
+        tid_stream = exp_tids[np.repeat(exp_offsets[:-1][idx], counts_tok) + within]
+        cum_counts = np.concatenate(([0], np.cumsum(counts_tok)))
+        doc_tok_offsets = np.concatenate(([0], np.cumsum(raw_lens)))
+        doc_exp_offsets = cum_counts[doc_tok_offsets]
+        dl_arr = np.diff(doc_exp_offsets)
+    # per-slot doc index and in-doc position
+    doc_local = np.repeat(np.arange(n, dtype=np.int64), dl_arr)
+    pos_stream = np.arange(total, dtype=np.int64) - np.repeat(
+        doc_exp_offsets[:-1], dl_arr)
+    mask = tid_stream >= 0
+    t_v = tid_stream[mask]
+    d_v = doc_local[mask]
+    p_v = pos_stream[mask]
+    names = list(term_ids)  # insertion order == tid order
+    nt = len(names)
+    order_ids = sorted(range(nt), key=names.__getitem__)
+    rank = np.empty(nt, np.int64)
+    rank[order_ids] = np.arange(nt, dtype=np.int64)
+    names_sorted = [names[i] for i in order_ids]
+    tr = rank[t_v] if nt else e64
+    # stable sort on term rank: original order is (doc asc, pos asc), so
+    # within each (term, doc) run positions stay ascending
+    sort_idx = np.argsort(tr, kind="stable")
+    tr_s = tr[sort_idx]
+    d_s = d_v[sort_idx]
+    p_s = p_v[sort_idx]
+    m = len(tr_s)
+    if m:
+        brk = np.flatnonzero((tr_s[1:] != tr_s[:-1]) | (d_s[1:] != d_s[:-1]))
+        run_starts = np.concatenate(([0], brk + 1))
+        run_ends = np.concatenate((brk + 1, [m]))
+    else:
+        run_starts = run_ends = e64
+    tf_flat = (run_ends - run_starts).astype(np.int32)
+    doc_flat_local = d_s[run_starts]
+    term_of_run = tr_s[run_starts]
+    if len(term_of_run):
+        tbrk = np.flatnonzero(term_of_run[1:] != term_of_run[:-1])
+        lens = np.diff(np.concatenate(([0], tbrk + 1, [len(term_of_run)])))
+    else:
+        lens = e64
+    dl_flat = dl_arr[doc_flat_local].astype(np.int32)
+    uniq_arr = np.bincount(doc_flat_local, minlength=n).astype(np.int64)
+    return (dl_arr, uniq_arr, names_sorted, lens, doc_flat_local, tf_flat,
+            dl_flat, p_s, run_starts, term_of_run, e64)
+
+
 _PROCESS_WORKERS: dict[tuple, "IngestWorker"] = {}
 
 
@@ -236,27 +361,26 @@ class IngestWorker:
         drop = self._losers_in_range(int(doc_ids[0]), int(doc_ids[-1]) + 1)
         drop_set = set(drop.tolist())
 
-        shas, dls, uniq = [], [], []
-        # term → [doc_ids, tfs, dls, positions-flat]
-        acc: dict[str, list] = {}
+        shas = []
         store_direct = self.cfg.store_direct
-        d_terms: list[list[str]] = []
-        d_tfs: list[list[int]] = []
-        d_pos: list[list[int]] = []
         field_spec = self.cfg.fields
         f_rows: list[tuple[int, str, list, list, list]] = []
         # per-field [total_len, extent_count, doc_count] for the global
         # field-statistics pass (ref:src/MemoryIndex.cpp:605-612)
         f_stats: dict[str, list[int]] = {}
-        proc = self.proc.process_raw
+        # gather the whole chunk's raw token stream (C-speed scan per doc),
+        # then accumulate in one vectorized pass — see _accumulate_chunk
+        all_raw: list[bytes] = []
+        raw_lens = np.zeros(n, np.int64)
+        kept = np.ones(n, dtype=bool)
+        tok_mode = self.cfg.tokenizer
+        pre_expanded = bool(field_spec) or tok_mode == "char"
         for local_i in range(n):
             data = contents[local_i]
-            sha = hashlib.sha256(data).hexdigest()
-            shas.append(sha)
+            shas.append(hashlib.sha256(data).hexdigest())
             did = int(doc_ids[local_i])
             if did in drop_set:
-                dls.append(-1)
-                uniq.append(0)
+                kept[local_i] = False
                 continue
             if field_spec:
                 # field (tag) parsing is word-mode only
@@ -278,41 +402,24 @@ class IngestWorker:
                     st[0] += sum(e - b for b, e, _ in exts)
                     st[1] += len(exts)
                     st[2] += 1
+            elif tok_mode == "word":
+                raw_tokens = scan_raw(data)
             else:
-                raw_tokens = tokenize_bytes(data, self.cfg.tokenizer)
-            dl = len(raw_tokens)  # includes stopped slots
-            per_doc: dict[str, list[int]] = {}
-            for pos, rt in enumerate(raw_tokens):
-                term = proc(rt)
-                if term is None:
-                    continue
-                lst = per_doc.get(term)
-                if lst is None:
-                    per_doc[term] = [pos]
-                else:
-                    lst.append(pos)
-            dls.append(dl)
-            uniq.append(len(per_doc))
-            if store_direct:
-                d_terms.append(list(per_doc.keys()))
-                d_tfs.append([len(p) for p in per_doc.values()])
-                d_pos.append([p for pl_ in per_doc.values() for p in pl_])
-            for term, positions in per_doc.items():
-                ent = acc.get(term)
-                if ent is None:
-                    acc[term] = ent = [[], [], [], []]
-                ent[0].append(did)
-                ent[1].append(len(positions))
-                ent[2].append(dl)
-                ent[3].extend(positions)
+                raw_tokens = tokenize_bytes(data, tok_mode)
+            all_raw += raw_tokens
+            raw_lens[local_i] = len(raw_tokens)
 
-        kept = np.array([d >= 0 for d in dls], dtype=bool)
+        (dl_arr, uniq_arr, terms, lens, doc_flat_local, tf_flat, dl_flat,
+         p_s, post_run_starts, term_of_run, _) = _accumulate_chunk(
+            all_raw, raw_lens, self.proc, pre_expanded)
+        doc_flat = doc_flat_local + chunk.doc_id_base
+
         docs_cols = {
             "doc_id": doc_ids[kept],
             "docno": pa.array(np.array(docnos, dtype=object)[kept].tolist(), pa.string()),
             "sha256": pa.array(np.array(shas, dtype=object)[kept].tolist(), pa.string()),
-            "dl": pa.array(np.array(dls)[kept].astype(np.int32), pa.int32()),
-            "unique_terms": pa.array(np.array(uniq)[kept].astype(np.int32), pa.int32()),
+            "dl": pa.array(dl_arr[kept].astype(np.int32), pa.int32()),
+            "unique_terms": pa.array(uniq_arr[kept].astype(np.int32), pa.int32()),
         }
         if self.cfg.store_content:
             # contents are utf-8 bytes; the docstore column stays string
@@ -324,27 +431,16 @@ class IngestWorker:
         else:
             docs_tbl = pa.table(docs_cols, schema=DOCS_SCHEMA)
 
-        terms = sorted(acc.keys())
         salt_span = self.cfg.salt_docs_per_group
         n_buckets = self.cfg.n_buckets
         store_pos = self.cfg.store_positions
         bucket_memo = self._bucket_memo
         n_terms = len(terms)
 
-        # flat-array construction (ListArray.from_arrays) instead of
-        # per-term Python lists-of-lists: arrow conversion of nested Python
-        # objects is allocation-heavy and is what limits multi-actor scaling
-        lens = np.fromiter((len(acc[t][0]) for t in terms), dtype=np.int64,
-                           count=n_terms)
-        total = int(lens.sum())
+        total = int(lens.sum()) if n_terms else 0
         offsets = np.zeros(n_terms + 1, dtype=np.int32)
-        np.cumsum(lens, out=offsets[1:])
-        doc_flat = np.fromiter(
-            (x for t in terms for x in acc[t][0]), dtype=np.int64, count=total)
-        tf_flat = np.fromiter(
-            (x for t in terms for x in acc[t][1]), dtype=np.int32, count=total)
-        dl_flat = np.fromiter(
-            (x for t in terms for x in acc[t][2]), dtype=np.int32, count=total)
+        if n_terms:
+            np.cumsum(lens, out=offsets[1:])
         starts = offsets[:-1].astype(np.int64)
         ends = offsets[1:].astype(np.int64) - 1
         first_docs = doc_flat[starts] if total else np.empty(0, np.int64)
@@ -369,10 +465,7 @@ class IngestWorker:
             # byte-slices) — and encoded in ONE numpy pass for the whole
             # chunk instead of 4 numpy calls per term: per-term tiny-array
             # overhead was the chunk-processing ceiling
-            n_positions = int(tf_flat.sum())
-            pos_flat = np.fromiter(
-                (x for t in terms for x in acc[t][3]), dtype=np.int64,
-                count=n_positions)
+            pos_flat = p_s.astype(np.int64)  # already term-major flat
             run_lens = tf_flat.astype(np.int64)  # one run per (term, doc)
             deltas = segmented_delta(pos_flat, run_lens)
             sizes = vbyte_sizes(deltas.astype(np.uint64))
@@ -430,17 +523,47 @@ class IngestWorker:
         pq.write_table(partials_tbl, partials_path, row_group_size=rg_size)
         nbytes = docs_tbl.nbytes + partials_tbl.nbytes
         if store_direct:
-            # d_* were appended in loop order for kept docs only → aligned
-            # with doc_ids[kept]; parquet dictionary-encodes the term strings
+            # per doc, terms in FIRST-OCCURRENCE order (the TermList invariant,
+            # ref:include/indri/TermList.hpp:105-131): re-sort the (term, doc)
+            # runs by (doc, first position) and ragged-gather their positions
+            n_runs = len(post_run_starts)
+            if n_runs:
+                first_pos_run = p_s[post_run_starts]
+                order2 = np.lexsort((first_pos_run, doc_flat_local))
+                rs2 = post_run_starts[order2]
+                rl2 = tf_flat[order2].astype(np.int64)
+                tot2 = int(rl2.sum())
+                seg2 = np.concatenate(([0], np.cumsum(rl2)[:-1]))
+                within2 = np.arange(tot2, dtype=np.int64) - np.repeat(seg2, rl2)
+                pos_direct = p_s[np.repeat(rs2, rl2) + within2].astype(np.int32)
+                terms_direct = pa.array(
+                    [terms[r] for r in term_of_run[order2]], pa.string())
+                tfs_direct = tf_flat[order2]
+            else:
+                pos_direct = np.empty(0, np.int32)
+                terms_direct = pa.array([], pa.string())
+                tfs_direct = np.empty(0, np.int32)
+            runs_per_doc = uniq_arr  # runs per doc == unique terms per doc
+            run_off = np.zeros(n + 1, np.int64)
+            np.cumsum(runs_per_doc, out=run_off[1:])
+            pos_run_ends = np.concatenate(([0], np.cumsum(
+                tfs_direct.astype(np.int64))))
+            pos_off = pos_run_ends[run_off]
             direct_tbl = pa.table(
                 {
-                    "doc_id": pa.array(doc_ids[kept], pa.int64()),
-                    "terms": pa.array(d_terms, pa.list_(pa.string())),
-                    "tfs": pa.array(d_tfs, pa.list_(pa.int32())),
-                    "positions": pa.array(d_pos, pa.list_(pa.int32())),
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "terms": pa.ListArray.from_arrays(
+                        pa.array(run_off.astype(np.int32), pa.int32()),
+                        terms_direct),
+                    "tfs": pa.ListArray.from_arrays(
+                        pa.array(run_off.astype(np.int32), pa.int32()),
+                        pa.array(tfs_direct, pa.int32())),
+                    "positions": pa.ListArray.from_arrays(
+                        pa.array(pos_off.astype(np.int32), pa.int32()),
+                        pa.array(pos_direct, pa.int32())),
                 },
                 schema=DIRECT_SCHEMA,
-            )
+            ).filter(pa.array(kept))
             os.makedirs(f"{self.out_dir}/direct", exist_ok=True)
             pq.write_table(direct_tbl, f"{self.out_dir}/direct/direct-{cid}.parquet")
             nbytes += direct_tbl.nbytes
@@ -464,7 +587,7 @@ class IngestWorker:
             rows=n, bytes_written=int(nbytes), wall_ms=wall,
             extra={
                 "kept_docs": int(kept.sum()),
-                "total_term_slots": int(sum(x for x in dls if x >= 0)),
+                "total_term_slots": int(dl_arr[kept].sum()),
                 "distinct_terms": len(terms),
                 **({"field_stats": f_stats} if field_spec else {}),
             },

@@ -219,6 +219,74 @@ def _split_mixed_run(run: bytes) -> list[tuple[bytes, bool]]:
 # 5 tag, 6 entity, 7 acronym, 8 word, 9 negnum
 _G_ACRONYM, _G_WORD, _G_NEGNUM = 7, 8, 9
 
+# ---------------------------------------------------------------------------
+# two-pass fast scan (the ingest hot path)
+# ---------------------------------------------------------------------------
+#
+# The zap rules (comment/bang/pct/xml/tag/entity) all begin at ``<`` or ``&``,
+# and no token rule's charset contains either byte (word: [a-zA-Z0-9'\x80-\xFD],
+# acronym: [A-Z0-9.], negnum: [-0-9.]).  The two rule families therefore never
+# compete for a start position in the one-pass scanner, so zapping first
+# (replacing each zap match with a single space, which no token rule consumes)
+# and then extracting tokens with a group-free ``findall`` (C-speed, returns
+# the matched bytes directly) yields the identical token stream — property-
+# tested against ``_tokenize_bytes_scanner`` in tests/test_tokenizer.py.
+_ZAP = re.compile(
+    rb"(?s)"
+    rb"<!--(?:.*?-->|.*)"
+    rb"|<![^-][^>]*>"
+    rb"|<%[^%>]+%>"
+    rb"|<\?xml[^>]*>"
+    rb"|<[a-zA-Z/][^>]*>"
+    rb"|&(?:[a-zA-Z]+|#(?:[0-9]+|[xX][a-fA-F0-9]+));"
+)
+# same alternation order as _SCANNER's token rules (acronym, word, negnum):
+# Python's leftmost-first alternation reproduces flex maximal munch for these
+# three because their start-charsets make the ordering decisive (see
+# _SCANNER's docstring analysis).
+_TOKEN_FINDALL = re.compile(
+    rb"(?:[A-Z0-9]\.)+"
+    rb"|[a-zA-Z0-9'\x80-\xFD]+"
+    rb"|-[0-9]+(?:\.[0-9]+)?"
+)
+
+
+def scan_raw(content: bytes) -> list[bytes]:
+    """Raw rule matches (pre-expansion): zap pass + token findall.
+
+    Returns the per-rule match bytes; callers expand each match to final
+    token slots with :func:`expand_raw` (1:1 for ASCII matches, 1:N for
+    UTF-8 runs).  Which rule produced a match is recoverable from the bytes
+    alone: only negnum starts with ``-``, only acronym contains ``.``."""
+    if content.find(b"<") >= 0 or content.find(b"&") >= 0:
+        content = _ZAP.sub(b" ", content)
+    return _TOKEN_FINDALL.findall(content)
+
+
+def expand_raw(tok: bytes) -> list[bytes] | tuple[bytes]:
+    """One raw scan match → its final token slot bytes (pre-normalization).
+
+    Mirrors the per-match branch of the one-pass scanner: acronym/negnum and
+    pure-ASCII word runs strip trailing punctuation (1 slot); UTF-8 runs
+    re-tokenize by character class (N slots, possibly empty tokens which
+    later become termID-0 slots)."""
+    if tok[0] == 0x2D or b"." in tok:  # negnum / acronym (word has no '-'/'.')
+        return (_strip_trailing_punct(tok),)
+    if _HIGH.search(tok) is None:
+        n = len(tok)
+        while n > 1 and tok[n - 1] in _ASCII_PUNCT:
+            n -= 1
+        return (tok[:n],)
+    if b"'" not in tok:
+        return _utf8_word_tokens(tok)
+    out: list[bytes] = []
+    for sub, is_ascii in _split_mixed_run(tok):
+        if is_ascii:
+            out.append(_strip_trailing_punct(sub))
+        else:
+            out.extend(_utf8_word_tokens(sub))
+    return out
+
 
 def _utf8_char_tokens(run: bytes) -> list[bytes]:
     """Char-mode re-tokenization of a UTF-8 run: one token per character,
@@ -244,29 +312,24 @@ def tokenize_bytes_char(content: bytes) -> list[bytes]:
     zapping are identical to word mode."""
     tokens: list[bytes] = []
     high_search = _HIGH.search
-    for m in _SCANNER.finditer(content):
-        kind = m.lastindex
-        if kind == _G_WORD:
-            run = m.group()
-            if high_search(run) is None:
-                tokens.extend(_ascii_char_tokens(run))
-            elif b"'" not in run:
-                tokens.extend(_utf8_char_tokens(run))
-            else:
-                for sub, is_ascii in _split_mixed_run(run):
-                    if is_ascii:
-                        tokens.extend(_ascii_char_tokens(sub))
-                    else:
-                        tokens.extend(_utf8_char_tokens(sub))
-        elif kind == _G_ACRONYM or kind == _G_NEGNUM:
-            tokens.extend(_ascii_char_tokens(m.group()))
+    for tok in scan_raw(content):
+        if tok[0] == 0x2D or b"." in tok or high_search(tok) is None:
+            tokens.extend(_ascii_char_tokens(tok))  # acronym/negnum/ASCII word
+        elif b"'" not in tok:
+            tokens.extend(_utf8_char_tokens(tok))
+        else:
+            for sub, is_ascii in _split_mixed_run(tok):
+                if is_ascii:
+                    tokens.extend(_ascii_char_tokens(sub))
+                else:
+                    tokens.extend(_utf8_char_tokens(sub))
     return tokens
 
 
-def tokenize_bytes(content: bytes, mode: str = "word") -> list[bytes]:
-    """Tokenize document bytes → raw token list (pre-normalization)."""
-    if mode == "char":
-        return tokenize_bytes_char(content)
+def _tokenize_bytes_scanner(content: bytes) -> list[bytes]:
+    """One-pass word-mode scanner — the original flex-order implementation,
+    retained as the reference for the two-pass fast scan's equivalence
+    property tests (tests/test_tokenizer.py)."""
     tokens: list[bytes] = []
     append = tokens.append
     high_search = _HIGH.search
@@ -290,6 +353,27 @@ def tokenize_bytes(content: bytes, mode: str = "word") -> list[bytes]:
         elif kind == _G_ACRONYM or kind == _G_NEGNUM:
             append(_strip_trailing_punct(m.group()))
         # comment/bang/pct/xml/tag/entity → no term emitted
+    return tokens
+
+
+def tokenize_bytes(content: bytes, mode: str = "word") -> list[bytes]:
+    """Tokenize document bytes → raw token list (pre-normalization)."""
+    if mode == "char":
+        return tokenize_bytes_char(content)
+    tokens: list[bytes] = []
+    append = tokens.append
+    high_search = _HIGH.search
+    for tok in scan_raw(content):
+        # inline fast path for the common ASCII cases (≡ expand_raw)
+        if tok[0] == 0x2D or b"." in tok:
+            append(_strip_trailing_punct(tok))
+        elif high_search(tok) is None:
+            n = len(tok)
+            while n > 1 and tok[n - 1] in _ASCII_PUNCT:
+                n -= 1
+            append(tok[:n])
+        else:
+            tokens.extend(expand_raw(tok))
     return tokens
 
 

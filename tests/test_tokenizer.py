@@ -102,3 +102,56 @@ def test_stopped_positions_count_in_doc_length():
     toks = tokenize("the quick the dead")
     assert len(toks) == 4
     assert toks == ["the", "quick", "the", "dead"]
+
+
+# ---------------------------------------------------------------------------
+# two-pass fast scan ≡ one-pass scanner (the ingest hot-path refactor)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from indri_5_5_ray.tokenizer import (
+    _tokenize_bytes_scanner,
+    expand_raw,
+    scan_raw,
+    tokenize_bytes_char,
+)
+
+_TRICKY_PIECES = [
+    b"<!--", b"-->", b"<!DOCTYPE x>", b"<%x%>", b"<?xml v?>", b"<tag a=1>",
+    b"</tag>", b"<", b">", b"&amp;", b"&#x1F;", b"&#10;", b"&nope", b";",
+    b"U.S.A.", b"-3.14", b"-", b"don't", b"'", b"caf\xc3\xa9", b"'\xc3\xa9'",
+    b"a'b\xc3\xa9c", b"\xe4\xb8\xad\xe6\x96\x87", b"\x80", b"\xfe", b"$",
+    b"\xc2\xa3", b"A.", b"9.5", b" ", b"\n", b"x",
+]
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(st.sampled_from(_TRICKY_PIECES), max_size=30))
+def test_fast_scan_equals_scanner(pieces):
+    data = b"".join(pieces)
+    assert tokenize_bytes(data) == _tokenize_bytes_scanner(data)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200))
+def test_fast_scan_equals_scanner_random_bytes(data):
+    assert tokenize_bytes(data) == _tokenize_bytes_scanner(data)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(_TRICKY_PIECES), max_size=20))
+def test_scan_raw_expand_composition(pieces):
+    """tokenize_bytes ≡ flatten(expand_raw over scan_raw) — the contract the
+    vectorized ingest kernel relies on (expansion applied per unique)."""
+    data = b"".join(pieces)
+    composed = [t for raw in scan_raw(data) for t in expand_raw(raw)]
+    assert composed == tokenize_bytes(data)
+
+
+def test_char_mode_still_matches_scanner_semantics():
+    data = "int x = 3; 中文 café U.S.A. <tag>zap</tag> &amp; done".encode()
+    toks = tokenize_bytes_char(data)
+    # every char token is a single character; tags/entities zapped
+    assert b"tag" not in toks and b"amp" not in toks
+    assert all(len(t.decode("utf-8")) == 1 for t in toks if t)
