@@ -492,6 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_topk": _rm3_topk,
         # --- text statistics / analysis ---
         "token_counts": textstats.token_counts,
+        "token_counts_bpe": textstats.token_counts_bpe,
+        "doc_fingerprints": textstats.doc_fingerprints,
         "term_stats": textstats.term_stats,
         "top_terms": textstats.top_terms,
         "quality_scores": textstats.quality_scores,
@@ -508,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": simsearch.knn_bruteforce,
         "cosine_pairs": simsearch.cosine_pairs,
         "lsh_ann_topk": simsearch.lsh_ann_topk,
+        "ivf_ann_topk": simsearch.ivf_ann_topk,
         # --- event-stream operators ---
         "tumbling_counts": events.tumbling_counts,
         "sessionize": events.sessionize,
@@ -859,6 +862,12 @@ _LANG_COUNTS = {
 }
 
 
+def _bpe_re() -> str:
+    from indri_5_5_ray.functions.textstats import BPE_RE
+
+    return BPE_RE
+
+
 def oracle_sql() -> dict[str, str]:
     lang_cols = ",\n  ".join(
         f"len(list_filter(t, x -> x IN {words})) AS c_{lg}"
@@ -1024,7 +1033,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
             ORDER BY vec_id_a, vec_id_b""",
-        # bm25_topk_kstem, lsh_ann_topk, media_*: non-SQL-expressible
-        # (stemmer dictionary / seeded hyperplanes / binary decode) →
-        # rows-only driver check; semantics are pytest-verified instead.
+        "token_counts_bpe": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '{_bpe_re()}')) AS n_tokens_bpe
+            FROM documents ORDER BY doc_id""",
+        "doc_fingerprints": f"""
+            WITH toks AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
+            grams AS (
+              SELECT doc_id, i,
+                     md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM toks WHERE len(t) >= 3)),
+            wins AS (
+              SELECT doc_id, i,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+              FROM grams)
+            SELECT DISTINCT doc_id, fp FROM wins WHERE i >= 4
+            ORDER BY doc_id, fp""",
+        # bm25_topk_kstem, lsh_ann_topk, ivf_ann_topk, media_*:
+        # non-SQL-expressible (stemmer dictionary / seeded hyperplanes /
+        # seeded k-means / binary decode) → rows-only driver check;
+        # semantics are pytest-verified instead.
     }

@@ -262,3 +262,186 @@ def lsh_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
             "cosine": pa.array(rows["cosine"], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (coarse-quantizer scale path)
+# ---------------------------------------------------------------------------
+
+IVF_SEED = 777
+
+
+def _load_sample(sf_dir: str, n_rows: int) -> tuple[np.ndarray, np.ndarray]:
+    """First ``n_rows`` vectors reading only as many row groups as needed —
+    bounded driver memory regardless of table size (unlike a full read)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    tables, got = [], 0
+    for rg in range(pf.num_row_groups):
+        tables.append(pf.read_row_group(rg, columns=["vec_id", "embedding"]))
+        got += tables[-1].num_rows
+        if got >= n_rows:
+            break
+    t = pa.concat_tables(tables).sort_by("vec_id").slice(0, n_rows)
+    return _batch_matrix(t)
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int,
+                    iters: int = 10) -> np.ndarray:
+    """Spherical k-means on a FIXED-SIZE sample (deterministic seed).
+
+    The sample is driver-side by design: IVF coarse quantizers train on a
+    bounded subsample regardless of corpus size (the standard FAISS recipe),
+    so this stays O(sample × centroids) at 100 TB."""
+    rng = np.random.default_rng(IVF_SEED)
+    Mn = _normalize(sample.astype(np.float64))
+    n_centroids = min(n_centroids, len(Mn))
+    C = Mn[rng.choice(len(Mn), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = (Mn @ C.T).argmax(axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, Mn)
+        counts = np.bincount(assign, minlength=n_centroids)
+        nonempty = counts > 0
+        C = np.where(nonempty[:, None], sums, C)
+        C = _normalize(C)
+    return C
+
+
+def ivf_assign(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest-centroid list id per (unnormalized) vector; ties → lowest id
+    (argmax picks the first maximum — deterministic)."""
+    return (_normalize(M.astype(np.float64)) @ C.T).argmax(axis=1)
+
+
+def ivf_partition(sf_dir: str, out_dir: str, n_centroids: int = 16,
+                  train_rows: int = 2048) -> np.ndarray:
+    """Build the IVF structure: vectors written as parquet partitioned by
+    coarse list id (``out_dir/list=<id>/``), so a query reads ONLY its probed
+    lists (partition pruning — the IVF inverted-file idea expressed as
+    storage layout).  Returns the centroid matrix."""
+    import json as _json
+    import os as _os
+
+    _, sample = _load_sample(sf_dir, train_rows)
+    C = train_centroids(sample, n_centroids)
+    _os.makedirs(out_dir, exist_ok=True)
+    with open(_os.path.join(out_dir, "centroids.json"), "w") as fh:
+        _json.dump(C.tolist(), fh)
+    c_ref = ray.put(C)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids, M = _batch_matrix(batch)
+        lists = ivf_assign(M, ray.get(c_ref))
+        return batch.append_column("list", pa.array(lists, pa.int32()))
+
+    ds = _emb(sf_dir).map_batches(tag, batch_format="pyarrow")
+    # vectors under data/ so the sibling centroids.json never pollutes the
+    # parquet dataset scan
+    ds.write_parquet(_os.path.join(out_dir, "data"), partition_cols=["list"])
+    return C
+
+
+def ivf_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4,
+                 train_rows: int = 2048,
+                 index_dir: str | None = None) -> pa.Table:
+    import os as _os
+
+    """(query_id, rank, vec_id, cosine) approximate top-k via IVF probing.
+
+    Coarse path: spherical-k-means centroids (fixed sample + seed), each
+    query probes its ``nprobe`` nearest lists, candidate vectors get the same
+    distributed partial-top-k re-rank as ``knn_bruteforce`` (driver merges
+    only k rows per batch — no candidate materialization).  With
+    ``index_dir`` (built by :func:`ivf_partition`) the probed lists are read
+    via partition pruning; without it, assignment happens inline per batch
+    (one extra matmul) over the raw embeddings table."""
+    q_ids, Q = load_query_matrix(sf_dir, n_queries)
+    Qn = _normalize(Q)
+    if index_dir is None:
+        _, sample = _load_sample(sf_dir, train_rows)
+        C = train_centroids(sample, n_centroids)
+    else:
+        import json as _json
+
+        with open(_os.path.join(index_dir, "centroids.json")) as fh:
+            C = np.asarray(_json.load(fh), dtype=np.float64)
+    nprobe = min(nprobe, len(C))
+    q_lists = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, :nprobe]
+    probed = set(map(int, np.unique(q_lists)))
+    ref = ray.put((C, probed, q_ids, Qn))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        C_, probed_, q_ids_, Qn_ = ray.get(ref)
+        ids, M = _batch_matrix(batch)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if not len(ids):
+            return empty
+        if "list" in batch.column_names:
+            # hive partition values are read back as strings
+            lists = batch.column("list").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            lists = ivf_assign(M, C_)
+        mask = np.isin(lists, np.fromiter(probed_, np.int64))
+        if not mask.any():
+            return empty
+        ids, M = ids[mask], M[mask]
+        Mn = _normalize(M)
+        S = Qn_ @ Mn.T
+        kk = min(k, S.shape[1])
+        out_q, out_v, out_c = [], [], []
+        for qi in range(S.shape[0]):
+            idx = np.lexsort((ids, -S[qi]))[:kk]
+            out_q.extend([int(q_ids_[qi])] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_c.extend(S[qi, idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+    if index_dir is not None:
+        # explicit partition pruning: only the probed lists' directories are
+        # ever listed or read
+        files = [
+            _os.path.join(d, f)
+            for d in (_os.path.join(index_dir, "data", f"list={i}")
+                      for i in sorted(probed))
+            if _os.path.isdir(d)
+            for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
+        ]
+        src = ray.data.read_parquet(files)
+    else:
+        src = _emb(sf_dir)
+    parts = src.map_batches(partial_topk, batch_format="pyarrow")
+    tables = [x for x in (ray.get(r) for r in parts.to_arrow_refs())
+              if x.num_rows]
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    if tables:
+        allt = pa.concat_tables(tables)
+        qs = allt.column("query_id").to_numpy()
+        vs = allt.column("vec_id").to_numpy()
+        cs = allt.column("cosine").to_numpy()
+        for q in q_ids.tolist():
+            m = qs == q
+            order = np.lexsort((vs[m], -cs[m]))[:k]
+            rows["query_id"].extend([int(q)] * len(order))
+            rows["rank"].extend(range(1, len(order) + 1))
+            rows["vec_id"].extend(vs[m][order].tolist())
+            rows["cosine"].extend(np.round(cs[m][order], 6).tolist())
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        "cosine": pa.array(rows["cosine"], pa.float64()),
+    })

@@ -13,6 +13,7 @@ exercised by the index pipelines (see pipelines/build.py).
 
 from __future__ import annotations
 
+import numpy as np
 import polars as pl
 import pyarrow as pa
 import ray.data
@@ -158,3 +159,96 @@ def lang_table_stats(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby("lang").aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting + winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer, simplified to the lookahead-free subset both the
+# Rust regex engine (polars) and RE2 (DuckDB) implement identically: a letter
+# run, digit run, or punctuation run, each optionally absorbing one leading
+# space; residual whitespace runs count as one token.  Applied to
+# ``lower(text)`` like every other textstats oracle.
+BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\r]+|[ \t\n\r]+"
+
+
+def token_counts_bpe(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens_bpe) — BPE-ish regex pretokenizer counts.
+
+    The count approximates the LLM-token cost of a document (the
+    length-budget signal a training-data pipeline filters on) without a
+    vocabulary; exact parity with the DuckDB oracle's
+    ``regexp_extract_all(lower(text), BPE_RE)``."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("text").str.to_lowercase()
+            .str.count_matches(BPE_RE)
+            .cast(pl.Int64)
+            .alias("n_tokens_bpe"),
+        )
+        return out.to_arrow()
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+FP_K = 3  # k-gram size (shared with the dedup shingles)
+FP_W = 4  # winnowing window (Schleimer et al., SIGMOD'03)
+
+
+def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, fp) distinct winnowing fingerprints per document.
+
+    Document fingerprinting via winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every token k-gram (md5, so the DuckDB oracle is exact),
+    slide a window of ``FP_W`` consecutive k-gram hashes, and keep each
+    window's minimum; the distinct minima are the document's fingerprints.
+    Guarantees any shared token run of length ≥ k + w - 1 produces a shared
+    fingerprint — the scale path for partial-overlap (plagiarism-style)
+    detection, since fingerprints can be inverted into a (fp → doc) posting
+    table with a groupby.
+
+    Entirely per-batch (no shuffle): md5 once per UNIQUE k-gram per batch,
+    rolling window minimum via log-free pairwise np.minimum over shifted
+    arrays, doc boundaries respected by position masks."""
+    import hashlib as _hl
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "fp": pa.array([], pa.string())})
+
+    def f(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).select(
+            "doc_id", tokens_expr().alias("t")
+        ).filter(pl.col("t").list.len() >= FP_K)
+        if df.is_empty():
+            return empty
+        ex = df.explode("t").with_columns(
+            pos=pl.int_range(pl.len()).over("doc_id"))
+        ex = ex.with_columns(
+            g=pl.concat_str(
+                [pl.col("t").shift(-s).over("doc_id") for s in range(FP_K)],
+                separator=" ",
+            )
+        )
+        grams = ex.drop_nulls("g")  # last k-1 positions per doc have no gram
+        uniq = grams["g"].unique().to_list()
+        hmap = {s: _hl.md5(s.encode()).hexdigest() for s in uniq}
+        doc = grams["doc_id"].to_numpy()
+        gpos = grams["pos"].to_numpy()
+        H = np.array([hmap[s] for s in grams["g"].to_list()], dtype=object)
+        # rolling min of the last FP_W hashes (hex order == 128-bit order)
+        M = H.copy()
+        for s in range(1, FP_W):
+            M[s:] = np.minimum(M[s:], H[:-s])
+        # a window is complete when it lies inside one doc: gram index ≥ w-1
+        valid = gpos >= FP_W - 1
+        out = pl.DataFrame({
+            "doc_id": doc[valid],
+            "fp": M[valid].astype(str),
+        }).unique().sort(["doc_id", "fp"])
+        return out.to_arrow().cast(empty.schema)
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")

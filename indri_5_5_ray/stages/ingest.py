@@ -342,6 +342,7 @@ class IngestWorker:
             rec["skipped"] = True
             return rec
 
+        t_read0 = time.perf_counter()
         tbl = read_chunk(chunk, columns=["repo", "path", "commit", "content"])
         # docno = repo/path@commit (SURVEY.md §1.3: docno is the implicit key)
         docnos = [
@@ -375,6 +376,7 @@ class IngestWorker:
         kept = np.ones(n, dtype=bool)
         tok_mode = self.cfg.tokenizer
         pre_expanded = bool(field_spec) or tok_mode == "char"
+        t_scan0 = time.perf_counter()
         for local_i in range(n):
             data = contents[local_i]
             shas.append(hashlib.sha256(data).hexdigest())
@@ -409,9 +411,11 @@ class IngestWorker:
             all_raw += raw_tokens
             raw_lens[local_i] = len(raw_tokens)
 
+        t_kern0 = time.perf_counter()
         (dl_arr, uniq_arr, terms, lens, doc_flat_local, tf_flat, dl_flat,
          p_s, post_run_starts, term_of_run, _) = _accumulate_chunk(
             all_raw, raw_lens, self.proc, pre_expanded)
+        t_kern1 = time.perf_counter()
         doc_flat = doc_flat_local + chunk.doc_id_base
 
         docs_cols = {
@@ -515,6 +519,7 @@ class IngestWorker:
         partials_tbl = partials_tbl.sort_by([("bucket", "ascending")])
         rg_size = max(256, partials_tbl.num_rows // max(1, n_buckets))
 
+        t_write0 = time.perf_counter()
         docs_path = f"{self.out_dir}/docs/docs-{cid}.parquet"
         partials_path = f"{self.out_dir}/partials/partials-{cid}.parquet"
         os.makedirs(f"{self.out_dir}/docs", exist_ok=True)
@@ -587,6 +592,13 @@ class IngestWorker:
             rows=n, bytes_written=int(nbytes), wall_ms=wall,
             extra={
                 "kept_docs": int(kept.sum()),
+                "phase_ms": {
+                    "read": round((t_scan0 - t_read0) * 1000, 1),
+                    "scan": round((t_kern0 - t_scan0) * 1000, 1),
+                    "kernel": round((t_kern1 - t_kern0) * 1000, 1),
+                    "encode": round((t_write0 - t_kern1) * 1000, 1),
+                    "write": round((time.perf_counter() - t_write0) * 1000, 1),
+                },
                 "total_term_slots": int(dl_arr[kept].sum()),
                 "distinct_terms": len(terms),
                 **({"field_stats": f_stats} if field_spec else {}),

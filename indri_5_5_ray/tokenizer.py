@@ -37,10 +37,63 @@ from .data.utf8_tables import CASE_PAIRS, CLASS_INTERVALS
 # unicode tables
 # ---------------------------------------------------------------------------
 
-_CLASS_MAP: dict[int, int] = {}
-for _start, _end, _cls in CLASS_INTERVALS:
-    for _cp in range(_start, _end + 1):
-        _CLASS_MAP[_cp] = _cls
+# interval lookup instead of a ~98k-entry codepoint dict: workers import this
+# module once per process, and at 32-way cold start the dict build + first-
+# touch convoys on memory bandwidth.  The raw table is unsorted and
+# overlapping with last-writer-wins semantics (it was applied in order into a
+# dict), so flatten it once into sorted disjoint intervals via a numpy sweep,
+# then bisect (the hot callers memoize, and only high-byte runs get here).
+import bisect as _bisect
+
+
+def _flatten_intervals() -> tuple[list[int], list[int], list[int]]:
+    import numpy as _np
+
+    starts = _np.array([s for s, _e, _c in CLASS_INTERVALS], _np.int64)
+    ends = _np.array([e for _s, e, _c in CLASS_INTERVALS], _np.int64)
+    cls = _np.array([c for _s, _e, c in CLASS_INTERVALS], _np.int64)
+    bounds = _np.unique(_np.concatenate((starts, ends + 1)))
+    seg_starts = bounds[:-1]
+    # covering interval with the LARGEST list index wins (dict overwrite)
+    cover = (starts[None, :] <= seg_starts[:, None]) & (
+        ends[None, :] >= seg_starts[:, None])
+    idx = _np.where(
+        cover.any(axis=1),
+        cover.shape[1] - 1 - _np.argmax(cover[:, ::-1], axis=1), -1)
+    seg_cls = _np.where(idx >= 0, cls[_np.maximum(idx, 0)], 0)
+    # merge adjacent segments with equal class, drop class-0 segments
+    out_s, out_e, out_c = [], [], []
+    for i in range(len(seg_starts)):
+        c = int(seg_cls[i])
+        if c == 0:
+            continue
+        s, e = int(seg_starts[i]), int(bounds[i + 1]) - 1
+        if out_c and out_c[-1] == c and out_e[-1] == s - 1:
+            out_e[-1] = e
+        else:
+            out_s.append(s)
+            out_e.append(e)
+            out_c.append(c)
+    return out_s, out_e, out_c
+
+
+_CI_STARTS, _CI_ENDS, _CI_CLS = _flatten_intervals()
+
+
+class _ClassMap:
+    """dict-like codepoint → CharClass id via interval bisect (0 = none)."""
+
+    __slots__ = ()
+
+    @staticmethod
+    def get(cp: int, default: int = 0) -> int:
+        i = _bisect.bisect_right(_CI_STARTS, cp) - 1
+        if i >= 0 and cp <= _CI_ENDS[i]:
+            return _CI_CLS[i]
+        return default
+
+
+_CLASS_MAP = _ClassMap()
 
 _CASE_MAP: dict[int, int] = {}
 for _upper, _lower in CASE_PAIRS:

@@ -147,3 +147,55 @@ def test_textstats_term_stats(mini_sf):
     assert stats.loc["databases", "df"] == 1
     counts = token_counts(mini_sf).to_pandas().set_index("doc_id")
     assert counts.loc[0, "n_tokens"] == 9
+
+
+def test_ivf_ann(mini_sf, tmp_path):
+    from indri_5_5_ray.functions.simsearch import (
+        ivf_ann_topk, ivf_partition, knn_bruteforce)
+
+    # with nprobe == n_centroids every list is probed → identical to brute force
+    knn = knn_bruteforce(mini_sf, n_queries=3, k=3).to_pandas()
+    full = ivf_ann_topk(mini_sf, n_queries=3, k=3, n_centroids=2,
+                        nprobe=2, train_rows=6).to_pandas()
+    assert full.values.tolist() == knn.values.tolist()
+
+    # fused path ≡ partitioned-index path (partition pruning)
+    idx = str(tmp_path / "ivf")
+    ivf_partition(mini_sf, idx, n_centroids=2, train_rows=6)
+    import os
+    assert os.path.exists(f"{idx}/centroids.json")
+    part = ivf_ann_topk(mini_sf, n_queries=3, k=3, n_centroids=2,
+                        nprobe=2, train_rows=6, index_dir=idx).to_pandas()
+    assert part.values.tolist() == full.values.tolist()
+
+    # rank-1 self-hit survives nprobe=1 (query's own list always probed)
+    narrow = ivf_ann_topk(mini_sf, n_queries=3, k=3, n_centroids=2,
+                          nprobe=1, train_rows=6).to_pandas()
+    n1 = narrow[narrow["rank"] == 1]
+    assert (n1.query_id.values == n1.vec_id.values).all()
+
+
+def test_doc_fingerprints_winnowing(mini_sf):
+    from indri_5_5_ray.functions.textstats import doc_fingerprints
+
+    fp = doc_fingerprints(mini_sf).to_pandas()
+    by_doc = {d: set(g.fp) for d, g in fp.groupby("doc_id")}
+    # exact dup docs 0 and 3 → identical fingerprint sets
+    assert by_doc[0] == by_doc[3]
+    # near-dup doc 1 shares the k+w-1 guarantee: long shared prefix → overlap
+    assert by_doc[0] & by_doc[1]
+    # unrelated docs share nothing
+    assert not (by_doc[0] & by_doc[2])
+    # doc 2 has 6 tokens → 4 grams → exactly one complete window;
+    # doc 4 has 5 tokens → 3 grams < window → no fingerprints (boundary)
+    assert 2 in by_doc and 4 not in by_doc
+
+
+def test_token_counts_bpe(mini_sf):
+    from indri_5_5_ray.functions.textstats import token_counts_bpe
+
+    out = token_counts_bpe(mini_sf).to_pandas().sort_values("doc_id")
+    # 9 words with single spaces → 9 " ?letters" tokens
+    assert out.iloc[0].n_tokens_bpe == 9
+    # exact dup rows count the same
+    assert out.iloc[0].n_tokens_bpe == out.iloc[3].n_tokens_bpe
