@@ -862,6 +862,18 @@ _LANG_COUNTS = {
 }
 
 
+def _minhash_perms_sql() -> str:
+    """VALUES table of the engine's affine minhash constants (see
+    functions/dedup.py MINHASH_A/B — same integers, exact BIGINT math)."""
+    from indri_5_5_ray.functions.dedup import MINHASH_A, MINHASH_B
+
+    rows = ", ".join(
+        f"({p}, {int(a)}, {int(b)})"
+        for p, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return f"perms(p, a, b) AS (VALUES {rows})"
+
+
 def _bpe_re() -> str:
     from indri_5_5_ray.functions.textstats import BPE_RE
 
@@ -946,17 +958,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(c / (sa.n + sb.n - c), 6) >= 0.2
             ORDER BY doc_a, doc_b""",
         "minhash_signatures": f"""
-            WITH {_SHINGLE_SQL}
-            SELECT doc_id, p AS perm,
-                   min(md5(p::VARCHAR || ':' || shingle)) AS minhash
-            FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
-            GROUP BY doc_id, p ORDER BY doc_id, perm""",
+            WITH {_SHINGLE_SQL},
+            {_minhash_perms_sql()}
+            SELECT doc_id, p.p AS perm,
+                   min((('0x' || substring(md5(shingle), 1, 8))::BIGINT * p.a
+                        + p.b) % 2305843009213693951) AS minhash
+            FROM sh CROSS JOIN perms p
+            GROUP BY doc_id, p.p ORDER BY doc_id, perm""",
         "lsh_candidate_pairs": f"""
             WITH {_SHINGLE_SQL},
-            mh AS (SELECT doc_id, p AS perm,
-                          min(md5(p::VARCHAR || ':' || shingle)) AS minhash
-                   FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
-                   GROUP BY doc_id, p),
+            {_minhash_perms_sql()},
+            mh AS (SELECT doc_id, p.p AS perm,
+                          min((('0x' || substring(md5(shingle), 1, 8))::BIGINT
+                               * p.a + p.b) % 2305843009213693951) AS minhash
+                   FROM sh CROSS JOIN perms p
+                   GROUP BY doc_id, p.p),
             bands AS (SELECT doc_id, perm // 4 AS band,
                              string_agg(minhash, '|' ORDER BY perm) AS sig
                       FROM mh GROUP BY doc_id, perm // 4),

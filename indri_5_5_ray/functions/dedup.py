@@ -390,22 +390,34 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.2) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_wide(sh: pl.DataFrame) -> pl.DataFrame:
-    """(doc_id, shingle) → wide (doc_id, h0..h{P-1}) minhash signatures.
+# affine minhash permutations over a 32-bit md5 prefix: ONE md5 per unique
+# shingle, then numpy (h*a + b) mod M for all perms at once.  Constants are
+# sized so h(<2^32) * a(<2^30) + b stays under 2^62 — exact in both numpy
+# int64 and DuckDB BIGINT, so the SQL oracle computes the identical value.
+MINHASH_PRIME = (1 << 61) - 1
+_mh_rng = np.random.default_rng(20260817)
+MINHASH_A = _mh_rng.integers(1, 1 << 30, NUM_PERMS).astype(np.int64)
+MINHASH_B = _mh_rng.integers(0, 1 << 30, NUM_PERMS).astype(np.int64)
 
-    md5 is computed once per UNIQUE shingle per batch (not per doc), then a
+
+def _minhash_wide(sh: pl.DataFrame) -> pl.DataFrame:
+    """(doc_id, shingle) → wide (doc_id, h0..h{P-1}) int64 minhash signatures.
+
+    md5 is computed once per UNIQUE shingle per batch (not per doc and not
+    per permutation — the perms are affine maps of one 32-bit hash), then a
     vectorized polars join + group-min produces every doc's signature — no
     per-doc Python loops in the kernel."""
     if sh.height == 0:
         return pl.DataFrame({"doc_id": pl.Series([], dtype=pl.Int64),
-                             **{f"h{p}": pl.Series([], dtype=pl.String)
+                             **{f"h{p}": pl.Series([], dtype=pl.Int64)
                                 for p in range(NUM_PERMS)}})
     uniq = sh["shingle"].unique().to_list()
-    cols = {}
-    for p in range(NUM_PERMS):
-        prefix = f"{p}:".encode()
-        cols[f"h{p}"] = [hashlib.md5(prefix + s.encode()).hexdigest() for s in uniq]
-    hdf = pl.DataFrame({"shingle": uniq, **cols})
+    h32 = np.array(
+        [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in uniq],
+        dtype=np.int64)
+    M = (h32[:, None] * MINHASH_A[None, :] + MINHASH_B[None, :]) % MINHASH_PRIME
+    hdf = pl.DataFrame({"shingle": uniq,
+                        **{f"h{p}": M[:, p] for p in range(NUM_PERMS)}})
     j = sh.select("doc_id", "shingle").join(hdf, on="shingle")
     return j.group_by("doc_id").agg(
         [pl.col(f"h{p}").min() for p in range(NUM_PERMS)]
@@ -439,7 +451,8 @@ def _band_buckets(wide: pl.DataFrame) -> pl.DataFrame:
         # same string then md5 it rowwise
         sig = wide.select(
             "doc_id",
-            pl.concat_str([pl.col(c) for c in chunk], separator="|").alias("sig"),
+            pl.concat_str([pl.col(c).cast(pl.String) for c in chunk],
+                          separator="|").alias("sig"),
         ).with_columns(pl.lit(band).alias("band"))
         parts.append(sig)
     allb = pl.concat(parts)
