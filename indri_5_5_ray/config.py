@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class IndexConfig:
-    stemmer: str | None = "krovetz"       # None | "krovetz"
+    stemmer: str | None = "krovetz"       # None|"krovetz"|"porter"|registered name
     tokenizer: str = "word"                # "word" | "char" (CJK per-char,
                                            # ref:src/TextTokenizer.l:412-421)
     stopwords: tuple[str, ...] = ()        # empty = no stopping

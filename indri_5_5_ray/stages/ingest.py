@@ -101,8 +101,22 @@ class TermProcessor:
                 stem = staticmethod(porter_stem)
 
             self.stemmer = _Porter()
-        else:
+        elif cfg.stemmer in (None, "none"):
             self.stemmer = None
+        else:
+            # extension seam: registry-provided stemmer (SURVEY.md §2.12,
+            # the StemmerFactory analogue — ref:src/StemmerFactory.cpp:40-80)
+            from ..registry import get_stemmer
+
+            fn = get_stemmer(cfg.stemmer)
+            if fn is None:
+                raise ValueError(f"unknown stemmer {cfg.stemmer!r} "
+                                 "(not built-in, not registered)")
+
+            class _Custom:
+                stem = staticmethod(fn)
+
+            self.stemmer = _Custom()
         self._memo: dict[str, str | None] = {}
         # raw-token-bytes → final term (or None): one dict hop per token in
         # the hot ingest loop (normalize + stop + stem fused)
@@ -375,7 +389,8 @@ class IngestWorker:
         raw_lens = np.zeros(n, np.int64)
         kept = np.ones(n, dtype=bool)
         tok_mode = self.cfg.tokenizer
-        pre_expanded = bool(field_spec) or tok_mode == "char"
+        # non-word modes (char / registry tokenizers) emit final token slots
+        pre_expanded = bool(field_spec) or tok_mode != "word"
         t_scan0 = time.perf_counter()
         for local_i in range(n):
             data = contents[local_i]
@@ -406,8 +421,17 @@ class IngestWorker:
                     st[2] += 1
             elif tok_mode == "word":
                 raw_tokens = scan_raw(data)
-            else:
+            elif tok_mode == "char":
                 raw_tokens = tokenize_bytes(data, tok_mode)
+            else:
+                # registry-provided tokenizer mode (SURVEY.md §2.12)
+                from ..registry import get_tokenizer
+
+                fn = get_tokenizer(tok_mode)
+                if fn is None:
+                    raise ValueError(f"unknown tokenizer {tok_mode!r} "
+                                     "(not built-in, not registered)")
+                raw_tokens = fn(data)
             all_raw += raw_tokens
             raw_lens[local_i] = len(raw_tokens)
 
