@@ -494,6 +494,7 @@ class BM25Scorer:
 
         # collect blocks: (term_idx, first_doc, last_doc, ub, row_idx, off, ln)
         blocks = []
+        block_nd: list[int] = []  # per-block doc count (for batched decode)
         row_terms = rows.column("term").to_pylist()
         payloads = rows.column("postings").to_pylist()
         all_off = rows.column("block_offset").to_pylist()
@@ -519,6 +520,7 @@ class BM25Scorer:
                 else:
                     ub = 0.0  # negative-idf terms can only lower a score
                 blocks.append((ti, first, last, ub, ri, off, ln))
+                block_nd.append(_nd)
                 max_doc = max(max_doc, last)
         if not blocks:
             return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -568,6 +570,28 @@ class BM25Scorer:
             acc_ids: np.ndarray | None = None
             acc_scores: np.ndarray | None = None
             bis = sorted(cell_blocks[cell], key=lambda bi: blocks[bi][0])
+            # batch-decode this cell's missing blocks, one vectorized pass
+            # per postings row instead of one numpy round-trip per block —
+            # the stopword-query tail decodes ~every block, and per-block
+            # decode overhead dominated p95 latency
+            by_row: dict[int, list[int]] = {}
+            for bi in bis:
+                _ti0, _f0, _l0, _ub0, ri0, off0, _ln0 = blocks[bi]
+                if (ri0, off0) not in decoded:
+                    by_row.setdefault(ri0, []).append(bi)
+            from ..codec import decode_doc_tf_batch
+
+            for ri0, row_bis in by_row.items():
+                offs = [blocks[bi][5] for bi in row_bis]
+                lns = [blocks[bi][6] for bi in row_bis]
+                nds = [block_nd[bi] for bi in row_bis]
+                d_all, tf_all = decode_doc_tf_batch(
+                    payloads[ri0], offs, lns, nds)
+                cuts = np.concatenate(([0], np.cumsum(nds)))
+                for j, bi in enumerate(row_bis):
+                    decoded[(ri0, blocks[bi][5])] = (
+                        d_all[cuts[j]:cuts[j + 1]],
+                        tf_all[cuts[j]:cuts[j + 1]])
             for ti in range(n_terms):
                 t_ids, t_tfs = [], []
                 for bi in bis:
