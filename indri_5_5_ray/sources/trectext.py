@@ -103,15 +103,33 @@ def parse_trecweb(data: str) -> list[tuple[str, str]]:
     return out
 
 
+# custom file classes: name → parse fn (file text → [(docno, content)]),
+# the IndexEnvironment::addFileClass seam (ref:src/IndexEnvironment.cpp:192-208,
+# spec struct ref:src/FileClassEnvironmentFactory.cpp:105-299)
+_FILE_CLASSES: dict = {}
+
+
+def add_file_class(name: str, parse_fn) -> None:
+    """Register a custom file class for :func:`read_tagged`.
+
+    ``parse_fn`` receives one file's text and returns ``[(docno, content)]``.
+    Must be importable at the worker (Ray ships it by reference)."""
+    if name in ("trectext", "trecweb", "html"):
+        raise ValueError(f"cannot shadow built-in file class {name!r}")
+    _FILE_CLASSES[name] = parse_fn
+
+
 def read_tagged(paths: list[str] | str, file_class: str = "trectext") -> ray.data.Dataset:
     """Dataset of (docno, content) rows for a registered file class
     ('trectext' | 'trecweb' | 'html' — html treats each FILE as one doc
-    keyed by its path, like the reference's html file class)."""
+    keyed by its path, like the reference's html file class — or a name
+    registered via :func:`add_file_class`)."""
     if isinstance(paths, str):
         p = Path(paths)
         paths = [str(p)] if p.is_file() else sorted(str(f) for f in p.rglob("*") if f.is_file())
     if file_class == "trectext":
         return read_trectext(paths)
+    custom = _FILE_CLASSES.get(file_class)
 
     def parse_file(row: dict) -> list[dict]:
         data = Path(row["path"]).read_text(errors="replace")
@@ -119,6 +137,8 @@ def read_tagged(paths: list[str] | str, file_class: str = "trectext") -> ray.dat
             return [{"docno": d, "content": c} for d, c in parse_trecweb(data)]
         if file_class == "html":
             return [{"docno": row["path"], "content": data}]
+        if custom is not None:
+            return [{"docno": d, "content": c} for d, c in custom(data)]
         raise ValueError(f"unknown file class {file_class!r}")
 
     return ray.data.from_items([{"path": p} for p in paths]).flat_map(parse_file)

@@ -88,3 +88,20 @@ def test_make_scorer_spec_and_registry(ray_session, tmp_path):
     assert registry.make_scorer(reader, "const", c=2.0).c == 2.0
     with pytest.raises(ValueError, match="unknown scorer"):
         registry.make_scorer(reader, "missing")
+
+
+def test_custom_file_class(ray_session, tmp_path):
+    from indri_5_5_ray.sources.trectext import add_file_class, read_tagged
+
+    add_file_class("lines", lambda text: [
+        (f"L{i}", ln) for i, ln in enumerate(text.splitlines()) if ln.strip()
+    ])
+    f = tmp_path / "x.txt"
+    f.write_text("alpha beta\n\ngamma\n")
+    rows = sorted(read_tagged(str(f), file_class="lines").take_all(),
+                  key=lambda r: r["docno"])
+    assert [r["docno"] for r in rows] == ["L0", "L2"]
+    assert rows[1]["content"] == "gamma"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="shadow"):
+        add_file_class("html", lambda t: [])
