@@ -130,10 +130,12 @@ def run_bench() -> dict:
     cold_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     manifest = build_index(corpus_dir, index_dir, cfg, resume=False)
-    build_s = time.perf_counter() - t0
-    results["build"] = round(build_s, 3)
-    results["build_cold"] = round(cold_s, 3)
-    docs_per_sec = manifest["doc_count"] / build_s
+    warm_s = time.perf_counter() - t0
+    # "build" keeps its round-1 meaning (cold, end-to-end) so cross-round
+    # BENCH comparisons stay apples-to-apples; "build_warm" is steady state
+    results["build"] = round(cold_s, 3)
+    results["build_warm"] = round(warm_s, 3)
+    docs_per_sec = manifest["doc_count"] / warm_s
 
     queries = bench_queries_set(index_dir)
     t0 = time.perf_counter()
@@ -212,17 +214,19 @@ def run_build_only() -> dict:
     cold_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     manifest = build_index(corpus_dir, index_dir, cfg, resume=False)
-    build_s = time.perf_counter() - t0
+    warm_s = time.perf_counter() - t0
     out = {
         "metric": "index-build docs/sec",
-        "value": round(build_s, 3),
+        "value": round(cold_s, 3),
         "unit": "sec",
-        "queries": {"build": round(build_s, 3),
-                    "build_cold": round(cold_s, 3)},
+        # "build" = cold (round-1-comparable); scaling efficiency uses the
+        # warm docs/sec (steady state, what a long-lived cluster sustains)
+        "queries": {"build": round(cold_s, 3),
+                    "build_warm": round(warm_s, 3)},
         "sf": _sf_label(SF_DIR),
         "num_cpus": NUM_CPUS,
         "build_docs": manifest["doc_count"],
-        "build_docs_per_sec": round(manifest["doc_count"] / build_s, 1),
+        "build_docs_per_sec": round(manifest["doc_count"] / warm_s, 1),
         "build_docs_per_sec_cold": round(manifest["doc_count"] / cold_s, 1),
         "timings": manifest["timings"],
     }
@@ -319,8 +323,8 @@ def run_scaling() -> dict:
         "queries": {
             f"docs_per_sec_{lo}cpu": t_lo,
             f"docs_per_sec_{hi}cpu": t_hi,
-            f"build_s_{lo}cpu": runs[lo]["queries"]["build"],
-            f"build_s_{hi}cpu": runs[hi]["queries"]["build"],
+            f"build_s_{lo}cpu": runs[lo]["queries"]["build_warm"],
+            f"build_s_{hi}cpu": runs[hi]["queries"]["build_warm"],
             f"steal_pct_{lo}cpu": runs[lo].get("steal_pct", -1.0),
             f"steal_pct_{hi}cpu": runs[hi].get("steal_pct", -1.0),
         },

@@ -332,6 +332,9 @@ def ivf_partition(sf_dir: str, out_dir: str, n_centroids: int = 16,
 
     _, sample = _load_sample(sf_dir, train_rows)
     C = train_centroids(sample, n_centroids)
+    import shutil as _shutil
+
+    _shutil.rmtree(_os.path.join(out_dir, "data"), ignore_errors=True)
     _os.makedirs(out_dir, exist_ok=True)
     with open(_os.path.join(out_dir, "centroids.json"), "w") as fh:
         _json.dump(C.tolist(), fh)
@@ -353,17 +356,19 @@ def ivf_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
                  n_centroids: int = 16, nprobe: int = 4,
                  train_rows: int = 2048,
                  index_dir: str | None = None) -> pa.Table:
-    import os as _os
-
     """(query_id, rank, vec_id, cosine) approximate top-k via IVF probing.
 
-    Coarse path: spherical-k-means centroids (fixed sample + seed), each
-    query probes its ``nprobe`` nearest lists, candidate vectors get the same
-    distributed partial-top-k re-rank as ``knn_bruteforce`` (driver merges
-    only k rows per batch — no candidate materialization).  With
-    ``index_dir`` (built by :func:`ivf_partition`) the probed lists are read
-    via partition pruning; without it, assignment happens inline per batch
-    (one extra matmul) over the raw embeddings table."""
+    Coarse path: spherical-k-means centroids (fixed sample + seed); each
+    query scores ONLY vectors in its own ``nprobe`` nearest lists (a
+    per-query probe mask — results are independent of which other queries
+    share the call), with the same distributed partial-top-k re-rank as
+    ``knn_bruteforce`` (driver merges only k rows per batch — no candidate
+    materialization).  With ``index_dir`` (built by :func:`ivf_partition`)
+    only the UNION of probed lists is read at all, via partition pruning;
+    without it, assignment happens inline per batch (one extra matmul) over
+    the raw embeddings table."""
+    import os as _os
+
     q_ids, Q = load_query_matrix(sf_dir, n_queries)
     Qn = _normalize(Q)
     if index_dir is None:
@@ -377,10 +382,10 @@ def ivf_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
     nprobe = min(nprobe, len(C))
     q_lists = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, :nprobe]
     probed = set(map(int, np.unique(q_lists)))
-    ref = ray.put((C, probed, q_ids, Qn))
+    ref = ray.put((C, probed, q_ids, Qn, q_lists))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        C_, probed_, q_ids_, Qn_ = ray.get(ref)
+        C_, probed_, q_ids_, Qn_, q_lists_ = ray.get(ref)
         ids, M = _batch_matrix(batch)
         empty = pa.table({"query_id": pa.array([], pa.int64()),
                           "vec_id": pa.array([], pa.int64()),
@@ -396,13 +401,19 @@ def ivf_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
         mask = np.isin(lists, np.fromiter(probed_, np.int64))
         if not mask.any():
             return empty
-        ids, M = ids[mask], M[mask]
+        ids, M, lists = ids[mask], M[mask], lists[mask]
         Mn = _normalize(M)
         S = Qn_ @ Mn.T
+        # per-query probe gate: query qi may only see vectors whose list is
+        # among ITS nprobe lists (not the batch-level union)
+        allowed = (lists[None, None, :] == q_lists_[:, :, None]).any(axis=1)
+        S = np.where(allowed, S, -np.inf)
         kk = min(k, S.shape[1])
         out_q, out_v, out_c = [], [], []
         for qi in range(S.shape[0]):
             idx = np.lexsort((ids, -S[qi]))[:kk]
+            keep = S[qi, idx] > -np.inf
+            idx = idx[keep]
             out_q.extend([int(q_ids_[qi])] * len(idx))
             out_v.extend(ids[idx].tolist())
             out_c.extend(S[qi, idx].tolist())

@@ -233,6 +233,9 @@ def build_index(
     ingest_mode = os.environ.get("INDRI55_INGEST_MODE", "tasks")
     out_str_i = str(out)
     cfg_dict_i = cfg.to_dict()
+    from .. import registry as _registry
+
+    reg_snap = _registry.snapshot()  # ship driver-side registrations
     if ingest_mode == "actors":
         # Ray Data actor-pool path (kept for reference/testing): identical
         # results; measurably slower phase utilization than warm-task reuse
@@ -247,6 +250,7 @@ def build_index(
                 "out_dir": out_str_i,
                 "cfg_dict": cfg_dict_i,
                 "losers_path": losers_path,
+                "registry_snapshot": reg_snap,
             },
         )
         records = ingest_ds.take_all()
@@ -271,7 +275,8 @@ def build_index(
 
         @ray.remote(num_cpus=1)
         def _ingest_task(chunk_dict: dict) -> dict:
-            w = get_process_worker(out_str_i, cfg_dict_i, losers_path)
+            w = get_process_worker(out_str_i, cfg_dict_i, losers_path,
+                                   reg_snap)
             return w._process_chunk(Chunk(**chunk_dict))
 
         records = ray.get([_ingest_task.remote(c) for c in chunk_dicts])

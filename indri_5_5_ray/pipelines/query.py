@@ -44,7 +44,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from ..codec import decode_block
+from ..codec import decode_block, decode_doc_tf_batch
 from ..config import IndexConfig
 from ..stages.ingest import TermProcessor
 from ..tokenizer import tokenize
@@ -391,7 +391,6 @@ class BM25Scorer:
             base = lo
 
         # decode per term in query order; accumulate into a doc->score map
-        from ..codec import decode_doc_tf_batch
 
         row_terms = rows.column("term").to_pylist()
         payloads = rows.column("postings").to_pylist()
@@ -579,8 +578,6 @@ class BM25Scorer:
                 _ti0, _f0, _l0, _ub0, ri0, off0, _ln0 = blocks[bi]
                 if (ri0, off0) not in decoded:
                     by_row.setdefault(ri0, []).append(bi)
-            from ..codec import decode_doc_tf_batch
-
             for ri0, row_bis in by_row.items():
                 offs = [blocks[bi][5] for bi in row_bis]
                 lns = [blocks[bi][6] for bi in row_bis]

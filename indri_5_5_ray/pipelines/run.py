@@ -19,8 +19,19 @@ import ray.data
 from .query import BM25Scorer, IndexReader, process_query
 
 
+def _reg_snapshot() -> dict:
+    from .. import registry as _registry
+
+    return _registry.snapshot()
+
+
 class QueryWorker:
-    def __init__(self, index_dir: str, k: int = 1000, method: str = "blockmax"):
+    def __init__(self, index_dir: str, k: int = 1000, method: str = "blockmax",
+                 registry_snapshot: dict | None = None):
+        if registry_snapshot:
+            from .. import registry as _registry
+
+            _registry.restore(registry_snapshot)
         self.reader = IndexReader(index_dir)
         self.scorer = BM25Scorer(self.reader)
         self.k = k
@@ -69,7 +80,12 @@ class ShardedQueryWorker:
     from the manifest, driver-side merge with the exact tie-break
     (ref:src/QueryEnvironment.cpp:111-122, 985-988)."""
 
-    def __init__(self, index_dir: str, k: int, n_shards: int):
+    def __init__(self, index_dir: str, k: int, n_shards: int,
+                 registry_snapshot: dict | None = None):
+        if registry_snapshot:
+            from .. import registry as _registry
+
+            _registry.restore(registry_snapshot)
         self.reader = IndexReader(index_dir)
         self.scorer = BM25Scorer(self.reader)
         self.k = k
@@ -127,7 +143,9 @@ def run_queries_sharded(
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "n_shards": n_shards},
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k,
+                               "n_shards": n_shards,
+                               "registry_snapshot": _reg_snapshot()},
     )
     tables = [_ray.get(r) for r in res.to_arrow_refs()]
     tables = [t for t in tables if t.num_rows]
@@ -171,7 +189,9 @@ def run_queries(
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "method": method},
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k,
+                               "method": method,
+                               "registry_snapshot": _reg_snapshot()},
     )
     import ray as _ray
 

@@ -55,7 +55,8 @@ def register_scorer(name: str, factory: Callable) -> None:
     The factory receives (reader, **params) and must return an object with
     the BM25Scorer/LMScorer scoring interface (``score_exhaustive`` or
     ``score``)."""
-    if name in ("okapi", "tfidf", "dirichlet", "jm", "two"):
+    if name in ("okapi", "bm25", "tfidf", "dirichlet", "d", "dir", "jm",
+                "linear", "two", "twostage", "two-stage"):
         raise ValueError(f"cannot shadow built-in scorer {name!r}")
     _SCORERS[name] = factory
 
@@ -76,6 +77,26 @@ def register_tokenizer(name: str, fn: Callable[[bytes], list[bytes]]) -> None:
 
 def get_tokenizer(name: str) -> Callable[[bytes], list[bytes]] | None:
     return _TOKENIZERS.get(name)
+
+
+def snapshot() -> dict:
+    """Capture all registrations for shipping to Ray workers.
+
+    Worker processes import a FRESH registry module, so driver-side
+    registrations don't exist there; pipelines capture a snapshot in the
+    task/actor closure and :func:`restore` it before building stateful
+    workers (the callables ride along via cloudpickle)."""
+    return {"stemmers": dict(_STEMMERS), "scorers": dict(_SCORERS),
+            "tokenizers": dict(_TOKENIZERS)}
+
+
+def restore(snap: dict | None) -> None:
+    """Merge a :func:`snapshot` into this process's registry (idempotent)."""
+    if not snap:
+        return
+    _STEMMERS.update(snap.get("stemmers", {}))
+    _SCORERS.update(snap.get("scorers", {}))
+    _TOKENIZERS.update(snap.get("tokenizers", {}))
 
 
 def make_scorer(reader, spec: str, **params):

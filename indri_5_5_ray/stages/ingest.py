@@ -184,8 +184,11 @@ def _accumulate_chunk(
     :func:`expand_raw` (1:N for UTF-8 runs, applied per unique).
 
     Returns (dl_arr, uniq_arr, names_sorted, lens, doc_flat_local, tf_flat,
-    dl_flat, pos_flat, run_starts, p_s, doc_runs_sorted) where the last three
-    feed the direct-index builder.
+    dl_flat, p_s, run_starts, term_of_run): per-doc dl/unique counts, the
+    sorted term list with per-term posting counts, the term-major flat
+    (doc, tf, dl) posting arrays, and the sorted position stream with its
+    per-(term, doc) run starts + term rank per run (the last three feed the
+    positions encoder and the direct-index builder).
     """
     n = len(raw_lens)
     T = len(all_raw)
@@ -193,7 +196,7 @@ def _accumulate_chunk(
     if T == 0:
         return (np.zeros(n, np.int64), np.zeros(n, np.int64), [], e64,
                 e64, e64.astype(np.int32), e64.astype(np.int32), e64, e64,
-                e64, e64)
+                e64)
     arr = pa.array(all_raw, type=pa.large_binary())
     enc = arr.dictionary_encode()
     idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -284,14 +287,15 @@ def _accumulate_chunk(
     dl_flat = dl_arr[doc_flat_local].astype(np.int32)
     uniq_arr = np.bincount(doc_flat_local, minlength=n).astype(np.int64)
     return (dl_arr, uniq_arr, names_sorted, lens, doc_flat_local, tf_flat,
-            dl_flat, p_s, run_starts, term_of_run, e64)
+            dl_flat, p_s, run_starts, term_of_run)
 
 
 _PROCESS_WORKERS: dict[tuple, "IngestWorker"] = {}
 
 
 def get_process_worker(out_dir: str, cfg_dict: dict,
-                       losers_path: str | None) -> "IngestWorker":
+                       losers_path: str | None,
+                       registry_snapshot: dict | None = None) -> "IngestWorker":
     """Process-global IngestWorker for the plain-task ingest mode: Ray
     reuses warm worker processes across tasks, so the per-worker state
     (stemmer dictionary + caches) persists exactly as it would in an actor —
@@ -301,7 +305,7 @@ def get_process_worker(out_dir: str, cfg_dict: dict,
     key = (out_dir, _json.dumps(cfg_dict, sort_keys=True), losers_path)
     w = _PROCESS_WORKERS.get(key)
     if w is None:
-        w = IngestWorker(out_dir, cfg_dict, losers_path)
+        w = IngestWorker(out_dir, cfg_dict, losers_path, registry_snapshot)
         _PROCESS_WORKERS.clear()  # one live config per worker is enough
         _PROCESS_WORKERS[key] = w
     return w
@@ -312,7 +316,16 @@ class IngestWorker:
     (``ingest_mode='actors'``) or via ``get_process_worker`` from plain Ray
     tasks (default mode)."""
 
-    def __init__(self, out_dir: str, cfg_dict: dict, losers_path: str | None = None):
+    def __init__(self, out_dir: str, cfg_dict: dict,
+                 losers_path: str | None = None,
+                 registry_snapshot: dict | None = None):
+        # driver-side extension registrations don't exist in fresh Ray
+        # worker processes — restore the shipped snapshot BEFORE building
+        # the term chain (see registry.snapshot)
+        if registry_snapshot:
+            from .. import registry as _registry
+
+            _registry.restore(registry_snapshot)
         self.out_dir = out_dir
         self.cfg = IndexConfig.from_dict(cfg_dict)
         self.proc = TermProcessor(self.cfg)
@@ -437,7 +450,7 @@ class IngestWorker:
 
         t_kern0 = time.perf_counter()
         (dl_arr, uniq_arr, terms, lens, doc_flat_local, tf_flat, dl_flat,
-         p_s, post_run_starts, term_of_run, _) = _accumulate_chunk(
+         p_s, post_run_starts, term_of_run) = _accumulate_chunk(
             all_raw, raw_lens, self.proc, pre_expanded)
         t_kern1 = time.perf_counter()
         doc_flat = doc_flat_local + chunk.doc_id_base

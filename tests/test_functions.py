@@ -199,3 +199,16 @@ def test_token_counts_bpe(mini_sf):
     assert out.iloc[0].n_tokens_bpe == 9
     # exact dup rows count the same
     assert out.iloc[0].n_tokens_bpe == out.iloc[3].n_tokens_bpe
+
+
+def test_ivf_per_query_probe_isolation(mini_sf):
+    """A query's results must not depend on which other queries share the
+    call (each query scores only ITS nprobe lists, not the batch union)."""
+    from indri_5_5_ray.functions.simsearch import ivf_ann_topk
+
+    alone = ivf_ann_topk(mini_sf, n_queries=1, k=3, n_centroids=3,
+                         nprobe=1, train_rows=6).to_pandas()
+    batch = ivf_ann_topk(mini_sf, n_queries=3, k=3, n_centroids=3,
+                         nprobe=1, train_rows=6).to_pandas()
+    q0 = batch[batch.query_id == 0].reset_index(drop=True)
+    assert q0.values.tolist() == alone.values.tolist()

@@ -105,3 +105,17 @@ def test_custom_file_class(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="shadow"):
         add_file_class("html", lambda t: [])
+
+
+def test_registered_stemmer_ships_to_ray_workers(ray_session, tmp_path):
+    """Driver-side registrations must reach Ray worker processes (the
+    build ships a registry snapshot in the task closure)."""
+    from indri_5_5_ray.pipelines.build import build_index
+
+    registry.register_stemmer("firstتwo", lambda term: term[:2])
+    p = _write_corpus(tmp_path, ["alpha beta gamma", "delta alpha"])
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path), idx,
+                IndexConfig(stemmer="firstتwo", dedup_key=None, n_buckets=2))
+    part = pq.read_table(f"{idx}/partials")
+    assert sorted(set(part.column("term").to_pylist())) == ["al", "be", "de", "ga"]
