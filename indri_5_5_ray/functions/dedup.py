@@ -572,3 +572,69 @@ def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
         })
 
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (the step after candidate verification)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
+    """(doc_id, cluster_rep) connected components over verified near-dup
+    pairs (3-gram Jaccard ≥ tau); cluster_rep = min doc_id in the component.
+    Docs in no pair form singleton clusters (rep = self).
+
+    The verified pair list is orders of magnitude smaller than the corpus
+    (it is the OUTPUT of LSH + verification), so the union-find runs on the
+    collected pairs at the driver — the standard dedup-cluster shape; the
+    per-doc assignment is then a broadcast join inside ``map_batches`` over
+    the streaming documents table."""
+    pairs = ngram_jaccard_pairs(sf_dir, tau=tau)
+    tables = [t for t in (ray.get(r) for r in pairs.to_arrow_refs())
+              if t.num_rows]
+    pt = pa.concat_tables(tables) if tables else None
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    if pt is not None:
+        for a, b in zip(pt.column("doc_a").to_pylist(),
+                        pt.column("doc_b").to_pylist()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # union by smaller id → rep is the component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    rep_map = {x: find(x) for x in list(parent)}
+    import ray as _ray
+
+    rep_ref = _ray.put(rep_map)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _ray.get(rep_ref)
+        ids = batch.column("doc_id").to_numpy()
+        reps = np.array([m.get(int(d), int(d)) for d in ids], np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "cluster_rep": pa.array(reps, pa.int64())})
+
+    return _docs(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+def near_dedup_keep_first(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
+    """(doc_id) keep one representative (min doc_id) per near-dup cluster —
+    the full dedup pipeline's final filter (exact dups collapse at
+    jaccard 1.0, so this subsumes ``dedup_keep_first`` at any tau ≤ 1)."""
+    clusters = near_dup_clusters(sf_dir, tau=tau)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        reps = batch.column("cluster_rep").to_numpy()
+        return pa.table({"doc_id": pa.array(ids[ids == reps], pa.int64())})
+
+    return clusters.map_batches(keep, batch_format="pyarrow")

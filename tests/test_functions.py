@@ -212,3 +212,22 @@ def test_ivf_per_query_probe_isolation(mini_sf):
                          nprobe=1, train_rows=6).to_pandas()
     q0 = batch[batch.query_id == 0].reset_index(drop=True)
     assert q0.values.tolist() == alone.values.tolist()
+
+
+def test_near_dup_clusters(mini_sf):
+    from indri_5_5_ray.functions.dedup import (
+        near_dedup_keep_first, near_dup_clusters)
+
+    cl = near_dup_clusters(mini_sf, tau=0.5).to_pandas().set_index("doc_id")
+    # docs 0, 1, 3 form one component (0-3 exact, 0-1 jaccard 0.75 ≥ 0.5)
+    assert cl.loc[0, "cluster_rep"] == 0
+    assert cl.loc[1, "cluster_rep"] == 0
+    assert cl.loc[3, "cluster_rep"] == 0
+    # unrelated docs are singletons
+    assert cl.loc[2, "cluster_rep"] == 2
+    assert cl.loc[4, "cluster_rep"] == 4
+    kept = sorted(near_dedup_keep_first(mini_sf, tau=0.5).to_pandas().doc_id)
+    assert kept == [0, 2, 4]
+    # transitivity: at tau low enough, a chain a~b, b~c clusters a with c
+    cl2 = near_dup_clusters(mini_sf, tau=0.1).to_pandas().set_index("doc_id")
+    assert (cl2.loc[[0, 1, 3], "cluster_rep"] == 0).all()
