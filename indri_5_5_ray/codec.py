@@ -239,18 +239,38 @@ def cut_blocks_pre(
     else:
         per_doc = 4.0
     docs_per_block = max(8, int(target_bytes / per_doc))
+    # one vectorized encode for the WHOLE term, then per-block byte slices:
+    # per-block numpy round-trips (delta + 2 vbyte + astype each) dominated
+    # the merge reducer at large term counts
+    starts = np.arange(0, n, docs_per_block, dtype=np.int64)
+    ends = np.minimum(starts + docs_per_block, n)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    deltas[starts] = doc_ids[starts]  # per-block delta restart (absolute)
+    inter = np.empty(2 * n, dtype=np.uint64)
+    inter[0::2] = deltas.view(np.uint64)  # deltas > 0: bit-identical view
+    inter[1::2] = tfs.view(np.uint64) if tfs.dtype == np.int64 \
+        else tfs.astype(np.uint64)
+    sizes = vbyte_sizes(inter)
+    big = vbyte_encode(inter)
+    byte_cum = np.concatenate(([0], np.cumsum(sizes, dtype=np.int64)))
+    a_starts = byte_cum[2 * starts]
+    a_ends = byte_cum[2 * (ends - 1) + 2]
+    a_lens = a_ends - a_starts
+    prefixes = vbyte_encode(a_lens.view(np.uint64))
+    p_sizes = vbyte_sizes(a_lens.view(np.uint64))
+    p_cum = np.concatenate(([0], np.cumsum(p_sizes, dtype=np.int64)))
     out = []
-    for start in range(0, n, docs_per_block):
-        end = min(start + docs_per_block, n)
-        block_tfs = tfs[start:end]
+    for bi in range(len(starts)):
+        start, end = int(starts[bi]), int(ends[bi])
+        payload = prefixes[p_cum[bi]:p_cum[bi + 1]] + \
+            big[a_starts[bi]:a_ends[bi]]
         if has_pos:
-            stream_b = pos_payload[byte_starts[start] : byte_starts[end]]
-        else:
-            stream_b = None
-        payload = assemble_block(doc_ids[start:end], block_tfs, stream_b)
+            payload += pos_payload[byte_starts[start]:byte_starts[end]]
         out.append(
             (int(doc_ids[start]), int(doc_ids[end - 1]), payload,
-             doc_ids[start:end], block_tfs)
+             doc_ids[start:end], tfs[start:end])
         )
     return out
 

@@ -97,3 +97,46 @@ def test_cut_blocks_boundaries_and_roundtrip():
     assert np.concatenate(all_d).tolist() == doc_ids.tolist()
     assert np.concatenate(all_t).tolist() == tfs.tolist()
     assert np.concatenate(all_p).tolist() == positions.tolist()
+
+
+def test_cut_blocks_pre_matches_assemble_block():
+    """Vectorized whole-term encode ≡ per-block assemble_block output."""
+    import numpy as np
+
+    from indri_5_5_ray.codec import assemble_block, cut_blocks_pre, decode_block
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(1, 400))
+        doc_ids = np.cumsum(rng.integers(1, 2000, n)).astype(np.int64)
+        tfs = rng.integers(1, 300, n).astype(np.int64)
+        # fake per-doc position streams of varying byte lengths
+        blens = rng.integers(0, 9, n).astype(np.int64)
+        payload = bytes(rng.integers(0, 255, int(blens.sum()), dtype=np.uint8))
+        tb = int(rng.choice([64, 256, 4096]))
+        blocks = cut_blocks_pre(doc_ids, tfs, payload, blens, target_bytes=tb)
+        # reference: re-assemble each block independently
+        bs = np.concatenate(([0], np.cumsum(blens)))
+        cursor = 0
+        for first, last, pl, bd, bt in blocks:
+            end = cursor + len(bd)
+            want = assemble_block(
+                doc_ids[cursor:end], tfs[cursor:end],
+                payload[bs[cursor]:bs[end]])
+            assert pl == want, (trial, cursor)
+            assert first == doc_ids[cursor] and last == doc_ids[end - 1]
+            d, t, _ = decode_block(pl, False)
+            assert (d == doc_ids[cursor:end]).all()
+            assert (t == tfs[cursor:end]).all()
+            cursor = end
+        assert cursor == n
+        # no-positions variant round-trips too
+        blocks2 = cut_blocks_pre(doc_ids, tfs, None, None, target_bytes=tb)
+        cursor = 0
+        for first, last, pl, bd, bt in blocks2:
+            end = cursor + len(bd)
+            d, t, _ = decode_block(pl, False)
+            assert (d == doc_ids[cursor:end]).all()
+            assert (t == tfs[cursor:end]).all()
+            cursor = end
+        assert cursor == n
