@@ -31,7 +31,10 @@ import os
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 import ray.data
+from ray.data.aggregate import Sum
 
 from .textstats import tokens_expr
 
@@ -122,34 +125,55 @@ def _dup_groups(sf_dir: str) -> tuple[dict[int, np.ndarray], dict[int, int], set
         )
         return out.to_arrow()
 
-    def multi_only(group: pa.Table) -> pa.Table:
-        empty = pa.table({"rep_doc_id": pa.array([], pa.int64()),
+    # ONE pipeline execution, no per-group Python: sort by content hash so
+    # each hash's rows are contiguous, then a vectorized polars group-by per
+    # batch.  Only multi-member groups and the ≤2 batch-BOUNDARY hashes per
+    # batch (a group can straddle a block cut) reach the driver —
+    # O(#dup docs + #blocks), scale-safe — where boundary fragments merge.
+    keyed_ds = _docs(sf_dir).map_batches(keyed, batch_format="pyarrow")
+
+    def batch_groups(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"content_hash": pa.array([], pa.string()),
                           "members": pa.array([], pa.list_(pa.int64())),
                           "n_tokens": pa.array([], pa.int64())})
-        if "doc_id" not in group.column_names or group.num_rows < 2:
+        if batch.num_rows == 0 or "content_hash" not in batch.column_names:
             return empty
-        ids = np.sort(group.column("doc_id").to_numpy())
-        return pa.table({
-            "rep_doc_id": pa.array([int(ids[0])], pa.int64()),
-            "members": pa.array([ids.tolist()], pa.list_(pa.int64())),
-            "n_tokens": pa.array([int(group.column("n_tokens")[0].as_py())], pa.int64()),
-        })
+        df = pl.from_arrow(batch)
+        g = df.group_by("content_hash").agg(
+            pl.col("doc_id").sort().alias("members"),
+            pl.col("n_tokens").first().alias("n_tokens"),
+            pl.len().alias("cnt"),
+        )
+        edge = [df["content_hash"][0], df["content_hash"][-1]]
+        keep = g.filter((pl.col("cnt") >= 2)
+                        | pl.col("content_hash").is_in(edge))
+        return keep.drop("cnt").to_arrow().cast(empty.schema)
 
-    grouped = (
-        _docs(sf_dir)
-        .map_batches(keyed, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(multi_only, batch_format="pyarrow")
-    )
+    parts = [
+        t for t in (ray.get(r) for r in keyed_ds.sort("content_hash")
+                    .map_batches(batch_groups, batch_format="pyarrow")
+                    .to_arrow_refs())
+        if t.num_rows
+    ]
     groups: dict[int, np.ndarray] = {}
     ntok: dict[int, int] = {}
     losers: set[int] = set()
-    for row in grouped.iter_rows():
-        rep = int(row["rep_doc_id"])
-        members = np.asarray(row["members"], dtype=np.int64)
-        groups[rep] = members
-        ntok[rep] = int(row["n_tokens"])
-        losers.update(int(x) for x in members[1:])
+    if not parts:
+        return groups, ntok, losers
+    merged = (
+        pl.from_arrow(pa.concat_tables(parts))
+        .explode("members")
+        .group_by("content_hash")
+        .agg(pl.col("members").sort(), pl.col("n_tokens").first())
+        .filter(pl.col("members").list.len() >= 2)
+    )
+    for members, ntoks in zip(merged["members"].to_list(),
+                              merged["n_tokens"].to_list()):
+        arr = np.asarray(members, dtype=np.int64)
+        rep = int(arr[0])
+        groups[rep] = arr
+        ntok[rep] = int(ntoks)
+        losers.update(int(x) for x in arr[1:])
     return groups, ntok, losers
 
 
@@ -497,6 +521,12 @@ def lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"doc_a": pa.array(ids[ia], pa.int64()),
                          "doc_b": pa.array(ids[ib], pa.int64())})
 
+    # groupby().map_groups here is a measured choice: the sorted-batch
+    # variant (one vectorized pass + boundary fixup, as _dup_groups does)
+    # costs an extra materialize+scan that loses ~1s at bench scale; per-
+    # bucket work is bounded by MAX_PAIR_GROUP either way, and at extreme
+    # scale the banded shuffle would move to the filesystem-bucket exchange
+    # the index build uses.
     pairs = buckets.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pyarrow")
     # dedup pairs that shared several buckets
     from ray.data.aggregate import Count
