@@ -513,6 +513,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": simsearch.cosine_pairs,
         "lsh_ann_topk": simsearch.lsh_ann_topk,
         "ivf_ann_topk": simsearch.ivf_ann_topk,
+        # full-probe IVF: every list probed → must equal brute force, so the
+        # whole IVF machinery (assignment, probe mask, distributed partial
+        # top-k, merge) gets an exact SQL oracle; the pruned path's
+        # selectivity is pytest-verified (rows-only above)
+        "ivf_ann_full_probe": lambda sf: simsearch.ivf_ann_topk(
+            sf, n_centroids=8, nprobe=8),
         # --- event-stream operators ---
         "tumbling_counts": events.tumbling_counts,
         "sessionize": events.sessionize,
@@ -1051,6 +1057,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
             ORDER BY vec_id_a, vec_id_b""",
+        "ivf_ann_full_probe": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 10),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+                  FROM q CROSS JOIN embeddings e),
+            r AS (SELECT query_id, vec_id, round(cos, 6) AS cosine,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, vec_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, rank, vec_id, cosine FROM r
+            WHERE rank <= 10 ORDER BY query_id, rank""",
         "near_dup_clusters": f"""
             WITH RECURSIVE {_SHINGLE_SQL},
             sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
