@@ -260,9 +260,12 @@ ORDER BY qid, rank
 
 
 def _rm3_topk(sf_dir: str, k: int = 10):
-    """(qid, rank, doc_id) RM3 pseudo-relevance-feedback retrieval (rows-only
-    driver check; semantics pytest-verified — feedback weights depend on
-    exp() of scores, beyond robust SQL float parity)."""
+    """(qid, rank, doc_id) RM3 pseudo-relevance-feedback retrieval, ranked
+    by score rounded to 9 decimals (desc) then doc_id desc so the DuckDB
+    oracle (whose float summation order is unspecified) ranks identically;
+    the fb-term cutoff is likewise pinned by 12-decimal rounding in
+    rm_expand."""
+    import numpy as np
     import pyarrow as pa
 
     from indri_5_5_ray.pipelines.feedback import rm3_search
@@ -272,7 +275,10 @@ def _rm3_topk(sf_dir: str, k: int = 10):
     reader = IndexReader(index_dir)
     out_q, out_r, out_d = [], [], []
     for qid, text in BM25_QUERIES[:4]:
-        ids, _scores = rm3_search(reader, text, k=k, fb_docs=5, fb_terms=10)
+        ids, scores = rm3_search(reader, text, k=k + 40, fb_docs=5, fb_terms=10)
+        r9 = np.round(scores, 9)
+        order = np.lexsort((-ids, -r9))[:k]
+        ids = ids[order]
         out_q.extend([int(qid)] * len(ids))
         out_r.extend(range(1, len(ids) + 1))
         out_d.extend(ids.tolist())
@@ -519,6 +525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # selectivity is pytest-verified (rows-only above)
         "ivf_ann_full_probe": lambda sf: simsearch.ivf_ann_topk(
             sf, n_centroids=8, nprobe=8),
+        "lsh_ann_full_probe": lambda sf: simsearch.lsh_ann_topk(
+            sf, probe_bits=12),  # all 2^12 buckets probed ≡ brute force
         # --- event-stream operators ---
         "tumbling_counts": events.tumbling_counts,
         "sessionize": events.sessionize,
@@ -882,6 +890,106 @@ def _minhash_perms_sql() -> str:
     return f"perms(p, a, b) AS (VALUES {rows})"
 
 
+def _rm3_values_clause() -> str:
+    import re
+
+    rows = []
+    for qid, text in BM25_QUERIES[:4]:
+        counts: dict[str, int] = {}
+        for t in re.findall(r"[a-z0-9]+", text.lower()):
+            counts[t] = counts.get(t, 0) + 1
+        for term, qtf in counts.items():
+            rows.append(f"({qid}, '{term}', {qtf})")
+    return ", ".join(rows)
+
+
+def _rm3_sql() -> str:
+    """DuckDB oracle for RM3 (fb_docs=5, fb_terms=10, orig_weight=0.5,
+    dirichlet mu=2500): initial LM retrieval -> softmax P(d|Q) over the
+    feedback set -> RM1 P(w|R) = sum_d P(d|Q) tf/dl -> top terms by
+    round(p_w, 12) -> interpolate with P(w|Q) -> weighted-sum rescore,
+    ranked by round(score, 9) desc, doc_id desc (mirrors
+    pipelines/feedback.py exactly, including both rounding pins)."""
+    cf_eff = "(CASE WHEN coalesce(cfreq.cf, 0) > 0 THEN cfreq.cf ELSE 0.5 END)"
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents),
+stats AS (SELECT sum(len(toks))::DOUBLE AS total FROM docs),
+tf AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(toks) AS t FROM docs) GROUP BY doc_id, t),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+cfreq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+q(qid, term, qtf) AS (VALUES {{values}}),
+qn AS (SELECT qid, sum(qtf)::DOUBLE AS n FROM q GROUP BY qid),
+cand0 AS (SELECT DISTINCT q.qid, tf.doc_id FROM q JOIN tf ON tf.term = q.term),
+scores0 AS (
+  SELECT c.qid, c.doc_id,
+         sum(q.qtf * ln((coalesce(tf.tf, 0) + 2500.0 * coalesce(cfreq.cf, 0.5)
+             / s.total) / (dl.dl + 2500.0))) / any_value(qn.n) AS score
+  FROM cand0 c
+  JOIN q ON q.qid = c.qid
+  JOIN qn ON qn.qid = c.qid
+  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = q.term
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN cfreq ON cfreq.term = q.term
+  CROSS JOIN stats s
+  GROUP BY c.qid, c.doc_id),
+fbsel AS (
+  SELECT qid, doc_id, score FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 9) DESC, doc_id DESC) AS r
+    FROM scores0) WHERE r <= 5),
+mx AS (SELECT qid, max(score) AS m FROM fbsel GROUP BY qid),
+pd AS (SELECT f.qid, f.doc_id,
+              exp(f.score - mx.m)
+              / sum(exp(f.score - mx.m)) OVER (PARTITION BY f.qid) AS pd
+       FROM fbsel f JOIN mx ON mx.qid = f.qid),
+pw AS (SELECT pd.qid, tf.term, sum(pd.pd * tf.tf / dl.dl) AS pw
+       FROM pd
+       JOIN tf ON tf.doc_id = pd.doc_id
+       JOIN dl ON dl.doc_id = pd.doc_id
+       GROUP BY pd.qid, tf.term),
+top AS (
+  SELECT qid, term, pw FROM (
+    SELECT qid, term, pw,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(pw, 12) DESC, term ASC) AS r
+    FROM pw) WHERE r <= 10),
+z AS (SELECT qid, sum(pw) AS z FROM top GROUP BY qid),
+rm1 AS (SELECT top.qid, term, pw / z.z AS p FROM top JOIN z ON z.qid = top.qid),
+pq AS (SELECT q.qid, term, sum(qtf) / any_value(qn.n) AS p
+       FROM q JOIN qn ON qn.qid = q.qid GROUP BY q.qid, term),
+comb AS (
+  SELECT coalesce(rm1.qid, pq.qid) AS qid,
+         coalesce(rm1.term, pq.term) AS term,
+         0.5 * coalesce(pq.p, 0) + 0.5 * coalesce(rm1.p, 0) AS w
+  FROM rm1 FULL JOIN pq ON rm1.qid = pq.qid AND rm1.term = pq.term),
+wn AS (SELECT qid, sum(w) AS s FROM comb GROUP BY qid),
+wgt AS (SELECT comb.qid, term, w / wn.s AS w
+        FROM comb JOIN wn ON wn.qid = comb.qid WHERE w > 0),
+cand AS (SELECT DISTINCT wgt.qid, tf.doc_id
+         FROM wgt JOIN tf ON tf.term = wgt.term),
+fin AS (
+  SELECT c.qid, c.doc_id,
+         sum(wgt.w * ln((coalesce(tf.tf, 0) + 2500.0 * {cf_eff} / s.total)
+             / (dl.dl + 2500.0))) AS score
+  FROM cand c
+  JOIN wgt ON wgt.qid = c.qid
+  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = wgt.term
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN cfreq ON cfreq.term = wgt.term
+  CROSS JOIN stats s
+  GROUP BY c.qid, c.doc_id)
+SELECT qid, rank, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id DESC) AS rank
+  FROM fin)
+WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
 def _bpe_re() -> str:
     from indri_5_5_ray.functions.textstats import BPE_RE
 
@@ -1057,6 +1165,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
             ORDER BY vec_id_a, vec_id_b""",
+        "lsh_ann_full_probe": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 10),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+                  FROM q CROSS JOIN embeddings e),
+            r AS (SELECT query_id, vec_id, round(cos, 6) AS cosine,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, vec_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, rank, vec_id, cosine FROM r
+            WHERE rank <= 10 ORDER BY query_id, rank""",
         "ivf_ann_full_probe": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings ORDER BY vec_id LIMIT 10),
@@ -1132,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
               FROM grams)
             SELECT DISTINCT doc_id, fp FROM wins WHERE i >= 4
             ORDER BY doc_id, fp""",
+        "rm3_topk": _rm3_sql().replace("{values}", _rm3_values_clause()),
         # bm25_topk_kstem, lsh_ann_topk, ivf_ann_topk, media_*:
         # non-SQL-expressible (stemmer dictionary / seeded hyperplanes /
         # seeded k-means / binary decode) → rows-only driver check;

@@ -106,7 +106,10 @@ def rm_expand(
         dl = float(doc_lens[did])
         for term, tf in vecs[did].items():
             p_w[term] = p_w.get(term, 0.0) + w * (tf / dl)
-    top = sorted(p_w.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+    # cutoff key rounded to 12 decimals: p_w is a small float sum whose
+    # addition order differs between implementations (and the SQL oracle);
+    # rounding pins the fb_terms selection against last-ulp noise
+    top = sorted(p_w.items(), key=lambda kv: (-round(kv[1], 12), kv[0]))[:fb_terms]
     z = sum(v for _, v in top)
     rm1 = {t: v / z for t, v in top} if z > 0 else {}
     # original query model P(w|Q) = qtf/|Q|
