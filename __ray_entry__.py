@@ -529,6 +529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, probe_bits=12),  # all 2^12 buckets probed ≡ brute force
         # --- event-stream operators ---
         "tumbling_counts": events.tumbling_counts,
+        "hopping_counts": events.hopping_counts,
+        "asof_join_events": events.asof_join_events,
         "sessionize": events.sessionize,
         "user_activity": events.user_activity,
         "quality_filter": _quality_filter,
@@ -1117,6 +1119,31 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "hopping_counts": """
+            WITH e AS (SELECT (epoch_ns(ts) // 1000000000)::BIGINT AS ts_s,
+                              event_type, value FROM events),
+            fan AS (SELECT (ts_s // 900 * 900) - j * 900 AS window_start,
+                           event_type, value
+                    FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j))
+            SELECT window_start, event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM fan GROUP BY 1, 2 ORDER BY 1, 2""",
+        "asof_join_events": """
+            WITH e AS (SELECT event_id, user_id, event_type,
+                              (epoch_ns(ts) // 1000000000)::BIGINT AS ts_s,
+                              value
+                       FROM events WHERE event_type IN ('click', 'view')),
+            w AS (SELECT event_id, user_id, event_type, ts_s,
+                         round(last_value(CASE WHEN event_type = 'view'
+                                               THEN value END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 6)
+                           AS prev_view_value
+                  FROM e)
+            SELECT event_id, user_id, ts_s, prev_view_value FROM w
+            WHERE event_type = 'click' AND prev_view_value IS NOT NULL
+            ORDER BY event_id""",
         "sessionize": """
             WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000000000)::BIGINT AS ts_s FROM events),
             flagged AS (

@@ -134,3 +134,101 @@ def user_activity(sf_dir: str) -> ray.data.Dataset:
         .groupby("user_id")
         .map_groups(rollup, batch_format="pyarrow")
     )
+
+
+def hopping_counts(sf_dir: str, window_s: int = 3600,
+                   hop_s: int = 900) -> ray.data.Dataset:
+    """(window_start, event_type, n_events, sum_value) — HOPPING (sliding)
+    windows of ``window_s`` advancing every ``hop_s``: each event lands in
+    ``window_s // hop_s`` overlapping windows.
+
+    Same partial+final shape as :func:`tumbling_counts` — the fan-out by
+    window membership happens map-side (a small cross join with the offset
+    list inside the batch), so the shuffle moves pre-aggregated
+    (window, type) rows, multiplied only by the overlap factor."""
+    k = window_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        base = df.with_columns(
+            (pl.col("ts").dt.epoch("s") // hop_s * hop_s).alias("hop_start")
+        ).select("hop_start", "event_type", "value")
+        offs = pl.DataFrame({"j": list(range(k))})
+        out = (
+            base.join(offs, how="cross")
+            .with_columns(
+                (pl.col("hop_start") - pl.col("j") * hop_s).alias("window_start"))
+            .group_by(["window_start", "event_type"])
+            .agg(pl.len().alias("n_events"),
+                 pl.col("value").sum().alias("sum_value"))
+        )
+        return out.to_arrow()
+
+    parts = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby(["window_start", "event_type"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        if df.height == 0 or "window_start" not in df.columns:
+            return pa.table({"window_start": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value": pa.array([], pa.float64())})
+        return df.with_columns(pl.col("sum_value").round(6)).to_arrow()
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def asof_join_events(sf_dir: str, left_type: str = "click",
+                     right_type: str = "view") -> ray.data.Dataset:
+    """(event_id, user_id, ts_s, prev_view_value) — as-of join: each
+    ``left_type`` event gets the value of the latest STRICTLY-PRECEDING
+    ``right_type`` event of the same user (ordering key (ts, event_id), so
+    ties are deterministic); INNER semantics — left events with no prior
+    match are dropped (keeps the output NULL-free for exact comparison).
+
+    Ray shape: one user_id-partitioned sort exchange (the same shape as
+    sessionize), then a vectorized forward-fill + shift inside each user
+    group — no driver-side state, per-group memory is one user's events."""
+    ds = _events(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return (
+            df.filter(pl.col("event_type").is_in([left_type, right_type]))
+            .with_columns(pl.col("ts").dt.epoch("s").alias("ts_s"))
+            .select("event_id", "user_id", "event_type", "ts_s", "value")
+            .to_arrow()
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "ts_s": pa.array([], pa.int64()),
+                          "prev_view_value": pa.array([], pa.float64())})
+        if "user_id" not in group.column_names or group.num_rows == 0:
+            return empty
+        df = (
+            pl.from_arrow(group)
+            .sort(["user_id", "ts_s", "event_id"])
+            .with_columns(
+                pl.when(pl.col("event_type") == right_type)
+                .then(pl.col("value")).otherwise(None)
+                .alias("rv"))
+            .with_columns(
+                pl.col("rv").forward_fill().shift(1).over("user_id")
+                .round(6).alias("prev_view_value"))
+            .filter((pl.col("event_type") == left_type)
+                    & pl.col("prev_view_value").is_not_null())
+            .select("event_id", "user_id", "ts_s", "prev_view_value")
+        )
+        return df.to_arrow().cast(empty.schema)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )

@@ -231,3 +231,53 @@ def test_near_dup_clusters(mini_sf):
     # transitivity: at tau low enough, a chain a~b, b~c clusters a with c
     cl2 = near_dup_clusters(mini_sf, tau=0.1).to_pandas().set_index("doc_id")
     assert (cl2.loc[[0, 1, 3], "cluster_rep"] == 0).all()
+
+
+def _events_fixture(tmp_path):
+    import pyarrow as pa, pyarrow.parquet as pq
+    rows = [
+        # (event_id, ts_s, user, type, value)
+        (1, 100, 1, "view", 10.0),
+        (2, 200, 1, "click", 0.0),
+        (3, 200, 1, "view", 20.0),   # same second as click 2, higher id
+        (4, 300, 1, "click", 0.0),
+        (5, 100, 2, "click", 0.0),   # no prior view → dropped (inner)
+        (6, 150, 2, "purchase", 5.0),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    return str(d)
+
+
+def test_asof_join_events(tmp_path):
+    from indri_5_5_ray.functions.events import asof_join_events
+
+    sf = _events_fixture(tmp_path)
+    out = asof_join_events(sf).to_pandas().sort_values("event_id")
+    # click 2 at ts 200: prior events (by (ts,id)) = view 1 only (view 3 has
+    # same ts but HIGHER id → ordered after click 2 → excluded)
+    # click 4: latest prior view = view 3 (value 20)
+    # click 5 (user 2): no prior view → dropped
+    assert out.event_id.tolist() == [2, 4]
+    assert out.prev_view_value.tolist() == [10.0, 20.0]
+
+
+def test_hopping_counts(tmp_path):
+    from indri_5_5_ray.functions.events import hopping_counts
+
+    sf = _events_fixture(tmp_path)
+    out = hopping_counts(sf, window_s=3600, hop_s=900).to_pandas()
+    # every event belongs to exactly 4 windows
+    assert out.n_events.sum() == 6 * 4
+    # window covering ts=100 with start 0 holds the 4 ts<900 events... check
+    w0 = out[(out.window_start == 0) & (out.event_type == "view")]
+    assert w0.n_events.sum() == 2  # views at ts 100 and 200
