@@ -864,6 +864,25 @@ def _field_filter_sql() -> str:
     return _rank_wrap(scores)
 
 
+_COMPONENTS_SQL = """
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS c
+                      FROM sh a JOIN sh b USING (shingle)
+                      WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+            edges AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                    UNION SELECT doc_b, doc_a FROM edges),
+            reach AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+            comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+                     FROM reach GROUP BY a)"""
+
 _SHINGLE_SQL = f"""
 toks AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
 sh AS (
@@ -1218,46 +1237,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 10 ORDER BY query_id, rank""",
         "near_dup_clusters": f"""
             WITH RECURSIVE {_SHINGLE_SQL},
-            sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
-            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS c
-                      FROM sh a JOIN sh b USING (shingle)
-                      WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
-            edges AS (
-              SELECT doc_a, doc_b FROM inter
-              JOIN sizes sa ON sa.doc_id = doc_a
-              JOIN sizes sb ON sb.doc_id = doc_b
-              WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
-            sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
-                    UNION SELECT doc_b, doc_a FROM edges),
-            reach AS (
-              SELECT a, b FROM sym
-              UNION
-              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-            comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
-                     FROM reach GROUP BY a)
+{_COMPONENTS_SQL}
             SELECT d.doc_id,
                    coalesce(c.cluster_rep, d.doc_id) AS cluster_rep
             FROM documents d LEFT JOIN comp c USING (doc_id)
             ORDER BY doc_id""",
         "near_dedup_keep_first": f"""
             WITH RECURSIVE {_SHINGLE_SQL},
-            sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
-            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS c
-                      FROM sh a JOIN sh b USING (shingle)
-                      WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
-            edges AS (
-              SELECT doc_a, doc_b FROM inter
-              JOIN sizes sa ON sa.doc_id = doc_a
-              JOIN sizes sb ON sb.doc_id = doc_b
-              WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5),
-            sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
-                    UNION SELECT doc_b, doc_a FROM edges),
-            reach AS (
-              SELECT a, b FROM sym
-              UNION
-              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-            comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
-                     FROM reach GROUP BY a)
+{_COMPONENTS_SQL}
             SELECT d.doc_id FROM documents d LEFT JOIN comp c USING (doc_id)
             WHERE coalesce(c.cluster_rep, d.doc_id) = d.doc_id
             ORDER BY doc_id""",

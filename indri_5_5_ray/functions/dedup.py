@@ -31,10 +31,8 @@ import os
 import numpy as np
 import polars as pl
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from .textstats import tokens_expr
 
@@ -642,14 +640,21 @@ def near_dup_clusters(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
     rep_map = {x: find(x) for x in list(parent)}
-    import ray as _ray
-
-    rep_ref = _ray.put(rep_map)
+    # broadcast as sorted parallel arrays: assignment per batch is a
+    # vectorized searchsorted, not a per-row dict loop over the corpus
+    keys = np.array(sorted(rep_map), dtype=np.int64)
+    vals = np.array([rep_map[k] for k in keys.tolist()], dtype=np.int64)
+    rep_ref = ray.put((keys, vals))
 
     def assign(batch: pa.Table) -> pa.Table:
-        m = _ray.get(rep_ref)
+        keys_, vals_ = ray.get(rep_ref)
         ids = batch.column("doc_id").to_numpy()
-        reps = np.array([m.get(int(d), int(d)) for d in ids], np.int64)
+        reps = ids.astype(np.int64, copy=True)
+        if len(keys_) and len(ids):
+            pos = np.searchsorted(keys_, ids)
+            pos_c = np.minimum(pos, len(keys_) - 1)
+            hit = keys_[pos_c] == ids
+            reps[hit] = vals_[pos_c[hit]]
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "cluster_rep": pa.array(reps, pa.int64())})
 
@@ -658,8 +663,10 @@ def near_dup_clusters(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
 
 def near_dedup_keep_first(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
     """(doc_id) keep one representative (min doc_id) per near-dup cluster —
-    the full dedup pipeline's final filter (exact dups collapse at
-    jaccard 1.0, so this subsumes ``dedup_keep_first`` at any tau ≤ 1)."""
+    the full dedup pipeline's final filter.  Identical docs collapse at
+    jaccard 1.0 so this subsumes ``dedup_keep_first`` for docs with at
+    least NGRAM_N tokens; SHORTER identical docs have no shingles and stay
+    singletons here — compose with exact dedup when those matter."""
     clusters = near_dup_clusters(sf_dir, tau=tau)
 
     def keep(batch: pa.Table) -> pa.Table:

@@ -146,18 +146,25 @@ def hopping_counts(sf_dir: str, window_s: int = 3600,
     window membership happens map-side (a small cross join with the offset
     list inside the batch), so the shuffle moves pre-aggregated
     (window, type) rows, multiplied only by the overlap factor."""
-    k = window_s // hop_s
+    # a timestamp is covered by ceil(window_s / hop_s) hop-aligned starts at
+    # most; fan out that many candidates and keep the contained ones (when
+    # hop_s divides window_s the filter is vacuous, but e.g. window 3600 /
+    # hop 1000 needs 4 candidates of which the oldest may fall out)
+    k = -(-window_s // hop_s)
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
         base = df.with_columns(
-            (pl.col("ts").dt.epoch("s") // hop_s * hop_s).alias("hop_start")
-        ).select("hop_start", "event_type", "value")
+            pl.col("ts").dt.epoch("s").alias("ts_s"),
+            (pl.col("ts").dt.epoch("s") // hop_s * hop_s).alias("hop_start"),
+        ).select("ts_s", "hop_start", "event_type", "value")
         offs = pl.DataFrame({"j": list(range(k))})
         out = (
             base.join(offs, how="cross")
             .with_columns(
                 (pl.col("hop_start") - pl.col("j") * hop_s).alias("window_start"))
+            .filter((pl.col("ts_s") >= pl.col("window_start"))
+                    & (pl.col("ts_s") < pl.col("window_start") + window_s))
             .group_by(["window_start", "event_type"])
             .agg(pl.len().alias("n_events"),
                  pl.col("value").sum().alias("sum_value"))

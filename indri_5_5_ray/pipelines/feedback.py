@@ -92,9 +92,15 @@ def rm_expand(
     q_terms = process_query_lm(query, reader.cfg)
     if not q_terms:
         return []
-    ids, scores = lm.score(q_terms, k=fb_docs)
+    ids, scores = lm.score(q_terms, k=fb_docs + 40)
     if len(ids) == 0:
         return [(t, 1.0) for t in q_terms]
+    # feedback-doc cutoff pinned like every oracle-checked ranking: round
+    # the score to 9 decimals (desc) then doc_id desc, so a SQL oracle with
+    # unspecified float summation order selects the same feedback set
+    r9 = np.round(scores, 9)
+    order = np.lexsort((-ids, -r9))[:fb_docs]
+    ids, scores = ids[order], scores[order]
     # P(d|Q) over the feedback set (log-sum-exp normalized)
     s = scores - scores.max()
     p_d = np.exp(s)

@@ -281,3 +281,31 @@ def test_hopping_counts(tmp_path):
     # window covering ts=100 with start 0 holds the 4 ts<900 events... check
     w0 = out[(out.window_start == 0) & (out.event_type == "view")]
     assert w0.n_events.sum() == 2  # views at ts 100 and 200
+
+
+def test_hopping_counts_non_divisible(tmp_path):
+    """Window not a multiple of hop: containment must be checked per row."""
+    from indri_5_5_ray.functions.events import hopping_counts
+
+    sf = _events_fixture(tmp_path)
+    out = hopping_counts(sf, window_s=3600, hop_s=1000).to_pandas()
+    # python reference over the 6 fixture events
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/events.parquet")
+    want = {}
+    for ts, et, v in zip(t.column("ts").to_pylist(),
+                         t.column("event_type").to_pylist(),
+                         t.column("value").to_pylist()):
+        ts_s = int(ts.timestamp())
+        for j in range(4):  # ceil(3600/1000)
+            start = ts_s // 1000 * 1000 - j * 1000
+            if start <= ts_s < start + 3600:
+                k = (start, et)
+                want[k] = (want.get(k, (0, 0.0))[0] + 1,
+                           want.get(k, (0, 0.0))[1] + v)
+    got = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+           for r in out.itertuples()}
+    assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
+    # window smaller than hop: each event in at most one window
+    tiny = hopping_counts(sf, window_s=500, hop_s=900).to_pandas()
+    assert tiny.n_events.sum() <= 6
