@@ -94,7 +94,6 @@ class LMScorer:
         if not len(cand):
             return np.empty(0, np.int64), np.empty(0, np.float64)
         dl = doc_lens[cand].astype(np.float64)
-        idx = {int(d): i for i, d in enumerate(cand)}
         acc = np.zeros(len(cand), dtype=np.float64)
         n_children = len(terms)
         for term in terms:  # children in query order, duplicates included
