@@ -501,31 +501,42 @@ def lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
     reps = _rep_docs(sf_dir, losers)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        return _band_buckets(_minhash_wide(_doc_shingles(batch))).to_arrow()
+        t = _band_buckets(_minhash_wide(_doc_shingles(batch)))
+        # coarse co-location key: a bucket maps to exactly ONE prefix, so
+        # grouping by the 2-hex-char prefix (256 groups) puts every member
+        # of a bucket in the same reducer with NO boundary cases, while the
+        # per-group Python dispatch cost drops from one call per bucket
+        # (~4x docs, nearly all singletons) to one per prefix
+        return t.with_columns(
+            pl.col("bucket").str.slice(0, 2).alias("bprefix")).to_arrow()
 
     buckets = reps.map_batches(bucketize, batch_format="pyarrow")
 
-    def pairs_of_bucket(group: pa.Table) -> pa.Table:
-        if "doc_id" not in group.column_names or group.num_rows < 2:
+    def pairs_of_prefix(group: pa.Table) -> pa.Table:
+        if "doc_id" not in group.column_names or group.num_rows == 0:
             return _EMPTY_PAIRS
-        ids = np.unique(group.column("doc_id").to_numpy())
-        n = len(ids)
-        if n > MAX_PAIR_GROUP:
-            logger.warning(
-                "LSH bucket cap: %d distinct docs in one bucket; truncated to %d",
-                n, MAX_PAIR_GROUP)
-            ids, n = ids[:MAX_PAIR_GROUP], MAX_PAIR_GROUP
-        ia, ib = np.triu_indices(n, k=1)
-        return pa.table({"doc_a": pa.array(ids[ia], pa.int64()),
-                         "doc_b": pa.array(ids[ib], pa.int64())})
+        g = (pl.from_arrow(group)
+             .group_by("bucket")
+             .agg(pl.col("doc_id").unique().sort().alias("ids"))
+             .filter(pl.col("ids").list.len() >= 2))
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for ids in g["ids"].to_list():
+            n = len(ids)
+            if n > MAX_PAIR_GROUP:
+                logger.warning(
+                    "LSH bucket cap: %d distinct docs in one bucket; "
+                    "truncated to %d", n, MAX_PAIR_GROUP)
+                ids, n = ids[:MAX_PAIR_GROUP], MAX_PAIR_GROUP
+            arr = np.asarray(ids, dtype=np.int64)
+            ia, ib = np.triu_indices(n, k=1)
+            out_a.extend(arr[ia].tolist())
+            out_b.extend(arr[ib].tolist())
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64())})
 
-    # groupby().map_groups here is a measured choice: the sorted-batch
-    # variant (one vectorized pass + boundary fixup, as _dup_groups does)
-    # costs an extra materialize+scan that loses ~1s at bench scale; per-
-    # bucket work is bounded by MAX_PAIR_GROUP either way, and at extreme
-    # scale the banded shuffle would move to the filesystem-bucket exchange
-    # the index build uses.
-    pairs = buckets.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pyarrow")
+    pairs = buckets.groupby("bprefix").map_groups(
+        pairs_of_prefix, batch_format="pyarrow")
     # dedup pairs that shared several buckets
     from ray.data.aggregate import Count
 
