@@ -32,13 +32,49 @@ def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, flat.reshape(len(ids), dim)
 
 
-def load_query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    """First n_queries vectors by vec_id (deterministic query set)."""
+def _first_n_by_vec_id(path: str, n: int) -> pa.Table:
+    """Exact first-``n``-by-``vec_id`` rows reading only the row groups that
+    can contain them (vec_id min statistics), so driver memory stays O(n + a
+    few row groups) no matter how large the table is.  Correct for ANY row
+    layout: a row group is skipped only once its min vec_id exceeds the n-th
+    smallest id already in hand."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    t = t.sort_by("vec_id").slice(0, n_queries)
-    ids, m = _batch_matrix(t)
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    if n <= 0:
+        return pf.schema_arrow.empty_table().select(["vec_id", "embedding"])
+    vec_idx = md.schema.to_arrow_schema().get_field_index("vec_id")
+    ranked: list[tuple[int, int]] | None = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(vec_idx).statistics
+        if st is None or not st.has_min_max:
+            ranked = None  # no stats → read everything (pyarrow writes them)
+            break
+        ranked.append((st.min, rg))
+    if ranked is None:
+        ranked = [(0, rg) for rg in range(md.num_row_groups)]
+    else:
+        ranked.sort()
+    tables: list[pa.Table] = []
+    got, nth = 0, None
+    for rg_min, rg in ranked:
+        if nth is not None and rg_min > nth:
+            break  # this and every later row group starts above the cut
+        tables.append(pf.read_row_group(rg, columns=["vec_id", "embedding"]))
+        got += tables[-1].num_rows
+        if got >= n:
+            ids = np.concatenate(
+                [t.column("vec_id").to_numpy() for t in tables])
+            nth = int(np.partition(ids, n - 1)[n - 1])
+    return pa.concat_tables(tables).sort_by("vec_id").slice(0, n)
+
+
+def load_query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """First n_queries vectors by vec_id (deterministic query set); reads
+    only the row groups that can contain them."""
+    ids, m = _batch_matrix(_first_n_by_vec_id(
+        f"{sf_dir}/embeddings.parquet", n_queries))
     return ids, m
 
 
@@ -272,19 +308,10 @@ IVF_SEED = 777
 
 
 def _load_sample(sf_dir: str, n_rows: int) -> tuple[np.ndarray, np.ndarray]:
-    """First ``n_rows`` vectors reading only as many row groups as needed —
-    bounded driver memory regardless of table size (unlike a full read)."""
-    import pyarrow.parquet as pq
-
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    tables, got = [], 0
-    for rg in range(pf.num_row_groups):
-        tables.append(pf.read_row_group(rg, columns=["vec_id", "embedding"]))
-        got += tables[-1].num_rows
-        if got >= n_rows:
-            break
-    t = pa.concat_tables(tables).sort_by("vec_id").slice(0, n_rows)
-    return _batch_matrix(t)
+    """First ``n_rows`` vectors by vec_id — stat-pruned row-group reads, so
+    driver memory is bounded regardless of table size."""
+    return _batch_matrix(
+        _first_n_by_vec_id(f"{sf_dir}/embeddings.parquet", n_rows))
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:

@@ -309,3 +309,30 @@ def test_hopping_counts_non_divisible(tmp_path):
     # window smaller than hop: each event in at most one window
     tiny = hopping_counts(sf, window_s=500, hop_s=900).to_pandas()
     assert tiny.n_events.sum() <= 6
+
+
+def test_first_n_by_vec_id_stat_pruned(tmp_path):
+    """Exact first-n-by-vec_id regardless of row layout: ids shuffled across
+    row groups, stat-pruned read == full-read sort+slice."""
+    from indri_5_5_ray.functions.simsearch import _first_n_by_vec_id
+
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(200).astype(np.int64)
+    emb = [[float(i), float(i) + 0.5] for i in ids]
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(emb, pa.list_(pa.float32()))})
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(t, path, row_group_size=16)  # 13 row groups, unsorted ids
+
+    for n in (1, 5, 16, 17, 50, 199, 200, 500):
+        got = _first_n_by_vec_id(path, n)
+        want = pq.read_table(path).sort_by("vec_id").slice(0, n)
+        assert got.column("vec_id").to_pylist() == want.column("vec_id").to_pylist()
+        assert got.column("embedding").to_pylist() == want.column("embedding").to_pylist()
+
+    # sorted layout: only the needed prefix of row groups is read
+    t2 = t.sort_by("vec_id")
+    path2 = str(tmp_path / "emb_sorted.parquet")
+    pq.write_table(t2, path2, row_group_size=16)
+    got = _first_n_by_vec_id(path2, 10)
+    assert got.column("vec_id").to_pylist() == list(range(10))
