@@ -514,6 +514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "near_dup_clusters": dedup.near_dup_clusters,
         "near_dedup_keep_first": dedup.near_dedup_keep_first,
+        "embedding_dup_clusters": dedup.embedding_dup_clusters,
+        "embedding_dedup_keep_first": dedup.embedding_dedup_keep_first,
         # --- similarity search ---
         "knn_bruteforce": simsearch.knn_bruteforce,
         "cosine_pairs": simsearch.cosine_pairs,
@@ -1248,6 +1250,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d LEFT JOIN comp c USING (doc_id)
             WHERE coalesce(c.cluster_rep, d.doc_id) = d.doc_id
             ORDER BY doc_id""",
+        "embedding_dup_clusters": """
+            WITH RECURSIVE edges AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a CROSS JOIN embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 6) >= 0.4),
+            sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            reach AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+            comp AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_rep
+                     FROM reach GROUP BY a)
+            SELECT e.vec_id,
+                   coalesce(c.cluster_rep, e.vec_id) AS cluster_rep
+            FROM embeddings e LEFT JOIN comp c USING (vec_id)
+            ORDER BY vec_id""",
+        "embedding_dedup_keep_first": """
+            WITH RECURSIVE edges AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a CROSS JOIN embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 6) >= 0.4),
+            sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            reach AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+            comp AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_rep
+                     FROM reach GROUP BY a)
+            SELECT e.vec_id FROM embeddings e LEFT JOIN comp c USING (vec_id)
+            WHERE coalesce(c.cluster_rep, e.vec_id) = e.vec_id
+            ORDER BY vec_id""",
         "token_counts_bpe": f"""
             SELECT doc_id,
                    len(regexp_extract_all(lower(text), '{_bpe_re()}')) AS n_tokens_bpe

@@ -618,20 +618,22 @@ def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def near_dup_clusters(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
-    """(doc_id, cluster_rep) connected components over verified near-dup
-    pairs (3-gram Jaccard ≥ tau); cluster_rep = min doc_id in the component.
-    Docs in no pair form singleton clusters (rep = self).
+def _components_assign(
+    pt: pa.Table | None,
+    a_col: str,
+    b_col: str,
+    ids_ds: ray.data.Dataset,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Connected components over an edge table → ``(id_col, cluster_rep)``
+    for every row of ``ids_ds`` (rep = component min; rows in no edge are
+    singletons, rep = self).
 
-    The verified pair list is orders of magnitude smaller than the corpus
-    (it is the OUTPUT of LSH + verification), so the union-find runs on the
-    collected pairs at the driver — the standard dedup-cluster shape; the
-    per-doc assignment is then a broadcast join inside ``map_batches`` over
-    the streaming documents table."""
-    pairs = ngram_jaccard_pairs(sf_dir, tau=tau)
-    tables = [t for t in (ray.get(r) for r in pairs.to_arrow_refs())
-              if t.num_rows]
-    pt = pa.concat_tables(tables) if tables else None
+    The edge list is the OUTPUT of candidate verification, orders of
+    magnitude smaller than the corpus, so union-find runs on the collected
+    pairs at the driver — the standard dedup-cluster shape; the per-row
+    assignment is a broadcast lookup inside ``map_batches`` over the
+    streaming ids dataset."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -642,9 +644,9 @@ def near_dup_clusters(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
             parent[x], x = r, parent[x]
         return r
 
-    if pt is not None:
-        for a, b in zip(pt.column("doc_a").to_pylist(),
-                        pt.column("doc_b").to_pylist()):
+    if pt is not None and pt.num_rows:
+        for a, b in zip(pt.column(a_col).to_pylist(),
+                        pt.column(b_col).to_pylist()):
             ra, rb = find(int(a)), find(int(b))
             if ra != rb:
                 # union by smaller id → rep is the component min
@@ -659,17 +661,37 @@ def near_dup_clusters(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
 
     def assign(batch: pa.Table) -> pa.Table:
         keys_, vals_ = ray.get(rep_ref)
-        ids = batch.column("doc_id").to_numpy()
+        ids = batch.column(id_col).to_numpy()
         reps = ids.astype(np.int64, copy=True)
         if len(keys_) and len(ids):
             pos = np.searchsorted(keys_, ids)
             pos_c = np.minimum(pos, len(keys_) - 1)
             hit = keys_[pos_c] == ids
             reps[hit] = vals_[pos_c[hit]]
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+        return pa.table({id_col: pa.array(ids, pa.int64()),
                          "cluster_rep": pa.array(reps, pa.int64())})
 
-    return _docs(sf_dir).map_batches(assign, batch_format="pyarrow")
+    return ids_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _keep_reps(clusters: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        reps = batch.column("cluster_rep").to_numpy()
+        return pa.table({id_col: pa.array(ids[ids == reps], pa.int64())})
+
+    return clusters.map_batches(keep, batch_format="pyarrow")
+
+
+def near_dup_clusters(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
+    """(doc_id, cluster_rep) connected components over verified near-dup
+    pairs (3-gram Jaccard ≥ tau); cluster_rep = min doc_id in the component.
+    Docs in no pair form singleton clusters (rep = self)."""
+    pairs = ngram_jaccard_pairs(sf_dir, tau=tau)
+    tables = [t for t in (ray.get(r) for r in pairs.to_arrow_refs())
+              if t.num_rows]
+    pt = pa.concat_tables(tables) if tables else None
+    return _components_assign(pt, "doc_a", "doc_b", _docs(sf_dir), "doc_id")
 
 
 def near_dedup_keep_first(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
@@ -678,11 +700,30 @@ def near_dedup_keep_first(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
     jaccard 1.0 so this subsumes ``dedup_keep_first`` for docs with at
     least NGRAM_N tokens; SHORTER identical docs have no shingles and stay
     singletons here — compose with exact dedup when those matter."""
-    clusters = near_dup_clusters(sf_dir, tau=tau)
+    return _keep_reps(near_dup_clusters(sf_dir, tau=tau), "doc_id")
 
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        reps = batch.column("cluster_rep").to_numpy()
-        return pa.table({"doc_id": pa.array(ids[ids == reps], pa.int64())})
 
-    return clusters.map_batches(keep, batch_format="pyarrow")
+def embedding_dup_clusters(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
+    """(vec_id, cluster_rep) embedding-cosine near-dup clusters: connected
+    components over exact cosine ≥ tau pairs, rep = component min; vectors
+    in no pair are singletons (rep = self).
+
+    Pair generation is ``simsearch.cosine_pairs`` (block-pair exact — each
+    task holds two normalized blocks; nothing materializes the full matrix).
+    The O(N²) pair step is exact by design here; at 100 TB generate the
+    edge list from the hyperplane-LSH buckets instead (``lsh_ann_topk``'s
+    machinery) and feed it to the same components/assignment stages, which
+    scale with the EDGE count, not the corpus."""
+    from .simsearch import cosine_pairs
+
+    pt = cosine_pairs(sf_dir, tau=tau)
+    ids = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id"])
+    return _components_assign(pt, "vec_id_a", "vec_id_b", ids, "vec_id")
+
+
+def embedding_dedup_keep_first(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
+    """(vec_id) one representative (min vec_id) per embedding-cosine
+    near-dup cluster — the embedding-space analogue of
+    ``near_dedup_keep_first``."""
+    return _keep_reps(embedding_dup_clusters(sf_dir, tau=tau), "vec_id")

@@ -233,6 +233,24 @@ def test_near_dup_clusters(mini_sf):
     assert (cl2.loc[[0, 1, 3], "cluster_rep"] == 0).all()
 
 
+def test_embedding_dup_clusters(mini_sf):
+    from indri_5_5_ray.functions.dedup import (
+        embedding_dedup_keep_first, embedding_dup_clusters)
+
+    cl = embedding_dup_clusters(mini_sf, tau=0.99).to_pandas().set_index("vec_id")
+    # vec 5 = vec 0 + tiny noise → cosine ≈ 1 → one component, rep = min id
+    assert cl.loc[0, "cluster_rep"] == 0
+    assert cl.loc[5, "cluster_rep"] == 0
+    # random gaussians in 8-d stay far below 0.99 → singletons
+    for v in (1, 2, 3, 4):
+        assert cl.loc[v, "cluster_rep"] == v
+    kept = sorted(embedding_dedup_keep_first(mini_sf, tau=0.99).to_pandas().vec_id)
+    assert kept == [0, 1, 2, 3, 4]
+    # tau = -1 admits every pair → a single component, everyone's rep is 0
+    cl2 = embedding_dup_clusters(mini_sf, tau=-1.0).to_pandas()
+    assert (cl2.cluster_rep == 0).all()
+
+
 def _events_fixture(tmp_path):
     import pyarrow as pa, pyarrow.parquet as pq
     rows = [
