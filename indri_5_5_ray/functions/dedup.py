@@ -519,8 +519,8 @@ def lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
              .group_by("bucket")
              .agg(pl.col("doc_id").unique().sort().alias("ids"))
              .filter(pl.col("ids").list.len() >= 2))
-        out_a: list[int] = []
-        out_b: list[int] = []
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
         for ids in g["ids"].to_list():
             n = len(ids)
             if n > MAX_PAIR_GROUP:
@@ -530,10 +530,12 @@ def lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
                 ids, n = ids[:MAX_PAIR_GROUP], MAX_PAIR_GROUP
             arr = np.asarray(ids, dtype=np.int64)
             ia, ib = np.triu_indices(n, k=1)
-            out_a.extend(arr[ia].tolist())
-            out_b.extend(arr[ib].tolist())
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                         "doc_b": pa.array(out_b, pa.int64())})
+            out_a.append(arr[ia])
+            out_b.append(arr[ib])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
 
     pairs = buckets.groupby("bprefix").map_groups(
         pairs_of_prefix, batch_format="pyarrow")

@@ -42,31 +42,35 @@ def _first_n_by_vec_id(path: str, n: int) -> pa.Table:
 
     pf = pq.ParquetFile(path)
     md = pf.metadata
-    if n <= 0:
-        return pf.schema_arrow.empty_table().select(["vec_id", "embedding"])
+    empty = pf.schema_arrow.empty_table().select(["vec_id", "embedding"])
+    if n <= 0 or md.num_row_groups == 0:
+        return empty
     vec_idx = md.schema.to_arrow_schema().get_field_index("vec_id")
-    ranked: list[tuple[int, int]] | None = []
+    # (min vec_id, rg) per row group; min = None when stats are missing →
+    # that group is never prunable and sorts first (read unconditionally)
+    ranked: list[tuple[int | None, int]] = []
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(vec_idx).statistics
-        if st is None or not st.has_min_max:
-            ranked = None  # no stats → read everything (pyarrow writes them)
-            break
-        ranked.append((st.min, rg))
-    if ranked is None:
-        ranked = [(0, rg) for rg in range(md.num_row_groups)]
-    else:
-        ranked.sort()
+        has = st is not None and st.has_min_max
+        ranked.append((st.min if has else None, rg))
+    ranked.sort(key=lambda p: (p[0] is not None, p[0] if p[0] is not None else 0))
     tables: list[pa.Table] = []
-    got, nth = 0, None
+    pending: list[np.ndarray] = []  # ids not yet folded into `smallest`
+    smallest: np.ndarray | None = None  # the n smallest ids seen, sorted
+    got = 0
     for rg_min, rg in ranked:
-        if nth is not None and rg_min > nth:
-            break  # this and every later row group starts above the cut
+        if smallest is not None and rg_min is not None and rg_min > smallest[-1]:
+            break  # this and every later (stat-bearing) group starts above the cut
         tables.append(pf.read_row_group(rg, columns=["vec_id", "embedding"]))
+        pending.append(tables[-1].column("vec_id").to_numpy())
         got += tables[-1].num_rows
         if got >= n:
-            ids = np.concatenate(
-                [t.column("vec_id").to_numpy() for t in tables])
-            nth = int(np.partition(ids, n - 1)[n - 1])
+            # fold: keep only the n smallest — O(n + group rows) per group,
+            # not a re-scan of everything read so far
+            cur = np.concatenate(
+                ([smallest] if smallest is not None else []) + pending)
+            smallest = np.sort(np.partition(cur, n - 1)[:n])
+            pending, got = [], n
     return pa.concat_tables(tables).sort_by("vec_id").slice(0, n)
 
 

@@ -101,8 +101,12 @@ class LMScorer:
             tp = term_postings.get(term)
             if tp is not None:
                 d, t = tp
+                # deleted docs were filtered out of cand but not out of the
+                # postings — only assign where the posting doc survives
                 pos = np.searchsorted(cand, d)
-                tf[pos] = t.astype(np.float64)
+                pos_c = np.minimum(pos, len(cand) - 1)
+                hit = cand[pos_c] == d
+                tf[pos_c[hit]] = t[hit].astype(np.float64)
             bg = self.mu * p_c[term]
             if self.method == "dirichlet":
                 acc += np.log((tf + bg) / (dl + self.mu))

@@ -354,3 +354,19 @@ def test_first_n_by_vec_id_stat_pruned(tmp_path):
     pq.write_table(t2, path2, row_group_size=16)
     got = _first_n_by_vec_id(path2, 10)
     assert got.column("vec_id").to_pylist() == list(range(10))
+
+    # no statistics + negative ids: every row group must be read (no sentinel
+    # pruning) — descending layout puts the smallest ids in the LAST group
+    t3 = pa.table({"vec_id": pa.array([-1, -2, -50, -60], pa.int64()),
+                   "embedding": pa.array([[0.0], [1.0], [2.0], [3.0]],
+                                         pa.list_(pa.float32()))})
+    path3 = str(tmp_path / "emb_nostats.parquet")
+    pq.write_table(t3, path3, row_group_size=2, write_statistics=False)
+    got = _first_n_by_vec_id(path3, 2)
+    assert got.column("vec_id").to_pylist() == [-60, -50]
+
+    # zero row groups: empty result, no crash
+    path4 = str(tmp_path / "emb_empty.parquet")
+    w = pq.ParquetWriter(path4, t.schema)
+    w.close()
+    assert _first_n_by_vec_id(path4, 3).num_rows == 0

@@ -154,3 +154,32 @@ def test_multireader_lm_and_structured(corpora, tmp_path):
         is_, ss = StructuredQueryEngine(rs).run(q, k=20)
         assert np.array_equal(im, is_), q
         assert np.allclose(sm, ss, atol=0), q
+
+
+def test_lm_after_delete(corpora, tmp_path):
+    """LM scoring over a repository with deletions: deleting the MAX-id
+    candidate must not crash (searchsorted lands past the filtered candidate
+    array), deleting any doc must not corrupt survivors' scores, and no
+    deleted doc may appear in results."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.lm import LMScorer, process_query_lm
+    from indri_5_5_ray.pipelines.repository import Repository
+
+    a, b, _ = corpora
+    cfg = IndexConfig(**CFG_KW)
+    repo = Repository.create(str(tmp_path / "repo_lmdel"), cfg)
+    repo.add(a)
+    repo.add(b)
+    terms = process_query_lm("merge buffer token", cfg)
+    ids0, s0 = LMScorer(repo.reader()).score(terms, k=200)
+    pre = dict(zip(ids0.tolist(), s0.tolist()))
+
+    # delete the highest-id candidate + one mid-list candidate
+    victims = [int(ids0.max()), int(sorted(ids0.tolist())[len(ids0) // 2])]
+    repo.delete(victims)
+    ids1, s1 = LMScorer(repo.reader()).score(terms, k=200)
+    assert not set(victims) & set(ids1.tolist())
+    # survivors keep their exact pre-delete scores (masking only removes
+    # candidates; the background statistics are unchanged until compact)
+    for d, s in zip(ids1.tolist(), s1.tolist()):
+        assert pre[d] == s
