@@ -180,15 +180,16 @@ def _rep_docs(sf_dir: str, losers: set[int]) -> ray.data.Dataset:
     filter against the broadcast loser set (no text shuffle)."""
     import ray as _ray
 
-    losers_ref = _ray.put(losers)
+    losers_ref = _ray.put(np.array(sorted(losers), dtype=np.int64))
 
     def drop_losers(batch: pa.Table) -> pa.Table:
         lose = _ray.get(losers_ref)
-        if not lose:
+        if not len(lose):
             return batch
         ids = batch.column("doc_id").to_numpy()
-        mask = np.array([i not in lose for i in ids.tolist()], dtype=bool)
-        return batch.filter(pa.array(mask))
+        # vectorized membership against the sorted broadcast array
+        pos = np.minimum(np.searchsorted(lose, ids), len(lose) - 1)
+        return batch.filter(pa.array(lose[pos] != ids))
 
     return _docs(sf_dir).map_batches(drop_losers, batch_format="pyarrow")
 
@@ -693,7 +694,9 @@ def near_dup_clusters(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
     tables = [t for t in (ray.get(r) for r in pairs.to_arrow_refs())
               if t.num_rows]
     pt = pa.concat_tables(tables) if tables else None
-    return _components_assign(pt, "doc_a", "doc_b", _docs(sf_dir), "doc_id")
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"])  # assignment needs no text
+    return _components_assign(pt, "doc_a", "doc_b", ids, "doc_id")
 
 
 def near_dedup_keep_first(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:

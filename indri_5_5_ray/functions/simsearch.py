@@ -401,6 +401,13 @@ def ivf_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
     import os as _os
 
     q_ids, Q = load_query_matrix(sf_dir, n_queries)
+    if not len(q_ids):
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        })
     Qn = _normalize(Q)
     if index_dir is None:
         _, sample = _load_sample(sf_dir, train_rows)
@@ -462,12 +469,15 @@ def ivf_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
             if _os.path.isdir(d)
             for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
         ]
-        src = ray.data.read_parquet(files)
+        src = ray.data.read_parquet(files) if files else None
     else:
         src = _emb(sf_dir)
-    parts = src.map_batches(partial_topk, batch_format="pyarrow")
-    tables = [x for x in (ray.get(r) for r in parts.to_arrow_refs())
-              if x.num_rows]
+    if src is None:  # no probed list has a partition directory → no hits
+        tables: list[pa.Table] = []
+    else:
+        parts = src.map_batches(partial_topk, batch_format="pyarrow")
+        tables = [x for x in (ray.get(r) for r in parts.to_arrow_refs())
+                  if x.num_rows]
     rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
     if tables:
         allt = pa.concat_tables(tables)

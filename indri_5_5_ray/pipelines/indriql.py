@@ -314,40 +314,24 @@ def ordered_window_count(pos_lists: list[np.ndarray], n: int) -> int:
     return len(ordered_window_extents(pos_lists, n)[0])
 
 
-def ordered_window_counts_batch(
-    per_doc_lists: list[list[np.ndarray]], n: int
-) -> np.ndarray:
-    """Vectorized #odN counts for MANY docs at once.
+def ordered_window_counts_flat(enc: list[np.ndarray], anchor_doc: np.ndarray,
+                               n: int, n_docs: int) -> np.ndarray:
+    """#odN counts from offset-encoded flat position arrays — THE production
+    kernel (the engine's flat gathers feed it directly).
 
-    ``per_doc_lists[d]`` is the k position arrays of doc d (every term
-    present).  Each doc's positions are offset into a private block of the
-    number line, the k-1 greedy smallest-next steps become k-1 vectorized
-    ``searchsorted`` calls over ALL docs' anchors simultaneously, and a
-    cross-doc "next" candidate automatically fails the ``≤ n`` distance test
-    because blocks are further apart than any window.  Identical counts to
-    ``ordered_window_extents`` per doc (same greedy sweep,
-    ref:src/OrderedWindowNode.cpp:115-165)."""
-    n_docs = len(per_doc_lists)
-    if n_docs == 0:
-        return np.empty(0, np.int64)
-    k = len(per_doc_lists[0])
-    max_pos = 0
-    for lists in per_doc_lists:
-        for pl in lists:
-            if len(pl):
-                max_pos = max(max_pos, int(pl[-1]))
-    off = max_pos + n + 2
-    term_cat: list[np.ndarray] = []
-    for t in range(k):
-        term_cat.append(np.concatenate(
-            [per_doc_lists[d][t] + d * off for d in range(n_docs)]))
-    anchors = term_cat[0]
-    anchor_doc = np.repeat(
-        np.arange(n_docs), [len(per_doc_lists[d][0]) for d in range(n_docs)])
+    ``enc[t]`` holds term t's positions for every doc, each doc offset into
+    a private block of the number line ≥ n+2 apart; ``anchor_doc[i]`` is the
+    doc index of anchor ``enc[0][i]``.  The k-1 greedy smallest-next steps
+    become k-1 vectorized ``searchsorted`` calls over ALL docs' anchors
+    simultaneously; a cross-doc "next" candidate automatically fails the
+    ``≤ n`` distance test because blocks are further apart than any window.
+    Identical counts to ``ordered_window_extents`` per doc (same greedy
+    sweep, ref:src/OrderedWindowNode.cpp:115-165)."""
+    anchors = enc[0]
     alive = np.ones(len(anchors), dtype=bool)
     prev = anchors.astype(np.int64)
-    for t in range(1, k):
-        pt = term_cat[t]
+    for t in range(1, len(enc)):
+        pt = enc[t]
         idx = np.searchsorted(pt, prev + 1)
         in_range = idx < len(pt)
         nxt = pt[np.minimum(idx, len(pt) - 1)]
@@ -357,9 +341,90 @@ def ordered_window_counts_batch(
     return np.bincount(anchor_doc[alive], minlength=n_docs).astype(np.int64)
 
 
+def unordered_window_counts_flat(enc: list[np.ndarray],
+                                 doc_of: list[np.ndarray],
+                                 n: int, n_docs: int) -> np.ndarray:
+    """#uwN counts from offset-encoded flat position arrays (one per member
+    type, positions disjoint = distinct terms) — THE production kernel.
+
+    The reference's anchor scan (count an anchor when every member type's
+    FIRST occurrence after it fits the window,
+    ref:src/UnorderedWindowNode.cpp:68-151) is, for distinct member terms,
+    exactly: ∀t. anchor ∈ P_t  or  next_t(anchor) ≤ anchor + n - 1 — one
+    searchsorted per member type over ALL anchors at once."""
+    anchors = np.concatenate(enc)
+    anchor_doc = np.concatenate(doc_of)
+    anchor_type = np.concatenate(
+        [np.full(len(e), t, dtype=np.int32) for t, e in enumerate(enc)])
+    alive = np.ones(len(anchors), dtype=bool)
+    for t, pt in enumerate(enc):
+        idx = np.searchsorted(pt, anchors + 1)
+        in_range = idx < len(pt)
+        nxt = pt[np.minimum(idx, len(pt) - 1)]
+        ok = in_range & (nxt <= anchors + n - 1)
+        alive &= ok | (anchor_type == t)
+    return np.bincount(anchor_doc[alive], minlength=n_docs).astype(np.int64)
+
+
+def _offset_encode(per_doc_lists: list[list[np.ndarray]], pad: int
+                   ) -> tuple[list[np.ndarray], np.ndarray, int]:
+    """per-doc position lists → (enc per term, anchor_doc of term 0, off)."""
+    n_docs = len(per_doc_lists)
+    k = len(per_doc_lists[0])
+    max_pos = 0
+    for lists in per_doc_lists:
+        for pl in lists:
+            if len(pl):
+                max_pos = max(max_pos, int(pl[-1]))
+    off = max_pos + pad + 2
+    enc = [np.concatenate([per_doc_lists[d][t] + d * off
+                           for d in range(n_docs)]) for t in range(k)]
+    anchor_doc = np.repeat(
+        np.arange(n_docs), [len(per_doc_lists[d][0]) for d in range(n_docs)])
+    return enc, anchor_doc, off
+
+
+def ordered_window_counts_batch(
+    per_doc_lists: list[list[np.ndarray]], n: int
+) -> np.ndarray:
+    """Vectorized #odN counts for MANY docs at once (offset encoding +
+    :func:`ordered_window_counts_flat` — the same kernel the engine runs)."""
+    if not per_doc_lists:
+        return np.empty(0, np.int64)
+    enc, anchor_doc, _ = _offset_encode(per_doc_lists, n)
+    return ordered_window_counts_flat(enc, anchor_doc, n, len(per_doc_lists))
+
+
+def unordered_window_counts_batch(
+    per_doc_lists: list[list[np.ndarray]], n: int
+) -> np.ndarray:
+    """Vectorized #uwN counts for MANY docs (distinct member terms —
+    disjoint position lists); delegates to the production flat kernel."""
+    if not per_doc_lists:
+        return np.empty(0, np.int64)
+    n_docs = len(per_doc_lists)
+    k = len(per_doc_lists[0])
+    enc, _, off = _offset_encode(per_doc_lists, n)
+    doc_of = [np.repeat(np.arange(n_docs),
+                        [len(per_doc_lists[d][t]) for d in range(n_docs)])
+              for t in range(k)]
+    return unordered_window_counts_flat(enc, doc_of, n, n_docs)
+
+
+def syn_union_counts_flat(enc_parts: list[np.ndarray], off: int,
+                          n_docs: int) -> np.ndarray:
+    """#syn counts (|union of member position sets| per doc) from
+    offset-encoded flat arrays — THE production kernel: one concatenate +
+    unique + bincount."""
+    if not enc_parts:
+        return np.zeros(n_docs, dtype=np.int64)
+    uniq = np.unique(np.concatenate(enc_parts))
+    return np.bincount(uniq // off, minlength=n_docs).astype(np.int64)
+
+
 def syn_union_counts_batch(per_doc_lists: list[list[np.ndarray]]) -> np.ndarray:
-    """Vectorized #syn counts (|union of member position sets|) for many
-    docs: one concatenate + unique over offset-encoded positions."""
+    """Vectorized #syn counts for many docs; delegates to the production
+    flat kernel."""
     n_docs = len(per_doc_lists)
     if n_docs == 0:
         return np.empty(0, np.int64)
@@ -369,15 +434,10 @@ def syn_union_counts_batch(per_doc_lists: list[list[np.ndarray]]) -> np.ndarray:
             if len(pl):
                 max_pos = max(max_pos, int(pl[-1]))
     off = max_pos + 2
-    parts = []
-    for d, lists in enumerate(per_doc_lists):
-        for pl in lists:
-            if len(pl):
-                parts.append(pl + d * off)
-    if not parts:
-        return np.zeros(n_docs, dtype=np.int64)
-    uniq = np.unique(np.concatenate(parts))
-    return np.bincount(uniq // off, minlength=n_docs).astype(np.int64)
+    parts = [pl + d * off
+             for d, lists in enumerate(per_doc_lists)
+             for pl in lists if len(pl)]
+    return syn_union_counts_flat(parts, off, n_docs)
 
 
 def unordered_window_count(pos_lists: list[np.ndarray], n: int) -> int:
@@ -750,14 +810,31 @@ class StructuredQueryEngine:
             # ref:src/ContextCountAccumulator.cpp:90)
             if node.op == "wsyn":
                 w = np.asarray(node.weights, dtype=np.float64)
+                if w.sum() == 0:
+                    raise ValueError("#wsyn weights sum to zero")
                 w = w / w.sum()
                 member_counts = [self._node_counts(c, postings, cand, rfields)
                                  for c in node.children]
                 return np.sum([wi * mc for wi, mc in zip(w, member_counts)], axis=0)
+            # flatten wildcard members into their expansion terms first
+            # (union is associative, matching the top-level wildcard → #syn
+            # rewrite), so the flat kernel sees only plain term children
+            kids: list[Node] = []
+            for c in node.children:
+                if c.op == "wildcard":
+                    kids.extend(Node(op="term", term=t, pre=True)
+                                for t in self._expand_wildcard(c.term.lower()))
+                else:
+                    kids.append(c)
+            node = Node(op="syn", children=kids)
             counts = np.zeros(len(cand), dtype=np.float64)
-            if not rfields and self._passage is None:
+            if (not rfields and self._passage is None
+                    and all(c.op == "term" for c in node.children)):
                 # flat batch kernel: one concat + unique over offset-encoded
-                # positions of every member and candidate doc at once
+                # positions of every member and candidate doc at once.
+                # Only plain term members — restrict-wrapped members carry
+                # per-doc extent masks the kernel can't see; they take the
+                # per-doc fallback below
                 tps = [self._postings.get(self._node_term(c)) for c in node.children]
                 tps = [tp for tp in tps if tp is not None]
                 if not tps:
@@ -775,9 +852,9 @@ class StructuredQueryEngine:
                 if not parts:
                     return counts
                 off = max_pos + 2
-                enc = np.concatenate([f + dix * off for f, dix in zip(parts, part_docs)])
-                uniq = np.unique(enc)
-                counts += np.bincount(uniq // off, minlength=len(cand)).astype(np.float64)
+                enc_parts = [f + dix * off for f, dix in zip(parts, part_docs)]
+                counts += syn_union_counts_flat(
+                    enc_parts, off, len(cand)).astype(np.float64)
                 return counts
             pos_maps = [self._positions_map(c) for c in node.children]
             for i, did in enumerate(cand.tolist()):
@@ -787,15 +864,21 @@ class StructuredQueryEngine:
                     if pl is not None:
                         union = set(pl.tolist()) if union is None else union | set(pl.tolist())
                 if union:
+                    if not rfields and self._passage is None:
+                        # unrestricted (reachable for non-term members, e.g.
+                        # restrict-wrapped): count the full union
+                        counts[i] = len(union)
+                        continue
                     u = self._doc_restriction(did, rfields)
-                    if u is None:
+                    if u is None:  # a restriction field absent from the doc
                         continue
                     counts[i] = self._count_positions_in(
                         np.array(sorted(union), dtype=np.int64), u)
             return counts
         if node.op in ("od", "uw"):
             counts = np.zeros(len(cand), dtype=np.float64)
-            if node.op == "od" and not rfields and self._passage is None:
+            if (node.op == "od" and not rfields and self._passage is None
+                    and all(c.op == "term" for c in node.children)):
                 # fully-flat batch kernel: vectorized ragged gathers + k-1
                 # searchsorted sweeps over ALL eligible docs' anchors at
                 # once — zero per-doc Python in the hot path
@@ -814,18 +897,8 @@ class StructuredQueryEngine:
                 max_pos = max((int(f[0].max()) if len(f[0]) else 0) for f in flats)
                 off = max_pos + node.n + 2
                 enc = [f[0] + f[1] * off for f in flats]
-                anchors, anchor_doc = enc[0], flats[0][1]
-                alive = np.ones(len(anchors), dtype=bool)
-                prev = anchors
-                for t in range(1, len(enc)):
-                    pt = enc[t]
-                    idx = np.searchsorted(pt, prev + 1)
-                    in_range = idx < len(pt)
-                    nxt = pt[np.minimum(idx, len(pt) - 1)]
-                    ok = in_range & (nxt - prev <= node.n)
-                    alive &= ok
-                    prev = np.where(ok, nxt, prev)
-                per_e = np.bincount(anchor_doc[alive], minlength=len(E))
+                per_e = ordered_window_counts_flat(
+                    enc, flats[0][1], node.n, len(E))
                 counts[np.searchsorted(cand, E)] = per_e.astype(np.float64)
                 return counts
             uw_terms = [self._node_term(c) for c in node.children
@@ -853,18 +926,8 @@ class StructuredQueryEngine:
                 max_pos = max((int(f[0].max()) if len(f[0]) else 0) for f in flats)
                 off = max_pos + node.n + 2
                 enc = [f[0] + f[1] * off for f in flats]
-                anchors = np.concatenate(enc)
-                anchor_doc = np.concatenate([f[1] for f in flats])
-                anchor_type = np.concatenate(
-                    [np.full(len(e), t, dtype=np.int32) for t, e in enumerate(enc)])
-                alive = np.ones(len(anchors), dtype=bool)
-                for t, pt in enumerate(enc):
-                    idx = np.searchsorted(pt, anchors + 1)
-                    in_range = idx < len(pt)
-                    nxt = pt[np.minimum(idx, len(pt) - 1)]
-                    ok = in_range & (nxt <= anchors + node.n - 1)
-                    alive &= ok | (anchor_type == t)
-                per_e = np.bincount(anchor_doc[alive], minlength=len(E))
+                per_e = unordered_window_counts_flat(
+                    enc, [f[1] for f in flats], node.n, len(E))
                 counts[np.searchsorted(cand, E)] = per_e.astype(np.float64)
                 return counts
             pos_maps = [self._positions_map(c) for c in node.children]
@@ -921,6 +984,18 @@ class StructuredQueryEngine:
                 kept = self._positions_in(pl, u)
                 if len(kept):
                     out[did] = kept
+            return out
+        if node.op == "wildcard":
+            return self._positions_map(Node(op="syn", children=[
+                Node(op="term", term=t, pre=True)
+                for t in self._expand_wildcard(node.term.lower())]))
+        if node.op == "syn":
+            # ExtentOr as a window member: merged member extents = position
+            # union for unit extents (ref:src/ExtentOrNode.cpp:30-45)
+            out: dict[int, np.ndarray] = {}
+            for c in node.children:
+                for did, pl in self._positions_map(c).items():
+                    out[did] = pl if did not in out else np.union1d(out[did], pl)
             return out
         if node.op != "term":
             raise ValueError(f"window/syn members must be terms, got {node.op}")

@@ -68,6 +68,29 @@ def process_query(text: str, cfg: IndexConfig, proc: TermProcessor | None = None
     return list(counts.items())
 
 
+def load_deleted(path: Path | str) -> np.ndarray | None:
+    """deleted.parquet → sorted unique doc_id array; None when the file is
+    absent OR holds zero rows (an empty list must behave as 'no deletions' —
+    a 0-size array would make searchsorted-based masks index out of
+    bounds)."""
+    path = Path(path)
+    if not path.exists():
+        return None
+    arr = np.unique(
+        pq.read_table(path, columns=["doc_id"]).column("doc_id").to_numpy())
+    return arr if len(arr) else None
+
+
+def deleted_keep_mask(deleted: np.ndarray | None,
+                      doc_ids: np.ndarray) -> np.ndarray:
+    """True where doc survives (DeletedDocumentList analogue,
+    ref:src/DeletedDocumentList.cpp)."""
+    if deleted is None or not len(deleted) or not len(doc_ids):
+        return np.ones(len(doc_ids), dtype=bool)
+    pos = np.minimum(np.searchsorted(deleted, doc_ids), len(deleted) - 1)
+    return deleted[pos] != doc_ids
+
+
 class IndexReader:
     """Read-side handle on one index directory (or one doc-range shard of a
     sharded deployment; statistics always come from the global manifest)."""
@@ -82,12 +105,8 @@ class IndexReader:
         # deleted-document list (DeletedDocumentList analogue,
         # ref:src/DeletedDocumentList.cpp): collection statistics keep the
         # deleted docs until compaction, exactly like the reference
-        deleted_path = Path(index_dir) / "deleted.parquet"
-        if deleted_path.exists():
-            t = pq.read_table(deleted_path, columns=["doc_id"])
-            self.deleted: np.ndarray | None = np.unique(t.column("doc_id").to_numpy())
-        else:
-            self.deleted = None
+        self.deleted: np.ndarray | None = load_deleted(
+            Path(index_dir) / "deleted.parquet")
         self._doc_lens: np.ndarray | None = None
         self._range_lens: dict[tuple[int, int], np.ndarray] = {}
         self._docnos: dict[int, str] | None = None
@@ -98,11 +117,7 @@ class IndexReader:
 
     def keep_mask(self, doc_ids: np.ndarray) -> np.ndarray:
         """Boolean mask of NOT-deleted docs (True = keep)."""
-        if self.deleted is None or not len(doc_ids):
-            return np.ones(len(doc_ids), dtype=bool)
-        pos = np.searchsorted(self.deleted, doc_ids)
-        pos = np.minimum(pos, len(self.deleted) - 1)
-        return self.deleted[pos] != doc_ids
+        return deleted_keep_mask(self.deleted, doc_ids)
 
     # -- doc metadata -------------------------------------------------------
 

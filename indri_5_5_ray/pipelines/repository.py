@@ -34,7 +34,7 @@ import ray
 from ..config import IndexConfig
 from ..stages.postings import MergeWorker
 from .build import build_index
-from .query import IndexReader
+from .query import IndexReader, deleted_keep_mask, load_deleted
 
 
 class MultiIndexReader:
@@ -62,19 +62,12 @@ class MultiIndexReader:
             "total_terms": self.total_terms,
         }
         self.index_dir = index_dirs[0]  # for priors/wildcards of segment 0
-        if deleted_path and Path(deleted_path).exists():
-            t = pq.read_table(deleted_path, columns=["doc_id"])
-            self.deleted: np.ndarray | None = np.unique(t.column("doc_id").to_numpy())
-        else:
-            self.deleted = None
+        self.deleted: np.ndarray | None = (
+            load_deleted(deleted_path) if deleted_path else None)
         self._doc_lens: np.ndarray | None = None
 
     def keep_mask(self, doc_ids: np.ndarray) -> np.ndarray:
-        if self.deleted is None or not len(doc_ids):
-            return np.ones(len(doc_ids), dtype=bool)
-        pos = np.searchsorted(self.deleted, doc_ids)
-        pos = np.minimum(pos, len(self.deleted) - 1)
-        return self.deleted[pos] != doc_ids
+        return deleted_keep_mask(self.deleted, doc_ids)
 
     def doc_lens(self) -> np.ndarray:
         if self._doc_lens is None:
@@ -128,10 +121,7 @@ class MultiIndexReader:
     def doc_vectors(self, doc_ids: list[int]) -> dict[int, dict[str, int]]:
         out: dict[int, dict[str, int]] = {}
         for r in self.readers:
-            try:
-                out.update(r.doc_vectors(doc_ids))
-            except FileNotFoundError:
-                raise
+            out.update(r.doc_vectors(doc_ids))
         return out
 
     def field_stats(self, field: str) -> dict | None:
@@ -257,12 +247,15 @@ class Repository:
     # -- trim / compact ------------------------------------------------------
 
     def trim(self, max_segments: int = 1) -> None:
-        """Fold segments into one when over the limit (the reference's
-        ``_trimIndexes`` merge policy, ref:src/Repository.cpp:824-872) —
-        docIDs are already disjoint so the merge needs no rebase."""
+        """Fold the NEWEST segments together so at most ``max_segments``
+        remain — the reference trims recent small partials and leaves older
+        (large) indexes untouched (ref:src/Repository.cpp:754-812); docIDs
+        are already disjoint so the merge needs no rebase."""
         if len(self.meta["segments"]) <= max_segments:
             return
-        self._merge_segments(drop_deleted=False)
+        self._merge_segments(
+            drop_deleted=False,
+            names=self.meta["segments"][max(0, max_segments - 1):])
 
     def compact(self) -> None:
         """Merge all segments AND physically drop deleted docs, then clear
@@ -272,19 +265,23 @@ class Repository:
         if p.exists():
             p.unlink()
 
-    def _merge_segments(self, drop_deleted: bool) -> None:
+    def _merge_segments(self, drop_deleted: bool,
+                        names: list[str] | None = None) -> None:
+        """Merge the ``names`` segments (default: all) into one new segment;
+        untouched segments keep their position ahead of it."""
         deleted = self.deleted() if drop_deleted else np.empty(0, np.int64)
-        seg_dirs = self.segment_dirs()
+        names = list(self.meta["segments"]) if names is None else list(names)
+        kept = [s for s in self.meta["segments"] if s not in names]
+        seg_dirs = [str(self.dir / "segments" / s) for s in names]
         out = self.dir / "segments" / f"seg-{self.meta['next_segment']:05d}"
         out_tmp = Path(str(out) + ".building")
         _build_merged(seg_dirs, out_tmp, self.cfg, deleted,
-                      plan_fp=f"repo-merge:{':'.join(self.meta['segments'])}:{len(deleted)}")
+                      plan_fp=f"repo-merge:{':'.join(names)}:{len(deleted)}")
         out_tmp.replace(out)
-        old = self.meta["segments"]
-        self.meta["segments"] = [out.name]
+        self.meta["segments"] = kept + [out.name]
         self.meta["next_segment"] += 1
         self._save()
-        for s in old:
+        for s in names:
             shutil.rmtree(self.dir / "segments" / s, ignore_errors=True)
 
 

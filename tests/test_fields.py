@@ -274,3 +274,52 @@ def test_passage_multi_term(field_index):
     assert set(got) == set(want)
     for d in want:
         assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+
+
+def test_window_members_restrict_and_wildcard(field_index):
+    """#odN members that are NOT plain terms must not enter the flat batch
+    kernel: a restrict-wrapped member uses its field-masked positions, a
+    wildcard member its expansion union (regression: the kernel used to
+    stem the FIELD NAME as a term and silently mis-score)."""
+    eng = _engine(field_index)
+    # alpha-restricted-to-title followed directly by beta: only doc0 matches
+    got = _scores(eng, "#combine(#od1(alpha.title beta))")
+    cnt = {0: 1, 1: 0, 2: 0, 3: 0}
+    want = {d: _dir(cnt[d], DL[d], 1.0, TOTAL) for d in cnt}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+
+    # wildcard member: de* expands to {delta}
+    got = _scores(eng, "#combine(#od1(gamma de*))")
+    cnt = {0: 0, 1: 1, 4: 1}
+    want = {d: _dir(cnt[d], DL[d], 2.0, TOTAL) for d in cnt}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+
+
+def test_syn_members_restrict_and_wildcard(field_index):
+    """#syn members: restrict-wrapped members take the per-doc fallback
+    (field-masked positions), wildcard members flatten into their expansion
+    terms ahead of the flat kernel."""
+    eng = _engine(field_index)
+    got = _scores(eng, "#combine(#syn(alpha.title gamma))")
+    cnt = {0: 2, 1: 1, 2: 0, 3: 2, 4: 1}
+    want = {d: _dir(cnt[d], DL[d], 6.0, TOTAL) for d in cnt}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+
+    got = _scores(eng, "#combine(#syn(de* gamma))")
+    cnt = {0: 1, 1: 3, 4: 2}
+    want = {d: _dir(cnt[d], DL[d], 6.0, TOTAL) for d in cnt}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+
+
+def test_wsyn_zero_weights_raises(field_index):
+    eng = _engine(field_index)
+    with pytest.raises(ValueError, match="wsyn"):
+        eng.run("#combine(#wsyn(0 alpha 0 beta))", k=5)

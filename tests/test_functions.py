@@ -174,6 +174,21 @@ def test_ivf_ann(mini_sf, tmp_path):
     n1 = narrow[narrow["rank"] == 1]
     assert (n1.query_id.values == n1.vec_id.values).all()
 
+    # zero queries → empty result, no crash
+    none = ivf_ann_topk(mini_sf, n_queries=0, k=3, n_centroids=2,
+                        nprobe=2, train_rows=6, index_dir=idx).to_pandas()
+    assert len(none) == 0
+
+    # index with centroids but NO data partitions: probed dirs absent →
+    # empty result (regression: ray.data.read_parquet([]) raised)
+    import shutil
+    idx2 = str(tmp_path / "ivf_nodata")
+    os.makedirs(f"{idx2}/data")
+    shutil.copy(f"{idx}/centroids.json", f"{idx2}/centroids.json")
+    bare = ivf_ann_topk(mini_sf, n_queries=3, k=3, n_centroids=2,
+                        nprobe=2, train_rows=6, index_dir=idx2).to_pandas()
+    assert len(bare) == 0
+
 
 def test_doc_fingerprints_winnowing(mini_sf):
     from indri_5_5_ray.functions.textstats import doc_fingerprints

@@ -291,14 +291,8 @@ def test_uw_flat_formula_matches_reference_scan():
         if any(len(x) == 0 for x in lists):
             continue
         want = unordered_window_count(lists, n)
-        # flat formula
-        anchors = np.concatenate(lists)
-        types = np.concatenate([np.full(len(x), t) for t, x in enumerate(lists)])
-        alive = np.ones(len(anchors), dtype=bool)
-        for t, pt in enumerate(lists):
-            idx = np.searchsorted(pt, anchors + 1)
-            in_range = idx < len(pt)
-            nxt = pt[np.minimum(idx, len(pt) - 1)]
-            ok = in_range & (nxt <= anchors + n - 1)
-            alive &= ok | (types == t)
-        assert int(alive.sum()) == want, (lists, n)
+        # the PRODUCTION flat kernel (single-doc batch)
+        from indri_5_5_ray.pipelines.indriql import unordered_window_counts_batch
+
+        got = unordered_window_counts_batch([lists], n)
+        assert int(got[0]) == want, (lists, n)

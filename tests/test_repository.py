@@ -183,3 +183,62 @@ def test_lm_after_delete(corpora, tmp_path):
     # candidates; the background statistics are unchanged until compact)
     for d, s in zip(ids1.tolist(), s1.tolist()):
         assert pre[d] == s
+
+
+def test_empty_deleted_list_is_harmless(corpora, tmp_path):
+    """A deleted.parquet with ZERO rows (delete([]) or no-match
+    delete_docnos) must behave as 'no deletions' — regression: the
+    searchsorted mask indexed an empty array and every query crashed."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.query import BM25Scorer, process_query
+    from indri_5_5_ray.pipelines.repository import Repository
+
+    a, _, _ = corpora
+    cfg = IndexConfig(**CFG_KW)
+    repo = Repository.create(str(tmp_path / "repo_edel"), cfg)
+    repo.add(a)
+    repo.delete([])
+    r = repo.reader()
+    q = process_query("merge buffer token", cfg)
+    ids, _ = BM25Scorer(r).score_exhaustive(q, k=10)
+    assert len(ids) == 10
+
+
+def test_trim_keeps_max_segments(corpora, tmp_path):
+    """trim(max_segments=N) folds only the NEWEST segments, leaving N total
+    (reference _trimIndexes: old large indexes stay untouched,
+    ref:src/Repository.cpp:754-812)."""
+    import numpy as np
+
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.query import BM25Scorer, process_query
+    from indri_5_5_ray.pipelines.repository import Repository
+    from indri_5_5_ray.sources.corpus import write_synthetic_corpus
+
+    parts = []
+    for i in range(4):
+        c = str(tmp_path / f"c{i}")
+        write_synthetic_corpus(c, 30, seed=40 + i, rows_per_file=30)
+        parts.append(c)
+    cfg = IndexConfig(**CFG_KW)
+    repo = Repository.create(str(tmp_path / "repo_trim"), cfg)
+    for c in parts:
+        repo.add(c)
+    assert len(repo.meta["segments"]) == 4
+    first_seg = repo.meta["segments"][0]
+    q = process_query("merge buffer token", cfg)
+    ids0, s0 = BM25Scorer(repo.reader()).score_exhaustive(q, k=20)
+
+    repo.trim(max_segments=3)
+    assert len(repo.meta["segments"]) == 3
+    # the oldest segments were left untouched
+    assert repo.meta["segments"][0] == first_seg
+    ids1, s1 = BM25Scorer(repo.reader()).score_exhaustive(q, k=20)
+    assert np.array_equal(ids0, ids1)
+    assert np.allclose(s0, s1, rtol=0, atol=1e-12)
+
+    repo.trim(max_segments=1)
+    assert len(repo.meta["segments"]) == 1
+    ids2, s2 = BM25Scorer(repo.reader()).score_exhaustive(q, k=20)
+    assert np.array_equal(ids0, ids2)
+    assert np.allclose(s0, s2, rtol=0, atol=1e-12)
