@@ -86,9 +86,11 @@ def rm_expand(
     fb_terms: int = 20,
     orig_weight: float = 0.5,
     method: str = "dirichlet",
+    mu: float = 2500.0,
+    lam: float = 0.4,
 ) -> list[tuple[str, float]]:
     """RM3 expansion: returns the expanded [(term, weight)] list."""
-    lm = LMScorer(reader, method=method)
+    lm = LMScorer(reader, method=method, mu=mu, lam=lam)
     q_terms = process_query_lm(query, reader.cfg)
     if not q_terms:
         return []
@@ -140,52 +142,20 @@ def rm3_search(
     orig_weight: float = 0.5,
     method: str = "dirichlet",
     mu: float = 2500.0,
+    lam: float = 0.4,
 ) -> tuple[np.ndarray, np.ndarray]:
     """RM3: expand, then score the #weight-style normalized weighted sum of
-    per-term log-beliefs.  Expanded terms are already index terms, so they
-    bypass query-side re-processing (stemming a stem is not guaranteed to
-    be a no-op)."""
-    from ..codec import decode_doc_tf_batch
-    from .query import _topk
-
-    expanded = rm_expand(reader, query, fb_docs, fb_terms, orig_weight, method)
+    per-term log-beliefs through :meth:`LMScorer.score_weighted` (same
+    smoothing method, deletion mask, and postings decode as the first-pass
+    run — no duplicated scoring path).  Expanded terms are already index
+    terms, so they bypass query-side re-processing (stemming a stem is not
+    guaranteed to be a no-op)."""
+    expanded = rm_expand(reader, query, fb_docs, fb_terms, orig_weight,
+                         method, mu, lam)
     if not expanded:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    terms = [t for t, _ in expanded]
-    weights = np.array([w for _, w in expanded], dtype=np.float64)
-    weights /= weights.sum()
-
-    stats = reader.term_stats(terms)
-    rows = reader.term_rows([t for t in terms if t in stats])
-    postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    row_terms = rows.column("term").to_pylist() if rows.num_rows else []
-    payloads = rows.column("postings").to_pylist() if rows.num_rows else []
-    offs = rows.column("block_offset").to_pylist() if rows.num_rows else []
-    lens = rows.column("block_length").to_pylist() if rows.num_rows else []
-    ndocs = rows.column("block_n_docs").to_pylist() if rows.num_rows else []
-    for term in set(row_terms):
-        t_ids, t_tfs = [], []
-        for ri, rt in enumerate(row_terms):
-            if rt != term:
-                continue
-            d, tf = decode_doc_tf_batch(payloads[ri], offs[ri], lens[ri], ndocs[ri])
-            t_ids.append(d)
-            t_tfs.append(tf)
-        if t_ids:
-            postings[term] = (np.concatenate(t_ids), np.concatenate(t_tfs))
-    if not postings:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
-    cand = np.unique(np.concatenate([d for d, _ in postings.values()]))
-    dl = reader.doc_lens()[cand].astype(np.float64)
-    total = float(reader.total_terms)
-    acc = np.zeros(len(cand), dtype=np.float64)
-    for term, w in zip(terms, weights):
-        cf = float(stats[term][0]) if term in stats else 0.0
-        p_c = cf / total if cf > 0 else 1.0 / (2.0 * total)
-        tf = np.zeros(len(cand), dtype=np.float64)
-        tp = postings.get(term)
-        if tp is not None:
-            d, t = tp
-            tf[np.searchsorted(cand, d)] = t.astype(np.float64)
-        acc += w * np.log((tf + mu * p_c) / (dl + mu))
-    return _topk(cand, acc, k)
+    wa = np.array([w for _, w in expanded], dtype=np.float64)
+    wa /= wa.sum()  # numpy pairwise sum, bit-stable vs the recorded oracle
+    term_weights = list(zip([t for t, _ in expanded], wa.tolist()))
+    lm = LMScorer(reader, method=method, mu=mu, lam=lam)
+    return lm.score_weighted(term_weights, k)

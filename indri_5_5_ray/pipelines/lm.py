@@ -56,8 +56,21 @@ class LMScorer:
     def score(self, terms: list[str], k: int = 1000) -> tuple[np.ndarray, np.ndarray]:
         if not terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        # #combine = WeightedAnd with weights 1 then a mean — keep the
+        # sum-then-divide order so scores are bitwise-stable vs the oracles
+        return self.score_weighted([(t, 1.0) for t in terms], k,
+                                   mean_of=len(terms))
+
+    def score_weighted(self, term_weights: list[tuple[str, float]],
+                       k: int = 1000, mean_of: int | None = None
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        """#weight-style scorer: Σ w_i · log P(t_i|d) over the DAAT union
+        (weights as given — normalize upstream; ``mean_of=n`` divides the
+        accumulated sum by n afterwards, the #combine mean)."""
+        if not term_weights:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         r = self.r
-        uniq_terms = list(dict.fromkeys(terms))
+        uniq_terms = list(dict.fromkeys(t for t, _ in term_weights))
         stats = r.term_stats(uniq_terms)
         total = float(r.total_terms)
         # background model probability per term; zero-cf terms get 1/(2|C|)
@@ -67,26 +80,7 @@ class LMScorer:
         }
         rows = r.term_rows([t for t in uniq_terms if t in stats])
         doc_lens = r.doc_lens()
-
-        from ..codec import decode_doc_tf_batch
-
-        term_postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        row_terms = rows.column("term").to_pylist() if rows.num_rows else []
-        payloads = rows.column("postings").to_pylist() if rows.num_rows else []
-        offs = rows.column("block_offset").to_pylist() if rows.num_rows else []
-        lens = rows.column("block_length").to_pylist() if rows.num_rows else []
-        ndocs = rows.column("block_n_docs").to_pylist() if rows.num_rows else []
-        for term in uniq_terms:
-            t_ids, t_tfs = [], []
-            for ri, rt in enumerate(row_terms):
-                if rt != term:
-                    continue
-                d, tf = decode_doc_tf_batch(payloads[ri], offs[ri], lens[ri], ndocs[ri])
-                t_ids.append(d)
-                t_tfs.append(tf)
-            if t_ids:
-                term_postings[term] = (np.concatenate(t_ids), np.concatenate(t_tfs))
-
+        term_postings = decode_term_postings(rows)
         if not term_postings:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         cand = np.unique(np.concatenate([d for d, _ in term_postings.values()]))
@@ -95,8 +89,7 @@ class LMScorer:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         dl = doc_lens[cand].astype(np.float64)
         acc = np.zeros(len(cand), dtype=np.float64)
-        n_children = len(terms)
-        for term in terms:  # children in query order, duplicates included
+        for term, w in term_weights:  # children in query order, dups included
             tf = np.zeros(len(cand), dtype=np.float64)
             tp = term_postings.get(term)
             if tp is not None:
@@ -109,13 +102,37 @@ class LMScorer:
                 tf[pos_c[hit]] = t[hit].astype(np.float64)
             bg = self.mu * p_c[term]
             if self.method == "dirichlet":
-                acc += np.log((tf + bg) / (dl + self.mu))
+                child = np.log((tf + bg) / (dl + self.mu))
             elif self.method in ("two", "two-stage", "twostage"):
                 # two-stage smoothing: dirichlet inner, JM outer
                 # (ref:include/indri/TwoStageTermScoreFunction.hpp:39-48)
                 dirichlet = (tf + bg) / (dl + self.mu)
-                acc += np.log((1.0 - self.lam) * dirichlet + self.lam * p_c[term])
+                child = np.log((1.0 - self.lam) * dirichlet + self.lam * p_c[term])
             else:  # jelinek-mercer
-                acc += np.log((1.0 - self.lam) * tf / dl + self.lam * p_c[term])
-        acc /= n_children
+                child = np.log((1.0 - self.lam) * tf / dl + self.lam * p_c[term])
+            acc += child if w == 1.0 else w * child
+        if mean_of:
+            acc /= mean_of
         return _topk(cand, acc, k)
+
+
+def decode_term_postings(rows) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """term_rows table → {term: (doc_ids, tfs)} — one decode pass in row
+    order (shared by the LM scorers and RM3)."""
+    from ..codec import decode_doc_tf_batch
+
+    if not rows.num_rows:
+        return {}
+    row_terms = rows.column("term").to_pylist()
+    payloads = rows.column("postings").to_pylist()
+    offs = rows.column("block_offset").to_pylist()
+    lens = rows.column("block_length").to_pylist()
+    ndocs = rows.column("block_n_docs").to_pylist()
+    parts: dict[str, tuple[list, list]] = {}
+    for ri, rt in enumerate(row_terms):
+        d, tf = decode_doc_tf_batch(payloads[ri], offs[ri], lens[ri], ndocs[ri])
+        e = parts.setdefault(rt, ([], []))
+        e[0].append(d)
+        e[1].append(tf)
+    return {t: (np.concatenate(a), np.concatenate(b))
+            for t, (a, b) in parts.items()}

@@ -75,9 +75,11 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
     for c in cfgs[1:]:  # compatibility validation (like the reference's
         # stemmer/field check, ref:src/Repository.cpp:1365-1483) — layout
         # parameters must match too, or partials land in unmergeable buckets
-        for key in ("stemmer", "stopwords", "store_positions", "n_buckets",
+        for key in ("tokenizer", "stemmer", "stopwords", "fields",
+                    "numeric_fields", "date_fields", "store_positions",
+                    "store_direct", "store_content", "n_buckets",
                     "salt_docs_per_group", "target_block_bytes"):
-            if c[key] != cfgs[0][key]:
+            if c.get(key) != cfgs[0].get(key):
                 raise ValueError(f"incompatible indexes: {key} differs")
     cfg = IndexConfig.from_dict(cfgs[0])
 
@@ -87,6 +89,12 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         if resume:
             return json.loads(manifest_path.read_text())
         shutil.rmtree(out)
+    elif out.exists():
+        # an interrupted previous merge left no manifest: its partial
+        # outputs may belong to a DIFFERENT source set — start clean
+        for sub in ("partials", "docs", "direct", "fields"):
+            shutil.rmtree(out / sub, ignore_errors=True)
+        (out / "deleted.parquet").unlink(missing_ok=True)
     out.mkdir(parents=True, exist_ok=True)
     (out / "partials").mkdir(exist_ok=True)
     (out / "docs").mkdir(exist_ok=True)
@@ -112,10 +120,33 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
             tasks.append(rebase_task.remote(
                 "partials", str(f), str(out / "partials" / f"src{i}-{f.name}"),
                 offsets[i]))
-        for f in sorted(Path(d, "docs").glob("*.parquet")):
-            tasks.append(rebase_task.remote(
-                "docs", str(f), str(out / "docs" / f"src{i}-{f.name}"), offsets[i]))
+        # docs + any doc_id-keyed sidecar data (forward index, field extents)
+        for sub in ("docs", "direct", "fields"):
+            src_dir = Path(d, sub)
+            if not src_dir.exists():
+                continue
+            (out / sub).mkdir(exist_ok=True)
+            for f in sorted(src_dir.glob("*.parquet")):
+                tasks.append(rebase_task.remote(
+                    "docs", str(f), str(out / sub / f"src{i}-{f.name}"),
+                    offsets[i]))
     ray.get(tasks)
+
+    # deleted lists ride along, rebased, so previously deleted docs stay
+    # deleted in the merged index (the repository's compact path is the one
+    # that physically drops them)
+    del_parts = []
+    for i, d in enumerate(index_dirs):
+        p = Path(d) / "deleted.parquet"
+        if p.exists():
+            ids = pq.read_table(p, columns=["doc_id"]).column("doc_id").to_numpy()
+            if len(ids):
+                del_parts.append(ids.astype(np.int64) + offsets[i])
+    if del_parts:
+        merged_del = np.unique(np.concatenate(del_parts))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(merged_del, pa.int64())}),
+            out / "deleted.parquet")
 
     # phase B: the standard bucketed merge over combined partials
     cfg_dict = cfg.to_dict()

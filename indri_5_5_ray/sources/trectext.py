@@ -23,17 +23,21 @@ _DOCNO_RE = re.compile(r"<DOCNO>\s*(.*?)\s*</DOCNO>", re.DOTALL)
 _TEXT_RE = re.compile(r"<TEXT>(.*?)</TEXT>", re.DOTALL)
 
 
-def parse_trectext(data: str) -> list[tuple[str, str]]:
+def parse_trectext(data: str, source: str = "") -> list[tuple[str, str]]:
     """One TREC-text stream → [(docno, content)].
 
     Content = concatenation of ``<TEXT>`` sections; if a document has none,
     the whole body minus the DOCNO line (the reference's include-tags
-    default for trectext)."""
+    default for trectext).  Documents missing ``<DOCNO>`` get a synthetic
+    key scoped by ``source`` (the file path) — a bare per-stream counter
+    would collide across files and the build's docno dedup would silently
+    drop real documents."""
     out = []
     for m in _DOC_RE.finditer(data):
         body = m.group(1)
         docno_m = _DOCNO_RE.search(body)
-        docno = docno_m.group(1) if docno_m else f"doc{len(out)}"
+        docno = (docno_m.group(1) if docno_m
+                 else f"{source}#doc{len(out)}" if source else f"doc{len(out)}")
         texts = _TEXT_RE.findall(body)
         if texts:
             content = "\n".join(t.strip() for t in texts)
@@ -51,7 +55,8 @@ def read_trectext(paths: list[str] | str) -> ray.data.Dataset:
 
     def parse_file(row: dict) -> list[dict]:
         data = Path(row["path"]).read_text(errors="replace")
-        return [{"docno": d, "content": c} for d, c in parse_trectext(data)]
+        return [{"docno": d, "content": c}
+                for d, c in parse_trectext(data, source=row["path"])]
 
     return ray.data.from_items([{"path": p} for p in paths]).flat_map(parse_file)
 

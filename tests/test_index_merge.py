@@ -74,3 +74,48 @@ def test_merge_rejects_incompatible_configs(tmp_path):
                                         dedup_key=None, stemmer=None), resume=False)
     with pytest.raises(ValueError, match="stemmer"):
         merge_indexes([i1, i2], str(tmp_path / "out"))
+
+
+def test_merge_carries_direct_and_deletions(tmp_path):
+    """Offline merge must carry doc_id-keyed sidecar data (forward index)
+    and the sources' deleted lists, rebased — regression: both were dropped,
+    resurrecting deleted docs and breaking doc_vectors on the merged
+    index."""
+    import json
+
+    from indri_5_5_ray import cli
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.merge import merge_indexes
+    from indri_5_5_ray.pipelines.query import BM25Scorer, IndexReader, process_query
+    from indri_5_5_ray.sources.corpus import write_synthetic_corpus
+
+    a_dir = tmp_path / "ca"
+    b_dir = tmp_path / "cb"
+    write_synthetic_corpus(str(a_dir), 60, seed=31, rows_per_file=60)
+    write_synthetic_corpus(str(b_dir), 50, seed=32, rows_per_file=50)
+    cfg = IndexConfig(max_chunk_docs=48, n_buckets=4, dedup_key=None,
+                      store_direct=True)
+    ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+    build_index(str(a_dir), ia, cfg, resume=False)
+    build_index(str(b_dir), ib, cfg, resume=False)
+    cli.main([ia, "delete", "7"])
+    cli.main([ib, "delete", "3"])
+
+    merged = str(tmp_path / "m")
+    merge_indexes([ia, ib], merged)
+    base_b = json.loads(open(f"{ia}/manifest.json").read())["max_doc_id"] + 1
+    r = IndexReader(merged)
+    assert r.deleted is not None
+    assert sorted(r.deleted.tolist()) == sorted([7, base_b + 3])
+
+    # forward index present and rebased: b's doc 5 == merged doc base_b+5
+    vb = IndexReader(ib).doc_vectors([5])[5]
+    vm = r.doc_vectors([base_b + 5])[base_b + 5]
+    assert vb and vm == vb
+
+    # deleted docs stay masked in queries over the merged index
+    q = process_query("merge buffer token", r.cfg)
+    ids, _ = BM25Scorer(r).score_exhaustive(q, k=110)
+    assert 7 not in ids.tolist()
+    assert (base_b + 3) not in ids.tolist()
