@@ -1026,9 +1026,9 @@ class StructuredQueryEngine:
             # per-doc log-prior lookup (PriorNode,
             # ref:src/InferenceNetworkBuilder.cpp:788); docs absent from the
             # prior table get log(1/N)
-            from .priors import load_prior
-
-            ids, lps = load_prior(self.r.index_dir, node.term)
+            lo = int(cand.min()) if len(cand) else None
+            hi = int(cand.max()) if len(cand) else None
+            ids, lps = self.r.load_prior(node.term, lo, hi)
             out = np.full(len(cand), -np.log(float(self.r.doc_count)))
             pos = np.searchsorted(ids, cand)
             valid = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == cand)

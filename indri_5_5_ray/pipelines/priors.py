@@ -19,14 +19,18 @@ import pyarrow.parquet as pq
 import ray.data
 
 
-def build_length_prior(index_dir: str, name: str = "length") -> str:
+def build_length_prior(index_dir: str, name: str = "length",
+                       total: float | None = None) -> str:
     """Example prior: P(d) ∝ dl (longer docs more likely a priori) — the
     LengthPrior of the reference (ref:include/indri/QuerySpec.hpp:3222).
-    Built distributed over the docs table."""
+    Built distributed over the docs table.  ``total`` overrides the
+    normalizer — a multi-segment repository passes the COLLECTION total so
+    per-segment priors agree with a monolithic build."""
     ds = ray.data.read_parquet(f"{index_dir}/docs", columns=["doc_id", "dl"])
-    from ray.data.aggregate import Sum
+    if total is None:
+        from ray.data.aggregate import Sum
 
-    total = ds.aggregate(Sum("dl", alias_name="total"))["total"]
+        total = ds.aggregate(Sum("dl", alias_name="total"))["total"]
 
     def f(batch: pa.Table) -> pa.Table:
         dl = batch.column("dl").to_numpy().astype(np.float64)
@@ -34,16 +38,17 @@ def build_length_prior(index_dir: str, name: str = "length") -> str:
         return pa.table({"doc_id": batch.column("doc_id"),
                          "log_prior": pa.array(lp, pa.float64())})
 
-    out_dir = f"{index_dir}/priors"
     import os
+    import shutil
 
-    os.makedirs(out_dir, exist_ok=True)
-    t = ds.map_batches(f, batch_format="pyarrow")
-    tables = [ray.get(r) for r in t.to_arrow_refs()]
-    tables = [x for x in tables if x.num_rows]
-    pq.write_table(pa.concat_tables(tables).sort_by("doc_id"),
-                   f"{out_dir}/{name}.parquet")
-    return f"{out_dir}/{name}.parquet"
+    os.makedirs(f"{index_dir}/priors", exist_ok=True)
+    out_dir = f"{index_dir}/priors/{name}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # partitioned write straight from the workers (no driver concat) — the
+    # docs table is doc_id-ordered per file, so row-group stats let
+    # load_prior prune to a candidate doc range at query time
+    ds.map_batches(f, batch_format="pyarrow").write_parquet(out_dir)
+    return out_dir
 
 
 def write_prior_table(index_dir: str, name: str, doc_ids, log_priors) -> str:
@@ -58,6 +63,26 @@ def write_prior_table(index_dir: str, name: str, doc_ids, log_priors) -> str:
     return f"{out_dir}/{name}.parquet"
 
 
-def load_prior(index_dir: str, name: str) -> tuple[np.ndarray, np.ndarray]:
-    t = pq.read_table(f"{index_dir}/priors/{name}.parquet")
-    return t.column("doc_id").to_numpy(), t.column("log_prior").to_numpy()
+def load_prior(index_dir: str, name: str,
+               lo: int | None = None, hi: int | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Load a prior as sorted (doc_ids, log_priors).  Accepts both layouts
+    (single ``<name>.parquet`` file or a ``<name>/`` directory of parts);
+    ``lo``/``hi`` bound the doc_id range read (row-group pruned), so a
+    sharded query only pays for its shard's slice."""
+    import pyarrow.dataset as pads
+    from pathlib import Path
+
+    p = Path(index_dir) / "priors" / f"{name}.parquet"
+    if not p.exists():
+        p = Path(index_dir) / "priors" / name
+        if not p.exists():
+            raise FileNotFoundError(f"no prior named {name!r} in {index_dir}")
+    flt = None
+    if lo is not None:
+        flt = (pads.field("doc_id") >= lo) & (pads.field("doc_id") <= hi)
+    t = pads.dataset(str(p)).to_table(filter=flt)
+    ids = t.column("doc_id").to_numpy()
+    lps = t.column("log_prior").to_numpy()
+    order = np.argsort(ids, kind="stable")
+    return ids[order], lps[order]

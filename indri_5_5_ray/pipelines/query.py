@@ -226,6 +226,14 @@ class IndexReader:
         terms = sorted(x for x in t.column("term").to_pylist() if x.startswith(prefix))
         return terms[:cap]
 
+    def load_prior(self, name: str, lo: int | None = None,
+                   hi: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """Sorted (doc_ids, log_priors) of a named prior, optionally bounded
+        to a doc_id range (row-group pruned read)."""
+        from .priors import load_prior
+
+        return load_prior(self.index_dir, name, lo, hi)
+
     # -- field extents -------------------------------------------------------
 
     def field_stats(self, field: str) -> dict | None:

@@ -143,6 +143,26 @@ class MultiIndexReader:
             terms.update(r.dictionary_prefix(prefix, cap))
         return sorted(terms)[:cap]
 
+    def load_prior(self, name: str, lo: int | None = None,
+                   hi: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """Concatenated per-segment priors (docID ranges are disjoint, so
+        the concat re-sorts trivially); segments without the prior fall
+        back to the engine's absent-doc default at scoring time."""
+        ids_parts, lp_parts = [], []
+        for r in self.readers:
+            try:
+                i, l = r.load_prior(name, lo, hi)
+            except FileNotFoundError:
+                continue
+            ids_parts.append(i)
+            lp_parts.append(l)
+        if not ids_parts:
+            raise FileNotFoundError(f"no segment has a prior named {name!r}")
+        ids = np.concatenate(ids_parts)
+        lps = np.concatenate(lp_parts)
+        order = np.argsort(ids, kind="stable")
+        return ids[order], lps[order]
+
     def field_extents(self, field: str, doc_ids: list[int] | None = None) -> pa.Table:
         tables = []
         for r in self.readers:
@@ -213,6 +233,20 @@ class Repository:
     def reader(self) -> MultiIndexReader | IndexReader:
         return MultiIndexReader(self.segment_dirs(),
                                 deleted_path=str(self.dir / "deleted.parquet"))
+
+    def build_length_prior(self, name: str = "length") -> None:
+        """Build the length prior on every segment, normalized by the
+        COLLECTION total (segment manifests already carry Σdl as
+        total_terms), so multi-segment scoring is identical to a
+        monolithic index's prior."""
+        from .priors import build_length_prior
+
+        total = 0
+        for seg in self.segment_dirs():
+            total += json.loads(
+                (Path(seg) / "manifest.json").read_text())["total_terms"]
+        for seg in self.segment_dirs():
+            build_length_prior(seg, name, total=float(total))
 
     # -- deletes -------------------------------------------------------------
 

@@ -242,3 +242,38 @@ def test_trim_keeps_max_segments(corpora, tmp_path):
     ids2, s2 = BM25Scorer(repo.reader()).score_exhaustive(q, k=20)
     assert np.array_equal(ids0, ids2)
     assert np.allclose(s0, s2, rtol=0, atol=1e-12)
+
+
+def test_prior_covers_all_segments(corpora, tmp_path):
+    """#prior over a multi-segment repository must read every segment's
+    prior table — regression: MultiIndexReader used segment 0's priors
+    only, silently defaulting every later segment's docs to log(1/N)."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.priors import build_length_prior
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.pipelines.repository import Repository
+
+    a, b, both = corpora
+    cfg = IndexConfig(**CFG_KW)
+    repo = Repository.create(str(tmp_path / "repo_prior"), cfg)
+    repo.add(a)
+    m2 = repo.add(b)
+    repo.build_length_prior("length")
+    rm = repo.reader()
+    ids, lps = rm.load_prior("length")
+    assert len(ids) == rm.doc_count
+    assert ids.max() == m2["max_doc_id"]  # segment 2's docs ARE covered
+    assert np.all(np.diff(ids) > 0)
+
+    # rank-identity vs the same prior built on the monolithic index
+    mono = str(tmp_path / "mono_prior")
+    build_index(both, mono, cfg, resume=False)
+    build_length_prior(mono, "length")
+    rs = IndexReader(mono)
+    q = "#weight(1.0 merge 0.4 #prior(length))"
+    ids_m, s_m = StructuredQueryEngine(rm).run(q, k=25)
+    ids_s, s_s = StructuredQueryEngine(rs).run(q, k=25)
+    assert np.array_equal(ids_m, ids_s)
+    assert np.allclose(s_m, s_s, rtol=0, atol=1e-12)
