@@ -326,14 +326,43 @@ def _ensure_field_index(sf_dir: str) -> str:
     return str(index_dir)
 
 
-def _field_run(sf_dir: str, queries: list[tuple[str, str]], k: int = 10):
+def _ensure_nested_index(sf_dir: str) -> str:
+    """Index over the NESTED tagged corpus (sec/p/title tag tree varying by
+    doc_id % 3) for the path-restriction oracle."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.sources.corpus import corpus_from_documents_nested
+
+    key = hashlib.md5(f"{sf_dir}:nested:v1".encode()).hexdigest()[:16]
+    root = Path(_CACHE) / key
+    index_dir = root / "index"
+    if (index_dir / "manifest.json").exists():
+        return str(index_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    corpus_dir = root / "corpus"
+    if not (corpus_dir / "corpus.parquet").exists():
+        import pyarrow.parquet as pq
+
+        corpus_dir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(corpus_from_documents_nested(sf_dir),
+                       corpus_dir / "corpus.parquet")
+    cfg = IndexConfig(
+        stemmer=None, dedup_key=None, n_buckets=8, max_chunk_docs=256,
+        fields=("sec", "p", "title"),
+    )
+    build_index(str(corpus_dir), str(index_dir), cfg)
+    return str(index_dir)
+
+
+def _field_run(sf_dir: str, queries: list[tuple[str, str]], k: int = 10,
+               ensure=None):
     import numpy as np
     import pyarrow as pa
 
     from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
     from indri_5_5_ray.pipelines.query import IndexReader
 
-    index_dir = _ensure_field_index(sf_dir)
+    index_dir = (ensure or _ensure_field_index)(sf_dir)
     eng = StructuredQueryEngine(IndexReader(index_dir))
     out_q, out_r, out_d = [], [], []
     for qid, text in queries:
@@ -361,6 +390,21 @@ def _field_topk(sf_dir: str):
 def _field_filter_topk(sf_dir: str):
     """(qid, rank, doc_id) for the numeric-field semi-join filter query."""
     return _field_run(sf_dir, [("1", FIELD_FILTER_QUERY)])
+
+
+PATH_QUERIES = [
+    ("1", "#combine[sec](#combine[./title](merge))"),    # tree child
+    ("2", "#combine[sec](#combine[.//title](data))"),    # tree descendant
+    ("3", "#combine[title](#combine[.\\sec](merge))"),   # tree parent
+]
+
+
+def _path_topk(sf_dir: str):
+    """(qid, rank, doc_id) for tag-tree path restrictions (child /
+    descendant / parent steps) over the nested tagged corpus — the
+    ExtentChild/Descendant/Parent operators (ref:src/ExtentChildNode.cpp,
+    ref:src/ExtentParentNode.cpp, ref:src/ExtentDescendantNode.cpp)."""
+    return _field_run(sf_dir, PATH_QUERIES, ensure=_ensure_nested_index)
 
 
 STOPWORDS_SMALL = (
@@ -494,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "structured_topk": lambda sf: _structured_topk(sf, stem=False),
         "field_topk": _field_topk,
         "field_filter_topk": _field_filter_topk,
+        "path_topk": _path_topk,
         "passage_topk": _passage_topk,
         "rm3_topk": _rm3_topk,
         # --- text statistics / analysis ---
@@ -762,7 +807,7 @@ def _field_sql_common() -> str:
     return """
 base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t0,
                 n_chars FROM documents),
-docs AS (SELECT doc_id, n_chars,
+docs AS (SELECT doc_id, n_chars, t0,
                 t0[1:least(8, len(t0))] AS tt,
                 t0[1:least(8, len(t0))] || t0 || [n_chars::VARCHAR] AS T
          FROM base),
@@ -774,6 +819,8 @@ tf AS (SELECT doc_id, x AS term, count(*)::DOUBLE AS tf
        FROM (SELECT doc_id, unnest(T) AS x FROM docs) GROUP BY doc_id, x),
 ttf AS (SELECT doc_id, x AS term, count(*)::DOUBLE AS tf
         FROM (SELECT doc_id, unnest(tt) AS x FROM docs) GROUP BY doc_id, x),
+t0f AS (SELECT doc_id, x AS term, count(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, unnest(t0) AS x FROM docs) GROUP BY doc_id, x),
 cfreq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
 tcf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM ttf GROUP BY term)
 """
@@ -844,6 +891,56 @@ def _field_sql() -> str:
   LEFT JOIN tf tk ON tk.doc_id = dl.doc_id AND tk.term = 'key'
   CROSS JOIN stats s"""
     return _rank_wrap(" UNION ALL ".join([q1, q2, q3, q4]))
+
+
+def _path_sql() -> str:
+    """Oracle for the tag-tree path restrictions: the nested corpus varies
+    its tree by doc_id % 3 (0: title child of p under sec; 1: title child
+    of sec; 2: title outside sec), so the matching relation per query is a
+    CASE on the residue — child matches only %3=1, descendant %3 in (0,1),
+    parent (sec above title) only %3=1 but counts over the sec extent
+    (title+text tokens)."""
+    def cf_case(expr: str) -> str:
+        return f"(CASE WHEN coalesce({expr}, 0) > 0 THEN {expr} ELSE 0.5 END)"
+
+    cf1 = cf_case("(SELECT sum(tf) FROM ttf WHERE term = 'merge' AND doc_id % 3 = 1)")
+    cf2 = cf_case("(SELECT sum(tf) FROM ttf WHERE term = 'data' AND doc_id % 3 <> 2)")
+    cf3 = cf_case(
+        "(SELECT sum(tf) FROM (SELECT tf FROM ttf WHERE term = 'merge' AND doc_id % 3 = 1"
+        " UNION ALL SELECT tf FROM t0f WHERE term = 'merge' AND doc_id % 3 = 1))")
+    sec_total = ("(SELECT sum(CASE WHEN doc_id % 3 = 2 THEN len(t0)"
+                 " ELSE len(tt) + len(t0) END)::DOUBLE FROM docs)")
+    sec_dl = ("(CASE WHEN c.doc_id % 3 = 2 THEN len(d.t0)"
+              " ELSE len(d.tt) + len(d.t0) END)")
+    q1 = f"""
+  SELECT 1 AS qid, c.doc_id,
+         ln(((CASE WHEN c.doc_id % 3 = 1 THEN coalesce(tm.tf, 0) ELSE 0 END)
+             + 2500.0 * {cf1} / s.totalf) / (dl.dlf + 2500.0)) AS score
+  FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN ttf tm ON tm.doc_id = c.doc_id AND tm.term = 'merge'
+  CROSS JOIN stats s"""
+    q2 = f"""
+  SELECT 2 AS qid, c.doc_id,
+         ln(((CASE WHEN c.doc_id % 3 <> 2 THEN coalesce(td.tf, 0) ELSE 0 END)
+             + 2500.0 * {cf2} / s.totalf) / (dl.dlf + 2500.0)) AS score
+  FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'data') c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN ttf td ON td.doc_id = c.doc_id AND td.term = 'data'
+  CROSS JOIN stats s"""
+    q3 = f"""
+  SELECT 3 AS qid, c.doc_id,
+         ln(((CASE WHEN c.doc_id % 3 = 1
+                   THEN coalesce(tm.tf, 0) + coalesce(t0m.tf, 0) ELSE 0 END)
+             + 2500.0 * {cf3} / {sec_total})
+            / ({sec_dl} + 2500.0)) AS score
+  FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') c
+  JOIN dl ON dl.doc_id = c.doc_id
+  JOIN docs d ON d.doc_id = c.doc_id
+  LEFT JOIN ttf tm ON tm.doc_id = c.doc_id AND tm.term = 'merge'
+  LEFT JOIN t0f t0m ON t0m.doc_id = c.doc_id AND t0m.term = 'merge'
+  CROSS JOIN stats s"""
+    return _rank_wrap(" UNION ALL ".join([q1, q2, q3]))
 
 
 def _field_filter_sql() -> str:
@@ -1050,6 +1147,7 @@ def oracle_sql() -> dict[str, str]:
         "structured_topk": _structured_sql(),
         "field_topk": _field_sql(),
         "field_filter_topk": _field_filter_sql(),
+        "path_topk": _path_sql(),
         "passage_topk": _passage_sql(),
         "token_counts": f"""
             SELECT doc_id, len({TOKEN_SQL}) AS n_tokens FROM documents ORDER BY doc_id""",

@@ -116,6 +116,82 @@ def date_to_days(text: str) -> int | None:
     return None
 
 
+def extract_extents_tree(
+    events: list[tuple[str, bool, int]],
+    n_tokens: int,
+    fields: tuple[str, ...],
+    numeric_fields: tuple[str, ...] = (),
+    date_fields: tuple[str, ...] = (),
+    raw_tokens: list[bytes] | None = None,
+) -> dict[str, list[tuple[int, int, int, int, int]]]:
+    """Tag events → per-field ``[(begin, end, number, ordinal,
+    parent_ordinal)]`` with the document's tag TREE.
+
+    Matching as in :func:`extract_extents`.  Ordinals are assigned over ALL
+    indexed extents of the doc sorted by (begin asc, end desc, open order)
+    — the reference's per-document numbering
+    (ref:src/MemoryIndex.cpp:341-358, ref:include/indri/TagExtent.hpp:56-67
+    ``LessTagExtent``); ``parent_ordinal`` is the nearest enclosing indexed
+    extent, 0 at the root (ref:include/indri/TagList.hpp:124-135 — for
+    well-formed nesting the containment stack reproduces the reference's
+    open-order parent chain)."""
+    want = set(fields)
+    numeric = set(numeric_fields)
+    dates = set(date_fields)
+    stacks: dict[str, list[tuple[int, int]]] = {}
+    closed: list[tuple[str, int, int, int]] = []  # (name, begin, end, open_seq)
+    for seq, (name, is_close, pos) in enumerate(events):
+        if name not in want:
+            continue
+        if not is_close:
+            stacks.setdefault(name, []).append((pos, seq))
+        else:
+            stack = stacks.get(name)
+            if stack:
+                begin, sq = stack.pop()
+                closed.append((name, begin, pos, sq))
+    for name, stack in stacks.items():
+        for begin, sq in stack:
+            closed.append((name, begin, n_tokens, sq))
+    order = sorted(range(len(closed)),
+                   key=lambda i: (closed[i][1], -closed[i][2], closed[i][3]))
+    ordinal = [0] * len(closed)
+    parent = [0] * len(closed)
+    chain: list[tuple[int, int]] = []  # (end, ordinal) of enclosing extents
+    for rank, i in enumerate(order):
+        b, e = closed[i][1], closed[i][2]
+        ordinal[i] = rank + 1
+        while chain and chain[-1][0] <= b:
+            chain.pop()
+        parent[i] = chain[-1][1] if chain else 0
+        chain.append((e, rank + 1))
+    by_field: dict[str, list[int]] = {}
+    for i, (name, _, _, _) in enumerate(closed):
+        by_field.setdefault(name, []).append(i)
+    result: dict[str, list[tuple[int, int, int, int, int]]] = {}
+    for name, idxs in by_field.items():
+        idxs.sort(key=lambda i: (closed[i][1], closed[i][2]))
+        rows = []
+        for i in idxs:
+            begin, end = closed[i][1], closed[i][2]
+            number = 0
+            if raw_tokens is not None and (name in numeric or name in dates):
+                covered = raw_tokens[begin:end]
+                if name in numeric:
+                    for tok in covered:
+                        if _INT_TOKEN.match(tok):
+                            number = int(tok)
+                            break
+                else:
+                    days = date_to_days(
+                        b" ".join(covered).decode("utf-8", errors="replace")
+                    )
+                    number = days if days is not None else 0
+            rows.append((begin, end, number, ordinal[i], parent[i]))
+        result[name] = rows
+    return result
+
+
 def extract_extents(
     events: list[tuple[str, bool, int]],
     n_tokens: int,
@@ -131,45 +207,7 @@ def extract_extents(
     is dropped.  Extents are emitted in BEGIN order.  ``number`` is 0 unless
     the field is declared numeric (integer parse of the covered raw tokens)
     or date (day-serial of the covered text)."""
-    want = set(fields)
-    numeric = set(numeric_fields)
-    dates = set(date_fields)
-    stacks: dict[str, list[int]] = {}
-    out: dict[str, list[tuple[int, int, int]]] = {}
-    for name, is_close, pos in events:
-        if name not in want:
-            continue
-        if not is_close:
-            stacks.setdefault(name, []).append(pos)
-        else:
-            stack = stacks.get(name)
-            if stack:
-                begin = stack.pop()
-                out.setdefault(name, []).append((begin, pos, 0))
-    for name, stack in stacks.items():
-        for begin in stack:
-            out.setdefault(name, []).append((begin, n_tokens, 0))
-    result: dict[str, list[tuple[int, int, int]]] = {}
-    for name, extents in out.items():
-        extents.sort()
-        if name in numeric or name in dates:
-            fixed = []
-            for begin, end, _ in extents:
-                number = 0
-                if raw_tokens is not None:
-                    covered = raw_tokens[begin:end]
-                    if name in numeric:
-                        for tok in covered:
-                            if _INT_TOKEN.match(tok):
-                                number = int(tok)
-                                break
-                    else:
-                        days = date_to_days(
-                            b" ".join(covered).decode("utf-8", errors="replace")
-                        )
-                        number = days if days is not None else 0
-                fixed.append((begin, end, number))
-            result[name] = fixed
-        else:
-            result[name] = extents
-    return result
+    tree = extract_extents_tree(events, n_tokens, fields, numeric_fields,
+                                date_fields, raw_tokens)
+    return {name: [(b, e, n) for b, e, n, _, _ in rows]
+            for name, rows in tree.items()}

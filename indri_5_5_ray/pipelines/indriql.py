@@ -34,6 +34,12 @@ node semantics ref:src/InferenceNetworkBuilder.cpp):
                               ref:src/ContextCountAccumulator.cpp:98-131)
     #op[f](...)               scored-op extent restriction: every count leaf
                               below scores in f's context (builder :152)
+    #op[.path](...)           tag-TREE restriction inside an enclosing
+                              context: path steps /f (child) //f
+                              (descendant) \\f (parent) {f (inside) walk
+                              the per-doc field tree stored at ingest
+                              (ref:src/indrilang.g:690-741,
+                              ExtentChild/Parent/Descendant nodes)
     #op[passageN:M](...)      fixed-passage retrieval: sliding windows of
                               width N stride M; doc score = best passage
                               (ref:include/indri/QuerySpec.hpp:2314,
@@ -105,6 +111,31 @@ class Node:
 
 _FIELD_NAME = re.compile(r"[a-zA-Z][a-zA-Z0-9_-]*$")
 _BRACKET = re.compile(r"\[([a-zA-Z][a-zA-Z0-9_-]*)\]$")
+# [.path] tree restriction: DOT then (pathOperator field)+ where the
+# operators are // (descendant), / (child), \ (parent), { (inside) —
+# ref:src/indrilang.g:690-741 path/pathOperator
+_BRACKET_PATH = re.compile(r"\[(\.(?:(?://|/|\\|\{)[a-zA-Z][a-zA-Z0-9_-]*)+)\]$")
+_PATH_STEP = re.compile(r"(//|/|\\|\{)([a-zA-Z][a-zA-Z0-9_-]*)")
+_PATH_RELS = {"//": "desc", "/": "child", "\\": "parent", "{": "inside"}
+
+
+def _parse_path(spec: str) -> list[tuple[str, str]]:
+    """``.path`` spec → [(relation, field)] steps."""
+    steps = []
+    pos = 1
+    while pos < len(spec):
+        m = _PATH_STEP.match(spec, pos)
+        if not m:
+            raise ValueError(f"bad path restriction {spec!r}")
+        steps.append((_PATH_RELS[m.group(1)], m.group(2).lower()))
+        pos = m.end()
+    return steps
+
+
+def _ctx_field_name(entry: str) -> str:
+    """Restriction-stack entry → field name used for context statistics
+    (a path's context field is its LAST step's field)."""
+    return _parse_path(entry)[-1][1] if entry.startswith(".") else entry
 
 _NUM_PREDS = {"less": 1, "greater": 1, "equals": 1, "between": 2,
               "datebefore": 1, "dateafter": 1, "dateequals": 1, "datebetween": 2}
@@ -211,6 +242,9 @@ def parse_query(text: str) -> Node:
                 take()
             elif nxt is not None and (bm := _BRACKET.fullmatch(nxt)):
                 bracket = bm.group(1).lower()
+                take()
+            elif nxt is not None and (pb := _BRACKET_PATH.fullmatch(nxt)):
+                bracket = pb.group(1).lower()  # keeps the leading '.'
                 take()
             elif nxt is not None and nxt.startswith("["):
                 raise ValueError(f"unsupported extent restriction {nxt!r}")
@@ -503,6 +537,7 @@ class StructuredQueryEngine:
             self._positions_ok = True
         self._ctx_stack: list[str] = []          # active #op[f] field contexts
         self._field_cache: dict[str, dict] = {}  # field → per-doc extents
+        self._tree_cache: dict[int, dict] = {}   # doc → ordinal→parent map
         self._passage: tuple[int, int] | None = None  # active passage window
 
     # -- leaf data ----------------------------------------------------------
@@ -614,16 +649,25 @@ class StructuredQueryEngine:
             t = None
         data: dict[int, tuple] = {}
         if t is not None:
-            for did, bs, es, ns in zip(
+            have_tree = "ordinals" in t.column_names
+            ords_col = (t.column("ordinals").to_pylist() if have_tree
+                        else [None] * t.num_rows)
+            pars_col = (t.column("parent_ordinals").to_pylist() if have_tree
+                        else [None] * t.num_rows)
+            for did, bs, es, ns, os_, ps_ in zip(
                 t.column("doc_id").to_pylist(),
                 t.column("begins").to_pylist(),
                 t.column("ends").to_pylist(),
                 t.column("numbers").to_pylist(),
+                ords_col,
+                pars_col,
             ):
                 b = np.asarray(bs, dtype=np.int64)
                 e = np.asarray(es, dtype=np.int64)
                 data[did] = (b, e, np.asarray(ns, dtype=np.int64),
-                             int((e - b).sum()))
+                             int((e - b).sum()),
+                             np.asarray(os_, dtype=np.int64) if os_ is not None else None,
+                             np.asarray(ps_, dtype=np.int64) if ps_ is not None else None)
         self._field_cache[fname] = data
         return data
 
@@ -661,17 +705,117 @@ class StructuredQueryEngine:
                 j += 1
         return (np.asarray(ob, dtype=np.int64), np.asarray(oe, dtype=np.int64))
 
+    @staticmethod
+    def _containment_mask(fb: np.ndarray, fe: np.ndarray,
+                          ob: np.ndarray, oe: np.ndarray) -> np.ndarray:
+        """mask over (fb, fe) extents contained in SOME (ob, oe) extent
+        (inner.begin ≥ outer.begin and inner.end ≤ outer.end,
+        ref:src/ExtentInsideNode.cpp:54-73)."""
+        if not len(ob):
+            return np.zeros(len(fb), dtype=bool)
+        order = np.argsort(ob, kind="stable")
+        sb = ob[order]
+        se_max = np.maximum.accumulate(oe[order])
+        idx = np.searchsorted(sb, fb, side="right") - 1
+        ok = idx >= 0
+        ok[ok] = se_max[idx[ok]] >= fe[ok]
+        return ok
+
+    def _doc_tree(self, did: int) -> dict[int, int]:
+        """ordinal → parent_ordinal over every indexed field of one doc
+        (the DocumentStructure tree, ref:src/DocumentStructure.cpp:35-99)."""
+        hit = self._tree_cache.get(did)
+        if hit is not None:
+            return hit
+        tree: dict[int, int] = {}
+        for fname in self.r.cfg.fields:
+            ext = self._field_data(fname).get(did)
+            if ext is None or ext[4] is None:
+                continue
+            for o, p in zip(ext[4].tolist(), ext[5].tolist()):
+                tree[int(o)] = int(p)
+        self._tree_cache[did] = tree
+        return tree
+
+    def _eval_path(self, did: int, spec: str, outer):
+        """Evaluate a ``[.path]`` chain for one doc: start from the outer
+        context's extents and step through child ``/f``, descendant ``//f``,
+        parent ``\\f`` and inside ``{f`` relations over the stored tag tree
+        (ExtentChild/Descendant/Parent match by ordinal,
+        ref:src/ExtentChildNode.cpp:51-69, ref:src/ExtentParentNode.cpp:82,
+        ref:src/ExtentDescendantNode.cpp:80).  Returns the matched extents
+        as a field-data-shaped tuple, or None when nothing matches."""
+        if outer is None:
+            return None
+        cur_b, cur_e = outer[0], outer[1]
+        cur_o, cur_p = outer[4], outer[5]
+        for rel, fname in _parse_path(spec):
+            ext = self._field_data(fname).get(did)
+            if ext is None:
+                return None
+            fb, fe, ford, fpar = ext[0], ext[1], ext[4], ext[5]
+            if rel == "inside":
+                keep = self._containment_mask(fb, fe, cur_b, cur_e)
+            else:
+                if ford is None or cur_o is None:
+                    raise ValueError(
+                        "path restriction needs tag-tree ordinals — rebuild "
+                        "the index (its fields/ predates ordinal support)")
+                if rel == "child":
+                    keep = np.isin(fpar, cur_o)
+                elif rel == "parent":
+                    keep = np.isin(ford, cur_p[cur_p > 0])
+                else:  # desc: an ancestor of the extent is a context extent
+                    tree = self._doc_tree(did)
+                    cur_set = set(cur_o.tolist())
+                    keep = np.zeros(len(ford), dtype=bool)
+                    for i, p in enumerate(fpar.tolist()):
+                        while p > 0:
+                            if p in cur_set:
+                                keep[i] = True
+                                break
+                            p = tree.get(p, 0)
+            if not keep.any():
+                return None
+            cur_b, cur_e = fb[keep], fe[keep]
+            cur_o = ford[keep] if ford is not None else None
+            cur_p = fpar[keep] if fpar is not None else None
+        return (cur_b, cur_e, None, 0, cur_o, cur_p)
+
+    def _resolve_restriction(self, did: int, rfields: tuple[str, ...]):
+        """Restriction chain → list of (begins, ends) extent sets; a path
+        entry REPLACES the accumulated context (ExtentRestriction swaps in
+        the path node's extents, ref:src/indrilang.g:680-686), a plain field
+        entry adds its extent set.  None = doc excluded."""
+        sets = []
+        prev = None
+        for entry in rfields:
+            if entry.startswith("."):
+                m = self._eval_path(did, entry, prev)
+                if m is None:
+                    return None
+                sets = [(m[0], m[1])]
+                prev = m
+            else:
+                ext = self._field_data(entry).get(did)
+                if ext is None:
+                    return None
+                sets.append((ext[0], ext[1]))
+                prev = ext
+        return sets
+
     def _doc_restriction(self, did: int, rfields: tuple[str, ...]):
         """Union intervals for a doc under a restriction chain (intersection
         of each field's extent union and the active passage window); None if
         a restriction field is absent from the doc."""
         cur = None
-        for fname in rfields:
-            ext = self._field_data(fname).get(did)
-            if ext is None:
+        if rfields:
+            sets = self._resolve_restriction(did, rfields)
+            if sets is None:
                 return None
-            u = self._union_intervals(ext[0], ext[1])
-            cur = u if cur is None else self._intersect_unions(cur, u)
+            for b, e in sets:
+                u = self._union_intervals(b, e)
+                cur = u if cur is None else self._intersect_unions(cur, u)
         if self._passage is not None:
             p = (np.asarray([self._passage[0]], dtype=np.int64),
                  np.asarray([self._passage[1]], dtype=np.int64))
@@ -703,14 +847,14 @@ class StructuredQueryEngine:
             return 0
         count = 0
         fdatas = []
-        for fname in rfields:
-            ext = self._field_data(fname).get(did)
-            if ext is None:
-                return 0
-            fb, fe = ext[0], ext[1]
+        sets = self._resolve_restriction(did, rfields)
+        if sets is None:
+            return 0
+        for fb, fe in sets:
             # prefix-max of ends over begin-sorted extents: containment test
             # becomes max(fe[fb <= mb]) >= me
-            fdatas.append((fb, np.maximum.accumulate(fe)))
+            order = np.argsort(fb, kind="stable")
+            fdatas.append((fb[order], np.maximum.accumulate(fe[order])))
         for mb, me in zip(begins, ends):
             ok = True
             for fb, fe_max in fdatas:
@@ -1061,7 +1205,13 @@ class StructuredQueryEngine:
         if node.op == "ctx":
             # scored-node extent restriction #op[f](...): every count leaf
             # below scores in the field's context
-            # (ref:src/InferenceNetworkBuilder.cpp:152)
+            # (ref:src/InferenceNetworkBuilder.cpp:152); a [.path] form
+            # needs an enclosing context to anchor the tree walk
+            # (ref:src/indrilang.g:680 SemanticException)
+            if node.term.startswith(".") and not self._ctx_stack:
+                raise ValueError(
+                    "path restriction [.path] requires an enclosing extent "
+                    "restriction as its outer context")
             self._ctx_stack.append(node.term)
             try:
                 return self._belief(node.children[0], cand, dl)
@@ -1085,6 +1235,8 @@ class StructuredQueryEngine:
             # set (two-pass statistics, ref:src/QueryEnvironment.cpp:957-970)
             ctx_field = self._node_ctx_field(node) or (
                 self._ctx_stack[-1] if self._ctx_stack else None)
+            if ctx_field is not None:
+                ctx_field = _ctx_field_name(ctx_field)
             if node.op == "term" and not rfields:
                 cf = self._term_cf(node)
             elif node.op == "any":

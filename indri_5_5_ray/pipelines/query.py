@@ -253,8 +253,11 @@ class IndexReader:
         expr = pads.field("field") == field
         if doc_ids is not None:
             expr = expr & pads.field("doc_id").isin(list(set(doc_ids)))
-        return dset.to_table(filter=expr,
-                             columns=["doc_id", "begins", "ends", "numbers"])
+        cols = ["doc_id", "begins", "ends", "numbers"]
+        # tag-tree columns (indexes built before ordinals existed lack them)
+        names = dset.schema.names
+        cols += [c for c in ("ordinals", "parent_ordinals") if c in names]
+        return dset.to_table(filter=expr, columns=cols)
 
     # -- postings access ----------------------------------------------------
 

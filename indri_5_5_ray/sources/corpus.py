@@ -294,3 +294,47 @@ def corpus_from_documents_tagged(sf_dir: str) -> pa.Table:
         },
         schema=CORPUS_SCHEMA,
     )
+
+
+def corpus_from_documents_nested(sf_dir: str) -> pa.Table:
+    """documents table → NESTED tagged corpus for tag-tree (path
+    restriction) indexing, SQL-reproducibly.  The token stream is the same
+    as :func:`corpus_from_documents_tagged` (title tokens + text tokens +
+    n_chars), but the tag TREE varies by ``doc_id % 3``:
+
+    * ``0``: ``<sec><p><title>t</title></p> text </sec>`` — title child of
+      p, descendant of sec
+    * ``1``: ``<sec><title>t</title> text </sec>`` — title child of sec
+    * ``2``: ``<title>t</title> <sec> text </sec>`` — title OUTSIDE sec
+
+    so a DuckDB oracle can select the matching relation with
+    ``doc_id % 3``."""
+    import re as _re
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    sources = t.column("source").to_pylist()
+    langs = t.column("lang").to_pylist()
+    n_chars = t.column("n_chars").to_pylist()
+    contents = []
+    for did, text, nc in zip(ids, texts, n_chars):
+        title = " ".join(_re.findall(r"[a-z0-9]+", text.lower())[:8])
+        mod = int(did) % 3
+        if mod == 0:
+            c = f"<sec><p><title> {title} </title></p> {text} </sec> <size> {nc} </size>"
+        elif mod == 1:
+            c = f"<sec><title> {title} </title> {text} </sec> <size> {nc} </size>"
+        else:
+            c = f"<title> {title} </title> <sec> {text} </sec> <size> {nc} </size>"
+        contents.append(c)
+    return pa.table(
+        {
+            "repo": sources,
+            "path": [f"doc_{i}.txt" for i in ids],
+            "commit": [hashlib.md5(x.encode()).hexdigest() for x in texts],
+            "lang": langs,
+            "content": contents,
+        },
+        schema=CORPUS_SCHEMA,
+    )

@@ -79,6 +79,13 @@ FIELDS_SCHEMA = pa.schema(
         ("begins", pa.list_(pa.int32())),
         ("ends", pa.list_(pa.int32())),
         ("numbers", pa.list_(pa.int64())),
+        # per-doc tag-tree structure: global ordinal (begin asc, end desc,
+        # open order) + nearest enclosing extent's ordinal (0 = root) —
+        # FieldExtent.ordinal/parentOrdinal
+        # (ref:include/indri/FieldExtent.hpp:30-48,
+        # ref:src/MemoryIndex.cpp:341-391)
+        ("ordinals", pa.list_(pa.int32())),
+        ("parent_ordinals", pa.list_(pa.int32())),
     ]
 )
 
@@ -414,22 +421,24 @@ class IngestWorker:
                 continue
             if field_spec:
                 # field (tag) parsing is word-mode only
-                from ..fields import extract_extents, tokenize_bytes_events
+                from ..fields import extract_extents_tree, tokenize_bytes_events
 
                 raw_tokens, tag_events = tokenize_bytes_events(data)
-                extmap = extract_extents(
+                extmap = extract_extents_tree(
                     tag_events, len(raw_tokens), field_spec,
                     self.cfg.numeric_fields, self.cfg.date_fields, raw_tokens,
                 )
                 for fname, exts in sorted(extmap.items()):
                     f_rows.append((
                         did, fname,
-                        [b for b, _e, _n in exts],
-                        [e for _b, e, _n in exts],
-                        [num for _b, _e, num in exts],
+                        [b for b, *_ in exts],
+                        [e for _b, e, *_ in exts],
+                        [num for _b, _e, num, *_ in exts],
+                        [o for *_, o, _p in exts],
+                        [p for *_, p in exts],
                     ))
                     st = f_stats.setdefault(fname, [0, 0, 0])
-                    st[0] += sum(e - b for b, e, _ in exts)
+                    st[0] += sum(e - b for b, e, *_ in exts)
                     st[1] += len(exts)
                     st[2] += 1
             elif tok_mode == "word":
@@ -617,6 +626,8 @@ class IngestWorker:
                     "begins": pa.array([r[2] for r in f_rows], pa.list_(pa.int32())),
                     "ends": pa.array([r[3] for r in f_rows], pa.list_(pa.int32())),
                     "numbers": pa.array([r[4] for r in f_rows], pa.list_(pa.int64())),
+                    "ordinals": pa.array([r[5] for r in f_rows], pa.list_(pa.int32())),
+                    "parent_ordinals": pa.array([r[6] for r in f_rows], pa.list_(pa.int32())),
                 },
                 schema=FIELDS_SCHEMA,
             )
