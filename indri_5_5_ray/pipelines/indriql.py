@@ -77,6 +77,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import numpy as np
 
@@ -119,8 +120,10 @@ _PATH_STEP = re.compile(r"(//|/|\\|\{)([a-zA-Z][a-zA-Z0-9_-]*)")
 _PATH_RELS = {"//": "desc", "/": "child", "\\": "parent", "{": "inside"}
 
 
-def _parse_path(spec: str) -> list[tuple[str, str]]:
-    """``.path`` spec → [(relation, field)] steps."""
+@lru_cache(maxsize=1024)
+def _parse_path(spec: str) -> tuple[tuple[str, str], ...]:
+    """``.path`` spec → ((relation, field), …) steps.  Cached: the spec is
+    a query constant but gets consulted once per candidate doc."""
     steps = []
     pos = 1
     while pos < len(spec):
@@ -129,7 +132,7 @@ def _parse_path(spec: str) -> list[tuple[str, str]]:
             raise ValueError(f"bad path restriction {spec!r}")
         steps.append((_PATH_RELS[m.group(1)], m.group(2).lower()))
         pos = m.end()
-    return steps
+    return tuple(steps)
 
 
 def _ctx_field_name(entry: str) -> str:
@@ -1174,9 +1177,10 @@ class StructuredQueryEngine:
             hi = int(cand.max()) if len(cand) else None
             ids, lps = self.r.load_prior(node.term, lo, hi)
             out = np.full(len(cand), -np.log(float(self.r.doc_count)))
-            pos = np.searchsorted(ids, cand)
-            valid = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == cand)
-            out[valid] = lps[pos[valid]]
+            if len(ids):  # range-pruned load can be empty (partial coverage)
+                pos = np.searchsorted(ids, cand)
+                valid = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == cand)
+                out[valid] = lps[pos[valid]]
             return out
         if node.op == "passage":
             # fixed-passage retrieval #op[passageN:M]: sliding windows of

@@ -90,11 +90,10 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
             return json.loads(manifest_path.read_text())
         shutil.rmtree(out)
     elif out.exists():
-        # an interrupted previous merge left no manifest: its partial
-        # outputs may belong to a DIFFERENT source set — start clean
-        for sub in ("partials", "docs", "direct", "fields"):
-            shutil.rmtree(out / sub, ignore_errors=True)
-        (out / "deleted.parquet").unlink(missing_ok=True)
+        # an interrupted previous merge left no manifest: its outputs may
+        # belong to a DIFFERENT source set (and its lineage records could
+        # make merge buckets skip as already-done) — start fully clean
+        shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
     (out / "partials").mkdir(exist_ok=True)
     (out / "docs").mkdir(exist_ok=True)

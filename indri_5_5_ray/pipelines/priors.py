@@ -40,10 +40,14 @@ def build_length_prior(index_dir: str, name: str = "length",
 
     import os
     import shutil
+    from pathlib import Path
 
     os.makedirs(f"{index_dir}/priors", exist_ok=True)
     out_dir = f"{index_dir}/priors/{name}"
     shutil.rmtree(out_dir, ignore_errors=True)
+    # a legacy single-file prior of the same name would shadow the new
+    # directory in load_prior — remove it so the rebuild takes effect
+    Path(f"{index_dir}/priors/{name}.parquet").unlink(missing_ok=True)
     # partitioned write straight from the workers (no driver concat) — the
     # docs table is doc_id-ordered per file, so row-group stats let
     # load_prior prune to a candidate doc range at query time
@@ -80,7 +84,10 @@ def load_prior(index_dir: str, name: str,
             raise FileNotFoundError(f"no prior named {name!r} in {index_dir}")
     flt = None
     if lo is not None:
-        flt = (pads.field("doc_id") >= lo) & (pads.field("doc_id") <= hi)
+        flt = pads.field("doc_id") >= lo
+    if hi is not None:
+        bound = pads.field("doc_id") <= hi
+        flt = bound if flt is None else flt & bound
     t = pads.dataset(str(p)).to_table(filter=flt)
     ids = t.column("doc_id").to_numpy()
     lps = t.column("log_prior").to_numpy()

@@ -172,7 +172,8 @@ class MultiIndexReader:
                 continue
         if not tables:
             raise FileNotFoundError("no segment has a fields file")
-        return pa.concat_tables(tables)
+        # permissive: a pre-ordinal segment returns 4 columns, a new one 6
+        return pa.concat_tables(tables, promote_options="permissive")
 
 
 class Repository:

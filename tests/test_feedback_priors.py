@@ -87,3 +87,28 @@ def test_length_prior(reader):
     ids_n, s_n = eng.run("#combine(merge)", k=10)
     assert len(ids_p) == 10
     assert ids_p.tolist() != ids_n.tolist() or not np.allclose(s_p, s_n)
+
+
+def test_prior_rebuild_replaces_legacy_file(reader):
+    """build_length_prior must remove a same-named legacy single-file prior
+    — regression: the stale file shadowed the new directory in load_prior."""
+    import numpy as np
+
+    from indri_5_5_ray.pipelines.priors import (
+        build_length_prior, load_prior, write_prior_table)
+
+    n = reader.doc_count
+    write_prior_table(reader.index_dir, "shadow",
+                      list(range(n)), [-99.0] * n)
+    ids, lps = load_prior(reader.index_dir, "shadow")
+    assert np.all(lps == -99.0)
+    build_length_prior(reader.index_dir, "shadow")
+    ids2, lps2 = load_prior(reader.index_dir, "shadow")
+    assert len(ids2) == n
+    assert not np.any(lps2 == -99.0)
+
+    # bounds can be passed independently
+    lo_only = load_prior(reader.index_dir, "shadow", lo=3)
+    assert lo_only[0].min() >= 3 and len(lo_only[0]) == n - 3
+    hi_only = load_prior(reader.index_dir, "shadow", hi=3)
+    assert hi_only[0].max() <= 3 and len(hi_only[0]) == 4

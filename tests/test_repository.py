@@ -277,3 +277,30 @@ def test_prior_covers_all_segments(corpora, tmp_path):
     ids_s, s_s = StructuredQueryEngine(rs).run(q, k=25)
     assert np.array_equal(ids_m, ids_s)
     assert np.allclose(s_m, s_s, rtol=0, atol=1e-12)
+
+
+def test_prior_partial_coverage_no_crash(corpora, tmp_path):
+    """A prior present on only SOME segments: queries whose candidates lie
+    in an uncovered segment get the log(1/N) default — regression: the
+    range-pruned empty load crashed with IndexError."""
+    import numpy as np
+
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.priors import build_length_prior
+    from indri_5_5_ray.pipelines.repository import Repository
+
+    a, b, _ = corpora
+    cfg = IndexConfig(**CFG_KW)
+    repo = Repository.create(str(tmp_path / "repo_pp"), cfg)
+    repo.add(a)
+    repo.add(b)
+    build_length_prior(repo.segment_dirs()[0], "plen")  # segment 0 ONLY
+    rm = repo.reader()
+    ids, sc = StructuredQueryEngine(rm).run(
+        "#weight(1.0 merge 0.3 #prior(plen))", k=200)
+    assert len(ids) > 0
+    # docs beyond segment 0 still score (with the default prior folded in)
+    seg0_max = 119  # corpus a = 120 docs
+    assert (ids > seg0_max).any()
+    assert np.isfinite(sc).all()
