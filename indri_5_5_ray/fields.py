@@ -25,12 +25,28 @@ import datetime
 import re
 
 from .tokenizer import _SCANNER, _G_ACRONYM, _G_NEGNUM, _G_WORD, _HIGH, \
-    _ASCII_PUNCT, _strip_trailing_punct, _split_mixed_run, _utf8_word_tokens
+    _ASCII_PUNCT, _ZAP, _TOKEN_FINDALL, _strip_trailing_punct, \
+    _split_mixed_run, _utf8_word_tokens, expand_raw
 
 _TAG_NAME = re.compile(rb"<(/?)([a-zA-Z][a-zA-Z0-9_.-]*)")
 
 # group index of the tag alternative in the shared scanner (see tokenizer.py)
 _G_TAG = 5
+
+# per-unique-raw-match expansion memo (same idea as the ingest word path's
+# per-chunk uniques): expansion is pure, the vocabulary is small relative
+# to the token stream, and the common ASCII case is a single dict hit
+_EXPAND_MEMO: dict[bytes, tuple] = {}
+
+
+def _expand_cached(tok: bytes) -> tuple:
+    r = _EXPAND_MEMO.get(tok)
+    if r is None:
+        if len(_EXPAND_MEMO) > 1_000_000:
+            _EXPAND_MEMO.clear()
+        r = tuple(expand_raw(tok))
+        _EXPAND_MEMO[tok] = r
+    return r
 
 
 def tokenize_bytes_events(
@@ -42,7 +58,48 @@ def tokenize_bytes_events(
     order; the token position is the index the NEXT token would get (flex
     fires the tag rule between tokens, so an open tag's position is the first
     covered token and a close tag's position is one past the last covered
-    token)."""
+    token).
+
+    Fast path: the document is segmented at ``_ZAP`` matches (whose
+    alternation order mirrors ``_SCANNER``'s zap+tag rules exactly — no
+    token can cross a zap span), each segment is tokenized with the
+    C-speed group-free ``findall``, and matches expand to final token
+    slots through the memoized :func:`expand_raw` — equivalent to the
+    per-match scanner loop (property-tested against
+    :func:`_tokenize_bytes_events_scanner`)."""
+    tokens: list[bytes] = []
+    events: list[tuple[str, bool, int]] = []
+    extend = tokens.extend
+    if content.find(b"<") < 0 and content.find(b"&") < 0:
+        for raw in _TOKEN_FINDALL.findall(content):
+            extend(_expand_cached(raw))
+        return tokens, events
+    last = 0
+    for m in _ZAP.finditer(content):
+        start = m.start()
+        if start > last:
+            for raw in _TOKEN_FINDALL.findall(content[last:start]):
+                extend(_expand_cached(raw))
+        last = m.end()
+        g = m.group()
+        if g[0] == 0x3C:  # '<': the tag-form alternative fires events
+            tm = _TAG_NAME.match(g)
+            if tm:
+                events.append(
+                    (tm.group(2).decode("ascii").lower(), tm.group(1) == b"/",
+                     len(tokens))
+                )
+    if last < len(content):
+        for raw in _TOKEN_FINDALL.findall(content[last:]):
+            extend(_expand_cached(raw))
+    return tokens, events
+
+
+def _tokenize_bytes_events_scanner(
+    content: bytes,
+) -> tuple[list[bytes], list[tuple[str, bool, int]]]:
+    """Reference implementation: the one-pass per-match scanner loop
+    (kept as the property-test anchor for the fast path above)."""
     tokens: list[bytes] = []
     events: list[tuple[str, bool, int]] = []
     append = tokens.append

@@ -323,3 +323,23 @@ def test_wsyn_zero_weights_raises(field_index):
     eng = _engine(field_index)
     with pytest.raises(ValueError, match="wsyn"):
         eng.run("#combine(#wsyn(0 alpha 0 beta))", k=5)
+
+
+def test_event_tokenizer_fast_path_equivalence():
+    """The segmented zap+findall fast path must reproduce the one-pass
+    scanner loop exactly (tokens AND tag-event positions)."""
+    import random
+
+    from indri_5_5_ray.fields import (
+        _tokenize_bytes_events_scanner, tokenize_bytes_events)
+
+    rng = random.Random(11)
+    pieces = ["alpha", "Beta.", "U.S.A.", "-3.14", "naïve", "don't", "42",
+              "<title>", "</title>", "<sec id=3>", "</sec>", "<p>", "</p>",
+              "<!-- <b>hid</b> -->", "<!DOCTYPE html>", "&amp;", "&#65;",
+              "a&b", "<% pct %>", "<?xml version='1'?>", " ", "\n", "...",
+              "<", ">", "&", "</>", "<9bad>", "中文", "ＡＢ", "<!--open"]
+    for _ in range(500):
+        s = "".join(rng.choice(pieces)
+                    for _ in range(rng.randrange(0, 25))).encode("utf-8")
+        assert tokenize_bytes_events(s) == _tokenize_bytes_events_scanner(s), s
