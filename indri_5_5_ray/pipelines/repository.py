@@ -263,14 +263,13 @@ class Repository:
         return len(merged)
 
     def delete_docnos(self, docnos: list[str]) -> int:
-        want = set(docnos)
-        ids = []
+        want = sorted(set(docnos))
+        ids: list[int] = []
         for seg in self.segment_dirs():
-            t = pq.read_table(f"{seg}/docs", columns=["doc_id", "docno"])
-            for d, n in zip(t.column("doc_id").to_pylist(),
-                            t.column("docno").to_pylist()):
-                if n in want:
-                    ids.append(d)
+            dset = pads.dataset(f"{seg}/docs", format="parquet")
+            t = dset.to_table(filter=pads.field("docno").isin(want),
+                              columns=["doc_id"])
+            ids.extend(t.column("doc_id").to_pylist())
         return self.delete(ids)
 
     def deleted(self) -> np.ndarray:

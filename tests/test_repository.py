@@ -304,3 +304,20 @@ def test_prior_partial_coverage_no_crash(corpora, tmp_path):
     seg0_max = 119  # corpus a = 120 docs
     assert (ids > seg0_max).any()
     assert np.isfinite(sc).all()
+
+
+def test_delete_docnos_lookup(corpora, tmp_path):
+    """delete_docnos resolves names to ids via a pushed-down parquet
+    filter (no driver-side row scan) and ignores unknown names."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.repository import Repository
+
+    a, _, _ = corpora
+    cfg = IndexConfig(**CFG_KW)
+    repo = Repository.create(str(tmp_path / "repo_dn"), cfg)
+    repo.add(a)
+    names = repo.reader().docnos([5, 17])
+    assert all(names)
+    n = repo.delete_docnos(names + ["no/such@docno"])
+    assert n == 2
+    assert sorted(repo.deleted().tolist()) == [5, 17]
