@@ -1351,11 +1351,17 @@ class StructuredQueryEngine:
     # -- entry point --------------------------------------------------------
 
     def run(self, query: str, k: int = 1000,
-            doc_set: list[int] | None = None) -> tuple[np.ndarray, np.ndarray]:
+            doc_set: list[int] | None = None,
+            doc_range: tuple[int, int] | None = None
+            ) -> tuple[np.ndarray, np.ndarray]:
         """Evaluate a structured query; ``doc_set`` restricts evaluation to a
         working set of docIDs (the reference's documentSet overload,
         ref:src/QueryEnvironment.cpp:679-707 — statistics stay GLOBAL, only
-        the candidate set shrinks)."""
+        the candidate set shrinks); ``doc_range=(lo, hi)`` restricts to a
+        docID slice (the doc-partitioned scatter — postings for node
+        STATISTICS stay full so every shard computes identical collection-
+        global cf, making the shard merge rank-identical to a global
+        run)."""
         root = parse_query(query)
         leaf_terms: set[str] = set()
         self._leaf_terms(root, leaf_terms)
@@ -1369,12 +1375,18 @@ class StructuredQueryEngine:
         if doc_set is not None:
             cand = np.intersect1d(cand, np.asarray(sorted(set(int(d) for d in doc_set)),
                                                    dtype=np.int64))
+        if doc_range is not None:
+            cand = cand[(cand >= doc_range[0]) & (cand < doc_range[1])]
         if not len(cand):
             return np.empty(0, np.int64), np.empty(0, np.float64)
         cand = cand[self.r.keep_mask(cand)]
         if not len(cand):
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        dl = self.r.doc_lens()[cand].astype(np.float64)
+        if doc_range is None:
+            dl = self.r.doc_lens()[cand].astype(np.float64)
+        else:
+            dl = self.r.doc_lens_range(doc_range[0], doc_range[1])[
+                cand - doc_range[0]].astype(np.float64)
         beliefs = self._belief(root, cand, dl)
         keep = beliefs > -np.inf  # filreq/filrej exclusions
         return _topk(cand[keep], beliefs[keep], k)

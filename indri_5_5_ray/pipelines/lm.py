@@ -53,20 +53,28 @@ class LMScorer:
         self.mu = mu
         self.lam = lam
 
-    def score(self, terms: list[str], k: int = 1000) -> tuple[np.ndarray, np.ndarray]:
+    def score(self, terms: list[str], k: int = 1000,
+              doc_range: tuple[int, int] | None = None
+              ) -> tuple[np.ndarray, np.ndarray]:
         if not terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         # #combine = WeightedAnd with weights 1 then a mean — keep the
         # sum-then-divide order so scores are bitwise-stable vs the oracles
         return self.score_weighted([(t, 1.0) for t in terms], k,
-                                   mean_of=len(terms))
+                                   mean_of=len(terms), doc_range=doc_range)
 
     def score_weighted(self, term_weights: list[tuple[str, float]],
-                       k: int = 1000, mean_of: int | None = None
+                       k: int = 1000, mean_of: int | None = None,
+                       doc_range: tuple[int, int] | None = None
                        ) -> tuple[np.ndarray, np.ndarray]:
         """#weight-style scorer: Σ w_i · log P(t_i|d) over the DAAT union
         (weights as given — normalize upstream; ``mean_of=n`` divides the
-        accumulated sum by n afterwards, the #combine mean)."""
+        accumulated sum by n afterwards, the #combine mean).
+
+        ``doc_range=(lo, hi)`` scores only that docID slice — the
+        doc-partitioned scatter: statistics stay COLLECTION-global (so
+        shard scores are identical to a global run), but postings reads
+        are range-pruned and doc lengths load only the shard's slice."""
         if not term_weights:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         r = self.r
@@ -78,16 +86,21 @@ class LMScorer:
             t: (stats[t][0] / total if t in stats and stats[t][0] > 0 else 1.0 / (2.0 * total))
             for t in uniq_terms
         }
-        rows = r.term_rows([t for t in uniq_terms if t in stats])
-        doc_lens = r.doc_lens()
+        rows = r.term_rows([t for t in uniq_terms if t in stats], doc_range)
         term_postings = decode_term_postings(rows)
         if not term_postings:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         cand = np.unique(np.concatenate([d for d, _ in term_postings.values()]))
+        if doc_range is not None:
+            cand = cand[(cand >= doc_range[0]) & (cand < doc_range[1])]
         cand = cand[r.keep_mask(cand)]
         if not len(cand):
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        dl = doc_lens[cand].astype(np.float64)
+        if doc_range is None:
+            dl = r.doc_lens()[cand].astype(np.float64)
+        else:
+            dl = r.doc_lens_range(doc_range[0], doc_range[1])[
+                cand - doc_range[0]].astype(np.float64)
         acc = np.zeros(len(cand), dtype=np.float64)
         for term, w in term_weights:  # children in query order, dups included
             tf = np.zeros(len(cand), dtype=np.float64)

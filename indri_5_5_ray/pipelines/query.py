@@ -267,7 +267,8 @@ class IndexReader:
         h = int.from_bytes(hashlib.md5(term.encode()).digest()[:4], "little")
         return h % self.cfg.n_buckets
 
-    def term_rows(self, terms: list[str]) -> pa.Table:
+    def term_rows(self, terms: list[str],
+                  doc_range: tuple[int, int] | None = None) -> pa.Table:
         """Partition-pruned fetch of all posting rows for ``terms``.
 
         Pruning: parquet filter on (bucket, term) — bucket is constant per
@@ -277,11 +278,29 @@ class IndexReader:
         ref:src/IndexWriter.cpp:885-901).  Fetched rows are cached per reader
         (one reader per scoring actor — the ListCache analogue,
         ref:include/indri/ListCache.hpp).
-        """
+
+        ``doc_range=(lo, hi)`` additionally keeps only rows whose
+        [first_doc, last_doc] intersects [lo, hi) — the doc-partitioned
+        scatter path, where a shard worker must not pay for other shards'
+        blocks.  Range fetches bypass the per-term cache (they are
+        shard-local)."""
         from ..stages.postings import POSTINGS_SCHEMA
 
         if not terms:
             return POSTINGS_SCHEMA.empty_table()
+        if doc_range is not None:
+            lo, hi = doc_range
+            if self._postings_ds is None:
+                self._postings_ds = pads.dataset(
+                    f"{self.index_dir}/postings", format="parquet"
+                )
+            buckets = sorted({self._bucket_of(t) for t in terms})
+            expr = (pads.field("bucket").isin(buckets)
+                    & pads.field("term").isin(terms)
+                    & (pads.field("last_doc") >= lo)
+                    & (pads.field("first_doc") < hi))
+            t = self._postings_ds.to_table(filter=expr)
+            return t.sort_by([("term", "ascending"), ("first_doc", "ascending")])
         missing = [t for t in terms if t not in self._row_cache]
         if missing:
             if self._postings_ds is None:

@@ -100,8 +100,10 @@ class MultiIndexReader:
                     lookup[d] = n
         return [lookup.get(d, "") for d in doc_ids]
 
-    def term_rows(self, terms: list[str]) -> pa.Table:
-        tables = [t for t in (r.term_rows(terms) for r in self.readers) if t.num_rows]
+    def term_rows(self, terms: list[str],
+                  doc_range: tuple[int, int] | None = None) -> pa.Table:
+        tables = [t for t in (r.term_rows(terms, doc_range)
+                              for r in self.readers) if t.num_rows]
         from ..stages.postings import POSTINGS_SCHEMA
 
         if not tables:

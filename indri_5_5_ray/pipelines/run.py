@@ -78,22 +78,54 @@ class ShardedQueryWorker:
     """Scores (query × doc-range shard) pairs — the multi-node query
     architecture: one worker set per doc-range partition, global statistics
     from the manifest, driver-side merge with the exact tie-break
-    (ref:src/QueryEnvironment.cpp:111-122, 985-988)."""
+    (ref:src/QueryEnvironment.cpp:111-122, 985-988).
+
+    ``kind`` selects the scorer — "bm25" (okapi exhaustive), "lm"
+    (#combine language model), or "structured" (the full indriql engine,
+    windows/fields/priors included): the reference's distributed
+    QueryEnvironment scatters EVERY query type the same way, because all
+    scorers use collection-global statistics and doc-local evidence."""
 
     def __init__(self, index_dir: str, k: int, n_shards: int,
-                 registry_snapshot: dict | None = None):
+                 registry_snapshot: dict | None = None, kind: str = "bm25",
+                 method: str = "dirichlet", mu: float = 2500.0,
+                 lam: float = 0.4):
         if registry_snapshot:
             from .. import registry as _registry
 
             _registry.restore(registry_snapshot)
         self.reader = IndexReader(index_dir)
-        self.scorer = BM25Scorer(self.reader)
+        self.kind = kind
+        if kind == "bm25":
+            self.scorer = BM25Scorer(self.reader)
+        elif kind == "lm":
+            from .lm import LMScorer
+
+            self.scorer = LMScorer(self.reader, method=method, mu=mu, lam=lam)
+        elif kind == "structured":
+            from .indriql import StructuredQueryEngine
+
+            self.scorer = StructuredQueryEngine(self.reader, method=method,
+                                                mu=mu, lam=lam)
+        else:
+            raise ValueError(f"unknown query kind {kind!r}")
         self.k = k
         span = (self.reader.manifest["max_doc_id"] + n_shards) // n_shards
         self.ranges = [(s * span, (s + 1) * span) for s in range(n_shards)]
         # NO full doc_lens warm-up: each scored shard loads only its own
         # doc-range dl slice (reader.doc_lens_range), so actor memory is
         # O(span), not O(index)
+
+    def _score(self, text: str, rng: tuple[int, int]):
+        if self.kind == "bm25":
+            terms = process_query(text, self.reader.cfg)
+            return self.scorer.score_exhaustive(terms, k=self.k, doc_range=rng)
+        if self.kind == "lm":
+            from .feedback import process_query_lm
+
+            terms = process_query_lm(text, self.reader.cfg)
+            return self.scorer.score(terms, k=self.k, doc_range=rng)
+        return self.scorer.run(text, k=self.k, doc_range=rng)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"qid": [], "doc_id": [], "score": []}
@@ -102,10 +134,7 @@ class ShardedQueryWorker:
             batch.column("text").to_pylist(),
             batch.column("shard").to_pylist(),
         ):
-            terms = process_query(text, self.reader.cfg)
-            ids, scores = self.scorer.score_exhaustive(
-                terms, k=self.k, doc_range=self.ranges[shard]
-            )
+            ids, scores = self._score(text, self.ranges[shard])
             out["qid"].extend([qid] * len(ids))
             out["doc_id"].extend(ids.tolist())
             out["score"].extend(scores.tolist())
@@ -124,10 +153,15 @@ def run_queries_sharded(
     k: int = 1000,
     n_shards: int = 4,
     concurrency: tuple[int, int] | int = (1, 8),
+    kind: str = "bm25",
+    method: str = "dirichlet",
+    mu: float = 2500.0,
+    lam: float = 0.4,
 ) -> pa.Table:
     """Distributed per-query scoring over doc-range shards; per-shard top-k
     then a driver merge with score desc → doc_id desc. Identical results to
-    ``run_queries`` (global statistics; rank-safe shard merge)."""
+    ``run_queries`` (global statistics; rank-safe shard merge).  ``kind``
+    = "bm25" | "lm" | "structured" (see :class:`ShardedQueryWorker`)."""
     import numpy as np
     import ray as _ray
 
@@ -145,7 +179,9 @@ def run_queries_sharded(
         num_cpus=1,
         fn_constructor_kwargs={"index_dir": index_dir, "k": k,
                                "n_shards": n_shards,
-                               "registry_snapshot": _reg_snapshot()},
+                               "registry_snapshot": _reg_snapshot(),
+                               "kind": kind, "method": method,
+                               "mu": mu, "lam": lam},
     )
     tables = [_ray.get(r) for r in res.to_arrow_refs()]
     tables = [t for t in tables if t.num_rows]

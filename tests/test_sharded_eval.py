@@ -72,3 +72,40 @@ def test_doc_lens_range_slices(built_index):
         assert len(sl) == max(0, min(hi, n) - lo)
         assert np.array_equal(sl, full[lo:min(hi, n)])
     assert r._doc_lens is None  # ranged reads never materialized the full array
+
+
+def test_sharded_lm_and_structured(built_index):
+    """Doc-partitioned scatter for the LM and structured engines: the
+    reference's QueryEnvironment scatters every query type (statistics
+    global, evidence doc-local), so shard-merged results must be
+    bit-identical to the single-process run — including window, wildcard
+    and weighted operators."""
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.lm import LMScorer, process_query_lm
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.pipelines.run import run_queries_sharded
+
+    out, _ = built_index
+    reader = IndexReader(out)
+
+    lm_queries = [("1", "merge token buffer"), ("2", "copyright license")]
+    sharded = run_queries_sharded(out, lm_queries, k=20, n_shards=3,
+                                  concurrency=2, kind="lm", method="jm")
+    lm = LMScorer(reader, method="jm")
+    for qid, text in lm_queries:
+        ids, scores = lm.score(process_query_lm(text, reader.cfg), k=20)
+        m = np.array(sharded.column("qid").to_pylist()) == qid
+        assert sharded.column("doc_id").to_numpy()[m].tolist() == ids.tolist(), qid
+        np.testing.assert_array_equal(sharded.column("score").to_numpy()[m], scores)
+
+    sq = [("1", "#combine(#od2(merge buffer) token)"),
+          ("2", "#weight(0.7 merge 0.3 #syn(buffer token))"),
+          ("3", "merg*")]
+    sharded = run_queries_sharded(out, sq, k=20, n_shards=3, concurrency=2,
+                                  kind="structured")
+    eng = StructuredQueryEngine(reader)
+    for qid, text in sq:
+        ids, scores = eng.run(text, k=20)
+        m = np.array(sharded.column("qid").to_pylist()) == qid
+        assert sharded.column("doc_id").to_numpy()[m].tolist() == ids.tolist(), qid
+        np.testing.assert_array_equal(sharded.column("score").to_numpy()[m], scores)
