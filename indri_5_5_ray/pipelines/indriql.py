@@ -140,6 +140,12 @@ def _ctx_field_name(entry: str) -> str:
     (a path's context field is its LAST step's field)."""
     return _parse_path(entry)[-1][1] if entry.startswith(".") else entry
 
+
+def _node_key(node: "Node") -> tuple:
+    """Canonical hashable shape of a query node (statistics memo key)."""
+    return (node.op, node.term, node.n, tuple(node.weights), node.pre,
+            tuple(_node_key(c) for c in node.children))
+
 _NUM_PREDS = {"less": 1, "greater": 1, "equals": 1, "between": 2,
               "datebefore": 1, "dateafter": 1, "dateequals": 1, "datebetween": 2}
 
@@ -541,6 +547,12 @@ class StructuredQueryEngine:
         self._ctx_stack: list[str] = []          # active #op[f] field contexts
         self._field_cache: dict[str, dict] = {}  # field → per-doc extents
         self._tree_cache: dict[int, dict] = {}   # doc → ordinal→parent map
+        # cross-run memos for long-lived engines (sharded workers score the
+        # SAME query once per doc-range shard; statistics and decoded
+        # postings are collection-global, so recomputing them per shard
+        # multiplies the full-list work by n_shards)
+        self._postings_memo: dict[tuple, dict] = {}
+        self._cf_memo: dict[tuple, float] = {}
         self._passage: tuple[int, int] | None = None  # active passage window
 
     # -- leaf data ----------------------------------------------------------
@@ -1292,7 +1304,22 @@ class StructuredQueryEngine:
     def _node_global_cf(self, node: Node, rfields: tuple[str, ...] = ()) -> float:
         """Global occurrence count of a synthetic/restricted node: evaluated
         over every doc that could match (union of member docs for term-based
-        nodes; docs carrying the field for field leaves)."""
+        nodes; docs carrying the field for field leaves).  Memoized per
+        (node shape, restriction chain): the value is collection-global,
+        so a sharded worker re-scoring the same query per doc-range shard
+        pays the full-list sweep once."""
+        memo_key = (_node_key(node), rfields)
+        hit = self._cf_memo.get(memo_key)
+        if hit is not None:
+            return hit
+        val = self._node_global_cf_uncached(node, rfields)
+        if len(self._cf_memo) > 512:
+            self._cf_memo.clear()
+        self._cf_memo[memo_key] = val
+        return val
+
+    def _node_global_cf_uncached(self, node: Node,
+                                 rfields: tuple[str, ...] = ()) -> float:
         if node.op == "any":
             st = self.r.field_stats(node.term)
             return float(st["extent_count"]) if st else 0.0
@@ -1365,7 +1392,14 @@ class StructuredQueryEngine:
         root = parse_query(query)
         leaf_terms: set[str] = set()
         self._leaf_terms(root, leaf_terms)
-        self._postings = self._fetch_postings(sorted(leaf_terms))
+        terms_key = tuple(sorted(leaf_terms))
+        cached = self._postings_memo.get(terms_key)
+        if cached is None:
+            if len(self._postings_memo) > 8:
+                self._postings_memo.clear()
+            cached = self._fetch_postings(list(terms_key))
+            self._postings_memo[terms_key] = cached
+        self._postings = cached
         cand_parts: list[np.ndarray] = []
         self._cand_docs(root, cand_parts)
         cand_parts = [p for p in cand_parts if len(p)]
