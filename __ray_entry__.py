@@ -144,7 +144,8 @@ STRUCTURED_QUERIES: list[tuple[str, str]] = [
 ]
 
 
-def _structured_topk(sf_dir: str, stem: bool = False, k: int = 10):
+def _structured_topk(sf_dir: str, stem: bool = False, k: int = 10,
+                     queries: list[tuple[str, str]] | None = None):
     """(qid, rank, doc_id) structured-query retrieval (windows, weight, max,
     or) — ranks by score rounded to 9 decimals for SQL parity."""
     import numpy as np
@@ -157,7 +158,7 @@ def _structured_topk(sf_dir: str, stem: bool = False, k: int = 10):
     reader = IndexReader(index_dir)
     eng = StructuredQueryEngine(reader)
     out_q, out_r, out_d = [], [], []
-    for qid, text in STRUCTURED_QUERIES:
+    for qid, text in queries if queries is not None else STRUCTURED_QUERIES:
         ids, scores = eng.run(text, k=k + 40)
         r9 = np.round(scores, 9)
         order = np.lexsort((-ids, -r9))[:k]
@@ -171,6 +172,22 @@ def _structured_topk(sf_dir: str, stem: bool = False, k: int = 10):
             "doc_id": pa.array(out_d, pa.int64()),
         }
     )
+
+
+STRUCTURED2_QUERIES: list[tuple[str, str]] = [
+    ("1", "#combine(#uw2(merge data) token)"),
+    ("2", "#combine(#band(merge data) key)"),
+    ("3", "#combine(#syn(merge data))"),
+    ("4", "#combine(#wsyn(2.0 merge 1.0 data))"),
+    ("5", "#combine(#not(merge) data)"),
+    ("6", "#filrej(key #combine(merge data))"),
+]
+
+
+def _structured2_topk(sf_dir: str):
+    """(qid, rank, doc_id) for the remaining structured operators: #uwN,
+    #band, #syn, #wsyn, #not, #filrej."""
+    return _structured_topk(sf_dir, queries=STRUCTURED2_QUERIES)
 
 
 PASSAGE_QUERIES: list[tuple[str, str]] = [
@@ -539,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_topk": _field_topk,
         "field_filter_topk": _field_filter_topk,
         "path_topk": _path_topk,
+        "structured2_topk": _structured2_topk,
         "passage_topk": _passage_topk,
         "rm3_topk": _rm3_topk,
         # --- text statistics / analysis ---
@@ -790,6 +808,112 @@ w2 AS (SELECT doc_id, count(*)::DOUBLE AS wtf FROM seq
        GROUP BY doc_id),
 w2cf AS (SELECT coalesce(sum(wtf), 0)::DOUBLE AS cf FROM w2),
 scores AS ({q1} UNION ALL {q2} UNION ALL {q3} UNION ALL {q4} UNION ALL {q5})
+SELECT qid, rank, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id DESC) AS rank
+  FROM scores)
+WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
+def _structured2_sql() -> str:
+    """Oracle for STRUCTURED2_QUERIES: #uw2 = adjacency in either order
+    (the anchor-scan formula for two distinct terms, n=2,
+    ref:src/UnorderedWindowNode.cpp:68-151); #band = presence indicator;
+    #syn = member tf sum (distinct terms never share positions); #wsyn =
+    normalized weighted tf sum; #not = ln(1-p); #filrej = anti-join on the
+    filter term."""
+
+    def dir_term(alias: str, term: str) -> str:
+        cfv = f"(SELECT cf FROM cfreq WHERE term = '{term}')"
+        return (
+            f"ln((coalesce({alias}.tf, 0) + 2500.0 * "
+            f"(CASE WHEN coalesce({cfv}, 0) > 0 THEN {cfv} ELSE 0.5 END) / s.total)"
+            f" / (dl.dl + 2500.0))"
+        )
+
+    def dir_w(walias: str, wcf: str) -> str:
+        return (
+            f"ln((coalesce({walias}.wtf, 0) + 2500.0 * "
+            f"(CASE WHEN {wcf}.cf > 0 THEN {wcf}.cf ELSE 0.5 END) / s.total)"
+            f" / (dl.dl + 2500.0))"
+        )
+
+    def cand(terms: list[str]) -> str:
+        inlist = ", ".join(f"'{t}'" for t in terms)
+        return f"(SELECT DISTINCT doc_id FROM tf WHERE term IN ({inlist}))"
+
+    q1 = f"""
+  SELECT 1 AS qid, c.doc_id, ({dir_w('uw', 'uwcf')} + {dir_term('t_t', 'token')}) / 2 AS score
+  FROM {cand(['merge', 'data', 'token'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN uw ON uw.doc_id = c.doc_id
+  LEFT JOIN tf t_t ON t_t.doc_id = c.doc_id AND t_t.term = 'token'
+  CROSS JOIN stats s CROSS JOIN uwcf"""
+    q2 = f"""
+  SELECT 2 AS qid, c.doc_id, ({dir_w('bd', 'bdcf')} + {dir_term('t_k', 'key')}) / 2 AS score
+  FROM {cand(['merge', 'data', 'key'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN band bd ON bd.doc_id = c.doc_id
+  LEFT JOIN tf t_k ON t_k.doc_id = c.doc_id AND t_k.term = 'key'
+  CROSS JOIN stats s CROSS JOIN bdcf"""
+    q3 = f"""
+  SELECT 3 AS qid, c.doc_id, {dir_w('sy', 'sycf')} AS score
+  FROM {cand(['merge', 'data'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN syn sy ON sy.doc_id = c.doc_id
+  CROSS JOIN stats s CROSS JOIN sycf"""
+    q4 = f"""
+  SELECT 4 AS qid, c.doc_id, {dir_w('ws', 'wscf')} AS score
+  FROM {cand(['merge', 'data'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN wsyn ws ON ws.doc_id = c.doc_id
+  CROSS JOIN stats s CROSS JOIN wscf"""
+    q5 = f"""
+  SELECT 5 AS qid, c.doc_id,
+         (ln(1.0 - exp({dir_term('t_m', 'merge')})) + {dir_term('t_d', 'data')}) / 2 AS score
+  FROM {cand(['merge', 'data'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN tf t_m ON t_m.doc_id = c.doc_id AND t_m.term = 'merge'
+  LEFT JOIN tf t_d ON t_d.doc_id = c.doc_id AND t_d.term = 'data'
+  CROSS JOIN stats s"""
+    q6 = f"""
+  SELECT 6 AS qid, c.doc_id, ({dir_term('t_m', 'merge')} + {dir_term('t_d', 'data')}) / 2 AS score
+  FROM {cand(['merge', 'data'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN tf t_m ON t_m.doc_id = c.doc_id AND t_m.term = 'merge'
+  LEFT JOIN tf t_d ON t_d.doc_id = c.doc_id AND t_d.term = 'data'
+  LEFT JOIN tf t_k ON t_k.doc_id = c.doc_id AND t_k.term = 'key'
+  CROSS JOIN stats s
+  WHERE coalesce(t_k.tf, 0) = 0"""
+
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
+stats AS (SELECT sum(len(t))::DOUBLE AS total FROM docs),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM docs),
+tf AS (SELECT doc_id, x AS term, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(t) AS x FROM docs) GROUP BY doc_id, x),
+cfreq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+seq AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM docs WHERE len(t) >= 2),
+uw AS (SELECT doc_id, count(*)::DOUBLE AS wtf FROM seq
+       WHERE (t[i] = 'merge' AND t[i+1] = 'data')
+          OR (t[i] = 'data' AND t[i+1] = 'merge') GROUP BY doc_id),
+uwcf AS (SELECT coalesce(sum(wtf), 0)::DOUBLE AS cf FROM uw),
+band AS (SELECT a.doc_id, 1.0 AS wtf
+         FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+         WHERE a.term = 'merge' AND b.term = 'data'),
+bdcf AS (SELECT coalesce(sum(wtf), 0)::DOUBLE AS cf FROM band),
+syn AS (SELECT doc_id, sum(tf)::DOUBLE AS wtf FROM tf
+        WHERE term IN ('merge', 'data') GROUP BY doc_id),
+sycf AS (SELECT coalesce(sum(wtf), 0)::DOUBLE AS cf FROM syn),
+wsyn AS (SELECT doc_id,
+                sum(CASE WHEN term = 'merge' THEN 2.0 * tf ELSE tf END) / 3.0 AS wtf
+         FROM tf WHERE term IN ('merge', 'data') GROUP BY doc_id),
+wscf AS (SELECT coalesce(sum(wtf), 0)::DOUBLE AS cf FROM wsyn),
+scores AS ({q1} UNION ALL {q2} UNION ALL {q3} UNION ALL {q4} UNION ALL {q5} UNION ALL {q6})
 SELECT qid, rank, doc_id FROM (
   SELECT qid, doc_id,
          row_number() OVER (PARTITION BY qid
@@ -1148,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         "field_topk": _field_sql(),
         "field_filter_topk": _field_filter_sql(),
         "path_topk": _path_sql(),
+        "structured2_topk": _structured2_sql(),
         "passage_topk": _passage_sql(),
         "token_counts": f"""
             SELECT doc_id, len({TOKEN_SQL}) AS n_tokens FROM documents ORDER BY doc_id""",
