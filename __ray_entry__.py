@@ -181,6 +181,8 @@ STRUCTURED2_QUERIES: list[tuple[str, str]] = [
     ("4", "#combine(#wsyn(2.0 merge 1.0 data))"),
     ("5", "#combine(#not(merge) data)"),
     ("6", "#filrej(key #combine(merge data))"),
+    ("7", "#wsum(3.0 merge 1.0 data)"),
+    ("8", "#sum(merge data token)"),
 ]
 
 
@@ -888,6 +890,24 @@ def _structured2_sql() -> str:
   LEFT JOIN tf t_k ON t_k.doc_id = c.doc_id AND t_k.term = 'key'
   CROSS JOIN stats s
   WHERE coalesce(t_k.tf, 0) = 0"""
+    q7 = f"""
+  SELECT 7 AS qid, c.doc_id,
+         ln(0.75 * exp({dir_term('t_m', 'merge')}) + 0.25 * exp({dir_term('t_d', 'data')})) AS score
+  FROM {cand(['merge', 'data'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN tf t_m ON t_m.doc_id = c.doc_id AND t_m.term = 'merge'
+  LEFT JOIN tf t_d ON t_d.doc_id = c.doc_id AND t_d.term = 'data'
+  CROSS JOIN stats s"""
+    q8 = f"""
+  SELECT 8 AS qid, c.doc_id,
+         ln((exp({dir_term('t_m', 'merge')}) + exp({dir_term('t_d', 'data')})
+             + exp({dir_term('t_t', 'token')})) / 3.0) AS score
+  FROM {cand(['merge', 'data', 'token'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN tf t_m ON t_m.doc_id = c.doc_id AND t_m.term = 'merge'
+  LEFT JOIN tf t_d ON t_d.doc_id = c.doc_id AND t_d.term = 'data'
+  LEFT JOIN tf t_t ON t_t.doc_id = c.doc_id AND t_t.term = 'token'
+  CROSS JOIN stats s"""
 
     return f"""
 WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
@@ -913,7 +933,7 @@ wsyn AS (SELECT doc_id,
                 sum(CASE WHEN term = 'merge' THEN 2.0 * tf ELSE tf END) / 3.0 AS wtf
          FROM tf WHERE term IN ('merge', 'data') GROUP BY doc_id),
 wscf AS (SELECT coalesce(sum(wtf), 0)::DOUBLE AS cf FROM wsyn),
-scores AS ({q1} UNION ALL {q2} UNION ALL {q3} UNION ALL {q4} UNION ALL {q5} UNION ALL {q6})
+scores AS ({q1} UNION ALL {q2} UNION ALL {q3} UNION ALL {q4} UNION ALL {q5} UNION ALL {q6} UNION ALL {q7} UNION ALL {q8})
 SELECT qid, rank, doc_id FROM (
   SELECT qid, doc_id,
          row_number() OVER (PARTITION BY qid
