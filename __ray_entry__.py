@@ -373,6 +373,50 @@ def _ensure_nested_index(sf_dir: str) -> str:
     return str(index_dir)
 
 
+def _ensure_dated_index(sf_dir: str) -> str:
+    """Index over the DATED tagged corpus (title + numeric size + date
+    'when' fields) for the date-predicate oracle."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.sources.corpus import corpus_from_documents_dated
+
+    key = hashlib.md5(f"{sf_dir}:dated:v1".encode()).hexdigest()[:16]
+    root = Path(_CACHE) / key
+    index_dir = root / "index"
+    if (index_dir / "manifest.json").exists():
+        return str(index_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    corpus_dir = root / "corpus"
+    if not (corpus_dir / "corpus.parquet").exists():
+        import pyarrow.parquet as pq
+
+        corpus_dir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(corpus_from_documents_dated(sf_dir),
+                       corpus_dir / "corpus.parquet")
+    cfg = IndexConfig(
+        stemmer=None, dedup_key=None, n_buckets=8, max_chunk_docs=256,
+        fields=("title", "size", "when"), numeric_fields=("size",),
+        date_fields=("when",),
+    )
+    build_index(str(corpus_dir), str(index_dir), cfg)
+    return str(index_dir)
+
+
+DATE_QUERIES = [
+    ("1", "#datebefore(when 2002-06-15)"),
+    ("2", "#dateafter(when 2003-03-01)"),
+    ("3", "#datebetween(when 2001-01-01 2003-01-01)"),
+    ("4", "#dateequals(when 2004-05-01)"),
+]
+
+
+def _date_topk(sf_dir: str):
+    """(qid, rank, doc_id) for date-field predicates over the dated tagged
+    corpus (#datebefore/#dateafter/#datebetween/#dateequals, the DateParse
+    + FieldLess/Greater/Between/Equals path)."""
+    return _field_run(sf_dir, DATE_QUERIES, ensure=_ensure_dated_index)
+
+
 def _field_run(sf_dir: str, queries: list[tuple[str, str]], k: int = 10,
                ensure=None):
     import numpy as np
@@ -559,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_filter_topk": _field_filter_topk,
         "path_topk": _path_topk,
         "structured2_topk": _structured2_topk,
+        "date_topk": _date_topk,
         "passage_topk": _passage_topk,
         "rm3_topk": _rm3_topk,
         # --- text statistics / analysis ---
@@ -944,6 +989,54 @@ ORDER BY qid, rank
 """
 
 
+def _date_sql() -> str:
+    """Oracle for DATE_QUERIES: the dated corpus derives each doc's date
+    from doc_id (day 1+%28, month %12, year 2000+%5), so the day-serial is
+    make_date arithmetic; every doc has exactly one matching extent, so
+    counts are the 0/1 predicate and cf is the matching-doc count.  Token
+    stream = title(≤8) + text + n_chars + 3 date tokens."""
+    dl_cte = """
+base AS (SELECT doc_id,
+                len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS lt
+         FROM documents),
+dl AS (SELECT doc_id, (least(8, lt) + lt + 4)::DOUBLE AS dl,
+              datediff('day', DATE '1970-01-01',
+                       make_date((2000 + doc_id % 5)::INT,
+                                 (doc_id % 12 + 1)::INT,
+                                 (1 + doc_id % 28)::INT)) AS days
+       FROM base),
+stats AS (SELECT sum(dl)::DOUBLE AS total FROM dl)
+"""
+
+    def q(qid: int, cond: str) -> str:
+        cf = f"(SELECT count(*)::DOUBLE FROM dl WHERE {cond})"
+        cfe = f"(CASE WHEN {cf} > 0 THEN {cf} ELSE 0.5 END)"
+        return f"""
+  SELECT {qid} AS qid, dl.doc_id,
+         ln((1.0 + 2500.0 * {cfe} / s.total) / (dl.dl + 2500.0)) AS score
+  FROM dl CROSS JOIN stats s WHERE {cond}"""
+
+    d = "datediff('day', DATE '1970-01-01', DATE '{}')"
+    conds = [
+        f"days < {d.format('2002-06-15')}",
+        f"days > {d.format('2003-03-01')}",
+        f"days >= {d.format('2001-01-01')} AND days < {d.format('2003-01-01')}",
+        f"days = {d.format('2004-05-01')}",
+    ]
+    scores = " UNION ALL ".join(q(i + 1, c) for i, c in enumerate(conds))
+    return f"""
+WITH {dl_cte},
+scores AS ({scores})
+SELECT qid, rank, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id DESC) AS rank
+  FROM scores)
+WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
 def _field_sql_common() -> str:
     """Shared CTEs for the field oracles: rebuild the tagged corpus's token
     stream (title tokens + text tokens + the n_chars token) and the title/
@@ -1293,6 +1386,7 @@ def oracle_sql() -> dict[str, str]:
         "field_filter_topk": _field_filter_sql(),
         "path_topk": _path_sql(),
         "structured2_topk": _structured2_sql(),
+        "date_topk": _date_sql(),
         "passage_topk": _passage_sql(),
         "token_counts": f"""
             SELECT doc_id, len({TOKEN_SQL}) AS n_tokens FROM documents ORDER BY doc_id""",

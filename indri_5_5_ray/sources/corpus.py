@@ -338,3 +338,46 @@ def corpus_from_documents_nested(sf_dir: str) -> pa.Table:
         },
         schema=CORPUS_SCHEMA,
     )
+
+
+_MONTH_NAMES = ["january", "february", "march", "april", "may", "june",
+                "july", "august", "september", "october", "november",
+                "december"]
+
+
+def corpus_from_documents_dated(sf_dir: str) -> pa.Table:
+    """documents table → tagged corpus with a DATE field, SQL-reproducibly:
+
+    ``<title> t </title> text <size> nc </size> <when> D Month YYYY </when>``
+
+    where D = 1 + doc_id % 28, month index = doc_id % 12, year = 2000 +
+    doc_id % 5 — so a DuckDB oracle can rebuild both the token stream
+    (title + text + nc + the three date tokens) and the field's day-serial
+    value with ``make_date``."""
+    import re as _re
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    sources = t.column("source").to_pylist()
+    langs = t.column("lang").to_pylist()
+    n_chars = t.column("n_chars").to_pylist()
+    contents = []
+    for did, text, nc in zip(ids, texts, n_chars):
+        title = " ".join(_re.findall(r"[a-z0-9]+", text.lower())[:8])
+        d = 1 + int(did) % 28
+        mo = _MONTH_NAMES[int(did) % 12]
+        yr = 2000 + int(did) % 5
+        contents.append(
+            f"<title> {title} </title> {text} <size> {nc} </size>"
+            f" <when> {d} {mo} {yr} </when>")
+    return pa.table(
+        {
+            "repo": sources,
+            "path": [f"doc_{i}.txt" for i in ids],
+            "commit": [hashlib.md5(x.encode()).hexdigest() for x in texts],
+            "lang": langs,
+            "content": contents,
+        },
+        schema=CORPUS_SCHEMA,
+    )
