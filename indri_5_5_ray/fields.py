@@ -42,7 +42,10 @@ _EXPAND_MEMO: dict[bytes, tuple] = {}
 def _expand_cached(tok: bytes) -> tuple:
     r = _EXPAND_MEMO.get(tok)
     if r is None:
-        if len(_EXPAND_MEMO) > 1_000_000:
+        # small cap: a chunk's working vocabulary is tens of thousands of
+        # uniques, and this memo exists per ingest WORKER process — a large
+        # ceiling would multiply across the fleet
+        if len(_EXPAND_MEMO) > 100_000:
             _EXPAND_MEMO.clear()
         r = tuple(expand_raw(tok))
         _EXPAND_MEMO[tok] = r

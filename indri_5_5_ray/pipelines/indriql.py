@@ -553,6 +553,7 @@ class StructuredQueryEngine:
         # multiplies the full-list work by n_shards)
         self._postings_memo: dict[tuple, dict] = {}
         self._cf_memo: dict[tuple, float] = {}
+        self._strict_stats = False  # pruned run: memo misses must raise
         self._passage: tuple[int, int] | None = None  # active passage window
 
     # -- leaf data ----------------------------------------------------------
@@ -586,12 +587,14 @@ class StructuredQueryEngine:
         terms bypass the normalize/stop/stem chain."""
         return node.term if node.pre else self._process_term(node.term)
 
-    def _fetch_postings(self, terms: list[str]) -> dict[str, tuple]:
+    def _fetch_postings(self, terms: list[str],
+                        doc_range: tuple[int, int] | None = None
+                        ) -> dict[str, tuple]:
         """term → (doc_ids, tfs, flat positions | None, per-doc position
         start offsets | None).  Positions stay FLAT (block order = doc
         order) — no per-doc Python splitting; doc i's run is
         ``flat[starts[i]:starts[i+1]]``."""
-        rows = self.r.term_rows(terms)
+        rows = self.r.term_rows(terms, doc_range)
         has_pos = self.r.cfg.store_positions
         out: dict[str, list] = {}
         row_terms = rows.column("term").to_pylist() if rows.num_rows else []
@@ -1312,6 +1315,12 @@ class StructuredQueryEngine:
         hit = self._cf_memo.get(memo_key)
         if hit is not None:
             return hit
+        if self._strict_stats:
+            # the engine is scoring from RANGE-PRUNED postings: computing a
+            # collection-global statistic from them would be silently wrong
+            raise RuntimeError(
+                "node-statistics memo miss during a pruned run — warm_stats "
+                "must be called with the same query before pruned scoring")
         val = self._node_global_cf_uncached(node, rfields)
         if len(self._cf_memo) > 512:
             self._cf_memo.clear()
@@ -1377,28 +1386,47 @@ class StructuredQueryEngine:
 
     # -- entry point --------------------------------------------------------
 
+    def warm_stats(self, query: str) -> dict:
+        """Populate the node-statistics memo for ``query`` from FULL
+        postings by evaluating it against a single candidate, and return
+        the memo.  A driver calls this once per query and ships the memo to
+        shard workers, whose ``run(..., pruned=True)`` then fetches
+        postings range-pruned — statistics must never be computed from
+        pruned lists (the reference's distributed two-pass: statistics
+        gathered globally first, ref:src/QueryEnvironment.cpp:957-970)."""
+        self.run(query, k=1, _warm=True)
+        return dict(self._cf_memo)
+
     def run(self, query: str, k: int = 1000,
             doc_set: list[int] | None = None,
-            doc_range: tuple[int, int] | None = None
+            doc_range: tuple[int, int] | None = None,
+            pruned: bool = False, _warm: bool = False
             ) -> tuple[np.ndarray, np.ndarray]:
         """Evaluate a structured query; ``doc_set`` restricts evaluation to a
         working set of docIDs (the reference's documentSet overload,
         ref:src/QueryEnvironment.cpp:679-707 — statistics stay GLOBAL, only
         the candidate set shrinks); ``doc_range=(lo, hi)`` restricts to a
-        docID slice (the doc-partitioned scatter — postings for node
-        STATISTICS stay full so every shard computes identical collection-
-        global cf, making the shard merge rank-identical to a global
-        run)."""
+        docID slice (the doc-partitioned scatter — node STATISTICS stay
+        collection-global so the shard merge is rank-identical to a global
+        run).  By default a ranged run still fetches full postings (the
+        statistics pass needs them); with ``pruned=True`` postings reads
+        are range-pruned too, which requires the statistics memo to be
+        pre-seeded via :meth:`warm_stats` — a memo miss then raises rather
+        than computing a wrong shard-local statistic."""
+        if pruned and doc_range is None:
+            raise ValueError("pruned=True requires doc_range")
         root = parse_query(query)
         leaf_terms: set[str] = set()
         self._leaf_terms(root, leaf_terms)
         terms_key = tuple(sorted(leaf_terms))
-        cached = self._postings_memo.get(terms_key)
+        memo_key = (terms_key, doc_range) if pruned else terms_key
+        cached = self._postings_memo.get(memo_key)
         if cached is None:
             if len(self._postings_memo) > 8:
                 self._postings_memo.clear()
-            cached = self._fetch_postings(list(terms_key))
-            self._postings_memo[terms_key] = cached
+            cached = self._fetch_postings(
+                list(terms_key), doc_range if pruned else None)
+            self._postings_memo[memo_key] = cached
         self._postings = cached
         cand_parts: list[np.ndarray] = []
         self._cand_docs(root, cand_parts)
@@ -1416,11 +1444,20 @@ class StructuredQueryEngine:
         cand = cand[self.r.keep_mask(cand)]
         if not len(cand):
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        if _warm:
+            # one candidate is enough to reach every node's statistics
+            # branch (the belief walk covers the whole tree regardless of
+            # candidate values)
+            cand = cand[:1]
         if doc_range is None:
             dl = self.r.doc_lens()[cand].astype(np.float64)
         else:
             dl = self.r.doc_lens_range(doc_range[0], doc_range[1])[
                 cand - doc_range[0]].astype(np.float64)
-        beliefs = self._belief(root, cand, dl)
+        self._strict_stats = pruned
+        try:
+            beliefs = self._belief(root, cand, dl)
+        finally:
+            self._strict_stats = False
         keep = beliefs > -np.inf  # filreq/filrej exclusions
         return _topk(cand[keep], beliefs[keep], k)

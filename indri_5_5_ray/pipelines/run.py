@@ -89,13 +89,14 @@ class ShardedQueryWorker:
     def __init__(self, index_dir: str, k: int, n_shards: int,
                  registry_snapshot: dict | None = None, kind: str = "bm25",
                  method: str = "dirichlet", mu: float = 2500.0,
-                 lam: float = 0.4):
+                 lam: float = 0.4, stats_memo: dict | None = None):
         if registry_snapshot:
             from .. import registry as _registry
 
             _registry.restore(registry_snapshot)
         self.reader = IndexReader(index_dir)
         self.kind = kind
+        self.pruned = False
         if kind == "bm25":
             self.scorer = BM25Scorer(self.reader)
         elif kind == "lm":
@@ -107,6 +108,11 @@ class ShardedQueryWorker:
 
             self.scorer = StructuredQueryEngine(self.reader, method=method,
                                                 mu=mu, lam=lam)
+            if stats_memo:
+                # driver-warmed node statistics → this worker's postings
+                # reads are range-pruned (O(shard), not O(full lists))
+                self.scorer._cf_memo.update(stats_memo)
+                self.pruned = True
         else:
             raise ValueError(f"unknown query kind {kind!r}")
         self.k = k
@@ -125,7 +131,8 @@ class ShardedQueryWorker:
 
             terms = process_query_lm(text, self.reader.cfg)
             return self.scorer.score(terms, k=self.k, doc_range=rng)
-        return self.scorer.run(text, k=self.k, doc_range=rng)
+        return self.scorer.run(text, k=self.k, doc_range=rng,
+                               pruned=self.pruned)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"qid": [], "doc_id": [], "score": []}
@@ -165,6 +172,19 @@ def run_queries_sharded(
     import numpy as np
     import ray as _ray
 
+    stats_memo: dict | None = None
+    if kind == "structured":
+        # statistics pass ON THE DRIVER (the reference's global two-pass):
+        # full postings are read once here; every shard worker then reads
+        # only its range's blocks
+        from .indriql import StructuredQueryEngine
+
+        eng = StructuredQueryEngine(IndexReader(index_dir), method=method,
+                                    mu=mu, lam=lam)
+        stats_memo = {}
+        for _qid, text in queries:
+            stats_memo.update(eng.warm_stats(text))
+
     items = [
         {"qid": q, "text": t, "shard": s}
         for q, t in queries
@@ -181,7 +201,8 @@ def run_queries_sharded(
                                "n_shards": n_shards,
                                "registry_snapshot": _reg_snapshot(),
                                "kind": kind, "method": method,
-                               "mu": mu, "lam": lam},
+                               "mu": mu, "lam": lam,
+                               "stats_memo": stats_memo},
     )
     tables = [_ray.get(r) for r in res.to_arrow_refs()]
     tables = [t for t in tables if t.num_rows]

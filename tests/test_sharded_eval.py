@@ -109,3 +109,34 @@ def test_sharded_lm_and_structured(built_index):
         m = np.array(sharded.column("qid").to_pylist()) == qid
         assert sharded.column("doc_id").to_numpy()[m].tolist() == ids.tolist(), qid
         np.testing.assert_array_equal(sharded.column("score").to_numpy()[m], scores)
+
+
+def test_pruned_structured_run(built_index):
+    """Pruned scoring (range-pruned postings + pre-seeded statistics memo)
+    is bit-identical to a full ranged run; a memo miss under pruning
+    raises instead of computing a shard-local statistic."""
+    import pytest
+
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    out, _ = built_index
+    reader = IndexReader(out)
+    q = "#combine(#od2(merge buffer) #syn(token stream))"
+    warm = StructuredQueryEngine(reader)
+    memo = warm.warm_stats(q)
+    assert memo  # window + syn nodes have memoized statistics
+
+    rng = (40, 160)
+    full_ids, full_s = StructuredQueryEngine(reader).run(q, k=50, doc_range=rng)
+    pruned_eng = StructuredQueryEngine(reader)
+    pruned_eng._cf_memo.update(memo)
+    pr_ids, pr_s = pruned_eng.run(q, k=50, doc_range=rng, pruned=True)
+    assert pr_ids.tolist() == full_ids.tolist()
+    np.testing.assert_array_equal(pr_s, full_s)
+
+    cold = StructuredQueryEngine(reader)
+    with pytest.raises(RuntimeError, match="memo miss"):
+        cold.run(q, k=10, doc_range=rng, pruned=True)
+    with pytest.raises(ValueError, match="requires doc_range"):
+        cold.run(q, k=10, pruned=True)
