@@ -113,6 +113,13 @@ class ShardedQueryWorker:
                 # reads are range-pruned (O(shard), not O(full lists))
                 self.scorer._cf_memo.update(stats_memo)
                 self.pruned = True
+        elif kind == "rm3":
+            # driver expands (feedback pass reads only fb-doc vectors);
+            # workers score the expanded #weight model on their shard
+            from .lm import LMScorer
+
+            self.scorer = LMScorer(self.reader, method=method, mu=mu, lam=lam)
+            self.expansions = stats_memo or {}
         else:
             raise ValueError(f"unknown query kind {kind!r}")
         self.k = k
@@ -122,7 +129,7 @@ class ShardedQueryWorker:
         # doc-range dl slice (reader.doc_lens_range), so actor memory is
         # O(span), not O(index)
 
-    def _score(self, text: str, rng: tuple[int, int]):
+    def _score(self, qid: str, text: str, rng: tuple[int, int]):
         if self.kind == "bm25":
             terms = process_query(text, self.reader.cfg)
             return self.scorer.score_exhaustive(terms, k=self.k, doc_range=rng)
@@ -131,6 +138,14 @@ class ShardedQueryWorker:
 
             terms = process_query_lm(text, self.reader.cfg)
             return self.scorer.score(terms, k=self.k, doc_range=rng)
+        if self.kind == "rm3":
+            import numpy as _np
+
+            expanded = self.expansions.get(qid, [])
+            if not expanded:
+                return _np.empty(0, _np.int64), _np.empty(0, _np.float64)
+            return self.scorer.score_weighted(
+                [tuple(tw) for tw in expanded], k=self.k, doc_range=rng)
         return self.scorer.run(text, k=self.k, doc_range=rng,
                                pruned=self.pruned)
 
@@ -141,7 +156,7 @@ class ShardedQueryWorker:
             batch.column("text").to_pylist(),
             batch.column("shard").to_pylist(),
         ):
-            ids, scores = self._score(text, self.ranges[shard])
+            ids, scores = self._score(qid, text, self.ranges[shard])
             out["qid"].extend([qid] * len(ids))
             out["doc_id"].extend(ids.tolist())
             out["score"].extend(scores.tolist())
@@ -164,15 +179,39 @@ def run_queries_sharded(
     method: str = "dirichlet",
     mu: float = 2500.0,
     lam: float = 0.4,
+    fb_docs: int = 10,
+    fb_terms: int = 20,
+    orig_weight: float = 0.5,
 ) -> pa.Table:
     """Distributed per-query scoring over doc-range shards; per-shard top-k
     then a driver merge with score desc → doc_id desc. Identical results to
     ``run_queries`` (global statistics; rank-safe shard merge).  ``kind``
-    = "bm25" | "lm" | "structured" (see :class:`ShardedQueryWorker`)."""
+    = "bm25" | "lm" | "structured" | "rm3" (see
+    :class:`ShardedQueryWorker`; rm3 expands on the driver and scatters
+    the expanded model, fb_* control the feedback pass)."""
     import numpy as np
     import ray as _ray
 
     stats_memo: dict | None = None
+    if kind == "rm3":
+        # feedback pass on the driver: rm_expand reads only the feedback
+        # docs' forward vectors (direct index point reads); the expanded
+        # #weight model ships to the workers, normalized exactly as
+        # rm3_search normalizes (numpy pairwise sum) so shard scores are
+        # bit-identical to the single-process run
+        from .feedback import rm_expand
+
+        reader = IndexReader(index_dir)
+        stats_memo = {}
+        for qid, text in queries:
+            expanded = rm_expand(reader, text, fb_docs=fb_docs,
+                                 fb_terms=fb_terms, orig_weight=orig_weight,
+                                 method=method, mu=mu, lam=lam)
+            if expanded:
+                wa = np.array([w for _, w in expanded], dtype=np.float64)
+                wa /= wa.sum()
+                stats_memo[qid] = list(zip([t for t, _ in expanded],
+                                           wa.tolist()))
     if kind == "structured":
         # statistics pass ON THE DRIVER (the reference's global two-pass):
         # full postings are read once here; every shard worker then reads

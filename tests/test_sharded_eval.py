@@ -140,3 +140,23 @@ def test_pruned_structured_run(built_index):
         cold.run(q, k=10, doc_range=rng, pruned=True)
     with pytest.raises(ValueError, match="requires doc_range"):
         cold.run(q, k=10, pruned=True)
+
+
+def test_sharded_rm3(built_index):
+    """Distributed RM3: driver-side expansion (forward-vector point reads)
+    + sharded weighted scoring is bit-identical to rm3_search."""
+    from indri_5_5_ray.pipelines.feedback import rm3_search
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.pipelines.run import run_queries_sharded
+
+    out, _ = built_index
+    reader = IndexReader(out)
+    queries = [("1", "merge buffer"), ("2", "token stream")]
+    sharded = run_queries_sharded(out, queries, k=15, n_shards=3,
+                                  concurrency=2, kind="rm3",
+                                  fb_docs=5, fb_terms=10)
+    for qid, text in queries:
+        ids, scores = rm3_search(reader, text, k=15, fb_docs=5, fb_terms=10)
+        m = np.array(sharded.column("qid").to_pylist()) == qid
+        assert sharded.column("doc_id").to_numpy()[m].tolist() == ids.tolist(), qid
+        np.testing.assert_array_equal(sharded.column("score").to_numpy()[m], scores)
