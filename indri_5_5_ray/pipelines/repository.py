@@ -429,54 +429,83 @@ def _build_merged(seg_dirs: list[str], out_tmp: Path, cfg: IndexConfig,
 
 
 def _filter_partials(t: pa.Table, deleted: np.ndarray) -> pa.Table:
-    """Drop deleted docs from a partials table row by row (doc_ids/tfs/dls
-    list slices + pos_bytes byte-range slices via pos_byte_lens)."""
-    out_rows = []
-    for i in range(t.num_rows):
-        doc_ids = np.asarray(t.column("doc_ids")[i].as_py(), dtype=np.int64)
-        keep = ~np.isin(doc_ids, deleted)
-        if keep.all():
-            out_rows.append(i)
-            continue
-        out_rows.append((i, keep))
-    if all(isinstance(r, int) for r in out_rows):
+    """Drop deleted docs from a partials table, vectorized.
+
+    Detection is ONE flattened isin over every row's doc_ids; rows losing
+    no docs pass through as a filter (the merge reducer re-sorts its
+    bucket, so row order is free, ref:stages/postings.py merge_bucket);
+    only rows that actually lose docs are rebuilt (list slices + pos_bytes
+    byte-range slices via pos_byte_lens)."""
+    if t.num_rows == 0:
         return t
-    cols = {name: [] for name in t.column_names}
-    for r in out_rows:
-        if isinstance(r, int):
-            for name in t.column_names:
-                cols[name].append(t.column(name)[r].as_py())
-            continue
-        i, keep = r
-        doc_ids = np.asarray(t.column("doc_ids")[i].as_py(), dtype=np.int64)
-        if not keep.any():
-            continue  # whole run deleted
-        tfs = np.asarray(t.column("tfs")[i].as_py(), dtype=np.int64)
-        dls = np.asarray(t.column("dls")[i].as_py(), dtype=np.int64)
-        blens = np.asarray(t.column("pos_byte_lens")[i].as_py(), dtype=np.int64)
-        payload = t.column("pos_bytes")[i].as_py()
-        kept_ids = doc_ids[keep]
+    dcol = t.column("doc_ids")
+    if isinstance(dcol, pa.ChunkedArray):
+        dcol = dcol.combine_chunks()
+    flat = dcol.flatten().to_numpy()
+    keep_flat = ~np.isin(flat, deleted)
+    if keep_flat.all():
+        return t
+    offs = dcol.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    cum = np.concatenate(([0], np.cumsum(keep_flat)))
+    kept_counts = cum[offs[1:]] - cum[offs[:-1]]
+    lengths = np.diff(offs)
+    full = kept_counts == lengths
+    affected = (~full) & (kept_counts > 0)
+    untouched = t.filter(pa.array(full))
+    rows = np.flatnonzero(affected)
+    if not len(rows):
+        return untouched
+    tf_flat = _flat_i64(t, "tfs")
+    dl_flat = _flat_i64(t, "dls")
+    bcol = t.column("pos_byte_lens")
+    if isinstance(bcol, pa.ChunkedArray):
+        bcol = bcol.combine_chunks()
+    blens_flat = bcol.flatten().to_numpy().astype(np.int64)
+    boffs = bcol.offsets.to_numpy().astype(np.int64)
+    boffs = boffs - boffs[0]
+    sub = t.take(pa.array(rows, pa.int64()))
+    new_ids, new_tfs, new_dls = [], [], []
+    new_first, new_last = [], []
+    new_payloads, new_blens = [], []
+    for ri, i in enumerate(rows.tolist()):
+        a, b = offs[i], offs[i + 1]
+        keep = keep_flat[a:b]
+        kept_ids = flat[a:b][keep]
+        new_ids.append(kept_ids.tolist())
+        new_tfs.append(tf_flat[a:b][keep].tolist())
+        new_dls.append(dl_flat[a:b][keep].tolist())
+        new_first.append(int(kept_ids[0]))
+        new_last.append(int(kept_ids[-1]))
+        blens = blens_flat[boffs[i]:boffs[i + 1]]
         if len(blens):
+            payload = sub.column("pos_bytes")[ri].as_py()
             starts = np.concatenate(([0], np.cumsum(blens)))
-            pos_parts = [payload[starts[j]:starts[j + 1]]
-                         for j in np.nonzero(keep)[0]]
-            new_payload = b"".join(pos_parts)
-            new_blens = blens[keep].tolist()
+            new_payloads.append(b"".join(
+                payload[starts[j]:starts[j + 1]] for j in np.nonzero(keep)[0]))
+            new_blens.append(blens[keep].tolist())
         else:
-            new_payload = payload
-            new_blens = []
-        cols["term"].append(t.column("term")[i].as_py())
-        cols["bucket"].append(t.column("bucket")[i].as_py())
-        # salt kept as-written: doc ids stay ascending within the (term,
-        # salt) group, which is the only invariant the merge relies on
-        cols["salt"].append(t.column("salt")[i].as_py())
-        cols["first_doc"].append(int(kept_ids[0]))
-        cols["last_doc"].append(int(kept_ids[-1]))
-        cols["doc_ids"].append(kept_ids.tolist())
-        cols["tfs"].append(tfs[keep].tolist())
-        cols["dls"].append(dls[keep].tolist())
-        cols["pos_bytes"].append(new_payload)
-        cols["pos_byte_lens"].append(new_blens)
+            new_payloads.append(sub.column("pos_bytes")[ri].as_py())
+            new_blens.append([])
     from ..stages.postings import PARTIALS_SCHEMA
 
-    return pa.Table.from_pydict(cols, schema=PARTIALS_SCHEMA)
+    def _set(tbl: pa.Table, name: str, arr: pa.Array) -> pa.Table:
+        return tbl.set_column(tbl.column_names.index(name), name, arr)
+
+    sub = _set(sub, "doc_ids", pa.array(new_ids, pa.list_(pa.int64())))
+    sub = _set(sub, "tfs", pa.array(new_tfs, PARTIALS_SCHEMA.field("tfs").type))
+    sub = _set(sub, "dls", pa.array(new_dls, PARTIALS_SCHEMA.field("dls").type))
+    sub = _set(sub, "first_doc", pa.array(new_first, pa.int64()))
+    sub = _set(sub, "last_doc", pa.array(new_last, pa.int64()))
+    sub = _set(sub, "pos_bytes", pa.array(new_payloads,
+                                          PARTIALS_SCHEMA.field("pos_bytes").type))
+    sub = _set(sub, "pos_byte_lens",
+               pa.array(new_blens, PARTIALS_SCHEMA.field("pos_byte_lens").type))
+    return pa.concat_tables([untouched, sub.cast(PARTIALS_SCHEMA)])
+
+
+def _flat_i64(t: pa.Table, name: str) -> np.ndarray:
+    c = t.column(name)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    return c.flatten().to_numpy().astype(np.int64)

@@ -321,3 +321,72 @@ def test_delete_docnos_lookup(corpora, tmp_path):
     n = repo.delete_docnos(names + ["no/such@docno"])
     assert n == 2
     assert sorted(repo.deleted().tolist()) == [5, 17]
+
+
+def test_filter_partials_vectorized():
+    """_filter_partials: pass-through, partial, and whole-run deletion,
+    positions byte-slicing — compared against a straightforward per-row
+    reference on a randomized table."""
+    import random
+
+    import pyarrow as pa
+
+    from indri_5_5_ray.pipelines.repository import _filter_partials
+    from indri_5_5_ray.stages.postings import PARTIALS_SCHEMA
+
+    rng = random.Random(3)
+    cols = {n: [] for n in PARTIALS_SCHEMA.names}
+    for r in range(40):
+        n = rng.randrange(1, 6)
+        ids = sorted(rng.sample(range(100), n))
+        blens = [rng.randrange(1, 4) for _ in range(n)] if r % 3 else []
+        payload = bytes(rng.randrange(256) for _ in range(sum(blens)))
+        cols["term"].append(f"t{r % 7}")
+        cols["bucket"].append(r % 4)
+        cols["salt"].append(0)
+        cols["first_doc"].append(ids[0])
+        cols["last_doc"].append(ids[-1])
+        cols["doc_ids"].append(ids)
+        cols["tfs"].append([rng.randrange(1, 9) for _ in range(n)])
+        cols["dls"].append([rng.randrange(1, 99) for _ in range(n)])
+        cols["pos_bytes"].append(payload)
+        cols["pos_byte_lens"].append(blens)
+    t = pa.Table.from_pydict(cols, schema=PARTIALS_SCHEMA)
+
+    def reference(t, deleted):
+        out = {n: [] for n in t.column_names}
+        dset = set(deleted.tolist())
+        for i in range(t.num_rows):
+            row = {n: t.column(n)[i].as_py() for n in t.column_names}
+            keep = [d not in dset for d in row["doc_ids"]]
+            if not any(keep):
+                continue
+            starts = [0]
+            for L in row["pos_byte_lens"]:
+                starts.append(starts[-1] + L)
+            if row["pos_byte_lens"]:
+                row["pos_bytes"] = b"".join(
+                    row["pos_bytes"][starts[j]:starts[j + 1]]
+                    for j, k in enumerate(keep) if k)
+                row["pos_byte_lens"] = [L for L, k in zip(row["pos_byte_lens"], keep) if k]
+            for n in ("doc_ids", "tfs", "dls"):
+                row[n] = [v for v, k in zip(row[n], keep) if k]
+            row["first_doc"] = row["doc_ids"][0]
+            row["last_doc"] = row["doc_ids"][-1]
+            for n in t.column_names:
+                out[n].append(row[n])
+        return pa.Table.from_pydict(out, schema=PARTIALS_SCHEMA)
+
+    for deleted in ([], [5, 17, 40, 99], list(range(100))):
+        da = np.asarray(sorted(deleted), dtype=np.int64)
+        got = _filter_partials(t, da)
+        want = reference(t, da)
+        key = lambda tb: sorted(map(tuple, zip(
+            tb.column("term").to_pylist(), tb.column("salt").to_pylist(),
+            tb.column("first_doc").to_pylist(),
+            [tuple(x) for x in tb.column("doc_ids").to_pylist()],
+            [tuple(x) for x in tb.column("tfs").to_pylist()],
+            [tuple(x) for x in tb.column("dls").to_pylist()],
+            tb.column("pos_bytes").to_pylist(),
+            [tuple(x) for x in tb.column("pos_byte_lens").to_pylist()])))
+        assert key(got) == key(want), f"mismatch for deleted={deleted[:5]}..."
