@@ -12,6 +12,9 @@ Commands:
     python -m indri_5_5_ray.cli <index_dir> documentid <docno>
     python -m indri_5_5_ray.cli <index_dir> validate             # invariants walk
     python -m indri_5_5_ray.cli <index_dir> query "<text>" [k]   # BM25 top-k
+    python -m indri_5_5_ray.cli <index_dir> runquery <file> [k] [baseline]
+        # batch TREC run (IndriRunQuery analogue); file = qid<TAB>text or
+        # bare text per line; baseline = bm25|tfidf|dirichlet|jm|two|indri
 
 Standalone use auto-initialises Ray only if needed (queries don't need it).
 """
@@ -313,6 +316,58 @@ def cmd_query(reader: IndexReader, text: str, k: str = "10") -> None:
         print(line)
 
 
+def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
+                 baseline: str = "bm25") -> None:
+    """Batch retrieval → TREC run lines (the IndriRunQuery analogue,
+    ref:runquery/IndriRunQuery.cpp).  ``queries_path`` holds one query per
+    line, ``qid<TAB>text`` or bare text (1-based qids); ``baseline``
+    selects bm25 | tfidf | dirichlet | jm | two | indri (the structured
+    engine, full query language)."""
+    from pathlib import Path as _Path
+
+    lines = [ln.strip() for ln in _Path(queries_path).read_text().splitlines()
+             if ln.strip()]
+    queries = []
+    for i, ln in enumerate(lines):
+        if "\t" in ln:
+            qid, text = ln.split("\t", 1)
+        else:
+            qid, text = str(i + 1), ln
+        queries.append((qid, text))
+    kk = int(k)
+    if baseline in ("bm25", "tfidf"):
+        scorer = BM25Scorer(
+            reader, variant="okapi" if baseline == "bm25" else "tfidf")
+        for qid, text in queries:
+            ids, scores = scorer.score_blockmax(
+                process_query(text, reader.cfg), k=kk)
+            for line in format_trec(qid, ids, scores,
+                                    reader.docnos(ids.tolist())):
+                print(line)
+    elif baseline in ("dirichlet", "jm", "two"):
+        from .pipelines.feedback import process_query_lm
+        from .pipelines.lm import LMScorer
+
+        scorer = LMScorer(reader, method=baseline)
+        for qid, text in queries:
+            ids, scores = scorer.score(
+                process_query_lm(text, reader.cfg), k=kk)
+            for line in format_trec(qid, ids, scores,
+                                    reader.docnos(ids.tolist())):
+                print(line)
+    elif baseline == "indri":
+        from .pipelines.indriql import StructuredQueryEngine
+
+        eng = StructuredQueryEngine(reader)
+        for qid, text in queries:
+            ids, scores = eng.run(text, k=kk)
+            for line in format_trec(qid, ids, scores,
+                                    reader.docnos(ids.tolist())):
+                print(line)
+    else:
+        raise SystemExit(f"unknown baseline {baseline!r}")
+
+
 COMMANDS = {
     "stats": cmd_stats,
     "term": cmd_term,
@@ -330,6 +385,7 @@ COMMANDS = {
     "merge": cmd_merge,
     "validate": cmd_validate,
     "query": cmd_query,
+    "runquery": cmd_runquery,
 }
 
 

@@ -227,3 +227,26 @@ def test_resume_skips_completed_chunks(small_corpus_dir, tmp_path):
 
     ingest_recs = [r for r in all_records(a) if r["stage"] == "ingest"]
     assert len(ingest_recs) == m1["n_chunks"]
+
+
+def test_cli_runquery(built_index, tmp_path, capsys):
+    """IndriRunQuery-analogue batch CLI: TREC lines for every baseline."""
+    from indri_5_5_ray import cli
+
+    out, _ = built_index
+    qf = tmp_path / "queries.txt"
+    qf.write_text("q1\tmerge buffer\nq2\ttoken stream\n")
+    for baseline in ("bm25", "tfidf", "dirichlet", "jm", "two", "indri"):
+        cli.main([out, "runquery", str(qf), "5", baseline])
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+        assert len(lines) == 10, baseline
+        assert lines[0].startswith("q1 Q0 ") and lines[5].startswith("q2 Q0 ")
+        ranks = [int(ln.split()[3]) for ln in lines[:5]]
+        assert ranks == [1, 2, 3, 4, 5]
+
+    # bare-text file gets 1-based qids; structured syntax through 'indri'
+    qf2 = tmp_path / "q2.txt"
+    qf2.write_text("#combine(#od2(merge buffer) token)\n")
+    cli.main([out, "runquery", str(qf2), "3", "indri"])
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    assert len(lines) == 3 and lines[0].startswith("1 Q0 ")
