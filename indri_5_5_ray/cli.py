@@ -338,34 +338,30 @@ def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
     if baseline in ("bm25", "tfidf"):
         scorer = BM25Scorer(
             reader, variant="okapi" if baseline == "bm25" else "tfidf")
-        for qid, text in queries:
-            ids, scores = scorer.score_blockmax(
-                process_query(text, reader.cfg), k=kk)
-            for line in format_trec(qid, ids, scores,
-                                    reader.docnos(ids.tolist())):
-                print(line)
+
+        def score(text):
+            return scorer.score_blockmax(process_query(text, reader.cfg), k=kk)
     elif baseline in ("dirichlet", "jm", "two"):
         from .pipelines.feedback import process_query_lm
         from .pipelines.lm import LMScorer
 
-        scorer = LMScorer(reader, method=baseline)
-        for qid, text in queries:
-            ids, scores = scorer.score(
-                process_query_lm(text, reader.cfg), k=kk)
-            for line in format_trec(qid, ids, scores,
-                                    reader.docnos(ids.tolist())):
-                print(line)
+        lm = LMScorer(reader, method=baseline)
+
+        def score(text):
+            return lm.score(process_query_lm(text, reader.cfg), k=kk)
     elif baseline == "indri":
         from .pipelines.indriql import StructuredQueryEngine
 
         eng = StructuredQueryEngine(reader)
-        for qid, text in queries:
-            ids, scores = eng.run(text, k=kk)
-            for line in format_trec(qid, ids, scores,
-                                    reader.docnos(ids.tolist())):
-                print(line)
+
+        def score(text):
+            return eng.run(text, k=kk)
     else:
         raise SystemExit(f"unknown baseline {baseline!r}")
+    for qid, text in queries:
+        ids, scores = score(text)
+        for line in format_trec(qid, ids, scores, reader.docnos(ids.tolist())):
+            print(line)
 
 
 COMMANDS = {

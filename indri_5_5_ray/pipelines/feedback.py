@@ -88,13 +88,21 @@ def rm_expand(
     method: str = "dirichlet",
     mu: float = 2500.0,
     lam: float = 0.4,
+    first_pass: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> list[tuple[str, float]]:
-    """RM3 expansion: returns the expanded [(term, weight)] list."""
-    lm = LMScorer(reader, method=method, mu=mu, lam=lam)
+    """RM3 expansion: returns the expanded [(term, weight)] list.
+
+    ``first_pass=(ids, scores)`` supplies a precomputed initial retrieval
+    (e.g. from the doc-partitioned scatter — bit-identical to
+    ``LMScorer.score``); otherwise it is computed here."""
     q_terms = process_query_lm(query, reader.cfg)
     if not q_terms:
         return []
-    ids, scores = lm.score(q_terms, k=fb_docs + 40)
+    if first_pass is not None:
+        ids, scores = first_pass
+    else:
+        lm = LMScorer(reader, method=method, mu=mu, lam=lam)
+        ids, scores = lm.score(q_terms, k=fb_docs + 40)
     if len(ids) == 0:
         return [(t, 1.0) for t in q_terms]
     # feedback-doc cutoff pinned like every oracle-checked ranking: round

@@ -438,32 +438,25 @@ def _filter_partials(t: pa.Table, deleted: np.ndarray) -> pa.Table:
     byte-range slices via pos_byte_lens)."""
     if t.num_rows == 0:
         return t
-    dcol = t.column("doc_ids")
-    if isinstance(dcol, pa.ChunkedArray):
-        dcol = dcol.combine_chunks()
-    flat = dcol.flatten().to_numpy()
+    from ..stages.postings import _flatten_list_column
+
+    flat, lengths = _flatten_list_column(t, "doc_ids")
     keep_flat = ~np.isin(flat, deleted)
     if keep_flat.all():
         return t
-    offs = dcol.offsets.to_numpy().astype(np.int64)
-    offs = offs - offs[0]
+    offs = np.concatenate(([0], np.cumsum(lengths)))
     cum = np.concatenate(([0], np.cumsum(keep_flat)))
     kept_counts = cum[offs[1:]] - cum[offs[:-1]]
-    lengths = np.diff(offs)
     full = kept_counts == lengths
     affected = (~full) & (kept_counts > 0)
     untouched = t.filter(pa.array(full))
     rows = np.flatnonzero(affected)
     if not len(rows):
         return untouched
-    tf_flat = _flat_i64(t, "tfs")
-    dl_flat = _flat_i64(t, "dls")
-    bcol = t.column("pos_byte_lens")
-    if isinstance(bcol, pa.ChunkedArray):
-        bcol = bcol.combine_chunks()
-    blens_flat = bcol.flatten().to_numpy().astype(np.int64)
-    boffs = bcol.offsets.to_numpy().astype(np.int64)
-    boffs = boffs - boffs[0]
+    tf_flat = _flatten_list_column(t, "tfs")[0]
+    dl_flat = _flatten_list_column(t, "dls")[0]
+    blens_flat, blens_lengths = _flatten_list_column(t, "pos_byte_lens")
+    boffs = np.concatenate(([0], np.cumsum(blens_lengths)))
     sub = t.take(pa.array(rows, pa.int64()))
     new_ids, new_tfs, new_dls = [], [], []
     new_first, new_last = [], []
@@ -502,10 +495,3 @@ def _filter_partials(t: pa.Table, deleted: np.ndarray) -> pa.Table:
     sub = _set(sub, "pos_byte_lens",
                pa.array(new_blens, PARTIALS_SCHEMA.field("pos_byte_lens").type))
     return pa.concat_tables([untouched, sub.cast(PARTIALS_SCHEMA)])
-
-
-def _flat_i64(t: pa.Table, name: str) -> np.ndarray:
-    c = t.column(name)
-    if isinstance(c, pa.ChunkedArray):
-        c = c.combine_chunks()
-    return c.flatten().to_numpy().astype(np.int64)

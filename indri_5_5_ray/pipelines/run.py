@@ -194,19 +194,29 @@ def run_queries_sharded(
 
     stats_memo: dict | None = None
     if kind == "rm3":
-        # feedback pass on the driver: rm_expand reads only the feedback
-        # docs' forward vectors (direct index point reads); the expanded
-        # #weight model ships to the workers, normalized exactly as
-        # rm3_search normalizes (numpy pairwise sum) so shard scores are
-        # bit-identical to the single-process run
+        # both RM3 passes are distributed: the INITIAL retrieval is the
+        # sharded LM scatter (bit-identical to LMScorer.score), then the
+        # driver does only the cheap expansion math per query (feedback-doc
+        # vectors are direct-index point reads) and ships the expanded
+        # #weight model, normalized exactly as rm3_search normalizes, so
+        # shard scores are bit-identical to the single-process run
         from .feedback import rm_expand
 
+        first = run_queries_sharded(
+            index_dir, queries, k=fb_docs + 40, n_shards=n_shards,
+            concurrency=concurrency, kind="lm", method=method, mu=mu,
+            lam=lam)
+        f_qids = np.array(first.column("qid").to_pylist())
+        f_ids = first.column("doc_id").to_numpy()
+        f_scores = first.column("score").to_numpy()
         reader = IndexReader(index_dir)
         stats_memo = {}
         for qid, text in queries:
+            m = f_qids == qid
             expanded = rm_expand(reader, text, fb_docs=fb_docs,
                                  fb_terms=fb_terms, orig_weight=orig_weight,
-                                 method=method, mu=mu, lam=lam)
+                                 method=method, mu=mu, lam=lam,
+                                 first_pass=(f_ids[m], f_scores[m]))
             if expanded:
                 wa = np.array([w for _, w in expanded], dtype=np.float64)
                 wa /= wa.sum()
