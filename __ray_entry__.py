@@ -1377,6 +1377,15 @@ def oracle_sql() -> dict[str, str]:
         "index_doc_lens": f"""
             SELECT doc_id, len({TOKEN_SQL}) AS dl FROM documents ORDER BY doc_id""",
         "bm25_topk": _BM25_SQL.replace("{values}", _bm25_values_clause()),
+        # The kstem variants share the unstemmed oracles EXACTLY: the
+        # synthetic documents vocabulary is a closed 31-term set whose
+        # Krovetz stem is the identity for every member (asserted in
+        # tests/test_kstem.py::test_testdata_vocab_stems_identity), so the
+        # stemmed index/query pipeline must reproduce the unstemmed
+        # ranking bit-for-bit; non-identity stemming is covered by the
+        # kstem golden vectors.
+        "bm25_topk_kstem": _BM25_SQL.replace("{values}", _bm25_values_clause()),
+        "lm_topk_kstem": _lm_sql("dirichlet").replace("{values}", _bm25_values_clause()),
         "tfidf_topk": _TFIDF_SQL.replace("{values}", _bm25_values_clause()),
         "lm_topk_dirichlet": _lm_sql("dirichlet").replace("{values}", _bm25_values_clause()),
         "lm_topk_jm": _lm_sql("jm").replace("{values}", _bm25_values_clause()),
@@ -1641,8 +1650,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, fp FROM wins WHERE i >= 4
             ORDER BY doc_id, fp""",
         "rm3_topk": _rm3_sql().replace("{values}", _rm3_values_clause()),
-        # bm25_topk_kstem, lsh_ann_topk, ivf_ann_topk, media_*:
-        # non-SQL-expressible (stemmer dictionary / seeded hyperplanes /
-        # seeded k-means / binary decode) → rows-only driver check;
-        # semantics are pytest-verified instead.
+        # lsh_ann_topk, ivf_ann_topk, media_*: non-SQL-expressible (seeded
+        # hyperplanes / seeded k-means / binary decode) → rows-only driver
+        # check; semantics are pytest-verified instead (the ANN paths also
+        # have full-probe ≡ brute-force oracle entries).
     }

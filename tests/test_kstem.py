@@ -89,3 +89,32 @@ def test_max_word_length_guard():
     ks = KrovetzStemmer()
     w = "a" * (MAX_WORD_LENGTH - 1)
     assert ks.stem(w) == w  # length 24: stemmed path but no rule applies... or guard
+
+
+def test_testdata_vocab_stems_identity():
+    """The driver testdata's closed 31-term vocabulary Krovetz-stems to
+    itself — the invariant that lets bm25_topk_kstem / lm_topk_kstem share
+    the unstemmed SQL oracles exactly.  If the generator's vocabulary ever
+    changes, this catches it before the oracle silently diverges."""
+    from indri_5_5_ray.kstem import KrovetzStemmer
+
+    vocab = ['a', 'agg', 'batch', 'big', 'column', 'customer', 'data',
+             'dup', 'fast', 'filter', 'group', 'hash', 'join', 'key',
+             'line', 'merge', 'order', 'part', 'query', 'row', 'scan',
+             'slow', 'small', 'sort', 'spark', 'stream', 'table', 'the',
+             'value', 'vector', 'window']
+    ks = KrovetzStemmer()
+    assert {t: ks.stem(t) for t in vocab} == {t: t for t in vocab}
+
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.01/documents.parquet"
+    if os.path.exists(sf):
+        texts = pq.read_table(sf, columns=["text"]).column("text").to_pylist()
+        seen = set()
+        for t in texts:
+            seen.update(re.findall(r"[a-z0-9]+", t.lower()))
+        assert seen <= set(vocab)
