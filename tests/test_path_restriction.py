@@ -146,3 +146,34 @@ def test_path_without_context_raises(nested_index):
     eng = _engine(nested_index)
     with pytest.raises(ValueError, match="outer context"):
         eng.run("#combine[./title](alpha)", k=5)
+
+
+def test_window_inside_path_restriction(nested_index):
+    """#odN under a [.path] context: window extents must be contained in
+    the path-matched extents (ExtentRestriction over a window node)."""
+    eng = _engine(nested_index)
+    got = _scores(eng, "#combine[sec](#combine[./title](#od1(alpha beta)))")
+    # adjacent 'alpha beta' inside a title that is a CHILD of sec: doc 0
+    # only (doc 1's title is outside sec and holds only 'alpha'; doc 2's
+    # title is a child of p)
+    cnt = {0: 1, 1: 0, 2: 0, 3: 0}
+    want = {d: _dir(cnt[d], TITLE_LEN[d], 1.0, TITLE_TOTAL) for d in cnt}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=0, abs=1e-12)
+
+
+def test_path_restriction_sharded(nested_index):
+    """Path-restricted queries through the doc-partitioned scatter match
+    the single-process run bitwise (field caches + tree walks per shard)."""
+    import numpy as np
+
+    from indri_5_5_ray.pipelines.run import run_queries_sharded
+
+    eng = _engine(nested_index)
+    q = "#combine[sec](#combine[.//title](alpha))"
+    ids, sc = eng.run(q, k=10)
+    t = run_queries_sharded(nested_index, [("1", q)], k=10, n_shards=2,
+                            concurrency=2, kind="structured")
+    assert t.column("doc_id").to_pylist() == ids.tolist()
+    np.testing.assert_array_equal(t.column("score").to_numpy(), sc)
