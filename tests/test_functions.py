@@ -121,21 +121,52 @@ def test_media_pipeline(mini_sf):
         synth_media_table,
     )
 
-    # real decoder is stubbed: requesting it must raise
+    # external-codec decoders are stubbed: requesting them must raise
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(use_real_decoder=True)
 
-    feats = media_features(mini_sf).to_pandas()
+    feats = media_features(mini_sf).to_pandas().set_index("item_id")
     assert len(feats) == 5
-    # features are normalized histograms
-    for row in feats.features:
-        assert abs(sum(row) - 1.0) < 1e-9
-    # checksum is deterministic md5 of payload
     tbl = synth_media_table(mini_sf)
+    kinds = dict(zip(tbl.column("item_id").to_pylist(),
+                     tbl.column("kind").to_pylist()))
+    widths = dict(zip(tbl.column("item_id").to_pylist(),
+                      tbl.column("width").to_pylist()))
+    rates = dict(zip(tbl.column("item_id").to_pylist(),
+                     tbl.column("sample_rate").to_pylist()))
+    for iid, kind in kinds.items():
+        row = feats.loc[iid, "features"]
+        if kind == "image":  # REAL P6 decode: f[0:2] = (w, h) from pixels
+            assert row[0] == widths[iid] and row[1] > 0
+            assert 0 <= row[2] <= 255  # mean R channel
+        elif kind == "audio":  # REAL WAV decode: f[0] = sample rate
+            assert row[0] == rates[iid] == 16000
+            assert row[2] > 0  # RMS of the PCM stream
+        else:  # opaque video payload → normalized histogram fallback
+            assert abs(sum(row) - 1.0) < 1e-9
+    # checksum is deterministic md5 of payload
     p0 = tbl.column("payload")[0].as_py()
     want = int.from_bytes(hashlib.md5(p0).digest()[:8], "little") >> 1
-    got = feats.set_index("item_id").loc[0, "checksum"]
-    assert got == want
+    assert feats.loc[0, "checksum"] == want
+
+
+def test_media_real_decode_roundtrip():
+    """The P6/WAV decoders recover exactly what the generators encode."""
+    import numpy as np
+
+    from indri_5_5_ray.functions.multimodal import (
+        MediaFeatureExtractor, make_ppm, make_wav)
+
+    ppm = make_ppm(6, 4, b"seed")
+    f = MediaFeatureExtractor._decode_ppm(ppm)
+    assert (f[0], f[1]) == (6, 4)
+    px = np.frombuffer(ppm[len(ppm) - 6 * 4 * 3:], dtype=np.uint8)
+    assert abs(f[2:5].mean() - px.astype(float).mean()) < 1e-9
+
+    wav = make_wav(8000, 100, b"seed")
+    g = MediaFeatureExtractor._decode_wav(wav)
+    assert (g[0], g[1]) == (8000, 100)
+    assert g[2] > 0 and g[4] <= g[5]
 
 
 def test_textstats_term_stats(mini_sf):
