@@ -146,6 +146,19 @@ def _node_key(node: "Node") -> tuple:
     return (node.op, node.term, node.n, tuple(node.weights), node.pre,
             tuple(_node_key(c) for c in node.children))
 
+
+# node types whose evaluation consumes term POSITIONS (windows, synonym
+# position unions, extent/passage restriction of term counts, wildcard —
+# rewritten to #syn internally)
+_POSITIONAL_OPS = frozenset(
+    {"od", "uw", "syn", "wsyn", "restrict", "ctx", "passage", "wildcard"})
+
+
+def _needs_positions(node: "Node") -> bool:
+    if node.op in _POSITIONAL_OPS:
+        return True
+    return any(_needs_positions(c) for c in node.children)
+
 _NUM_PREDS = {"less": 1, "greater": 1, "equals": 1, "between": 2,
               "datebefore": 1, "dateafter": 1, "dateequals": 1, "datebetween": 2}
 
@@ -588,19 +601,35 @@ class StructuredQueryEngine:
         return node.term if node.pre else self._process_term(node.term)
 
     def _fetch_postings(self, terms: list[str],
-                        doc_range: tuple[int, int] | None = None
-                        ) -> dict[str, tuple]:
+                        doc_range: tuple[int, int] | None = None,
+                        need_positions: bool = True) -> dict[str, tuple]:
         """term → (doc_ids, tfs, flat positions | None, per-doc position
         start offsets | None).  Positions stay FLAT (block order = doc
         order) — no per-doc Python splitting; doc i's run is
-        ``flat[starts[i]:starts[i+1]]``."""
+        ``flat[starts[i]:starts[i+1]]``.
+
+        ``need_positions=False`` (the query has no positional node) skips
+        the positions stream entirely via the vectorized batch decoder —
+        for common terms the positions are most of the payload and most of
+        the decode time."""
         rows = self.r.term_rows(terms, doc_range)
-        has_pos = self.r.cfg.store_positions
+        has_pos = self.r.cfg.store_positions and need_positions
         out: dict[str, list] = {}
         row_terms = rows.column("term").to_pylist() if rows.num_rows else []
         payloads = rows.column("postings").to_pylist() if rows.num_rows else []
         offs = rows.column("block_offset").to_pylist() if rows.num_rows else []
         lens = rows.column("block_length").to_pylist() if rows.num_rows else []
+        if not has_pos and rows.num_rows:
+            from ..codec import decode_doc_tf_batch
+
+            ndocs = rows.column("block_n_docs").to_pylist()
+            for ri, rt in enumerate(row_terms):
+                ent = out.setdefault(rt, [[], [], []])
+                d, tf = decode_doc_tf_batch(payloads[ri], offs[ri], lens[ri],
+                                            ndocs[ri])
+                ent[0].append(d)
+                ent[1].append(tf)
+            row_terms = []  # skip the per-block loop below
         for ri, rt in enumerate(row_terms):
             ent = out.setdefault(rt, [[], [], []])
             for off, ln in zip(offs[ri], lens[ri]):
@@ -1419,13 +1448,16 @@ class StructuredQueryEngine:
         leaf_terms: set[str] = set()
         self._leaf_terms(root, leaf_terms)
         terms_key = tuple(sorted(leaf_terms))
-        memo_key = (terms_key, doc_range) if pruned else terms_key
+        need_pos = _needs_positions(root)
+        memo_key = ((terms_key, doc_range, need_pos) if pruned
+                    else (terms_key, need_pos))
         cached = self._postings_memo.get(memo_key)
         if cached is None:
             if len(self._postings_memo) > 8:
                 self._postings_memo.clear()
             cached = self._fetch_postings(
-                list(terms_key), doc_range if pruned else None)
+                list(terms_key), doc_range if pruned else None,
+                need_positions=need_pos)
             self._postings_memo[memo_key] = cached
         self._postings = cached
         cand_parts: list[np.ndarray] = []
