@@ -332,6 +332,46 @@ def decode_doc_tf_batch(
     return doc_ids, tfs
 
 
+def decode_full_batch(
+    payload: bytes,
+    offsets: list[int] | np.ndarray,
+    lengths: list[int] | np.ndarray,
+    n_docs: list[int] | np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode (doc_id, tf, positions) of MANY blocks in one vectorized
+    pass — the positional analogue of :func:`decode_doc_tf_batch`: both
+    vbyte streams are concatenated across blocks and decoded once each
+    (vbyte is self-delimiting, and position deltas reset per DOC, so the
+    per-doc segmented cumsum is block-boundary-agnostic)."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n_blocks = len(offsets)
+    if n_blocks == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    a_slices = []
+    p_slices = []
+    for off, ln in zip(offsets, lengths):
+        p = off
+        a_len = 0
+        shift = 0
+        while True:
+            byte = int(arr[p])
+            a_len |= (byte & 0x7F) << shift
+            p += 1
+            shift += 7
+            if byte & 0x80:
+                break
+        a_slices.append(arr[p : p + a_len])
+        p_slices.append(arr[p + a_len : off + ln])
+    flat = vbyte_decode(np.concatenate(a_slices))
+    doc_deltas = flat[0::2].astype(np.int64)
+    tfs = flat[1::2].astype(np.int64)
+    doc_ids = segmented_cumsum(doc_deltas, np.asarray(n_docs, dtype=np.int64))
+    pos_deltas = vbyte_decode(np.concatenate(p_slices)).astype(np.int64)
+    positions = segmented_cumsum(pos_deltas, tfs)
+    return doc_ids, tfs, positions
+
+
 def cut_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,

@@ -81,7 +81,6 @@ from functools import lru_cache
 
 import numpy as np
 
-from ..codec import decode_block
 from ..config import IndexConfig
 from ..stages.ingest import TermProcessor
 from ..tokenizer import tokenize
@@ -629,15 +628,18 @@ class StructuredQueryEngine:
                                             ndocs[ri])
                 ent[0].append(d)
                 ent[1].append(tf)
-            row_terms = []  # skip the per-block loop below
+            row_terms = []  # skip the per-row loop below
+        if row_terms:
+            from ..codec import decode_full_batch
+
+            ndocs = rows.column("block_n_docs").to_pylist()
         for ri, rt in enumerate(row_terms):
             ent = out.setdefault(rt, [[], [], []])
-            for off, ln in zip(offs[ri], lens[ri]):
-                d, tf, pos = decode_block(payloads[ri][off : off + ln], has_pos)
-                ent[0].append(d)
-                ent[1].append(tf)
-                if pos is not None:
-                    ent[2].append(pos)
+            d, tf, pos = decode_full_batch(payloads[ri], offs[ri], lens[ri],
+                                           ndocs[ri])
+            ent[0].append(d)
+            ent[1].append(tf)
+            ent[2].append(pos)
         result = {}
         for term, (ds, tfs, poss) in out.items():
             d = np.concatenate(ds)

@@ -140,3 +140,39 @@ def test_cut_blocks_pre_matches_assemble_block():
             assert (t == tfs[cursor:end]).all()
             cursor = end
         assert cursor == n
+
+
+def test_decode_full_batch_equivalence():
+    """decode_full_batch == per-block decode_block across block boundaries
+    (positions deltas reset per doc, so concatenated streams decode
+    identically)."""
+    import numpy as np
+
+    from indri_5_5_ray.codec import cut_blocks, decode_block, decode_full_batch
+
+    rng = np.random.default_rng(5)
+    n = 500
+    doc_ids = np.cumsum(rng.integers(1, 9, n)).astype(np.int64)
+    tfs = rng.integers(1, 6, n).astype(np.int64)
+    positions = np.concatenate(
+        [np.sort(rng.choice(1000, size=t, replace=False)) for t in tfs]
+    ).astype(np.int64)
+    blocks = cut_blocks(doc_ids, tfs, positions, target_bytes=256)
+    payload = b"".join(b[2] for b in blocks)
+    offsets, lengths, ndocs = [], [], []
+    off = 0
+    ref_d, ref_t, ref_p = [], [], []
+    for first, last, buf, dsl, tsl in blocks:
+        offsets.append(off)
+        lengths.append(len(buf))
+        ndocs.append(len(dsl))
+        off += len(buf)
+        d, t, p = decode_block(buf, True)
+        ref_d.append(d)
+        ref_t.append(t)
+        ref_p.append(p)
+    d, t, p = decode_full_batch(payload, offsets, lengths, ndocs)
+    assert np.array_equal(d, np.concatenate(ref_d))
+    assert np.array_equal(t, np.concatenate(ref_t))
+    assert np.array_equal(p, np.concatenate(ref_p))
+    assert np.array_equal(d, doc_ids) and np.array_equal(p, positions)
