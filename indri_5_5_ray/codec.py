@@ -308,46 +308,20 @@ def decode_doc_tf_batch(
 
     ``n_docs`` per block comes from the stored block metadata."""
     arr = np.frombuffer(payload, dtype=np.uint8)
-    n_blocks = len(offsets)
-    if n_blocks == 0:
+    if len(offsets) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    slices = []
-    for off, _ln in zip(offsets, lengths):
-        # parse the stream-A byte-length prefix inline (1-2 vbyte bytes)
-        p = off
-        a_len = 0
-        shift = 0
-        while True:
-            byte = int(arr[p])
-            a_len |= (byte & 0x7F) << shift
-            p += 1
-            shift += 7
-            if byte & 0x80:
-                break
-        slices.append(arr[p : p + a_len])
-    flat = vbyte_decode(np.concatenate(slices))
+    a_slices, _ = _block_stream_slices(arr, offsets, lengths)
+    flat = vbyte_decode(np.concatenate(a_slices))
     doc_deltas = flat[0::2].astype(np.int64)
     tfs = flat[1::2].astype(np.int64)
     doc_ids = segmented_cumsum(doc_deltas, np.asarray(n_docs, dtype=np.int64))
     return doc_ids, tfs
 
 
-def decode_full_batch(
-    payload: bytes,
-    offsets: list[int] | np.ndarray,
-    lengths: list[int] | np.ndarray,
-    n_docs: list[int] | np.ndarray,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode (doc_id, tf, positions) of MANY blocks in one vectorized
-    pass — the positional analogue of :func:`decode_doc_tf_batch`: both
-    vbyte streams are concatenated across blocks and decoded once each
-    (vbyte is self-delimiting, and position deltas reset per DOC, so the
-    per-doc segmented cumsum is block-boundary-agnostic)."""
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    n_blocks = len(offsets)
-    if n_blocks == 0:
-        e = np.empty(0, np.int64)
-        return e, e, e
+def _block_stream_slices(arr: np.ndarray, offsets, lengths):
+    """Per block: parse the stream-A byte-length vbyte prefix and return
+    (stream-A slices, positions-stream slices) — the one copy of the block
+    layout walk shared by both batch decoders."""
     a_slices = []
     p_slices = []
     for off, ln in zip(offsets, lengths):
@@ -363,6 +337,25 @@ def decode_full_batch(
                 break
         a_slices.append(arr[p : p + a_len])
         p_slices.append(arr[p + a_len : off + ln])
+    return a_slices, p_slices
+
+
+def decode_full_batch(
+    payload: bytes,
+    offsets: list[int] | np.ndarray,
+    lengths: list[int] | np.ndarray,
+    n_docs: list[int] | np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode (doc_id, tf, positions) of MANY blocks in one vectorized
+    pass — the positional analogue of :func:`decode_doc_tf_batch`: both
+    vbyte streams are concatenated across blocks and decoded once each
+    (vbyte is self-delimiting, and position deltas reset per DOC, so the
+    per-doc segmented cumsum is block-boundary-agnostic)."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(offsets) == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    a_slices, p_slices = _block_stream_slices(arr, offsets, lengths)
     flat = vbyte_decode(np.concatenate(a_slices))
     doc_deltas = flat[0::2].astype(np.int64)
     tfs = flat[1::2].astype(np.int64)

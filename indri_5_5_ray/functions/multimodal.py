@@ -169,12 +169,14 @@ class MediaFeatureExtractor:
         return out
 
     @staticmethod
-    def _features(payload: bytes) -> np.ndarray:
-        """Dispatch on payload magic: real P6/WAV decode; opaque payloads
-        (video) take the normalized 16-bin byte histogram."""
-        if payload[:2] == b"P6":
+    def _features(payload: bytes, kind: str = "") -> np.ndarray:
+        """Dispatch on the KIND column (payload magic alone is ambiguous —
+        AVI video is also a RIFF container): image → P6 decode, audio →
+        WAV decode, anything else (or an unexpected payload for its kind)
+        → the normalized 16-bin byte histogram."""
+        if kind == "image" and payload[:2] == b"P6":
             return MediaFeatureExtractor._decode_ppm(payload)
-        if payload[:4] == b"RIFF":
+        if kind == "audio" and payload[:4] == b"RIFF":
             return MediaFeatureExtractor._decode_wav(payload)
         arr = np.frombuffer(payload, dtype=np.uint8)
         hist = np.bincount(arr >> 4, minlength=N_FEATURES).astype(np.float64)
@@ -183,7 +185,10 @@ class MediaFeatureExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = np.stack([self._features(p) for p in payloads]) if payloads else np.zeros((0, N_FEATURES))
+        kinds = batch.column("kind").to_pylist()
+        feats = (np.stack([self._features(p, k)
+                           for p, k in zip(payloads, kinds)])
+                 if payloads else np.zeros((0, N_FEATURES)))
         checks = [
             int.from_bytes(hashlib.md5(p).digest()[:8], "little", signed=False) >> 1
             for p in payloads

@@ -148,9 +148,11 @@ def _node_key(node: "Node") -> tuple:
 
 # node types whose evaluation consumes term POSITIONS (windows, synonym
 # position unions, extent/passage restriction of term counts, wildcard —
-# rewritten to #syn internally)
+# rewritten to #syn internally).  #wsyn is NOT here: its weighted count is
+# a tf sum; positional children (windows, restricts) are caught by the
+# recursive descent.
 _POSITIONAL_OPS = frozenset(
-    {"od", "uw", "syn", "wsyn", "restrict", "ctx", "passage", "wildcard"})
+    {"od", "uw", "syn", "restrict", "ctx", "passage", "wildcard"})
 
 
 def _needs_positions(node: "Node") -> bool:
@@ -618,28 +620,20 @@ class StructuredQueryEngine:
         payloads = rows.column("postings").to_pylist() if rows.num_rows else []
         offs = rows.column("block_offset").to_pylist() if rows.num_rows else []
         lens = rows.column("block_length").to_pylist() if rows.num_rows else []
-        if not has_pos and rows.num_rows:
-            from ..codec import decode_doc_tf_batch
+        ndocs = rows.column("block_n_docs").to_pylist() if rows.num_rows else []
+        from ..codec import decode_doc_tf_batch, decode_full_batch
 
-            ndocs = rows.column("block_n_docs").to_pylist()
-            for ri, rt in enumerate(row_terms):
-                ent = out.setdefault(rt, [[], [], []])
-                d, tf = decode_doc_tf_batch(payloads[ri], offs[ri], lens[ri],
-                                            ndocs[ri])
-                ent[0].append(d)
-                ent[1].append(tf)
-            row_terms = []  # skip the per-row loop below
-        if row_terms:
-            from ..codec import decode_full_batch
-
-            ndocs = rows.column("block_n_docs").to_pylist()
         for ri, rt in enumerate(row_terms):
             ent = out.setdefault(rt, [[], [], []])
-            d, tf, pos = decode_full_batch(payloads[ri], offs[ri], lens[ri],
-                                           ndocs[ri])
+            if has_pos:
+                d, tf, pos = decode_full_batch(payloads[ri], offs[ri],
+                                               lens[ri], ndocs[ri])
+                ent[2].append(pos)
+            else:
+                d, tf = decode_doc_tf_batch(payloads[ri], offs[ri], lens[ri],
+                                            ndocs[ri])
             ent[0].append(d)
             ent[1].append(tf)
-            ent[2].append(pos)
         result = {}
         for term, (ds, tfs, poss) in out.items():
             d = np.concatenate(ds)
@@ -1451,16 +1445,18 @@ class StructuredQueryEngine:
         self._leaf_terms(root, leaf_terms)
         terms_key = tuple(sorted(leaf_terms))
         need_pos = _needs_positions(root)
-        memo_key = ((terms_key, doc_range, need_pos) if pruned
-                    else (terms_key, need_pos))
-        cached = self._postings_memo.get(memo_key)
+        base_key = (terms_key, doc_range) if pruned else (terms_key,)
+        cached = self._postings_memo.get(base_key + (need_pos,))
+        if cached is None and not need_pos:
+            # a cached POSITIONAL fetch is a strict superset — reuse it
+            cached = self._postings_memo.get(base_key + (True,))
         if cached is None:
             if len(self._postings_memo) > 8:
                 self._postings_memo.clear()
             cached = self._fetch_postings(
                 list(terms_key), doc_range if pruned else None,
                 need_positions=need_pos)
-            self._postings_memo[memo_key] = cached
+            self._postings_memo[base_key + (need_pos,)] = cached
         self._postings = cached
         cand_parts: list[np.ndarray] = []
         self._cand_docs(root, cand_parts)
