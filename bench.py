@@ -298,7 +298,12 @@ def run_scaling() -> dict:
     pair_effs: list[float] = []
     best_clean: tuple[float, dict, dict] | None = None
     best_any: tuple[float, dict, dict] | None = None
-    max_pairs = 4
+    # up to 6 pairs: co-tenant bandwidth pressure (steal-invisible) can
+    # depress WHOLE windows of pairs — e.g. an observed run with all four
+    # pairs steal-clean at 0.5% yet 0.55–0.77 efficiency, where an hour
+    # earlier the same code measured 0.898; more attempts buy more chances
+    # to catch a quiet window, the early exit keeps quiet nights fast
+    max_pairs = 6
     for attempt in range(max_pairs):
         r_lo = one_attempt(lo)
         r_hi = one_attempt(hi)
