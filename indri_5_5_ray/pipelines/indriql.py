@@ -568,6 +568,7 @@ class StructuredQueryEngine:
         self._postings_memo: dict[tuple, dict] = {}
         self._cf_memo: dict[tuple, float] = {}
         self._strict_stats = False  # pruned run: memo misses must raise
+        self._field_range: tuple[int, int] | None = None  # pruned run only
         self._passage: tuple[int, int] | None = None  # active passage window
 
     # -- leaf data ----------------------------------------------------------
@@ -682,12 +683,19 @@ class StructuredQueryEngine:
         fields file (one filtered read per field per engine, cached).
         ``field_len`` sums raw extent lengths (nested extents double-count,
         matching ContextCountAccumulator's contextSize accumulation,
-        ref:src/ContextCountAccumulator.cpp:120-131)."""
-        hit = self._field_cache.get(fname)
+        ref:src/ContextCountAccumulator.cpp:120-131).
+
+        During a PRUNED run (statistics pre-seeded, see :meth:`run`) the
+        read is doc-range-pruned and cached per (field, range): a shard
+        worker must not load other shards' extents — global field
+        statistics are never recomputed from this data (the strict-stats
+        guard raises on any memo miss)."""
+        key = (fname, self._field_range) if self._field_range else fname
+        hit = self._field_cache.get(key)
         if hit is not None:
             return hit
         try:
-            t = self.r.field_extents(fname)
+            t = self.r.field_extents(fname, doc_range=self._field_range)
         except FileNotFoundError:
             t = None
         data: dict[int, tuple] = {}
@@ -711,7 +719,7 @@ class StructuredQueryEngine:
                              int((e - b).sum()),
                              np.asarray(os_, dtype=np.int64) if os_ is not None else None,
                              np.asarray(ps_, dtype=np.int64) if ps_ is not None else None)
-        self._field_cache[fname] = data
+        self._field_cache[key] = data
         return data
 
     @staticmethod
@@ -1440,6 +1448,13 @@ class StructuredQueryEngine:
         than computing a wrong shard-local statistic."""
         if pruned and doc_range is None:
             raise ValueError("pruned=True requires doc_range")
+        self._field_range = doc_range if pruned else None
+        try:
+            return self._run_inner(query, k, doc_set, doc_range, pruned, _warm)
+        finally:
+            self._field_range = None
+
+    def _run_inner(self, query, k, doc_set, doc_range, pruned, _warm):
         root = parse_query(query)
         leaf_terms: set[str] = set()
         self._leaf_terms(root, leaf_terms)

@@ -242,7 +242,8 @@ class IndexReader:
         (ref:src/MemoryIndex.cpp:605-612)."""
         return (self.manifest.get("field_stats") or {}).get(field)
 
-    def field_extents(self, field: str, doc_ids: list[int] | None = None) -> pa.Table:
+    def field_extents(self, field: str, doc_ids: list[int] | None = None,
+                      doc_range: tuple[int, int] | None = None) -> pa.Table:
         """(doc_id, begins, ends, numbers) extent rows of one field —
         pruned by field value (row-group stats) and, when given, by doc set
         (doc-range partitioned files).  Raises FileNotFoundError when the
@@ -253,6 +254,9 @@ class IndexReader:
         expr = pads.field("field") == field
         if doc_ids is not None:
             expr = expr & pads.field("doc_id").isin(list(set(doc_ids)))
+        if doc_range is not None:
+            expr = expr & (pads.field("doc_id") >= doc_range[0]) \
+                        & (pads.field("doc_id") < doc_range[1])
         cols = ["doc_id", "begins", "ends", "numbers"]
         # tag-tree columns (indexes built before ordinals existed lack them)
         names = dset.schema.names

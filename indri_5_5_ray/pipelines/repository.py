@@ -165,11 +165,12 @@ class MultiIndexReader:
         order = np.argsort(ids, kind="stable")
         return ids[order], lps[order]
 
-    def field_extents(self, field: str, doc_ids: list[int] | None = None) -> pa.Table:
+    def field_extents(self, field: str, doc_ids: list[int] | None = None,
+                      doc_range: tuple[int, int] | None = None) -> pa.Table:
         tables = []
         for r in self.readers:
             try:
-                tables.append(r.field_extents(field, doc_ids))
+                tables.append(r.field_extents(field, doc_ids, doc_range))
             except FileNotFoundError:
                 continue
         if not tables:

@@ -160,3 +160,43 @@ def test_sharded_rm3(built_index):
         m = np.array(sharded.column("qid").to_pylist()) == qid
         assert sharded.column("doc_id").to_numpy()[m].tolist() == ids.tolist(), qid
         np.testing.assert_array_equal(sharded.column("score").to_numpy()[m], scores)
+
+
+def test_pruned_field_query_sharded(built_index, tmp_path):
+    """Field-restricted and predicate queries through the PRUNED scatter
+    (range-pruned postings AND field extents) are bit-identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.pipelines.run import run_queries_sharded
+
+    docs = [f"<title>alpha t{i % 7}</title> body{i % 11} alpha "
+            f"<size> {100 + i * 3} </size>" for i in range(120)]
+    corpus = tmp_path / "fc"
+    corpus.mkdir()
+    pq.write_table(pa.table({
+        "repo": ["r"] * len(docs),
+        "path": [f"d{i}.txt" for i in range(len(docs))],
+        "commit": [f"c{i}" for i in range(len(docs))],
+        "lang": ["txt"] * len(docs),
+        "content": docs,
+    }), corpus / "corpus.parquet")
+    out = str(tmp_path / "fidx")
+    build_index(str(corpus), out, IndexConfig(
+        stemmer=None, dedup_key=None, n_buckets=4, max_chunk_docs=32,
+        fields=("title", "size"), numeric_fields=("size",)), resume=False)
+
+    eng = StructuredQueryEngine(IndexReader(out))
+    queries = [("1", "#combine[title](alpha)"),
+               ("2", "#filreq(#less(size 220) alpha)")]
+    sharded = run_queries_sharded(out, queries, k=30, n_shards=3,
+                                  concurrency=2, kind="structured")
+    for qid, text in queries:
+        ids, sc = eng.run(text, k=30)
+        m = np.array(sharded.column("qid").to_pylist()) == qid
+        assert sharded.column("doc_id").to_numpy()[m].tolist() == ids.tolist(), qid
+        np.testing.assert_array_equal(sharded.column("score").to_numpy()[m], sc)
