@@ -549,6 +549,8 @@ class StructuredQueryEngine:
 
     def __init__(self, reader: IndexReader, method: str = "dirichlet",
                  mu: float = 2500.0, lam: float = 0.4):
+        if method not in ("dirichlet", "jm", "linear", "jelinek-mercer"):
+            raise ValueError(f"unknown smoothing method {method!r}")
         self.r = reader
         self.method = method
         self.mu = mu

@@ -46,8 +46,14 @@ def process_query_lm(text: str, cfg: IndexConfig,
 class LMScorer:
     """Dirichlet / Jelinek-Mercer #combine scorer (exhaustive union DAAT)."""
 
+    _METHODS = ("dirichlet", "jm", "linear", "jelinek-mercer", "two",
+                "two-stage", "twostage")
+
     def __init__(self, reader: IndexReader, method: str = "dirichlet",
                  mu: float = 2500.0, lam: float = 0.4):
+        if method not in self._METHODS:
+            raise ValueError(f"unknown smoothing method {method!r} "
+                             f"(one of {self._METHODS})")
         self.r = reader
         self.method = method
         self.mu = mu

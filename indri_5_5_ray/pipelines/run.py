@@ -26,32 +26,67 @@ def _reg_snapshot() -> dict:
 
 
 class QueryWorker:
+    """Actor-pool batch retrieval with docno lookup + per-query latency.
+
+    ``kind`` selects the engine like :class:`ShardedQueryWorker`:
+    "bm25" (method = blockmax | exhaustive), "lm" (#combine language
+    model; method = dirichlet | jm | two), or "structured" (full
+    indriql)."""
+
     def __init__(self, index_dir: str, k: int = 1000, method: str = "blockmax",
-                 registry_snapshot: dict | None = None):
+                 registry_snapshot: dict | None = None, kind: str = "bm25",
+                 mu: float = 2500.0, lam: float = 0.4):
         if registry_snapshot:
             from .. import registry as _registry
 
             _registry.restore(registry_snapshot)
         self.reader = IndexReader(index_dir)
-        self.scorer = BM25Scorer(self.reader)
+        self.kind = kind
+        # ``method`` is overloaded: the BM25 accumulation strategy
+        # (blockmax | exhaustive) OR the LM smoothing — don't let the
+        # bm25 default leak into a smoothing selector
+        smoothing = (method if method not in ("blockmax", "exhaustive")
+                     else "dirichlet")
+        if kind == "bm25":
+            self.scorer = BM25Scorer(self.reader)
+        elif kind == "lm":
+            from .lm import LMScorer
+
+            self.scorer = LMScorer(self.reader, method=smoothing, mu=mu,
+                                   lam=lam)
+        elif kind == "structured":
+            from .indriql import StructuredQueryEngine
+
+            self.scorer = StructuredQueryEngine(self.reader,
+                                                method=smoothing,
+                                                mu=mu, lam=lam)
+        else:
+            raise ValueError(f"unknown query kind {kind!r}")
         self.k = k
         self.method = method
         self.reader.doc_lens()  # warm once per actor
 
+    def _score(self, text: str):
+        if self.kind == "bm25":
+            terms = process_query(text, self.reader.cfg)
+            score = (self.scorer.score_blockmax if self.method == "blockmax"
+                     else self.scorer.score_exhaustive)
+            return score(terms, k=self.k)
+        if self.kind == "lm":
+            from .feedback import process_query_lm
+
+            return self.scorer.score(
+                process_query_lm(text, self.reader.cfg), k=self.k)
+        return self.scorer.run(text, k=self.k)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"qid": [], "rank": [], "doc_id": [], "docno": [], "score": [],
                "latency_ms": []}
-        score = (
-            self.scorer.score_blockmax
-            if self.method == "blockmax"
-            else self.scorer.score_exhaustive
-        )
         for qid, text in zip(
             batch.column("qid").to_pylist(), batch.column("text").to_pylist()
         ):
             t0 = time.perf_counter()
-            terms = process_query(text, self.reader.cfg)
-            ids, scores = score(terms, k=self.k)
+            ids, scores = self._score(text)
             ms = (time.perf_counter() - t0) * 1000
             n = len(ids)
             out["qid"].extend([qid] * n)
@@ -285,8 +320,11 @@ def run_queries(
     k: int = 1000,
     method: str = "blockmax",
     concurrency: tuple[int, int] = (1, 8),
+    kind: str = "bm25",
 ) -> pa.Table:
-    """Run (qid, text) queries in parallel; returns the full result table."""
+    """Run (qid, text) queries in parallel; returns the full result table
+    (docnos + per-query latency).  ``kind`` = "bm25" | "lm" | "structured"
+    (see :class:`QueryWorker`)."""
     items = [{"qid": q, "text": t} for q, t in queries]
     ds = ray.data.from_items(items)
     res = ds.map_batches(
@@ -296,7 +334,7 @@ def run_queries(
         concurrency=concurrency,
         num_cpus=1,
         fn_constructor_kwargs={"index_dir": index_dir, "k": k,
-                               "method": method,
+                               "method": method, "kind": kind,
                                "registry_snapshot": _reg_snapshot()},
     )
     import ray as _ray
@@ -304,7 +342,7 @@ def run_queries(
     tables = [_ray.get(r) for r in res.to_arrow_refs()]
     tables = [t for t in tables if t.num_rows]
     if not tables:
-        return QueryWorker(index_dir, k, method)(
+        return QueryWorker(index_dir, k, method, kind=kind)(
             pa.table({"qid": pa.array([], pa.string()), "text": pa.array([], pa.string())})
         )
     return pa.concat_tables(tables).sort_by([("qid", "ascending"), ("rank", "ascending")])

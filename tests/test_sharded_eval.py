@@ -200,3 +200,28 @@ def test_pruned_field_query_sharded(built_index, tmp_path):
         m = np.array(sharded.column("qid").to_pylist()) == qid
         assert sharded.column("doc_id").to_numpy()[m].tolist() == ids.tolist(), qid
         np.testing.assert_array_equal(sharded.column("score").to_numpy()[m], sc)
+
+
+def test_run_queries_kinds(built_index):
+    """The actor-pool batch path (docnos + latency) serves LM and
+    structured queries identically to the single-process engines."""
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.lm import LMScorer, process_query_lm
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.pipelines.run import run_queries
+
+    out, _ = built_index
+    reader = IndexReader(out)
+    t = run_queries(out, [("1", "merge buffer token")], k=10, kind="lm",
+                    method="dirichlet", concurrency=2)
+    ids, sc = LMScorer(reader).score(
+        process_query_lm("merge buffer token", reader.cfg), k=10)
+    assert t.column("doc_id").to_pylist() == ids.tolist()
+    np.testing.assert_array_equal(t.column("score").to_numpy(), sc)
+    assert all(t.column("docno").to_pylist())  # docnos resolved
+
+    q = "#combine(#od2(merge buffer) token)"
+    t2 = run_queries(out, [("1", q)], k=10, kind="structured", concurrency=2)
+    ids2, sc2 = StructuredQueryEngine(reader).run(q, k=10)
+    assert t2.column("doc_id").to_pylist() == ids2.tolist()
+    np.testing.assert_array_equal(t2.column("score").to_numpy(), sc2)
