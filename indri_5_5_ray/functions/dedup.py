@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .textstats import tokens_expr
+from .textstats import token_count_expr, tokens_expr
 
 logger = logging.getLogger(__name__)
 
@@ -103,6 +103,14 @@ def dedup_keep_first(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
+# The exact-dup pre-collapse is shared by every pair-generating operator
+# (jaccard pairs → lsh pairs → clusters → keep-first chains each need it),
+# so one full-corpus pass is cached per corpus: keyed by (realpath, mtime)
+# the result is valid as long as the documents table is unchanged.  The
+# cached value is driver-resident but O(#duplicated docs) only.
+_DUP_GROUPS_CACHE: dict[tuple[str, float], tuple] = {}
+
+
 def _dup_groups(sf_dir: str) -> tuple[dict[int, np.ndarray], dict[int, int], set[int]]:
     """Content-identical groups with ≥2 members:
     ``({rep: sorted members}, {rep: n_tokens}, losers)``.
@@ -110,7 +118,18 @@ def _dup_groups(sf_dir: str) -> tuple[dict[int, np.ndarray], dict[int, int], set
     Only MULTI-member groups reach the driver — memory is O(#duplicated
     docs), the same bound as the keep-first dedup loser list the index build
     already materializes (a corpus where this is large is a corpus that
-    needed exact dedup first).  Singleton groups are never collected."""
+    needed exact dedup first).  Singleton groups are never collected.
+    Cached per (corpus path, mtime): the LSH chain calls this from several
+    operators and must not re-run the collapse each time."""
+    try:
+        cache_key = (os.path.realpath(sf_dir),
+                     os.path.getmtime(f"{sf_dir}/documents.parquet"))
+    except OSError:
+        cache_key = None
+    if cache_key is not None:
+        hit = _DUP_GROUPS_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
 
     def keyed(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
@@ -119,7 +138,7 @@ def _dup_groups(sf_dir: str) -> tuple[dict[int, np.ndarray], dict[int, int], set
             pl.col("text").map_elements(
                 lambda s: hashlib.md5(s.encode()).hexdigest(), return_dtype=pl.String
             ).alias("content_hash"),
-            tokens_expr().list.len().cast(pl.Int64).alias("n_tokens"),
+            token_count_expr().cast(pl.Int64).alias("n_tokens"),
         )
         return out.to_arrow()
 
@@ -156,22 +175,25 @@ def _dup_groups(sf_dir: str) -> tuple[dict[int, np.ndarray], dict[int, int], set
     groups: dict[int, np.ndarray] = {}
     ntok: dict[int, int] = {}
     losers: set[int] = set()
-    if not parts:
-        return groups, ntok, losers
-    merged = (
-        pl.from_arrow(pa.concat_tables(parts))
-        .explode("members")
-        .group_by("content_hash")
-        .agg(pl.col("members").sort(), pl.col("n_tokens").first())
-        .filter(pl.col("members").list.len() >= 2)
-    )
-    for members, ntoks in zip(merged["members"].to_list(),
-                              merged["n_tokens"].to_list()):
-        arr = np.asarray(members, dtype=np.int64)
-        rep = int(arr[0])
-        groups[rep] = arr
-        ntok[rep] = int(ntoks)
-        losers.update(int(x) for x in arr[1:])
+    if parts:
+        merged = (
+            pl.from_arrow(pa.concat_tables(parts))
+            .explode("members")
+            .group_by("content_hash")
+            .agg(pl.col("members").sort(), pl.col("n_tokens").first())
+            .filter(pl.col("members").list.len() >= 2)
+        )
+        for members, ntoks in zip(merged["members"].to_list(),
+                                  merged["n_tokens"].to_list()):
+            arr = np.asarray(members, dtype=np.int64)
+            rep = int(arr[0])
+            groups[rep] = arr
+            ntok[rep] = int(ntoks)
+            losers.update(int(x) for x in arr[1:])
+    if cache_key is not None:
+        if len(_DUP_GROUPS_CACHE) > 8:
+            _DUP_GROUPS_CACHE.clear()
+        _DUP_GROUPS_CACHE[cache_key] = (groups, ntok, losers)
     return groups, ntok, losers
 
 

@@ -28,6 +28,14 @@ def tokens_expr() -> pl.Expr:
     the all-lowercase testdata)."""
     return pl.col("text").str.to_lowercase().str.extract_all(TOKEN_RE)
 
+
+def token_count_expr() -> pl.Expr:
+    """Token COUNT without materializing the token lists —
+    ``count_matches`` equals ``extract_all(...).list.len()`` by definition
+    and skips the per-token allocation (used where only the count is
+    needed, e.g. the dedup pre-collapse eligibility check)."""
+    return pl.col("text").str.to_lowercase().str.count_matches(TOKEN_RE)
+
 # small marker-word sets for the language-ID heuristic (argmax of hits,
 # alphabetical language order tie-break, 'und' if no hits)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -212,8 +220,11 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
     table with a groupby.
 
     Entirely per-batch (no shuffle): md5 once per UNIQUE k-gram per batch,
-    rolling window minimum via log-free pairwise np.minimum over shifted
-    arrays, doc boundaries respected by position masks."""
+    rolling window minimum fully vectorized over uint64 — the 128-bit md5
+    is compared as (hi, lo) uint64 lanes (exact md5 order, no object-dtype
+    string minimum), with an index lane carrying the winning gram so the
+    output is still the full hex digest.  Doc boundaries respected by
+    position masks."""
     import hashlib as _hl
 
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -235,19 +246,32 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
         )
         grams = ex.drop_nulls("g")  # last k-1 positions per doc have no gram
         uniq = grams["g"].unique().to_list()
-        hmap = {s: _hl.md5(s.encode()).hexdigest() for s in uniq}
+        digests = b"".join(_hl.md5(s.encode()).digest() for s in uniq)
+        u128 = np.frombuffer(digests, dtype=">u8").reshape(-1, 2)
+        u_hex = np.array([d.hex() for d in
+                          (digests[i * 16:(i + 1) * 16]
+                           for i in range(len(uniq)))], dtype=object)
+        code_of = {s: i for i, s in enumerate(uniq)}
         doc = grams["doc_id"].to_numpy()
         gpos = grams["pos"].to_numpy()
-        H = np.array([hmap[s] for s in grams["g"].to_list()], dtype=object)
-        # rolling min of the last FP_W hashes (hex order == 128-bit order)
-        M = H.copy()
+        codes = np.fromiter((code_of[s] for s in grams["g"].to_list()),
+                            dtype=np.int64, count=grams.height)
+        h_hi = np.ascontiguousarray(u128[:, 0])[codes]
+        h_lo = np.ascontiguousarray(u128[:, 1])[codes]
+        # rolling min of the last FP_W hashes: exact 128-bit compare on two
+        # uint64 lanes, index lane tracks the winner's gram code
+        m_hi, m_lo, m_code = h_hi.copy(), h_lo.copy(), codes.copy()
         for s in range(1, FP_W):
-            M[s:] = np.minimum(M[s:], H[:-s])
+            c_hi, c_lo, c_code = h_hi[:-s], h_lo[:-s], codes[:-s]
+            lt = (c_hi < m_hi[s:]) | ((c_hi == m_hi[s:]) & (c_lo < m_lo[s:]))
+            m_hi[s:][lt] = c_hi[lt]
+            m_lo[s:][lt] = c_lo[lt]
+            m_code[s:][lt] = c_code[lt]
         # a window is complete when it lies inside one doc: gram index ≥ w-1
         valid = gpos >= FP_W - 1
         out = pl.DataFrame({
             "doc_id": doc[valid],
-            "fp": M[valid].astype(str),
+            "fp": u_hex[m_code[valid]].astype(str),
         }).unique().sort(["doc_id", "fp"])
         return out.to_arrow().cast(empty.schema)
 
