@@ -570,6 +570,12 @@ class StructuredQueryEngine:
         self._postings_memo: dict[tuple, dict] = {}
         self._cf_memo: dict[tuple, float] = {}
         self._strict_stats = False  # pruned run: memo misses must raise
+        # partial-stats collection mode (see partial_stats): node statistics
+        # are computed from the shard's RANGE-PRUNED data and recorded as
+        # shard-local partials (additive across disjoint shards) or global
+        # constants (manifest-derived), never entering _cf_memo
+        self._partial_memo: dict[tuple, float] | None = None
+        self._partial_const: dict[tuple, float] | None = None
         self._field_range: tuple[int, int] | None = None  # pruned run only
         self._passage: tuple[int, int] | None = None  # active passage window
 
@@ -1347,6 +1353,23 @@ class StructuredQueryEngine:
         so a sharded worker re-scoring the same query per doc-range shard
         pays the full-list sweep once."""
         memo_key = (_node_key(node), rfields)
+        if self._partial_memo is not None:
+            # partial-stats collection: compute from the shard's pruned data
+            # (additive across shards), except manifest-global constants.
+            # Checked BEFORE _cf_memo so a worker that later receives the
+            # summed memo can never leak a global value into a partial.
+            hit = self._partial_memo.get(memo_key)
+            if hit is None:
+                hit = self._partial_const.get(memo_key)
+            if hit is not None:
+                return hit
+            val = self._node_global_cf_uncached(node, rfields)
+            if node.op == "any":
+                # field extent_count comes from the manifest — global already
+                self._partial_const[memo_key] = val
+            else:
+                self._partial_memo[memo_key] = val
+            return val
         hit = self._cf_memo.get(memo_key)
         if hit is not None:
             return hit
@@ -1364,13 +1387,22 @@ class StructuredQueryEngine:
 
     def _node_global_cf_uncached(self, node: Node,
                                  rfields: tuple[str, ...] = ()) -> float:
+        # partial-stats mode: sums must cover EXACTLY the shard's doc range.
+        # Range-pruned reads prune at block/row-group granularity and can
+        # overshoot into neighbouring shards — scoring clips candidates
+        # afterwards, so here the stat sums clip the same way (else a doc in
+        # an overlapping block would be counted by two shards).
+        clip = (self._field_range
+                if self._partial_memo is not None else None)
         if node.op == "any":
             st = self.r.field_stats(node.term)
             return float(st["extent_count"]) if st else 0.0
         if node.op in _NUM_PREDS:
             data = self._field_data(node.term)
             return float(sum(
-                int(self._pred_mask(node, ext[2]).sum()) for ext in data.values()
+                int(self._pred_mask(node, ext[2]).sum())
+                for did, ext in data.items()
+                if clip is None or (clip[0] <= did < clip[1])
             ))
         parts = []
         for c in self._iter_term_children(node):
@@ -1380,6 +1412,11 @@ class StructuredQueryEngine:
         if not parts:
             return 0.0
         node_cand = np.unique(np.concatenate(parts))
+        if clip is not None:
+            node_cand = node_cand[(node_cand >= clip[0])
+                                  & (node_cand < clip[1])]
+        if not len(node_cand):
+            return 0.0
         counts = self._node_counts(node, self._postings, node_cand, rfields)
         return float(counts.sum())
 
@@ -1420,6 +1457,26 @@ class StructuredQueryEngine:
                 self._cand_docs(c, out)
 
     # -- entry point --------------------------------------------------------
+
+    def partial_stats(self, query: str, doc_range: tuple[int, int]
+                      ) -> tuple[dict, dict]:
+        """Shard-local node statistics for ``query``: ``(partials, consts)``
+        where ``partials[key]`` is the node count summed over THIS doc
+        range only (additive across disjoint shards — the reference's
+        distributed statistics gather, ref:src/QueryEnvironment.cpp:228-260
+        ``_sumServerQuery``) and ``consts[key]`` is a manifest-global
+        constant (identical on every shard).  All reads are range-pruned:
+        no full posting list is ever decoded.  A driver sums partials
+        across shards, merges consts, and ships the result as the
+        ``warm_stats``-equivalent memo for pruned scoring."""
+        self._partial_memo, self._partial_const = {}, {}
+        try:
+            self.run(query, k=1, doc_range=doc_range, pruned=True,
+                     _warm=True)
+        finally:
+            part, const = self._partial_memo, self._partial_const
+            self._partial_memo = self._partial_const = None
+        return part, const
 
     def warm_stats(self, query: str) -> dict:
         """Populate the node-statistics memo for ``query`` from FULL

@@ -109,6 +109,115 @@ class QueryWorker:
         )
 
 
+class StatsScatterWorker:
+    """Per-shard partial statistics for structured queries — the
+    distributed two-pass gather (ref:src/QueryEnvironment.cpp:228-260
+    ``_sumServerQuery``): each (query, shard) item yields the query's node
+    statistics computed from RANGE-PRUNED reads only; the driver sums
+    partials across shards.  Keys are pickled node-identity tuples."""
+
+    def __init__(self, index_dir: str, n_shards: int,
+                 registry_snapshot: dict | None = None,
+                 method: str = "dirichlet", mu: float = 2500.0,
+                 lam: float = 0.4):
+        if registry_snapshot:
+            from .. import registry as _registry
+
+            _registry.restore(registry_snapshot)
+        from .indriql import StructuredQueryEngine
+
+        self.reader = IndexReader(index_dir)
+        self.engine = StructuredQueryEngine(self.reader, method=method,
+                                            mu=mu, lam=lam)
+        span = (self.reader.manifest["max_doc_id"] + n_shards) // n_shards
+        self.ranges = [(s * span, (s + 1) * span) for s in range(n_shards)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pickle
+
+        keys: list[bytes] = []
+        vals: list[float] = []
+        consts: list[bool] = []
+        shards: list[int] = []
+        for text, shard in zip(batch.column("text").to_pylist(),
+                               batch.column("shard").to_pylist()):
+            part, const = self.engine.partial_stats(text, self.ranges[shard])
+            for k, v in part.items():
+                keys.append(pickle.dumps(k))
+                vals.append(float(v))
+                consts.append(False)
+                shards.append(shard)
+            for k, v in const.items():
+                keys.append(pickle.dumps(k))
+                vals.append(float(v))
+                consts.append(True)
+                shards.append(shard)
+        return pa.table({
+            "key": pa.array(keys, pa.binary()),
+            "val": pa.array(vals, pa.float64()),
+            "is_const": pa.array(consts, pa.bool_()),
+            "shard": pa.array(shards, pa.int32()),
+        })
+
+
+def _gather_structured_stats(
+    index_dir: str,
+    queries: list[tuple[str, str]],
+    n_shards: int,
+    concurrency: tuple[int, int] | int,
+    method: str,
+    mu: float,
+    lam: float,
+) -> dict:
+    """Distributed statistics pass: scatter (query × shard) partial-count
+    tasks, sum per node key on the driver (dedup per (key, shard) — two
+    queries sharing a node report the same shard partial twice).  The
+    driver itself never opens a posting list."""
+    import pickle
+
+    import ray as _ray
+
+    items = [
+        {"qid": q, "text": t, "shard": s}
+        for q, t in queries
+        for s in range(n_shards)
+    ]
+    ds = ray.data.from_items(items)
+    res = ds.map_batches(
+        StatsScatterWorker,
+        batch_size=max(1, len(items) // 32) or 1,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+        fn_constructor_kwargs={"index_dir": index_dir, "n_shards": n_shards,
+                               "registry_snapshot": _reg_snapshot(),
+                               "method": method, "mu": mu, "lam": lam},
+    )
+    per_shard: dict[tuple[bytes, int], float] = {}
+    consts: dict[bytes, float] = {}
+    for r in res.to_arrow_refs():
+        t = _ray.get(r)
+        if not t.num_rows or "key" not in t.column_names:
+            continue
+        for kb, v, c, s in zip(t.column("key").to_pylist(),
+                               t.column("val").to_pylist(),
+                               t.column("is_const").to_pylist(),
+                               t.column("shard").to_pylist()):
+            if c:
+                consts[kb] = v
+            else:
+                per_shard[(kb, s)] = v
+    memo: dict[tuple, float] = {}
+    sums: dict[bytes, float] = {}
+    for (kb, _s), v in per_shard.items():
+        sums[kb] = sums.get(kb, 0.0) + v
+    for kb, v in sums.items():
+        memo[pickle.loads(kb)] = v
+    for kb, v in consts.items():
+        memo.setdefault(pickle.loads(kb), v)
+    return memo
+
+
 class ShardedQueryWorker:
     """Scores (query × doc-range shard) pairs — the multi-node query
     architecture: one worker set per doc-range partition, global statistics
@@ -258,16 +367,12 @@ def run_queries_sharded(
                 stats_memo[qid] = list(zip([t for t, _ in expanded],
                                            wa.tolist()))
     if kind == "structured":
-        # statistics pass ON THE DRIVER (the reference's global two-pass):
-        # full postings are read once here; every shard worker then reads
-        # only its range's blocks
-        from .indriql import StructuredQueryEngine
-
-        eng = StructuredQueryEngine(IndexReader(index_dir), method=method,
-                                    mu=mu, lam=lam)
-        stats_memo = {}
-        for _qid, text in queries:
-            stats_memo.update(eng.warm_stats(text))
+        # statistics pass DISTRIBUTED (the reference's two-pass: per-server
+        # partial sums, ref:src/QueryEnvironment.cpp:228-260): each shard
+        # computes its range-pruned partial node counts; the driver only
+        # sums — it never decodes a posting list
+        stats_memo = _gather_structured_stats(
+            index_dir, queries, n_shards, concurrency, method, mu, lam)
 
     items = [
         {"qid": q, "text": t, "shard": s}

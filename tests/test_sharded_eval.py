@@ -225,3 +225,63 @@ def test_run_queries_kinds(built_index):
     ids2, sc2 = StructuredQueryEngine(reader).run(q, k=10)
     assert t2.column("doc_id").to_pylist() == ids2.tolist()
     np.testing.assert_array_equal(t2.column("score").to_numpy(), sc2)
+
+
+def test_partial_stats_sum_equals_warm_stats(built_index):
+    """The distributed statistics gather: per-shard partial node counts
+    (range-pruned reads) summed across disjoint shards equal the global
+    warm_stats memo (ref _sumServerQuery, src/QueryEnvironment.cpp:228-260)."""
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    out, manifest = built_index
+    reader = IndexReader(out)
+    q = "#combine(#od2(merge buffer) #syn(token stream) #uw4(int return))"
+    want = StructuredQueryEngine(reader).warm_stats(q)
+    assert want
+
+    n_shards = 3
+    span = (manifest["max_doc_id"] + n_shards) // n_shards
+    sums: dict = {}
+    consts: dict = {}
+    for s in range(n_shards):
+        eng = StructuredQueryEngine(reader)
+        part, const = eng.partial_stats(q, (s * span, (s + 1) * span))
+        for k, v in part.items():
+            sums[k] = sums.get(k, 0.0) + v
+        consts.update(const)
+    for k, v in want.items():
+        got = sums.get(k, consts.get(k))
+        assert got is not None, k
+        assert got == v, (k, got, v)
+
+
+def test_sharded_structured_driver_reads_no_postings(built_index, monkeypatch):
+    """The driver process must never fetch postings rows for a sharded
+    structured run — both the statistics pass and scoring are scattered;
+    only workers (separate processes, unaffected by this patch) read."""
+    import numpy as np
+
+    from indri_5_5_ray.pipelines import query as query_mod
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.pipelines.run import run_queries_sharded
+
+    out, _ = built_index
+    reader = IndexReader(out)  # build expectation BEFORE patching
+    eng = StructuredQueryEngine(reader)
+    expected = {qid: eng.run(text, k=20)
+                for qid, text in [("1", "#combine(#od2(merge buffer) token)")]}
+
+    def _no_driver_reads(self, *a, **kw):
+        raise AssertionError("driver-side postings fetch in sharded run")
+
+    monkeypatch.setattr(query_mod.IndexReader, "term_rows", _no_driver_reads)
+    sharded = run_queries_sharded(
+        out, [("1", "#combine(#od2(merge buffer) token)")], k=20,
+        n_shards=3, concurrency=2, kind="structured")
+    for qid, (ids, scores) in expected.items():
+        m = np.array(sharded.column("qid").to_pylist()) == qid
+        assert sharded.column("doc_id").to_numpy()[m].tolist() == ids.tolist()
+        np.testing.assert_array_equal(sharded.column("score").to_numpy()[m],
+                                      scores)
