@@ -1650,8 +1650,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, fp FROM wins WHERE i >= 4
             ORDER BY doc_id, fp""",
         "rm3_topk": _rm3_sql().replace("{values}", _rm3_values_clause()),
-        # lsh_ann_topk, ivf_ann_topk, media_*: non-SQL-expressible (seeded
-        # hyperplanes / seeded k-means / binary decode) → rows-only driver
-        # check; semantics are pytest-verified instead (the ANN paths also
-        # have full-probe ≡ brute-force oracle entries).
+        # media payload sizes are pure functions of doc_id (see
+        # multimodal._synth_media_batch): P6 header 9 + digits(w) +
+        # digits(h) + 3wh; WAV 44 + 2n; opaque keystream 64 + (id%7)*17 —
+        # so the stats aggregate has an exact oracle over documents
+        "media_stats": """
+            WITH m AS (
+              SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image'
+                                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                CASE doc_id % 3
+                  WHEN 0 THEN 9
+                    + length(CAST(8 + (doc_id % 8) * 4 AS VARCHAR))
+                    + length(CAST(8 + (doc_id % 5) * 4 AS VARCHAR))
+                    + (8 + (doc_id % 8) * 4) * (8 + (doc_id % 5) * 4) * 3
+                  WHEN 1 THEN 44 + (400 + (doc_id % 100) * 8) * 2
+                  ELSE 64 + (doc_id % 7) * 17
+                END AS n_bytes
+              FROM documents)
+            SELECT kind, COUNT(*)::BIGINT AS n_items,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+            FROM m GROUP BY kind ORDER BY kind""",
+        # lsh_ann_topk, ivf_ann_topk, media_features: non-SQL-expressible
+        # (seeded hyperplanes / seeded k-means / binary decode) → rows-only
+        # driver check; semantics are pytest-verified instead (the ANN paths
+        # also have full-probe ≡ brute-force oracle entries).
     }

@@ -19,8 +19,8 @@ from __future__ import annotations
 
 import hashlib
 import io
+import os
 import wave
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -31,6 +31,7 @@ MULTIMODAL_SCHEMA = pa.schema(
         ("item_id", pa.int64()),
         ("kind", pa.string()),        # image | audio | video
         ("payload", pa.large_binary()),
+        ("n_bytes", pa.int64()),      # len(payload), column-pruned stats
         ("width", pa.int32()),        # typed metadata (fake but structured)
         ("height", pa.int32()),
         ("sample_rate", pa.int32()),
@@ -72,19 +73,27 @@ def make_wav(sample_rate: int, n_samples: int, seed: bytes) -> bytes:
     return buf.getvalue()
 
 
-def synth_media_table(sf_dir: str) -> pa.Table:
-    """Deterministic media table derived from the documents table: image
-    items carry REAL P6 netpbm payloads, audio items REAL WAV PCM16
-    payloads (both stdlib-decodable); video items stay opaque
-    (zlib(text) — no stdlib codec exists) and take the histogram
-    fallback."""
-    import pyarrow.parquet as pq
+def make_opaque(n: int, seed: bytes) -> bytes:
+    """Deterministic opaque payload (an md5 keystream) — stands in for
+    video, whose containers have no stdlib codec."""
+    blocks = []
+    counter = 0
+    while sum(map(len, blocks)) < n:
+        blocks.append(hashlib.md5(seed + counter.to_bytes(4, "little") + b"v").digest())
+        counter += 1
+    return b"".join(blocks)[:n]
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ids = t.column("doc_id").to_pylist()
+
+def _synth_media_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) batch → media rows.  Payload sizes are pure functions
+    of doc_id so ``media_stats`` has an exact SQL oracle over ``documents``:
+    image = 9 + len(str(w)) + len(str(h)) + 3wh  (P6 header + RGB),
+    audio = 44 + 2n  (RIFF/WAVE PCM16 header + samples),
+    video = 64 + (doc_id % 7) * 17  (opaque keystream)."""
     kinds = ["image", "audio", "video"]
     payloads, kind_col, w, h, sr = [], [], [], [], []
-    for did, text in zip(ids, t.column("text").to_pylist()):
+    ids = batch.column("doc_id").to_pylist()
+    for did, text in zip(ids, batch.column("text").to_pylist()):
         kind = kinds[did % 3]
         seed = hashlib.md5(text.encode("utf-8")).digest()
         if kind == "image":
@@ -100,7 +109,7 @@ def synth_media_table(sf_dir: str) -> pa.Table:
             h.append(0)
             sr.append(rate)
         else:
-            payloads.append(zlib.compress(text.encode("utf-8")))
+            payloads.append(make_opaque(64 + (did % 7) * 17, seed))
             w.append(0)
             h.append(0)
             sr.append(0)
@@ -110,12 +119,47 @@ def synth_media_table(sf_dir: str) -> pa.Table:
             "item_id": pa.array(ids, pa.int64()),
             "kind": pa.array(kind_col, pa.string()),
             "payload": pa.array(payloads, pa.large_binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
             "width": pa.array(w, pa.int32()),
             "height": pa.array(h, pa.int32()),
             "sample_rate": pa.array(sr, pa.int32()),
         },
         schema=MULTIMODAL_SCHEMA,
     )
+
+
+def synth_media_table(sf_dir: str) -> pa.Table:
+    """Deterministic media table derived from the documents table (driver-
+    side convenience for tests; the pipelines stream via
+    :func:`ensure_media_table`): image items carry REAL P6 netpbm payloads,
+    audio items REAL WAV PCM16 payloads (both stdlib-decodable); video
+    items stay opaque (md5 keystream — no stdlib codec exists) and take
+    the histogram fallback."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _synth_media_batch(t)
+
+
+def ensure_media_table(sf_dir: str) -> str:
+    """Materialize the synthetic media table as PARQUET once per corpus
+    (keyed by the documents table's mtime) so the media pipelines READ a
+    real table and stream — generation itself is a Ray pipeline
+    (map_batches over the documents read), not a driver loop."""
+    name = os.path.basename(os.path.realpath(sf_dir))
+    mtime = int(os.path.getmtime(f"{sf_dir}/documents.parquet"))
+    out = f"/tmp/indri55_media/{name}-{mtime}"
+    marker = f"{out}/_COMPLETE"
+    if os.path.exists(marker):
+        return out
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    # modest batch size: payload bytes, not row count, are the memory knob
+    ds.map_batches(_synth_media_batch, batch_format="pyarrow",
+                   batch_size=512).write_parquet(out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
 
 
 class MediaFeatureExtractor:
@@ -208,12 +252,15 @@ class MediaFeatureExtractor:
 
 def media_features(sf_dir: str, concurrency: tuple[int, int] = (1, 4),
                    batch_size: int = 64) -> ray.data.Dataset:
-    """The multimodal pipeline: binary table → actor-pool feature extraction.
+    """The multimodal pipeline: binary parquet table → actor-pool feature
+    extraction.  Reads the written media table (columns pruned to what the
+    extractor needs) so the whole pipeline streams.
 
     Small batch_size is deliberate: binary payloads are large, so batch
     bytes × concurrency is the real memory knob (not row count)."""
-    tbl = synth_media_table(sf_dir)
-    ds = ray.data.from_arrow(tbl)
+    media_dir = ensure_media_table(sf_dir)
+    ds = ray.data.read_parquet(media_dir,
+                               columns=["item_id", "kind", "payload"])
     return ds.map_batches(
         MediaFeatureExtractor,
         batch_size=batch_size,
@@ -224,10 +271,14 @@ def media_features(sf_dir: str, concurrency: tuple[int, int] = (1, 4),
 
 
 def media_stats(sf_dir: str) -> ray.data.Dataset:
-    """(kind, n_items, total_bytes) — aggregate over the media table."""
+    """(kind, n_items, total_bytes) — aggregate over the media table.
+    Column-pruned read (kind + n_bytes only; payloads never leave disk) →
+    small groupby; payload sizes are doc_id-derived so the DuckDB oracle
+    reproduces them from the documents view (see _synth_media_batch)."""
     from ray.data.aggregate import Count, Sum
 
-    feats = media_features(sf_dir)
-    return feats.groupby("kind").aggregate(
+    media_dir = ensure_media_table(sf_dir)
+    ds = ray.data.read_parquet(media_dir, columns=["kind", "n_bytes"])
+    return ds.groupby("kind").aggregate(
         Count(alias_name="n_items"), Sum("n_bytes", alias_name="total_bytes")
     )
