@@ -190,6 +190,70 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str) -> st
     return losers_dir if n else None
 
 
+def _consolidate_partials(out_dir: str, cfg: IndexConfig) -> str:
+    """Bound the merge reducers' fan-in: when ingest produced more partials
+    files than ``INDRI55_MAX_REDUCER_FILES`` (default 256), concatenate them
+    into ~``target_group_bytes`` consolidated files (bucket-sorted, bucket-
+    aligned row groups, same schema).  Every merge reducer then opens
+    O(consolidated files), not O(chunks) — at 10⁵+ chunks the per-reducer
+    dataset discovery + footer reads would otherwise dominate merge time.
+    One extra streaming pass over the partials, fully parallel and
+    lineage-resumable; returns the directory the merge should read."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as _pq
+
+    from ..state import lineage as _lineage
+
+    max_fan = int(os.environ.get("INDRI55_MAX_REDUCER_FILES", "256"))
+    partials_dir = Path(out_dir) / "partials"
+    files = sorted(str(p) for p in partials_dir.glob("*.parquet"))
+    if len(files) <= max_fan:
+        return str(partials_dir)
+    target_group_bytes = 256 << 20  # per-task input cap (compressed bytes)
+    sizes = [os.path.getsize(f) for f in files]
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    per_group_files = max(2, (len(files) + max_fan - 1) // max_fan)
+    for f, s in zip(files, sizes):
+        if cur and (cur_bytes + s > target_group_bytes
+                    or len(cur) >= per_group_files):
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += s
+    if cur:
+        groups.append(cur)
+
+    out_c = Path(out_dir) / "partials_c"
+    out_c.mkdir(parents=True, exist_ok=True)
+    n_buckets = cfg.n_buckets
+    out_str = str(out_c)
+
+    @ray.remote(num_cpus=1)
+    def _consolidate(gid: int, group: list[str]) -> None:
+        fp = _hl.md5("\n".join(group).encode()).hexdigest()[:16]
+        pid = f"{gid:05d}"
+        dest = f"{out_str}/c-{pid}.parquet"
+        if _lineage.is_done(out_dir, "consolidate", pid, fp) and os.path.exists(dest):
+            return
+        import time as _time
+
+        t0 = _time.perf_counter()
+        t = pa.concat_tables([_pq.read_table(f) for f in group])
+        t = t.sort_by([("bucket", "ascending")])
+        _pq.write_table(t, dest,
+                        row_group_size=max(256, t.num_rows // max(1, n_buckets)))
+        _lineage.write_record(
+            out_dir, "consolidate", pid, fp, rows=t.num_rows,
+            bytes_written=int(t.nbytes),
+            wall_ms=(_time.perf_counter() - t0) * 1000)
+
+    ray.get([_consolidate.remote(g, grp) for g, grp in enumerate(groups)])
+    return out_str
+
+
 def build_index(
     corpus: str | list[str],
     out_dir: str,
@@ -211,8 +275,9 @@ def build_index(
         shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
     if not resume:
-        for sub in ("docs", "partials", "postings", "dictionary", "priors",
-                    "direct", "fields", "lineage", "dedup_losers", "dedup_keys"):
+        for sub in ("docs", "partials", "partials_c", "postings", "dictionary",
+                    "priors", "direct", "fields", "lineage", "dedup_losers",
+                    "dedup_keys"):
             shutil.rmtree(out / sub, ignore_errors=True)
 
     t_start = time.perf_counter()
@@ -290,6 +355,11 @@ def build_index(
     out_str = str(out)
     cfg_dict = cfg.to_dict()
     plan_fp = f"{len(chunks)}:{chunks[-1].doc_id_base if chunks else 0}"
+    # bound each reducer's fan-in before the merge (no-op below the
+    # file-count threshold; see _consolidate_partials)
+    partials_src = _consolidate_partials(out_str, cfg)
+    timings["consolidate_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
 
     # num_cpus=0.9: lets merge tasks schedule even while the last dying
     # ingest actors still hold whole CPUs (teardown is async)
@@ -300,7 +370,7 @@ def build_index(
         # Dataset executor's per-phase overhead; buckets are batched into
         # ~one task per CPU so small clusters pay one worker spawn, not one
         # per bucket
-        t = MergeWorker(out_str, cfg_dict, plan_fp)(
+        t = MergeWorker(out_str, cfg_dict, plan_fp, partials_dir=partials_src)(
             pa.table({"bucket": pa.array(buckets, pa.int32())})
         )
         return t.to_pylist()

@@ -74,12 +74,18 @@ class MergeWorker:
     record per bucket makes the merge phase independently resumable.
     """
 
-    def __init__(self, out_dir: str, cfg_dict: dict, plan_fingerprint: str = ""):
+    def __init__(self, out_dir: str, cfg_dict: dict, plan_fingerprint: str = "",
+                 partials_dir: str | None = None):
         from ..config import IndexConfig
 
         self.out_dir = out_dir
         self.cfg = IndexConfig.from_dict(cfg_dict)
         self.plan_fingerprint = plan_fingerprint
+        # reducers read from the (possibly consolidated) partials source —
+        # build_index bounds the file count per reducer (see
+        # pipelines.build._consolidate_partials) so dataset discovery +
+        # footer reads stay O(bounded), not O(chunks)
+        self.partials_dir = partials_dir or f"{out_dir}/partials"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import os
@@ -91,7 +97,7 @@ class MergeWorker:
         from ..state import lineage
 
         out_rows = []
-        dset = pads.dataset(f"{self.out_dir}/partials", format="parquet")
+        dset = pads.dataset(self.partials_dir, format="parquet")
         for bucket in batch.column("bucket").to_pylist():
             t0 = time.perf_counter()
             pid = f"{bucket:05d}"
