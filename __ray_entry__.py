@@ -1461,7 +1461,7 @@ def oracle_sql() -> dict[str, str]:
             bands AS (SELECT doc_id, perm // 4 AS band,
                              string_agg(minhash, '|' ORDER BY perm) AS sig
                       FROM mh GROUP BY doc_id, perm // 4),
-            buckets AS (SELECT doc_id, md5(band::VARCHAR || '|' || sig) AS bucket
+            buckets AS (SELECT doc_id, band::VARCHAR || '|' || sig AS bucket
                         FROM bands)
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM buckets a JOIN buckets b USING (bucket)

@@ -165,6 +165,30 @@ def run_bench() -> dict:
 
     field_eng = StructuredQueryEngine(IndexReader(_ensure_field_index(SF_DIR)))
 
+    # ANN quality signal: the pruned paths (LSH buckets / IVF probes) are
+    # rows-only in the driver check, so the bench records their recall@10
+    # against the exact brute-force top-k (same queries, same tie-break)
+    def _ann_recall() -> dict[str, float]:
+        bf = simsearch.knn_bruteforce(SF_DIR)
+        truth: dict[int, set[int]] = {}
+        for q, v in zip(bf.column("query_id").to_pylist(),
+                        bf.column("vec_id").to_pylist()):
+            truth.setdefault(q, set()).add(v)
+        total = sum(len(s) for s in truth.values())
+        out: dict[str, float] = {}
+        for nm, fn in (("lsh", simsearch.lsh_ann_topk),
+                       ("ivf", simsearch.ivf_ann_topk)):
+            t = fn(SF_DIR)
+            hits = sum(
+                v in truth.get(q, ())
+                for q, v in zip(t.column("query_id").to_pylist(),
+                                t.column("vec_id").to_pylist()))
+            out[f"recall10_{nm}"] = round(hits / total, 4) if total else 0.0
+        return out
+
+    for k_, v_ in _ann_recall().items():
+        results[k_] = v_
+
     for name, fn in [
         ("term_stats", lambda: textstats.term_stats(SF_DIR).count()),
         ("minhash_lsh", lambda: dedup.lsh_candidate_pairs(SF_DIR).count()),
@@ -179,7 +203,9 @@ def run_bench() -> dict:
         fn()
         results[name] = round(time.perf_counter() - t0, 3)
 
-    total = sum(v for k, v in results.items() if k not in ("bm25_p50", "bm25_p95"))
+    total = sum(v for k, v in results.items()
+                if k not in ("bm25_p50", "bm25_p95")
+                and not k.startswith("recall10_"))
     out = {
         "metric": "index-build docs/sec + BM25 p50/p95 + operator pipelines (sec)",
         "value": round(total, 3),

@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .textstats import token_count_expr, tokens_expr
+from .textstats import read_spread, token_count_expr, tokens_expr
 
 logger = logging.getLogger(__name__)
 
@@ -55,9 +55,7 @@ _EMPTY_PAIRS = pa.table(
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    return read_spread(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
 
 # ---------------------------------------------------------------------------
@@ -132,42 +130,42 @@ def _dup_groups(sf_dir: str) -> tuple[dict[int, np.ndarray], dict[int, int], set
             return hit
 
     def keyed(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
-        out = df.select(
-            pl.col("doc_id"),
-            pl.col("text").map_elements(
-                lambda s: hashlib.md5(s.encode()).hexdigest(), return_dtype=pl.String
-            ).alias("content_hash"),
-            token_count_expr().cast(pl.Int64).alias("n_tokens"),
-        )
-        return out.to_arrow()
+        # md5 as TWO int64 lanes (exact 128-bit equality, no string column
+        # rides the shuffle); texts hashed straight from the arrow buffer
+        texts = batch.column("text").cast(pa.large_binary()).to_pylist()
+        dig = b"".join(hashlib.md5(t).digest() for t in texts)
+        u = np.frombuffer(dig, dtype=">u8").reshape(-1, 2).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "h_hi": pa.array(np.ascontiguousarray(u[:, 0]), pa.int64()),
+            "h_lo": pa.array(np.ascontiguousarray(u[:, 1]), pa.int64()),
+        })
 
-    # ONE pipeline execution, no per-group Python: sort by content hash so
-    # each hash's rows are contiguous, then a vectorized polars group-by per
-    # batch.  Only multi-member groups and the ≤2 batch-BOUNDARY hashes per
-    # batch (a group can straddle a block cut) reach the driver —
-    # O(#dup docs + #blocks), scale-safe — where boundary fragments merge.
+    # ONE pipeline execution, no per-group Python: sort by the int64 high
+    # lane so every (h_hi, h_lo) group's rows land in one contiguous run,
+    # then a vectorized polars group-by per batch.  Only multi-member
+    # groups and the ≤2 batch-BOUNDARY h_hi runs per batch (a group can
+    # straddle a block cut) reach the driver — O(#dup docs + #blocks),
+    # scale-safe — where boundary fragments merge.
     keyed_ds = _docs(sf_dir).map_batches(keyed, batch_format="pyarrow")
 
     def batch_groups(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"content_hash": pa.array([], pa.string()),
-                          "members": pa.array([], pa.list_(pa.int64())),
-                          "n_tokens": pa.array([], pa.int64())})
-        if batch.num_rows == 0 or "content_hash" not in batch.column_names:
+        empty = pa.table({"h_hi": pa.array([], pa.int64()),
+                          "h_lo": pa.array([], pa.int64()),
+                          "members": pa.array([], pa.list_(pa.int64()))})
+        if batch.num_rows == 0 or "h_hi" not in batch.column_names:
             return empty
         df = pl.from_arrow(batch)
-        g = df.group_by("content_hash").agg(
+        g = df.group_by("h_hi", "h_lo").agg(
             pl.col("doc_id").sort().alias("members"),
-            pl.col("n_tokens").first().alias("n_tokens"),
             pl.len().alias("cnt"),
         )
-        edge = [df["content_hash"][0], df["content_hash"][-1]]
-        keep = g.filter((pl.col("cnt") >= 2)
-                        | pl.col("content_hash").is_in(edge))
+        edge = [df["h_hi"][0], df["h_hi"][-1]]
+        keep = g.filter((pl.col("cnt") >= 2) | pl.col("h_hi").is_in(edge))
         return keep.drop("cnt").to_arrow().cast(empty.schema)
 
     parts = [
-        t for t in (ray.get(r) for r in keyed_ds.sort("content_hash")
+        t for t in (ray.get(r) for r in keyed_ds.sort("h_hi")
                     .map_batches(batch_groups, batch_format="pyarrow")
                     .to_arrow_refs())
         if t.num_rows
@@ -179,17 +177,28 @@ def _dup_groups(sf_dir: str) -> tuple[dict[int, np.ndarray], dict[int, int], set
         merged = (
             pl.from_arrow(pa.concat_tables(parts))
             .explode("members")
-            .group_by("content_hash")
-            .agg(pl.col("members").sort(), pl.col("n_tokens").first())
+            .group_by("h_hi", "h_lo")
+            .agg(pl.col("members").sort())
             .filter(pl.col("members").list.len() >= 2)
         )
-        for members, ntoks in zip(merged["members"].to_list(),
-                                  merged["n_tokens"].to_list()):
+        for members in merged["members"].to_list():
             arr = np.asarray(members, dtype=np.int64)
             rep = int(arr[0])
             groups[rep] = arr
-            ntok[rep] = int(ntoks)
             losers.update(int(x) for x in arr[1:])
+        # token counts only for the REP docs (output-bounded point read):
+        # eligibility (n_tokens >= NGRAM_N) never needs a full-corpus count
+        if groups:
+            import pyarrow.dataset as pads
+
+            reps = sorted(groups)
+            t = pads.dataset(f"{sf_dir}/documents.parquet",
+                             format="parquet").to_table(
+                filter=pads.field("doc_id").isin(reps),
+                columns=["doc_id", "text"])
+            cnt = pl.from_arrow(t).select(
+                "doc_id", token_count_expr().cast(pl.Int64).alias("n"))
+            ntok = dict(zip(cnt["doc_id"].to_list(), cnt["n"].to_list()))
     if cache_key is not None:
         if len(_DUP_GROUPS_CACHE) > 8:
             _DUP_GROUPS_CACHE.clear()
@@ -457,9 +466,10 @@ def _minhash_wide(sh: pl.DataFrame) -> pl.DataFrame:
                              **{f"h{p}": pl.Series([], dtype=pl.Int64)
                                 for p in range(NUM_PERMS)}})
     uniq = sh["shingle"].unique().to_list()
-    h32 = np.array(
-        [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in uniq],
-        dtype=np.int64)
+    # first 4 md5 bytes big-endian == int(hexdigest[:8], 16), minus the
+    # per-item hex/int round trip
+    dig = b"".join(hashlib.md5(s.encode()).digest()[:4] for s in uniq)
+    h32 = np.frombuffer(dig, dtype=">u4").astype(np.int64)
     M = (h32[:, None] * MINHASH_A[None, :] + MINHASH_B[None, :]) % MINHASH_PRIME
     hdf = pl.DataFrame({"shingle": uniq,
                         **{f"h{p}": M[:, p] for p in range(NUM_PERMS)}})
@@ -484,30 +494,31 @@ def minhash_signatures(sf_dir: str) -> ray.data.Dataset:
 
 
 def _band_buckets(wide: pl.DataFrame) -> pl.DataFrame:
-    """Wide signatures → (doc_id, bucket) band-bucket rows."""
+    """Wide signatures → (doc_id, bucket, bprefix) band-bucket rows.
+
+    A bucket is the band index + the band's minhash run joined with '|' —
+    grouping is by EXACT signature equality, so no hash is needed (the SQL
+    oracle joins on the identical string).  ``bprefix`` is the coarse
+    co-location key: the band's first minhash mod 256 (uniform — minhashes
+    are uniform) — every member of a bucket shares it, so one reducer sees
+    the whole bucket, computed numerically instead of a per-row md5."""
     if wide.height == 0:
         return pl.DataFrame({"doc_id": pl.Series([], dtype=pl.Int64),
-                             "bucket": pl.Series([], dtype=pl.String)})
+                             "bucket": pl.Series([], dtype=pl.String),
+                             "bprefix": pl.Series([], dtype=pl.Int32)})
     rows_per_band = NUM_PERMS // LSH_BANDS
     parts = []
     for band in range(LSH_BANDS):
         chunk = [f"h{p}" for p in range(band * rows_per_band, (band + 1) * rows_per_band)]
-        # the oracle's key is md5(band || '|' || '|'.join(chunk)); build the
-        # same string then md5 it rowwise
         sig = wide.select(
             "doc_id",
-            pl.concat_str([pl.col(c).cast(pl.String) for c in chunk],
-                          separator="|").alias("sig"),
-        ).with_columns(pl.lit(band).alias("band"))
+            pl.concat_str([pl.lit(str(band))]
+                          + [pl.col(c).cast(pl.String) for c in chunk],
+                          separator="|").alias("bucket"),
+            (pl.col(chunk[0]) % 256).cast(pl.Int32).alias("bprefix"),
+        )
         parts.append(sig)
-    allb = pl.concat(parts)
-    return allb.with_columns(
-        pl.concat_str([pl.col("band").cast(pl.String), pl.lit("|"), pl.col("sig")],
-                      separator="")
-        .map_elements(lambda s: hashlib.md5(s.encode()).hexdigest(),
-                      return_dtype=pl.String)
-        .alias("bucket")
-    ).select("doc_id", "bucket")
+    return pl.concat(parts)
 
 
 def lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
@@ -524,14 +535,11 @@ def lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
     reps = _rep_docs(sf_dir, losers)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        t = _band_buckets(_minhash_wide(_doc_shingles(batch)))
-        # coarse co-location key: a bucket maps to exactly ONE prefix, so
-        # grouping by the 2-hex-char prefix (256 groups) puts every member
-        # of a bucket in the same reducer with NO boundary cases, while the
-        # per-group Python dispatch cost drops from one call per bucket
-        # (~4x docs, nearly all singletons) to one per prefix
-        return t.with_columns(
-            pl.col("bucket").str.slice(0, 2).alias("bprefix")).to_arrow()
+        # bprefix rides along from _band_buckets: 256 coarse groups put
+        # every member of a bucket in the same reducer with NO boundary
+        # cases, while per-group Python dispatch cost stays one call per
+        # prefix (not per mostly-singleton bucket)
+        return _band_buckets(_minhash_wide(_doc_shingles(batch))).to_arrow()
 
     buckets = reps.map_batches(bucketize, batch_format="pyarrow")
 

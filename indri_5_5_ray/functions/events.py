@@ -27,7 +27,9 @@ SESSION_GAP_S = 1800  # 30 min
 
 
 def _events(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    from .textstats import read_spread
+
+    return read_spread(f"{sf_dir}/events.parquet", columns=None)
 
 
 def tumbling_counts(sf_dir: str) -> ray.data.Dataset:

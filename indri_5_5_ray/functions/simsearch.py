@@ -19,7 +19,9 @@ import ray.data
 
 
 def _emb(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from .textstats import read_spread
+
+    return read_spread(f"{sf_dir}/embeddings.parquet", columns=None)
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:

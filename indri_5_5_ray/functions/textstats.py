@@ -46,10 +46,30 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def read_spread(path: str, columns: list[str]) -> ray.data.Dataset:
+    """Parquet read that never strands the cluster on block granularity:
+    Ray can't split INSIDE a row group, so a table written as one (or few)
+    row groups reads as one block and every downstream kernel runs
+    serially.  Small inputs (< 64 MB — the repartition cost is bounded by
+    that) are spread to cluster width; large corpora already arrive as
+    many blocks and stream unchanged."""
+    import os
+
+    import ray as _ray
+
+    ds = ray.data.read_parquet(path, columns=columns)
+    try:
+        small = os.path.getsize(path) < (64 << 20)
+    except OSError:
+        small = False
+    if small:
+        n = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        ds = ds.repartition(2 * n)
+    return ds
+
+
 def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    return read_spread(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
 
 def token_counts(sf_dir: str) -> ray.data.Dataset:
