@@ -176,8 +176,11 @@ def run_bench() -> dict:
             truth.setdefault(q, set()).add(v)
         total = sum(len(s) for s in truth.values())
         out: dict[str, float] = {}
-        for nm, fn in (("lsh", simsearch.lsh_ann_topk),
-                       ("ivf", simsearch.ivf_ann_topk)):
+        # bench settings chosen for recall ≥ 0.9 on the synthetic (near-
+        # uniform) embeddings — wide probes, as any ANN needs on data with
+        # no cluster structure; tests assert the same bar at sf0.01
+        for nm, fn in (("lsh", lambda d: simsearch.lsh_ann_topk(d, probe_bits=4)),
+                       ("ivf", lambda d: simsearch.ivf_ann_topk(d, nprobe=12))):
             t = fn(SF_DIR)
             hits = sum(
                 v in truth.get(q, ())
@@ -193,6 +196,7 @@ def run_bench() -> dict:
         ("term_stats", lambda: textstats.term_stats(SF_DIR).count()),
         ("minhash_lsh", lambda: dedup.lsh_candidate_pairs(SF_DIR).count()),
         ("knn", lambda: simsearch.knn_bruteforce(SF_DIR).num_rows),
+        ("doc_fingerprints", lambda: textstats.doc_fingerprints(SF_DIR).count()),
         ("lm_20q", lambda: [lm.score(process_query_lm(t, reader.cfg), k=100)
                             for _, t in queries[:20]]),
         ("window_5q", lambda: [eng.run(f"#combine(#od2({sq[0]} {sq[1]}) {t.split()[0]})", k=100)

@@ -416,3 +416,24 @@ def test_first_n_by_vec_id_stat_pruned(tmp_path):
     w = pq.ParquetWriter(path4, t.schema)
     w.close()
     assert _first_n_by_vec_id(path4, 3).num_rows == 0
+
+
+def test_ann_recall_at_bench_settings():
+    """The pruned ANN paths must hold recall@10 >= 0.9 vs brute force at
+    the settings bench.py records (probe_bits=4 / nprobe=12) — the
+    quantitative quality signal behind the rows-only driver entries."""
+    from indri_5_5_ray.functions.simsearch import (
+        ivf_ann_topk, knn_bruteforce, lsh_ann_topk)
+
+    sf = "/root/testdata/sf0.01"
+    bf = knn_bruteforce(sf)
+    truth: dict[int, set[int]] = {}
+    for q, v in zip(bf.column("query_id").to_pylist(),
+                    bf.column("vec_id").to_pylist()):
+        truth.setdefault(q, set()).add(v)
+    total = sum(len(s) for s in truth.values())
+    for t in (lsh_ann_topk(sf, probe_bits=4), ivf_ann_topk(sf, nprobe=12)):
+        hits = sum(v in truth.get(q, ())
+                   for q, v in zip(t.column("query_id").to_pylist(),
+                                   t.column("vec_id").to_pylist()))
+        assert hits / total >= 0.9, hits / total
