@@ -345,6 +345,46 @@ def _ensure_field_index(sf_dir: str) -> str:
     return str(index_dir)
 
 
+def _ensure_annotated_index(sf_dir: str) -> str:
+    """Index over the UNTAGGED twin of the tagged corpus, with the title
+    extents supplied as an offset-annotation side table (the
+    OffsetAnnotationAnnotator join) — same token stream, same extents, so
+    the tagged corpus's field SQL oracle checks this index verbatim."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.sources.corpus import corpus_from_documents_annotated
+
+    key = hashlib.md5(f"{sf_dir}:annotated:v1".encode()).hexdigest()[:16]
+    root = Path(_CACHE) / key
+    index_dir = root / "index"
+    if (index_dir / "manifest.json").exists():
+        return str(index_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    corpus_dir = root / "corpus"
+    ann_path = root / "annotations.parquet"
+    if not (corpus_dir / "corpus.parquet").exists():
+        import pyarrow.parquet as pq
+
+        corpus_dir.mkdir(parents=True, exist_ok=True)
+        corpus, annotations = corpus_from_documents_annotated(sf_dir)
+        pq.write_table(corpus, corpus_dir / "corpus.parquet")
+        pq.write_table(annotations, ann_path)
+    cfg = IndexConfig(
+        stemmer=None, dedup_key=None, n_buckets=8, max_chunk_docs=256,
+        fields=("title", "size"), numeric_fields=("size",),
+        offset_annotations=str(ann_path),
+    )
+    build_index(str(corpus_dir), str(index_dir), cfg)
+    return str(index_dir)
+
+
+def _anno_field_topk(sf_dir: str):
+    """(qid, rank, doc_id) — the FIELD_QUERIES run against the
+    annotation-built index; shares field_topk's SQL oracle because the
+    annotated index is token-for-token the tagged one."""
+    return _field_run(sf_dir, FIELD_QUERIES, ensure=_ensure_annotated_index)
+
+
 def _ensure_nested_index(sf_dir: str) -> str:
     """Index over the NESTED tagged corpus (sec/p/title tag tree varying by
     doc_id % 3) for the path-restriction oracle."""
@@ -600,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_topk_kstem": lambda sf: _lm_topk(sf, stem=True, method="dirichlet"),
         "structured_topk": lambda sf: _structured_topk(sf, stem=False),
         "field_topk": _field_topk,
+        "anno_field_topk": _anno_field_topk,
         "field_filter_topk": _field_filter_topk,
         "path_topk": _path_topk,
         "structured2_topk": _structured2_topk,
@@ -1392,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_topk_two": _lm_sql("two").replace("{values}", _bm25_values_clause()),
         "structured_topk": _structured_sql(),
         "field_topk": _field_sql(),
+        "anno_field_topk": _field_sql(),
         "field_filter_topk": _field_filter_sql(),
         "path_topk": _path_sql(),
         "structured2_topk": _structured2_sql(),

@@ -33,6 +33,12 @@ class IndexConfig:
     fields: tuple[str, ...] = ()
     numeric_fields: tuple[str, ...] = ()
     date_fields: tuple[str, ...] = ()
+    # offset-annotation side table (the reference's OffsetAnnotationAnnotator,
+    # ref:src/OffsetAnnotationAnnotator.cpp, applied at
+    # ref:src/IndexEnvironment.cpp:88-129): parquet with columns
+    # (docno, field, begin, end) in TOKEN positions, joined broadcast-style
+    # at ingest; annotated fields must also be listed in ``fields``
+    offset_annotations: str | None = None
     dedup_key: str | None = "docno"        # None | "docno" | "sha256"
     target_block_bytes: int = 4096         # ref:src/IndexWriter.cpp:527
     n_buckets: int = 32                    # term-hash partition dirs for pruning
@@ -54,6 +60,7 @@ class IndexConfig:
             "fields": list(self.fields),
             "numeric_fields": list(self.numeric_fields),
             "date_fields": list(self.date_fields),
+            "offset_annotations": self.offset_annotations,
             "dedup_key": self.dedup_key,
             "target_block_bytes": self.target_block_bytes,
             "n_buckets": self.n_buckets,

@@ -176,6 +176,33 @@ def date_to_days(text: str) -> int | None:
     return None
 
 
+def merge_annotation_events(
+    events: list[tuple[str, bool, int]],
+    annotations: list[tuple[str, int, int]],
+    n_tokens: int,
+) -> list[tuple[str, bool, int]]:
+    """Offset annotations merged into a document's tag-event stream as
+    synthetic open/close events — the reference's side-file annotation join
+    (ref:src/OffsetAnnotationAnnotator.cpp, applied per document at
+    ref:src/IndexEnvironment.cpp:88-129).  ``annotations`` rows are
+    (field, begin, end) in TOKEN positions, clipped to [0, n_tokens];
+    at equal positions document tags keep their original relative order
+    and annotations sort after them (stable, input order)."""
+    if not annotations:
+        return events
+    rows: list[tuple[int, int, int, str, bool]] = [
+        (pos, 0, i, name, is_close)
+        for i, (name, is_close, pos) in enumerate(events)
+    ]
+    for j, (name, b, e) in enumerate(annotations):
+        b = max(0, min(int(b), n_tokens))
+        e = max(b, min(int(e), n_tokens))
+        rows.append((b, 1, j * 2, name, False))
+        rows.append((e, 1, j * 2 + 1, name, True))
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    return [(name, is_close, pos) for pos, _src, _seq, name, is_close in rows]
+
+
 def extract_extents_tree(
     events: list[tuple[str, bool, int]],
     n_tokens: int,

@@ -296,6 +296,50 @@ def corpus_from_documents_tagged(sf_dir: str) -> pa.Table:
     )
 
 
+def corpus_from_documents_annotated(sf_dir: str) -> tuple[pa.Table, pa.Table]:
+    """documents table → (corpus, annotations): the SAME token stream as
+    :func:`corpus_from_documents_tagged` but with the title extent supplied
+    as an OFFSET-ANNOTATION side table (docno, field, begin, end) instead
+    of inline ``<title>`` tags — the OffsetAnnotationAnnotator ingest join
+    (ref:src/OffsetAnnotationAnnotator.cpp).  An index built from this pair
+    must be query-for-query identical to the inline-tagged one, so the
+    tagged corpus's SQL oracles check the annotation path verbatim."""
+    import re as _re
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    sources = t.column("source").to_pylist()
+    langs = t.column("lang").to_pylist()
+    n_chars = t.column("n_chars").to_pylist()
+    contents, ann_docno, ann_begin, ann_end = [], [], [], []
+    for i, (text, nc, src) in enumerate(zip(texts, n_chars, sources)):
+        toks = _re.findall(r"[a-z0-9]+", text.lower())[:8]
+        title = " ".join(toks)
+        contents.append(f"{title} {text} <size> {nc} </size>")
+        commit = hashlib.md5(text.encode()).hexdigest()
+        ann_docno.append(f"{src}/doc_{ids[i]}.txt@{commit}")
+        ann_begin.append(0)
+        ann_end.append(len(toks))
+    corpus = pa.table(
+        {
+            "repo": sources,
+            "path": [f"doc_{i}.txt" for i in ids],
+            "commit": [hashlib.md5(x.encode()).hexdigest() for x in texts],
+            "lang": langs,
+            "content": contents,
+        },
+        schema=CORPUS_SCHEMA,
+    )
+    annotations = pa.table({
+        "docno": pa.array(ann_docno, pa.string()),
+        "field": pa.array(["title"] * len(ann_docno), pa.string()),
+        "begin": pa.array(ann_begin, pa.int64()),
+        "end": pa.array(ann_end, pa.int64()),
+    })
+    return corpus, annotations
+
+
 def corpus_from_documents_nested(sf_dir: str) -> pa.Table:
     """documents table → NESTED tagged corpus for tag-tree (path
     restriction) indexing, SQL-reproducibly.  The token stream is the same

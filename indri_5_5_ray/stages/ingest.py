@@ -338,6 +338,20 @@ class IngestWorker:
         self.proc = TermProcessor(self.cfg)
         self.losers_path = losers_path
         self._bucket_memo: dict[str, int] = {}
+        # offset-annotation side table: loaded ONCE per worker (the
+        # broadcast-small-side join of ref:src/IndexEnvironment.cpp:88-129);
+        # a docno-partitioned read is the seam if the table outgrows memory
+        self._annotations: dict[str, list[tuple[str, int, int]]] | None = None
+        if self.cfg.offset_annotations:
+            t = pq.read_table(self.cfg.offset_annotations,
+                              columns=["docno", "field", "begin", "end"])
+            anns: dict[str, list[tuple[str, int, int]]] = {}
+            for dn, f, b, e in zip(t.column("docno").to_pylist(),
+                                   t.column("field").to_pylist(),
+                                   t.column("begin").to_pylist(),
+                                   t.column("end").to_pylist()):
+                anns.setdefault(dn, []).append((f, int(b), int(e)))
+            self._annotations = anns
 
     def _losers_in_range(self, lo: int, hi: int) -> np.ndarray:
         """Dedup losers (doc_ids to drop) intersecting [lo, hi) — row-group
@@ -424,6 +438,13 @@ class IngestWorker:
                 from ..fields import extract_extents_tree, tokenize_bytes_events
 
                 raw_tokens, tag_events = tokenize_bytes_events(data)
+                if self._annotations is not None:
+                    ann = self._annotations.get(docnos[local_i])
+                    if ann:
+                        from ..fields import merge_annotation_events
+
+                        tag_events = merge_annotation_events(
+                            tag_events, ann, len(raw_tokens))
                 extmap = extract_extents_tree(
                     tag_events, len(raw_tokens), field_spec,
                     self.cfg.numeric_fields, self.cfg.date_fields, raw_tokens,
