@@ -108,6 +108,42 @@ def parse_trecweb(data: str) -> list[tuple[str, str]]:
     return out
 
 
+# --- html file class ---------------------------------------------------
+# tag-spec depth per the reference's html file class
+# (ref:src/FileClassEnvironmentFactory.cpp:105-299: exclude script/style,
+# index structural tags) and HTMLParser's URL extraction
+# (ref:src/HTMLParser.cpp:1-462: absolute hrefs harvested from anchors).
+
+HTML_EXCLUDE_TAGS = ("script", "style")
+# tags worth indexing as fields when building with cfg.fields — the
+# reference's html index-tag list (title/heading/anchor structure)
+HTML_INDEX_TAGS = ("title", "h1", "h2", "h3", "h4", "a", "b", "i")
+
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_ABS_URL_RE = re.compile(
+    r"""(?:href|src)\s*=\s*["']?(https?://[^"'\s>]+)""", re.IGNORECASE)
+
+
+def parse_html(data: str,
+               exclude_tags: tuple[str, ...] = HTML_EXCLUDE_TAGS
+               ) -> tuple[str, list[str]]:
+    """One HTML document → (cleaned content, absolute URLs).
+
+    Comments and the full content of excluded tags (script/style by
+    default) are dropped BEFORE tokenization — the reference's exclude-tag
+    handling; absolute ``href``/``src`` URLs are extracted first (the
+    HTMLParser URL harvest, ref:src/HTMLParser.cpp) so links inside later-
+    excluded regions still count.  Remaining markup is kept: the tokenizer
+    skips tags, and the build config may index any of HTML_INDEX_TAGS as
+    fields."""
+    urls = _ABS_URL_RE.findall(data)
+    data = _COMMENT_RE.sub(" ", data)
+    for t in exclude_tags:
+        data = re.sub(rf"<{t}\b.*?(?:</{t}\s*>|\Z)", " ", data,
+                      flags=re.IGNORECASE | re.DOTALL)
+    return data, urls
+
+
 # custom file classes: name → parse fn (file text → [(docno, content)]),
 # the IndexEnvironment::addFileClass seam (ref:src/IndexEnvironment.cpp:192-208,
 # spec struct ref:src/FileClassEnvironmentFactory.cpp:105-299)
@@ -125,10 +161,11 @@ def add_file_class(name: str, parse_fn) -> None:
 
 
 def read_tagged(paths: list[str] | str, file_class: str = "trectext") -> ray.data.Dataset:
-    """Dataset of (docno, content) rows for a registered file class
+    """Dataset of (docno, content[, urls]) rows for a registered file class
     ('trectext' | 'trecweb' | 'html' — html treats each FILE as one doc
-    keyed by its path, like the reference's html file class — or a name
-    registered via :func:`add_file_class`)."""
+    keyed by its path, cleans it through :func:`parse_html` and carries the
+    extracted absolute URLs in a ``urls`` column — or a name registered via
+    :func:`add_file_class`)."""
     if isinstance(paths, str):
         p = Path(paths)
         paths = [str(p)] if p.is_file() else sorted(str(f) for f in p.rglob("*") if f.is_file())
@@ -141,7 +178,9 @@ def read_tagged(paths: list[str] | str, file_class: str = "trectext") -> ray.dat
         if file_class == "trecweb":
             return [{"docno": d, "content": c} for d, c in parse_trecweb(data)]
         if file_class == "html":
-            return [{"docno": row["path"], "content": data}]
+            content, urls = parse_html(data)
+            return [{"docno": row["path"], "content": content,
+                     "urls": " ".join(urls)}]
         if custom is not None:
             return [{"docno": d, "content": c} for d, c in custom(data)]
         raise ValueError(f"unknown file class {file_class!r}")

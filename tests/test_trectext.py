@@ -130,3 +130,47 @@ def test_cli_inspection_commands(built_index, capsys):
     cli.main([index_dir, "invlist", "merge"])
     out = capsys.readouterr().out
     assert "block last=" in out and "row salt=" in out
+
+
+def test_parse_html_spec():
+    """html file class: comments + excluded tag content dropped, markup
+    kept for field indexing, absolute URLs harvested (incl. from regions
+    excluded afterwards) — ref HTMLParser/file-class tag specs."""
+    from indri_5_5_ray.sources.trectext import parse_html
+
+    html = (
+        "<html><head><title>My Page</title>"
+        "<script>var hidden = 'javascriptsecret';\n"
+        "fetch('https://api.example.com/x')</script>"
+        "<style>.c { color: red }</style></head>"
+        "<!-- commentsecret -->"
+        "<body><h1>Header Words</h1>"
+        "<a href='https://example.org/page'>anchor text</a>"
+        "<a href='/relative/path'>rel</a>"
+        "<img src=\"https://img.example.net/i.png\">"
+        "body words</body></html>"
+    )
+    content, urls = parse_html(html)
+    assert "javascriptsecret" not in content
+    assert "commentsecret" not in content
+    assert "color" not in content
+    for kept in ("My Page", "Header Words", "anchor text", "body words",
+                 "<title>", "<h1>"):
+        assert kept in content
+    # href/src absolute URLs only (the fetch() literal is not an attribute);
+    # relative hrefs are skipped
+    assert urls == ["https://example.org/page",
+                    "https://img.example.net/i.png"]
+
+
+def test_read_tagged_html(tmp_path):
+    from indri_5_5_ray.sources.trectext import read_tagged
+
+    f = tmp_path / "page.html"
+    f.write_text("<html><script>skip me</script>"
+                 "<title>T</title><a href='http://u.example/'>x</a></html>")
+    rows = read_tagged(str(tmp_path), file_class="html").take_all()
+    assert len(rows) == 1
+    assert rows[0]["docno"].endswith("page.html")
+    assert "skip" not in rows[0]["content"]
+    assert rows[0]["urls"] == "http://u.example/"
