@@ -231,44 +231,48 @@ def _expand_rep_pairs(
     extra_cols: list[str],
 ) -> ray.data.Dataset:
     """Expand pairs over representatives to pairs over ALL group members —
-    a map-side broadcast lookup (most reps are singletons and pass through
-    unchanged; only pairs touching a multi-member group fan out)."""
+    a map-side broadcast join (most reps are singletons and pass through
+    unchanged; only pairs touching a multi-member group fan out).  Fully
+    vectorized: a polars join against the broadcast (rep → members) table,
+    then a double explode for the per-pair cartesian product."""
     import ray as _ray
 
-    groups_ref = _ray.put(groups)
+    mdf = pl.DataFrame({
+        "rep": pl.Series(list(groups), dtype=pl.Int64),
+        "mem": pl.Series([g.tolist() for g in groups.values()],
+                         dtype=pl.List(pl.Int64)),
+    })
+    groups_ref = _ray.put(mdf)
 
     def expand(batch: pa.Table) -> pa.Table:
-        g = _ray.get(groups_ref)
         if batch.num_rows == 0 or "doc_a" not in batch.column_names:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              **{c: pa.array([], pa.float64()) for c in extra_cols}})
-        out_a, out_b = [], []
-        out_extra: dict[str, list] = {c: [] for c in extra_cols}
-        extras = {c: batch.column(c).to_pylist() for c in extra_cols}
-        for i, (a, b) in enumerate(zip(batch.column("doc_a").to_pylist(),
-                                       batch.column("doc_b").to_pylist())):
-            ma = g.get(a)
-            mb = g.get(b)
-            if ma is None and mb is None:
-                out_a.append(a)
-                out_b.append(b)
-                for c in extra_cols:
-                    out_extra[c].append(extras[c][i])
-                continue
-            ma = ma if ma is not None else np.array([a], dtype=np.int64)
-            mb = mb if mb is not None else np.array([b], dtype=np.int64)
-            for x in ma.tolist():
-                for y in mb.tolist():
-                    out_a.append(min(x, y))
-                    out_b.append(max(x, y))
-                    for c in extra_cols:
-                        out_extra[c].append(extras[c][i])
-        return pa.table({
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            **{c: pa.array(out_extra[c], pa.float64()) for c in extra_cols},
-        })
+        m = _ray.get(groups_ref)
+        df = pl.from_arrow(batch)
+        df = (
+            df.join(m.rename({"rep": "doc_a", "mem": "ma"}), on="doc_a", how="left")
+            .join(m.rename({"rep": "doc_b", "mem": "mb"}), on="doc_b", how="left")
+            .with_columns(
+                pl.when(pl.col("ma").is_null())
+                .then(pl.concat_list(pl.col("doc_a")))
+                .otherwise(pl.col("ma")).alias("ma"),
+                pl.when(pl.col("mb").is_null())
+                .then(pl.concat_list(pl.col("doc_b")))
+                .otherwise(pl.col("mb")).alias("mb"),
+            )
+            .explode("ma")
+            .explode("mb")
+            .select(
+                pl.min_horizontal("ma", "mb").alias("doc_a"),
+                pl.max_horizontal("ma", "mb").alias("doc_b"),
+                *[pl.col(c) for c in extra_cols],
+            )
+        )
+        return df.to_arrow().cast(pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+            + [(c, pa.float64()) for c in extra_cols]))
 
     return rep_pairs.map_batches(expand, batch_format="pyarrow")
 
