@@ -170,7 +170,7 @@ class TermProcessor:
 
 
 def _accumulate_chunk(
-    all_raw: list[bytes],
+    all_raw: "list[bytes] | pa.Array",
     raw_lens: np.ndarray,
     proc: TermProcessor,
     pre_expanded: bool,
@@ -204,7 +204,8 @@ def _accumulate_chunk(
         return (np.zeros(n, np.int64), np.zeros(n, np.int64), [], e64,
                 e64, e64.astype(np.int32), e64.astype(np.int32), e64, e64,
                 e64)
-    arr = pa.array(all_raw, type=pa.large_binary())
+    arr = (all_raw if isinstance(all_raw, pa.Array)
+           else pa.array(all_raw, type=pa.large_binary()))
     enc = arr.dictionary_encode()
     idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     uniq = enc.dictionary.to_pylist()
@@ -426,6 +427,30 @@ class IngestWorker:
         # non-word modes (char / registry tokenizers) emit final token slots
         pre_expanded = bool(field_spec) or tok_mode != "word"
         t_scan0 = time.perf_counter()
+        all_tokens: "pa.Array | list[bytes]" = all_raw
+        if not field_spec and tok_mode == "word":
+            # vectorized whole-chunk scan: one classification pass over the
+            # chunk's joined bytes, Arrow tokens straight from the buffer —
+            # no per-token Python objects (tokenizer.scan_raw_chunk;
+            # differentially tested ≡ per-doc scan_raw)
+            from ..tokenizer import scan_raw_chunk
+
+            for local_i in range(n):
+                shas.append(hashlib.sha256(contents[local_i]).hexdigest())
+                if int(doc_ids[local_i]) in drop_set:
+                    kept[local_i] = False
+            scan_inputs = [c if k else b"" for c, k in zip(contents, kept)]
+            all_tokens, raw_lens = scan_raw_chunk(scan_inputs)
+            t_kern0 = time.perf_counter()
+            (dl_arr, uniq_arr, terms, lens, doc_flat_local, tf_flat, dl_flat,
+             p_s, post_run_starts, term_of_run) = _accumulate_chunk(
+                all_tokens, raw_lens, self.proc, pre_expanded)
+            t_kern1 = time.perf_counter()
+            return self._finish_chunk(
+                chunk, cid, fingerprint, t0, t_read0, t_scan0, t_kern0,
+                t_kern1, contents, docnos, doc_ids, shas, kept, dl_arr,
+                uniq_arr, terms, lens, doc_flat_local, tf_flat, dl_flat,
+                p_s, post_run_starts, term_of_run, f_rows, f_stats, n)
         for local_i in range(n):
             data = contents[local_i]
             shas.append(hashlib.sha256(data).hexdigest())
@@ -483,6 +508,22 @@ class IngestWorker:
          p_s, post_run_starts, term_of_run) = _accumulate_chunk(
             all_raw, raw_lens, self.proc, pre_expanded)
         t_kern1 = time.perf_counter()
+        return self._finish_chunk(
+            chunk, cid, fingerprint, t0, t_read0, t_scan0, t_kern0, t_kern1,
+            contents, docnos, doc_ids, shas, kept, dl_arr, uniq_arr, terms,
+            lens, doc_flat_local, tf_flat, dl_flat, p_s, post_run_starts,
+            term_of_run, f_rows, f_stats, n)
+
+    def _finish_chunk(self, chunk, cid, fingerprint, t0, t_read0, t_scan0,
+                      t_kern0, t_kern1, contents, docnos, doc_ids, shas,
+                      kept, dl_arr, uniq_arr, terms, lens, doc_flat_local,
+                      tf_flat, dl_flat, p_s, post_run_starts, term_of_run,
+                      f_rows, f_stats, n) -> dict:
+        """Encode + write a chunk's outputs (docs/partials/direct/fields)
+        and commit its lineage record — shared by the vectorized word-mode
+        path and the per-doc (fields / char / registry tokenizer) path."""
+        field_spec = self.cfg.fields
+        store_direct = self.cfg.store_direct
         doc_flat = doc_flat_local + chunk.doc_id_base
 
         docs_cols = {

@@ -31,6 +31,8 @@ from __future__ import annotations
 import re
 from functools import lru_cache
 
+import numpy as np
+
 from .data.utf8_tables import CASE_PAIRS, CLASS_INTERVALS
 
 # ---------------------------------------------------------------------------
@@ -314,6 +316,158 @@ def scan_raw(content: bytes) -> list[bytes]:
     if content.find(b"<") >= 0 or content.find(b"&") >= 0:
         content = _ZAP.sub(b" ", content)
     return _TOKEN_FINDALL.findall(content)
+
+
+# --- vectorized chunk scan (the parallel-ingest hot path) -------------------
+#
+# Exact numpy re-implementation of the three-rule leftmost-first alternation
+# above, operating on a whole CHUNK's bytes at once and emitting an Arrow
+# binary array directly — no per-token Python objects, which is what makes
+# wide ingest memory-bandwidth-friendly.  Differentially tested against
+# scan_raw (hypothesis + corpus) in tests/test_tokenizer.py.
+#
+# Derivation of the vector rules from the scanner's semantics:
+# * '-' is in no other rule's charset, so EVERY '-' followed by a digit is a
+#   reachable scan position → all negnum spans are unambiguous and computed
+#   first (digits, then one optional '.'+digits fraction, greedy).
+# * word runs never contain '-' or '.', so after masking negnum cover, the
+#   remaining word-char runs are exactly the maximal runs the scanner sees.
+# * an acronym ((?:[A-Z0-9]\.)+) can only begin where a word rule would not
+#   have consumed the position first — i.e. at an effective word-run START
+#   whose run length is 1 (the dot ends the run) with an acronym-unit char
+#   and a '.' next; chains continue at stride 2 over such units.
+# one fused class-bit table → a single 256-entry gather per chunk instead of
+# one boolean lookup pass per class
+_CLS_W, _CLS_U, _CLS_DIG, _CLS_DOT, _CLS_DASH = 1, 2, 4, 8, 16
+_CLS_TABLE = np.zeros(256, dtype=np.uint8)
+for _c in range(256):
+    if (0x61 <= _c <= 0x7A or 0x41 <= _c <= 0x5A or 0x30 <= _c <= 0x39
+            or _c == 0x27 or 0x80 <= _c <= 0xFD):
+        _CLS_TABLE[_c] |= _CLS_W
+    if 0x41 <= _c <= 0x5A or 0x30 <= _c <= 0x39:
+        _CLS_TABLE[_c] |= _CLS_U
+    if 0x30 <= _c <= 0x39:
+        _CLS_TABLE[_c] |= _CLS_DIG
+_CLS_TABLE[0x2E] |= _CLS_DOT
+_CLS_TABLE[0x2D] |= _CLS_DASH
+_U_TABLE = (_CLS_TABLE & _CLS_U).astype(bool)  # per-start lookups
+
+
+def scan_raw_chunk(contents: list[bytes]) -> tuple["object", np.ndarray]:
+    """Scan a whole chunk of documents in one vectorized pass.
+
+    Returns ``(tokens, raw_lens)`` where ``tokens`` is a
+    ``pyarrow.LargeBinaryArray`` of the raw scan matches of every document
+    in order (identical to concatenating ``scan_raw(doc)``) and
+    ``raw_lens[i]`` is document i's match count.  Documents are joined with
+    a single space (in no rule's charset, so no match can span a join)."""
+    import pyarrow as pa
+
+    parts = []
+    for data in contents:
+        if data.find(b"<") >= 0 or data.find(b"&") >= 0:
+            data = _ZAP.sub(b" ", data)
+        parts.append(data)
+    n_docs = len(parts)
+    buf = b" ".join(parts)
+    a = np.frombuffer(buf, dtype=np.uint8)
+    n = len(a)
+    empty_tokens = pa.array([], type=pa.large_binary())
+    if n == 0:
+        return empty_tokens, np.zeros(n_docs, np.int64)
+    cls = _CLS_TABLE[a]
+    W = (cls & _CLS_W).astype(bool)
+    DIG = (cls & _CLS_DIG).astype(bool)
+    dot = (cls & _CLS_DOT).astype(bool)
+
+    # negnum: '-' digits+ ('.' digits+)?  — greedy, fraction only if a digit
+    # follows the dot
+    nn_s = np.flatnonzero((cls[:-1] & _CLS_DASH).astype(bool) & DIG[1:])
+    if len(nn_s):
+        # digit-run end for positions p: first non-digit at or after p
+        nond = np.flatnonzero(~DIG)
+
+        def dig_end(p: np.ndarray) -> np.ndarray:
+            j = np.searchsorted(nond, p)
+            out = np.full(len(p), n, dtype=np.int64)
+            ok = j < len(nond)
+            out[ok] = nond[j[ok]]
+            return out
+
+        e1 = dig_end(nn_s + 1)
+        frac = (e1 + 1 < n) & dot[np.minimum(e1, n - 1)] \
+            & DIG[np.minimum(e1 + 1, n - 1)]
+        nn_e = e1.copy()
+        if frac.any():
+            nn_e[frac] = dig_end(e1[frac] + 1)
+        cover = np.zeros(n + 1, dtype=np.int8)
+        np.add.at(cover, nn_s, 1)
+        np.add.at(cover, nn_e, -1)
+        covered = np.cumsum(cover[:-1], dtype=np.int8) > 0
+        effW = W & ~covered
+    else:
+        nn_e = nn_s
+        effW = W
+    shifted = np.empty(n, dtype=bool)
+    shifted[0] = False
+    shifted[1:] = effW[:-1]
+    rs = np.flatnonzero(effW & ~shifted)
+    shifted[:-1] = effW[1:]
+    shifted[-1] = False
+    re_ = np.flatnonzero(effW & ~shifted) + 1
+
+    # acronym chains over len-1 unit runs with a dot next
+    u_mask = (re_ - rs == 1) & _U_TABLE[a[rs]] & (rs + 1 < n) \
+        & dot[np.minimum(rs + 1, n - 1)]
+    q = rs[u_mask]
+    if len(q):
+        brk = np.flatnonzero(np.diff(q) != 2)
+        g_first = np.concatenate(([0], brk + 1))
+        g_last = np.concatenate((brk, [len(q) - 1]))
+        acr_s = q[g_first]
+        acr_e = q[g_last] + 2
+        # acronym chains cover whole len-1 runs: membership test on the run
+        # starts via searchsorted (no full-array paint)
+        pos = np.searchsorted(acr_s, rs, side="right") - 1
+        pos_c = np.maximum(pos, 0)
+        keep = ~((pos >= 0) & (rs < acr_e[pos_c]))
+        w_s, w_e = rs[keep], re_[keep]
+    else:
+        acr_s = acr_e = np.empty(0, np.int64)
+        w_s, w_e = rs, re_
+
+    s_all = np.concatenate((nn_s, acr_s, w_s))
+    e_all = np.concatenate((nn_e, acr_e, w_e))
+    if not len(s_all):
+        return empty_tokens, np.zeros(n_docs, np.int64)
+    order = np.argsort(s_all, kind="stable")  # starts are unique
+    s_all, e_all = s_all[order], e_all[order]
+
+    # arrow binary array straight from the chunk buffer (one gather;
+    # int32 index math — token bytes per chunk stay far below 2^31)
+    lens = (e_all - s_all).astype(np.int32)
+    offsets = np.zeros(len(s_all) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    starts32 = s_all.astype(np.int32)
+    off32 = offsets[:-1].astype(np.int32)
+    idx = np.arange(total, dtype=np.int32)
+    idx -= np.repeat(off32 - starts32, lens)
+    values = a[idx]
+    tokens = pa.Array.from_buffers(
+        pa.large_binary(), len(s_all),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values.tobytes())],
+    )
+
+    # per-doc counts: doc i spans [doc_off[i], doc_off[i] + len(part_i))
+    doc_off = np.zeros(n_docs, dtype=np.int64)
+    if n_docs > 1:
+        part_lens = np.fromiter((len(p) for p in parts), dtype=np.int64,
+                                count=n_docs)
+        np.cumsum(part_lens[:-1] + 1, out=doc_off[1:])
+    doc_idx = np.searchsorted(doc_off, s_all, side="right") - 1
+    raw_lens = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    return tokens, raw_lens
 
 
 def expand_raw(tok: bytes) -> list[bytes] | tuple[bytes]:

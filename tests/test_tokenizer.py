@@ -155,3 +155,28 @@ def test_char_mode_still_matches_scanner_semantics():
     # every char token is a single character; tags/entities zapped
     assert b"tag" not in toks and b"amp" not in toks
     assert all(len(t.decode("utf-8")) == 1 for t in toks if t)
+
+
+_CHUNK_PIECES = [b"A.", b"-1", b".5", b"ab", b"Z", b"9", b"'", b" ", b"-",
+                 b".", b"<t>", b"&x;", b"\xc3\xa9", b"\xff", b"U.S.A.",
+                 b"-12.5", b"1.2.3", b"code.method(x)"]
+
+
+@given(st.lists(st.lists(st.sampled_from(_CHUNK_PIECES), max_size=12),
+                max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_scan_raw_chunk_matches_scan_raw(doc_pieces):
+    """The vectorized whole-chunk scanner is byte-for-byte the per-doc
+    scan_raw: same tokens in order, same per-doc counts."""
+    from indri_5_5_ray.tokenizer import scan_raw, scan_raw_chunk
+
+    docs = [b"".join(p) for p in doc_pieces]
+    arr, lens = scan_raw_chunk(docs)
+    got = [v.as_py() for v in arr]
+    want, want_lens = [], []
+    for d in docs:
+        w = scan_raw(d)
+        want += w
+        want_lens.append(len(w))
+    assert got == want
+    assert lens.tolist() == want_lens
