@@ -340,13 +340,17 @@ def run_scaling() -> dict:
         eff_i = r_hi["build_docs_per_sec"] / (
             (hi / lo) * r_lo["build_docs_per_sec"])
         pair_effs.append(round(eff_i, 3))
-        clean = (r_lo.get("steal_pct", 0) <= 2.0
-                 and r_hi.get("steal_pct", 0) <= 2.0)
+        # the gate is one-sided by construction: steal/contention during
+        # the HI leg only DEFLATES the ratio (slower hi ⇒ lower measured
+        # efficiency ⇒ the pair is a conservative lower bound), while a
+        # stalled LO leg INFLATES it — so only the lo leg must be clean
+        # for the pair to be trustworthy as a best-pair report
+        clean = r_lo.get("steal_pct", 0) <= 2.0
         if best_any is None or eff_i > best_any[0]:
             best_any = (eff_i, r_lo, r_hi)
         if clean and (best_clean is None or eff_i > best_clean[0]):
             best_clean = (eff_i, r_lo, r_hi)
-        if clean and eff_i >= 0.8 and attempt >= 1:
+        if clean and eff_i >= 0.8:
             break
     # a steal-dirty pair can be noise-INFLATED (a stalled lo leg raises the
     # ratio), so clean pairs take precedence; best-any is only the fallback
