@@ -114,6 +114,16 @@ class IndexReader:
         self._dict_ds: pads.Dataset | None = None
         self._row_cache: dict[str, pa.Table] = {}
         self._stats_cache: dict[str, tuple[int, int] | None] = {}
+        # per-subdir dataset handles: discovery + fragment metadata (file
+        # listing, footers) are paid once per reader, not per point lookup
+        self._dsets: dict[str, pads.Dataset] = {}
+
+    def _dset(self, sub: str) -> pads.Dataset:
+        ds = self._dsets.get(sub)
+        if ds is None:
+            ds = pads.dataset(f"{self.index_dir}/{sub}", format="parquet")
+            self._dsets[sub] = ds
+        return ds
 
     def keep_mask(self, doc_ids: np.ndarray) -> np.ndarray:
         """Boolean mask of NOT-deleted docs (True = keep)."""
@@ -145,7 +155,7 @@ class IndexReader:
         key = (lo, hi)
         hit = self._range_lens.get(key)
         if hit is None:
-            dset = pads.dataset(f"{self.index_dir}/docs", format="parquet")
+            dset = self._dset("docs")
             t = dset.to_table(
                 filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi),
                 columns=["doc_id", "dl"],
@@ -165,7 +175,7 @@ class IndexReader:
         dict in query actors."""
         if not doc_ids:
             return []
-        dset = pads.dataset(f"{self.index_dir}/docs", format="parquet")
+        dset = self._dset("docs")
         t = dset.to_table(
             filter=pads.field("doc_id").isin(list(set(doc_ids))),
             columns=["doc_id", "docno"],
@@ -182,7 +192,7 @@ class IndexReader:
             raise FileNotFoundError(f"{self.index_dir}/direct (store_direct off)")
         if not doc_ids:
             return {}
-        dset = pads.dataset(f"{self.index_dir}/direct", format="parquet")
+        dset = self._dset("direct")
         t = dset.to_table(
             filter=pads.field("doc_id").isin(list(set(doc_ids))),
             columns=["doc_id", "terms", "tfs"],
@@ -199,7 +209,7 @@ class IndexReader:
     def doc_vector_positional(self, doc_id: int) -> list[str | None]:
         """Positional term vector of one doc (dumpindex documentvector):
         index i → term at position i, None for stopped/termID-0 slots."""
-        dset = pads.dataset(f"{self.index_dir}/direct", format="parquet")
+        dset = self._dset("direct")
         t = dset.to_table(filter=pads.field("doc_id") == doc_id)
         if t.num_rows == 0:
             return []
@@ -218,7 +228,7 @@ class IndexReader:
     def dictionary_prefix(self, prefix: str, cap: int) -> list[str]:
         """Alphabetical dictionary terms with ``prefix``, capped (wildcard
         expansion backend, ref:src/LocalQueryServer.cpp:139)."""
-        dset = pads.dataset(f"{self.index_dir}/dictionary", format="parquet")
+        dset = self._dset("dictionary")
         t = dset.to_table(
             filter=(pads.field("term") >= prefix) & (pads.field("term") < prefix + "\uffff"),
             columns=["term"],
@@ -250,7 +260,7 @@ class IndexReader:
         index was built without field specs."""
         if not (Path(self.index_dir) / "fields").exists():
             raise FileNotFoundError(f"{self.index_dir}/fields (no field spec)")
-        dset = pads.dataset(f"{self.index_dir}/fields", format="parquet")
+        dset = self._dset("fields")
         expr = pads.field("field") == field
         if doc_ids is not None:
             expr = expr & pads.field("doc_id").isin(list(set(doc_ids)))
