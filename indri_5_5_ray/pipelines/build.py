@@ -117,9 +117,11 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str) -> st
         import polars as pl
         import pyarrow.dataset as pads
 
+        from ..stages.postings import cached_dataset
+
         out = []
+        dset = cached_dataset(f"{out_dir}/dedup_keys")
         for b in batch.column("kbucket").to_pylist():
-            dset = pads.dataset(f"{out_dir}/dedup_keys", format="parquet")
             t = dset.to_table(filter=pads.field("kbucket") == b, columns=["key", "doc_id"],
                               use_threads=False)
             if t.num_rows == 0:
@@ -162,15 +164,8 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str) -> st
     reduce_t = ray.remote(num_cpus=0.9)(
         lambda bs: reduce_bucket(pa.table({"kbucket": pa.array(bs, pa.int32())}))
     )
-    try:
-        n_cpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        n_cpu = 8
-    n_tasks = max(1, min(_DEDUP_BUCKETS, n_cpu))
-    bucket_groups: list[list[int]] = [[] for _ in range(n_tasks)]
-    for b in range(_DEDUP_BUCKETS):
-        bucket_groups[b % n_tasks].append(b)
-    parts = [t for t in ray.get([reduce_t.remote(g) for g in bucket_groups if g])
+    # one bucket per task (dynamic packing; see the merge-phase comment)
+    parts = [t for t in ray.get([reduce_t.remote([b]) for b in range(_DEDUP_BUCKETS)])
              if t.num_rows]
     import os as _os
 
@@ -367,20 +362,20 @@ def build_index(
     def _merge_task(buckets: list[int]) -> list[dict]:
         # plain task: the work list is fixed and all IO goes through the
         # filesystem (bucket-pruned parquet reads), so raw tasks avoid the
-        # Dataset executor's per-phase overhead; buckets are batched into
-        # ~one task per CPU so small clusters pay one worker spawn, not one
-        # per bucket
+        # Dataset executor's per-phase overhead.  ONE bucket per task:
+        # bucket sizes are skewed (hot-term buckets run ~2× the median), so
+        # static bucket groups quantize the phase to the worst group — with
+        # single-bucket tasks Ray packs them dynamically and the makespan
+        # tracks sum/P + one bucket.  Worker-process spawn and parquet
+        # footer reads are amortized by warm workers + cached_dataset.
         t = MergeWorker(out_str, cfg_dict, plan_fp, partials_dir=partials_src)(
             pa.table({"bucket": pa.array(buckets, pa.int32())})
         )
         return t.to_pylist()
 
-    n_tasks = max(1, min(cfg.n_buckets, _ingest_concurrency()))
-    groups: list[list[int]] = [[] for _ in range(n_tasks)]
-    for b in range(cfg.n_buckets):
-        groups[b % n_tasks].append(b)
     merge_records = [
-        r for rs in ray.get([_merge_task.remote(g) for g in groups if g]) for r in rs
+        r for rs in ray.get([_merge_task.remote([b]) for b in range(cfg.n_buckets)])
+        for r in rs
     ]
     timings["merge_s"] = time.perf_counter() - t0
 

@@ -207,13 +207,16 @@ def _accumulate_chunk(
     arr = (all_raw if isinstance(all_raw, pa.Array)
            else pa.array(all_raw, type=pa.large_binary()))
     enc = arr.dictionary_encode()
-    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # int32 throughout the per-slot streams: half the memory traffic of
+    # int64 in the sort/gather hot path (the streams are chunk-local, so
+    # every value is far below 2^31; doc ids are widened to int64 at return)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     uniq = enc.dictionary.to_pylist()
     nu = len(uniq)
     term_ids: dict[str, int] = {}
     process_raw = proc.process_raw
     if pre_expanded:
-        tid_of_uniq = np.empty(nu, np.int64)
+        tid_of_uniq = np.empty(nu, np.int32)
         for ui in range(nu):
             term = process_raw(uniq[ui])
             if term is None:
@@ -244,7 +247,7 @@ def _accumulate_chunk(
                         term_ids[term] = tid
                     exp_tids_list.append(tid)
             exp_offsets[ui + 1] = len(exp_tids_list)
-        exp_tids = np.asarray(exp_tids_list, np.int64)
+        exp_tids = np.asarray(exp_tids_list, np.int32)
         exp_counts = np.diff(exp_offsets)
         counts_tok = exp_counts[idx]
         total = int(counts_tok.sum())
@@ -256,10 +259,10 @@ def _accumulate_chunk(
         doc_tok_offsets = np.concatenate(([0], np.cumsum(raw_lens)))
         doc_exp_offsets = cum_counts[doc_tok_offsets]
         dl_arr = np.diff(doc_exp_offsets)
-    # per-slot doc index and in-doc position
-    doc_local = np.repeat(np.arange(n, dtype=np.int64), dl_arr)
-    pos_stream = np.arange(total, dtype=np.int64) - np.repeat(
-        doc_exp_offsets[:-1], dl_arr)
+    # per-slot doc index and in-doc position (chunk-local → int32-safe)
+    doc_local = np.repeat(np.arange(n, dtype=np.int32), dl_arr)
+    pos_stream = np.arange(total, dtype=np.int32) - np.repeat(
+        doc_exp_offsets[:-1].astype(np.int32, copy=False), dl_arr)
     mask = tid_stream >= 0
     t_v = tid_stream[mask]
     d_v = doc_local[mask]
@@ -267,13 +270,17 @@ def _accumulate_chunk(
     names = list(term_ids)  # insertion order == tid order
     nt = len(names)
     order_ids = sorted(range(nt), key=names.__getitem__)
-    rank = np.empty(nt, np.int64)
-    rank[order_ids] = np.arange(nt, dtype=np.int64)
+    rank = np.empty(nt, np.int32)
+    rank[order_ids] = np.arange(nt, dtype=np.int32)
     names_sorted = [names[i] for i in order_ids]
     tr = rank[t_v] if nt else e64
     # stable sort on term rank: original order is (doc asc, pos asc), so
-    # within each (term, doc) run positions stay ascending
-    sort_idx = np.argsort(tr, kind="stable")
+    # within each (term, doc) run positions stay ascending.  numpy's stable
+    # sort is radix for <=16-bit ints (2 passes vs 8 for int64 — ~9× faster
+    # on a chunk's token stream), so sort a uint16 view of the ranks when
+    # the chunk vocabulary allows it (ranks are equal-valued either way)
+    sort_key = tr.astype(np.uint16, copy=False) if nt <= 0xFFFF else tr
+    sort_idx = np.argsort(sort_key, kind="stable")
     tr_s = tr[sort_idx]
     d_s = d_v[sort_idx]
     p_s = p_v[sort_idx]
@@ -285,7 +292,8 @@ def _accumulate_chunk(
     else:
         run_starts = run_ends = e64
     tf_flat = (run_ends - run_starts).astype(np.int32)
-    doc_flat_local = d_s[run_starts]
+    # widen back to int64: callers add 64-bit doc_id bases / use as indices
+    doc_flat_local = d_s[run_starts].astype(np.int64)
     term_of_run = tr_s[run_starts]
     if len(term_of_run):
         tbrk = np.flatnonzero(term_of_run[1:] != term_of_run[:-1])

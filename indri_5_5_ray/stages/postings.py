@@ -62,6 +62,35 @@ POSTINGS_SCHEMA = pa.schema(
 )
 
 
+_DATASET_CACHE: dict = {}
+
+
+def cached_dataset(path: str):
+    """Process-global pyarrow dataset handle keyed by the directory's file
+    listing (name, size, mtime).  Warm Ray workers run many one-bucket merge
+    tasks back to back; reusing the dataset object lets pyarrow's per-fragment
+    metadata (parquet footers already read for row-group pruning) be loaded
+    once per worker instead of once per task.  The listing fingerprint makes
+    a rebuild in the same session (files rewritten) miss the cache."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    with os.scandir(path) as it:
+        sig = tuple(sorted(
+            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+            for e in it if e.name.endswith(".parquet")
+        ))
+    key = (path, sig)
+    hit = _DATASET_CACHE.get(key)
+    if hit is None:
+        if len(_DATASET_CACHE) > 4:
+            _DATASET_CACHE.clear()
+        hit = pads.dataset(path, format="parquet")
+        _DATASET_CACHE[key] = hit
+    return hit
+
+
 class MergeWorker:
     """Map-only merge reducer: one work item = one bucket.
 
@@ -97,7 +126,7 @@ class MergeWorker:
         from ..state import lineage
 
         out_rows = []
-        dset = pads.dataset(self.partials_dir, format="parquet")
+        dset = cached_dataset(self.partials_dir)
         for bucket in batch.column("bucket").to_pylist():
             t0 = time.perf_counter()
             pid = f"{bucket:05d}"
