@@ -621,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         events,
         multimodal,
+        sampling,
         simsearch,
         textstats,
     )
@@ -656,6 +657,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,
         "lang_id": textstats.lang_id,
         "lang_table_stats": textstats.lang_table_stats,
+        # --- sampling / contamination (training-data curation) ---
+        "sample_hash": sampling.sample_hash,
+        "quota_sample": sampling.quota_sample,
+        "contamination_screen": sampling.contamination_screen,
         # --- dedup family ---
         "exact_dup_groups": dedup.exact_dup_groups,
         "dedup_keep_first": dedup.dedup_keep_first,
@@ -1471,6 +1476,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_first": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
             ORDER BY doc_id""",
+        "sample_hash": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 < 10
+            ORDER BY doc_id""",
+        "quota_sample": """
+            SELECT lang, doc_id, rk FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substring(md5(text), 1, 16), doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 50 ORDER BY lang, rk""",
+        "contamination_screen": f"""
+            WITH {_SHINGLE_SQL},
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+            SELECT s.doc_id, count(*)::BIGINT AS n_hits
+            FROM sh s JOIN bench b USING (shingle)
+            WHERE s.doc_id % 97 <> 0
+            GROUP BY s.doc_id ORDER BY s.doc_id""",
         "ngram_jaccard_pairs": f"""
             WITH {_SHINGLE_SQL},
             sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),

@@ -1,0 +1,148 @@
+"""Sampling + benchmark-contamination operators for training-data curation.
+
+Three pipeline stages a 100 TB curation run needs alongside dedup:
+
+- :func:`sample_hash` — deterministic content-hash Bernoulli sampling.  Every
+  worker makes the same keep/drop decision from the document bytes alone, so
+  the sample is stable across reruns, resumable partitions, and cluster
+  sizes; no RNG state is shared or shipped.
+- :func:`quota_sample` — per-key (language) quota sampling: the first
+  ``per_key`` docs per key in deterministic content-hash order.  Map-side
+  partial top-N per batch, then a tiny per-key final — never a full shuffle.
+- :func:`contamination_screen` — flags corpus documents sharing a word
+  n-gram with a benchmark/eval set (the train-test contamination check,
+  e.g. GPT-3 appendix C / Dodge et al. 2021 "Documenting Large Webtext
+  Corpora"): the benchmark side is small by construction, so its distinct
+  shingle set is broadcast once (``ray.put``) and the screen is a map-side
+  semi-join — no shuffle touches the corpus.
+
+All three have exact DuckDB oracles (md5 / window-function SQL) registered in
+``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray
+import ray.data
+
+from .dedup import _doc_shingles
+from .textstats import read_spread
+
+
+def _md5_hex16(texts: list[bytes]) -> np.ndarray:
+    """First 16 hex chars of md5 per text (object array of str).  md5 parity
+    with DuckDB's ``md5()`` makes hash order reproducible in SQL."""
+    return np.array([hashlib.md5(t).hexdigest()[:16] for t in texts],
+                    dtype=object)
+
+
+def _text_bytes(batch: pa.Table) -> list[bytes]:
+    # utf-8 bytes straight from arrow, no str round trip
+    return batch.column("text").cast(pa.large_binary()).to_pylist()
+
+
+def _mod_filter(batch: pa.Table, modulus: int, keep_zero: bool) -> pa.Table:
+    """Keep rows with doc_id % modulus == 0 (benchmark split) or != 0
+    (corpus split) — map-side, so the split never needs a planner filter."""
+    mod = batch.column("doc_id").to_numpy() % modulus
+    return batch.filter(pa.array((mod == 0) if keep_zero else (mod != 0)))
+
+
+def sample_hash(sf_dir: str, rate_pct: int = 10) -> ray.data.Dataset:
+    """(doc_id, lang, n_chars) for docs whose md5(text) lands under
+    ``rate_pct``% — a deterministic Bernoulli sample keyed by content.
+
+    Map-only: each batch decides independently from the document bytes, so
+    the operator streams at any scale and a resumed run re-selects exactly
+    the same sample."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        h8 = np.array(
+            [int(hashlib.md5(t).hexdigest()[:8], 16)
+             for t in _text_bytes(batch)],
+            dtype=np.int64)
+        keep = (h8 % 100) < rate_pct
+        return batch.select(["doc_id", "lang", "n_chars"]).filter(
+            pa.array(keep))
+
+    return read_spread(f"{sf_dir}/documents.parquet",
+                       ["doc_id", "lang", "n_chars", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def quota_sample(sf_dir: str, per_key: int = 50) -> ray.data.Dataset:
+    """(lang, doc_id, rk) — the first ``per_key`` docs per language in
+    deterministic md5(text) order (doc_id tie-break), rk = 1-based rank.
+
+    Shuffle plan: each batch keeps at most ``per_key`` candidates per key
+    (map-side partial top-N), so the per-key final ranks
+    O(n_batches × per_key) rows, not the corpus; the groupby shuffle moves
+    only those survivors."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "lang"])).with_columns(
+            pl.Series("hk", _md5_hex16(_text_bytes(batch)), dtype=pl.Utf8))
+        return (df.sort(["hk", "doc_id"])
+                  .group_by("lang", maintain_order=True)
+                  .head(per_key)
+                  .to_arrow())
+
+    def final(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort(["hk", "doc_id"]).head(per_key)
+        return (df.with_columns(
+                    pl.int_range(1, df.height + 1, dtype=pl.Int64).alias("rk"))
+                  .select(["lang", "doc_id", "rk"])
+                  .to_arrow())
+
+    ds = read_spread(f"{sf_dir}/documents.parquet",
+                     ["doc_id", "lang", "text"]).map_batches(
+        partial, batch_format="pyarrow")
+    return ds.groupby("lang").map_groups(final, batch_format="pyarrow")
+
+
+def benchmark_shingles(sf_dir: str, modulus: int = 97) -> set[str]:
+    """Distinct word 3-grams of the synthetic benchmark split
+    (``doc_id % modulus == 0`` — a deterministic stand-in for an external
+    eval set).  Small by construction (1/modulus of the corpus), gathered to
+    the driver once for broadcast."""
+    ds = read_spread(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+
+    def sh(batch: pa.Table) -> pa.Table:
+        batch = _mod_filter(batch, modulus, keep_zero=True)
+        return (_doc_shingles(batch).select("shingle").unique().to_arrow())
+
+    parts = ds.map_batches(sh, batch_format="pyarrow").take_all()
+    return {r["shingle"] for r in parts}
+
+
+def contamination_screen(sf_dir: str, modulus: int = 97) -> ray.data.Dataset:
+    """(doc_id, n_hits) — non-benchmark docs sharing ≥1 word 3-gram with the
+    benchmark split, with the count of distinct shared shingles.
+
+    The benchmark shingle set is broadcast (``ray.put`` once, fetched once
+    per worker in the stage's ``__init__``), so the corpus side is a pure
+    map: shingle each batch, semi-join against the in-memory set, count per
+    doc.  No shuffle, no corpus materialization."""
+    bench_ref = ray.put(sorted(benchmark_shingles(sf_dir, modulus)))
+
+    class Screen:
+        def __init__(self, bench):
+            # one fetch + one polars Series per worker, reused every batch
+            self.bench = pl.Series("shingle", ray.get(bench), dtype=pl.Utf8)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sh = _doc_shingles(_mod_filter(batch, modulus, keep_zero=False))
+            hits = (sh.filter(pl.col("shingle").is_in(self.bench))
+                      .group_by("doc_id")
+                      .agg(pl.len().cast(pl.Int64).alias("n_hits")))
+            return hits.sort("doc_id").to_arrow()
+
+    ds = read_spread(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+    return ds.map_batches(
+        Screen, batch_format="pyarrow", concurrency=(2, 8),
+        fn_constructor_kwargs={"bench": bench_ref})

@@ -1,0 +1,87 @@
+"""Sampling + contamination operators (functions/sampling.py): determinism,
+quota bounds, and brute-force agreement on the sf0.001 testdata."""
+
+from __future__ import annotations
+
+import hashlib
+
+import polars as pl
+import pyarrow.parquet as pq
+import pytest
+
+from indri_5_5_ray.functions import sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_table():
+    return pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+
+def test_sample_hash_deterministic_and_exact():
+    got = {r["doc_id"] for r in sampling.sample_hash(SF).take_all()}
+    again = {r["doc_id"] for r in sampling.sample_hash(SF).take_all()}
+    assert got == again  # content-keyed: stable across runs
+    t = _docs_table()
+    want = {
+        int(d) for d, x in zip(t.column("doc_id").to_pylist(),
+                               t.column("text").to_pylist())
+        if int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % 100 < 10
+    }
+    assert got == want
+
+
+def test_sample_hash_rate_monotone():
+    n5 = sampling.sample_hash(SF, rate_pct=5).count()
+    n20 = sampling.sample_hash(SF, rate_pct=20).count()
+    total = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert n5 <= n20 <= total
+    # a 20% hash sample of a uniform corpus lands loosely around 20%
+    assert 0.05 * total < n20 < 0.45 * total
+
+
+def test_quota_sample_bounds_and_order():
+    rows = sampling.quota_sample(SF, per_key=7).take_all()
+    by_lang: dict[str, list[dict]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    t = _docs_table()
+    df = pl.from_arrow(t)
+    lang_counts = dict(df.group_by("lang").len().iter_rows())
+    for lang, grp in by_lang.items():
+        assert len(grp) == min(7, lang_counts[lang])
+        assert sorted(r["rk"] for r in grp) == list(range(1, len(grp) + 1))
+    # rank order == md5-hex order with doc_id tie-break (brute force)
+    hk = {int(d): hashlib.md5(x.encode()).hexdigest()[:16]
+          for d, x in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist())}
+    for lang, grp in by_lang.items():
+        want = sorted(
+            (int(d) for d, l in zip(t.column("doc_id").to_pylist(),
+                                    t.column("lang").to_pylist()) if l == lang),
+            key=lambda d: (hk[d], d))[:len(grp)]
+        got = [r["doc_id"] for r in sorted(grp, key=lambda r: r["rk"])]
+        assert got == want
+
+
+@pytest.mark.parametrize("modulus", [29, 400])
+def test_contamination_screen_flags_real_overlaps_only(modulus):
+    rows = sampling.contamination_screen(SF, modulus=modulus).take_all()
+    t = _docs_table()
+    # brute-force 3-gram shingle sets per doc
+    import re
+
+    def shingles(text: str) -> set[str]:
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {int(d): shingles(x)
+          for d, x in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist())}
+    bench = set().union(*(s for d, s in sh.items() if d % modulus == 0))
+    want = {d: len(s & bench) for d, s in sh.items()
+            if d % modulus != 0 and s & bench}
+    got = {r["doc_id"]: r["n_hits"] for r in rows}
+    assert got == want
+    assert all(d % modulus != 0 for d in got)  # benchmark docs never flagged
