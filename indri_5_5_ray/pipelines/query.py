@@ -330,12 +330,17 @@ class IndexReader:
                     del self._row_cache[k]
             for term in missing:
                 mask = pc.equal(fetched.column("term"), term)
-                self._row_cache[term] = fetched.filter(mask)
-        tables = [self._row_cache[t] for t in terms if self._row_cache[t].num_rows]
+                # sorted ONCE at insert: per-query assembly below is then a
+                # zero-copy concat in term order — re-sorting per query
+                # copied every cached postings payload byte (the dominant
+                # per-query cost for common terms)
+                self._row_cache[term] = fetched.filter(mask).sort_by(
+                    [("first_doc", "ascending")])
+        tables = [self._row_cache[t] for t in sorted(terms)
+                  if self._row_cache[t].num_rows]
         if not tables:
             return POSTINGS_SCHEMA.empty_table()
-        t = pa.concat_tables(tables)
-        return t.sort_by([("term", "ascending"), ("first_doc", "ascending")])
+        return pa.concat_tables(tables)
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """Global (cf, df) per term from the dictionary (first query pass —
@@ -364,7 +369,18 @@ class IndexReader:
 
 def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Rank by score desc, doc_id desc; truncate to k
-    (ref:include/indri/ScoredExtentResult.hpp:32-47)."""
+    (ref:include/indri/ScoredExtentResult.hpp:32-47).
+
+    O(n) argpartition prunes to the k-th score boundary before the full-rank
+    lexsort: every row tied AT the boundary score is kept, so the final
+    ordering (score desc, doc_id desc) is bit-identical to sorting the whole
+    candidate array — common-term queries rank ~k rows, not ~N."""
+    n = len(scores)
+    if k > 0 and n > 4 * k:
+        part = np.argpartition(scores, n - k)[n - k:]
+        s_k = scores[part].min()
+        cand = np.flatnonzero(scores >= s_k)
+        doc_ids, scores = doc_ids[cand], scores[cand]
     order = np.lexsort((-doc_ids, -scores))
     order = order[:k]
     return doc_ids[order], scores[order]
@@ -550,66 +566,94 @@ class BM25Scorer:
         has_pos = self.r.cfg.store_positions
         n_terms = len(consts)
 
-        # collect blocks: (term_idx, first_doc, last_doc, ub, row_idx, off, ln)
-        blocks = []
-        block_nd: list[int] = []  # per-block doc count (for batched decode)
+        # collect blocks — fully vectorized: flatten the per-row block
+        # metadata lists straight out of arrow (one C pass per column) and
+        # derive per-block term index / first-doc bound / upper bound with
+        # numpy segment ops.  The per-Python-block loop this replaces cost
+        # ~25 ms/query on common-term queries and grew with corpus size.
         row_terms = rows.column("term").to_pylist()
         payloads = rows.column("postings").to_pylist()
-        all_off = rows.column("block_offset").to_pylist()
-        all_len = rows.column("block_length").to_pylist()
-        all_maxtf = rows.column("block_max_tf").to_pylist()
-        all_mindl = rows.column("block_min_dl").to_pylist()
-        all_last = rows.column("block_last_doc").to_pylist()
-        all_ndocs = rows.column("block_n_docs").to_pylist()
-        row_first = rows.column("first_doc").to_pylist()
-        max_doc = 0
-        for ri, rt in enumerate(row_terms):
-            ti = term_order[rt]
-            nc = numer_by_ti[ti]
-            prev_last = row_first[ri] - 1
-            for off, ln, mtf, mdl, last, _nd in zip(
-                all_off[ri], all_len[ri], all_maxtf[ri], all_mindl[ri],
-                all_last[ri], all_ndocs[ri],
-            ):
-                first = prev_last + 1  # lower bound on block's first doc
-                prev_last = last
-                if nc > 0:
-                    ub = (nc * mtf) / (mtf + k1_1mb + k1b_avg * mdl)
-                else:
-                    ub = 0.0  # negative-idf terms can only lower a score
-                blocks.append((ti, first, last, ub, ri, off, ln))
-                block_nd.append(_nd)
-                max_doc = max(max_doc, last)
-        if not blocks:
+        row_first = rows.column("first_doc").to_numpy()
+        nrows = rows.num_rows
+
+        def _flat(name: str, dtype) -> tuple[np.ndarray, np.ndarray]:
+            col = rows.column(name).combine_chunks()
+            if isinstance(col, pa.ChunkedArray):
+                col = (col.chunk(0) if col.num_chunks == 1
+                       else pa.concat_arrays(col.chunks))
+            vals = col.flatten().to_numpy(zero_copy_only=False).astype(
+                dtype, copy=False)
+            lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            return vals, lens
+
+        off_f, row_nb = _flat("block_offset", np.int64)
+        ln_f, _ = _flat("block_length", np.int64)
+        mtf_f, _ = _flat("block_max_tf", np.float64)
+        mdl_f, _ = _flat("block_min_dl", np.float64)
+        last_f, _ = _flat("block_last_doc", np.int64)
+        nd_f, _ = _flat("block_n_docs", np.int64)
+        nb = len(off_f)
+        if nb == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        ri_f = np.repeat(np.arange(nrows, dtype=np.int64), row_nb)
+        ti_f = np.array([term_order[t] for t in row_terms], np.int64)[ri_f]
+        # block first-doc lower bound: previous block's last+1; row head
+        # starts at the row's first_doc
+        first_f = np.empty(nb, np.int64)
+        first_f[1:] = last_f[:-1] + 1
+        head = np.concatenate(([0], np.cumsum(row_nb)))[:-1]
+        nz = row_nb > 0
+        first_f[head[nz]] = row_first[nz]
+        nc_f = np.asarray(numer_by_ti, np.float64)[ti_f]
+        # negative-idf terms can only lower a score → ub 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ub_f = np.where(
+                nc_f > 0,
+                (nc_f * mtf_f) / (mtf_f + k1_1mb + k1b_avg * mdl_f), 0.0)
+        max_doc = int(last_f.max())
 
         # doc-range cells sized so each holds several blocks per term —
         # too-fine cells pay per-cell numpy overhead without extra pruning
-        n_cells = max(16, min(256, len(blocks) // max(1, 4 * n_terms)))
-        n_cells = min(n_cells, max(1, len(blocks)))
+        n_cells = max(16, min(256, nb // max(1, 4 * n_terms)))
+        n_cells = min(n_cells, max(1, nb))
         cell_span = (max_doc + n_cells) // n_cells
-        cell_blocks: dict[int, list[int]] = {}
-        for bi, (_ti, first, last, _ub, _ri, _off, _ln) in enumerate(blocks):
-            for cell in range(first // cell_span, last // cell_span + 1):
-                cell_blocks.setdefault(cell, []).append(bi)
-        cell_ub = {}
-        for cell, bis in cell_blocks.items():
-            per_term_max: dict[int, float] = {}
-            for bi in bis:
-                ti, _f, _l, ub, _ri, _o, _n = blocks[bi]
-                if ub > per_term_max.get(ti, -1.0):
-                    per_term_max[ti] = ub
-            cell_ub[cell] = sum(per_term_max.values())
+        c0 = first_f // cell_span
+        spans = last_f // cell_span - c0 + 1
+        tot = int(spans.sum())
+        seg = np.concatenate(([0], np.cumsum(spans)[:-1]))
+        entry_cell = (np.repeat(c0, spans)
+                      + (np.arange(tot, dtype=np.int64) - np.repeat(seg, spans)))
+        entry_bi = np.repeat(np.arange(nb, dtype=np.int64), spans)
+        # order entries by (cell, term) so each cell's block list is already
+        # in query-term order (float-identical accumulation order)
+        order = np.lexsort((ti_f[entry_bi], entry_cell))
+        entry_cell = entry_cell[order]
+        entry_bi = entry_bi[order]
+        cbrk = np.flatnonzero(entry_cell[1:] != entry_cell[:-1])
+        cstarts = np.concatenate(([0], cbrk + 1))
+        cends = np.concatenate((cbrk + 1, [len(entry_cell)]))
+        cells_u = entry_cell[cstarts]
+        # per-cell ub = Σ over terms of the max block ub overlapping the cell
+        ent_ti = ti_f[entry_bi]
+        kbrk = np.flatnonzero((entry_cell[1:] != entry_cell[:-1])
+                              | (ent_ti[1:] != ent_ti[:-1]))
+        g_starts = np.concatenate(([0], kbrk + 1))
+        g_max = np.maximum.reduceat(ub_f[entry_bi], g_starts)
+        g_cell = entry_cell[g_starts]
+        gc_starts = np.concatenate(
+            ([0], np.flatnonzero(g_cell[1:] != g_cell[:-1]) + 1))
+        cell_ub_vals = np.add.reduceat(g_max, gc_starts)
 
         decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
         def get_block(bi: int) -> tuple[np.ndarray, np.ndarray]:
-            _ti, _f, _l, _ub, ri, off, ln = blocks[bi]
+            ri, off = int(ri_f[bi]), int(off_f[bi])
             key = (ri, off)
             hit = decoded.get(key)
             if hit is None:
                 # positions are never used in scoring — skip stream B
-                d, tf, _ = decode_block(payloads[ri][off : off + ln], False)
+                d, tf, _ = decode_block(
+                    payloads[ri][off : off + int(ln_f[bi])], False)
                 hit = (d, tf)
                 decoded[key] = hit
             return hit
@@ -620,40 +664,46 @@ class BM25Scorer:
         threshold = -np.inf
         running_topk: np.ndarray | None = None
 
-        for cell in sorted(cell_ub, key=lambda c: -cell_ub[c]):
-            if n_final >= k and cell_ub[cell] < threshold:
+        for ci in np.argsort(-cell_ub_vals, kind="stable"):
+            if n_final >= k and cell_ub_vals[ci] < threshold:
                 break
+            cell = int(cells_u[ci])
             lo, hi = cell * cell_span, (cell + 1) * cell_span
-            # gather per-term slices within [lo, hi), in query-term order
-            acc_ids: np.ndarray | None = None
-            acc_scores: np.ndarray | None = None
-            bis = sorted(cell_blocks[cell], key=lambda bi: blocks[bi][0])
+            bis = entry_bi[cstarts[ci]:cends[ci]]  # already term-ordered
             # batch-decode this cell's missing blocks, one vectorized pass
             # per postings row instead of one numpy round-trip per block —
             # the stopword-query tail decodes ~every block, and per-block
             # decode overhead dominated p95 latency
             by_row: dict[int, list[int]] = {}
             for bi in bis:
-                _ti0, _f0, _l0, _ub0, ri0, off0, _ln0 = blocks[bi]
+                ri0, off0 = int(ri_f[bi]), int(off_f[bi])
                 if (ri0, off0) not in decoded:
-                    by_row.setdefault(ri0, []).append(bi)
+                    by_row.setdefault(ri0, []).append(int(bi))
             for ri0, row_bis in by_row.items():
-                offs = [blocks[bi][5] for bi in row_bis]
-                lns = [blocks[bi][6] for bi in row_bis]
-                nds = [block_nd[bi] for bi in row_bis]
+                offs = [int(off_f[bi]) for bi in row_bis]
+                lns = [int(ln_f[bi]) for bi in row_bis]
+                nds = [int(nd_f[bi]) for bi in row_bis]
                 d_all, tf_all = decode_doc_tf_batch(
                     payloads[ri0], offs, lns, nds)
                 cuts = np.concatenate(([0], np.cumsum(nds)))
                 for j, bi in enumerate(row_bis):
-                    decoded[(ri0, blocks[bi][5])] = (
+                    decoded[(ri0, offs[j])] = (
                         d_all[cuts[j]:cuts[j + 1]],
                         tf_all[cuts[j]:cuts[j + 1]])
+            # dense cell-local accumulator: cells span ~10³ doc ids, so a
+            # direct-indexed float array replaces the per-term unique/add.at
+            # merge (same per-doc addition order — terms ascending — so sums
+            # stay float-identical; doc ids are unique within a term's cell
+            # slice, so fancy-index += never collides)
+            width = hi - lo
+            dense_cell = np.zeros(width, np.float64)
+            touched = np.zeros(width, bool)
+            bis_ti = ti_f[bis]
+            any_term = False
             for ti in range(n_terms):
                 t_ids, t_tfs = [], []
-                for bi in bis:
-                    if blocks[bi][0] != ti:
-                        continue
-                    d, tf = get_block(bi)
+                for bi in bis[bis_ti == ti]:
+                    d, tf = get_block(int(bi))
                     m = (d >= lo) & (d < hi)
                     if m.any():
                         t_ids.append(d[m])
@@ -664,17 +714,15 @@ class BM25Scorer:
                 tf = np.concatenate(t_tfs).astype(np.float64)
                 dl = doc_lens[d].astype(np.float64)
                 s = self._score_arrays(tf, dl, numer_by_ti[ti], k1_1mb, k1b_avg)
-                if acc_ids is None:
-                    acc_ids, acc_scores = d, s
-                else:
-                    all_ids = np.concatenate([acc_ids, d])
-                    uniq, inv = np.unique(all_ids, return_inverse=True)
-                    merged = np.zeros(len(uniq), dtype=np.float64)
-                    np.add.at(merged, inv[: len(acc_ids)], acc_scores)
-                    np.add.at(merged, inv[len(acc_ids) :], s)
-                    acc_ids, acc_scores = uniq, merged
-            if acc_ids is None:
+                dloc = d - lo
+                dense_cell[dloc] += s
+                touched[dloc] = True
+                any_term = True
+            if not any_term:
                 continue
+            ids_local = np.flatnonzero(touched)
+            acc_ids = ids_local + lo
+            acc_scores = dense_cell[ids_local]
             # deleted docs leave the cell BEFORE the threshold update, so
             # pruning stays rank-safe with deletions pending compaction
             keepm = self.r.keep_mask(acc_ids)
