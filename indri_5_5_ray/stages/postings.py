@@ -217,12 +217,27 @@ def merge_bucket(
         blen_flat, _ = _flatten_list_column(group, "pos_byte_lens")
     row_starts = np.concatenate(([0], np.cumsum(doc_lens_per_row)))
 
-    # group boundaries: rows where (term, salt) changes
-    bounds = [0]
-    for i in range(1, n_rows):
-        if terms[i] != terms[i - 1] or salts[i] != salts[i - 1]:
-            bounds.append(i)
-    bounds.append(n_rows)
+    # group boundaries: rows where (term, salt) changes — dictionary-encoded
+    # term codes make the scan one vectorized int comparison, not a Python
+    # string loop over every partial row
+    tcol = group.column("term").combine_chunks()
+    if isinstance(tcol, pa.ChunkedArray):
+        tcol = (tcol.chunk(0) if tcol.num_chunks == 1
+                else pa.concat_arrays(tcol.chunks))
+    tcodes = tcol.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    change = np.flatnonzero(
+        (tcodes[1:] != tcodes[:-1]) | (salts[1:] != salts[:-1])) + 1
+    bounds = np.concatenate(([0], change, [n_rows]))
+
+    # ascending-docID invariant (the reference asserts this at write:
+    # ref:src/IndexWriter.cpp:618) — checked in ONE pass over the flat doc
+    # stream; only pairs straddling a (term, salt) group boundary may
+    # legitimately descend
+    d_ok = np.diff(doc_flat) > 0
+    if len(d_ok):
+        gb_val = row_starts[bounds[1:-1]]
+        d_ok[gb_val[gb_val > 0] - 1] = True
+        assert d_ok.all(), "posting doc_ids not strictly ascending in a group"
 
     cols: dict[str, list] = {f.name: [] for f in POSTINGS_SCHEMA}
     bucket_val = int(group.column("bucket")[0].as_py()) if n_rows else 0
@@ -233,12 +248,6 @@ def merge_bucket(
         doc_ids = doc_flat[v0:v1]
         tfs = tf_flat[v0:v1]
         dls = dl_flat[v0:v1]
-
-        # ascending-docID invariant (the reference asserts this at write:
-        # ref:src/IndexWriter.cpp:618)
-        assert np.all(np.diff(doc_ids) > 0), (
-            f"posting doc_ids not strictly ascending for term {terms[r0]!r}"
-        )
 
         if store_positions:
             pos_payload = b"".join(pos_rows[r0:r1])
