@@ -120,7 +120,7 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str) -> st
         from ..stages.postings import cached_dataset
 
         out = []
-        dset = cached_dataset(f"{out_dir}/dedup_keys")
+        dset = cached_dataset(f"{out_dir}/dedup_keys", salt=fingerprint)
         for b in batch.column("kbucket").to_pylist():
             t = dset.to_table(filter=pads.field("kbucket") == b, columns=["key", "doc_id"],
                               use_threads=False)

@@ -113,6 +113,10 @@ class IndexReader:
         self._postings_ds: pads.Dataset | None = None
         self._dict_ds: pads.Dataset | None = None
         self._row_cache: dict[str, pa.Table] = {}
+        # per-term postings payload bytes, aligned with _row_cache row order:
+        # large_binary -> Python bytes is a full copy, so it is paid once at
+        # cache insert, not per query (see term_payloads)
+        self._payload_cache: dict[str, list[bytes]] = {}
         self._stats_cache: dict[str, tuple[int, int] | None] = {}
         # per-subdir dataset handles: discovery + fragment metadata (file
         # listing, footers) are paid once per reader, not per point lookup
@@ -328,19 +332,36 @@ class IndexReader:
                 keep = set(terms)
                 for k in [k for k in self._row_cache if k not in keep]:
                     del self._row_cache[k]
+                    self._payload_cache.pop(k, None)
             for term in missing:
                 mask = pc.equal(fetched.column("term"), term)
                 # sorted ONCE at insert: per-query assembly below is then a
                 # zero-copy concat in term order — re-sorting per query
                 # copied every cached postings payload byte (the dominant
                 # per-query cost for common terms)
-                self._row_cache[term] = fetched.filter(mask).sort_by(
+                t_rows = fetched.filter(mask).sort_by(
                     [("first_doc", "ascending")])
+                self._row_cache[term] = t_rows
+                self._payload_cache[term] = t_rows.column(
+                    "postings").to_pylist()
         tables = [self._row_cache[t] for t in sorted(terms)
                   if self._row_cache[t].num_rows]
         if not tables:
             return POSTINGS_SCHEMA.empty_table()
         return pa.concat_tables(tables)
+
+    def term_payloads(self, terms: list[str]) -> list[bytes]:
+        """Cached postings payload bytes for ``terms``, row-aligned with
+        :meth:`term_rows`'s result for the same terms (same sorted-term,
+        first_doc-ascending order).  Call AFTER term_rows so the cache is
+        populated; avoids re-copying every payload byte out of arrow per
+        query."""
+        out: list[bytes] = []
+        for t in sorted(terms):
+            pl = self._payload_cache.get(t)
+            if pl:
+                out.extend(pl)
+        return out
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """Global (cf, df) per term from the dictionary (first query pass —
@@ -379,8 +400,12 @@ def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, 
     if k > 0 and n > 4 * k:
         part = np.argpartition(scores, n - k)[n - k:]
         s_k = scores[part].min()
-        cand = np.flatnonzero(scores >= s_k)
-        doc_ids, scores = doc_ids[cand], scores[cand]
+        # NaN scores (possible in belief-network callers) land at the top of
+        # an argpartition and poison min() — fall back to the full sort,
+        # which ranks NaN rows last like the pre-prune behavior
+        if not np.isnan(s_k):
+            cand = np.flatnonzero(scores >= s_k)
+            doc_ids, scores = doc_ids[cand], scores[cand]
     order = np.lexsort((-doc_ids, -scores))
     order = order[:k]
     return doc_ids[order], scores[order]
@@ -571,27 +596,22 @@ class BM25Scorer:
         # derive per-block term index / first-doc bound / upper bound with
         # numpy segment ops.  The per-Python-block loop this replaces cost
         # ~25 ms/query on common-term queries and grew with corpus size.
+        from ..stages.postings import _flatten_list_column
+
         row_terms = rows.column("term").to_pylist()
-        payloads = rows.column("postings").to_pylist()
+        # payload bytes come from the reader's per-term cache (copied out of
+        # arrow once at insert) — rows and payloads share the same
+        # (sorted term, first_doc asc) row order
+        payloads = self.r.term_payloads(list(term_order))
         row_first = rows.column("first_doc").to_numpy()
         nrows = rows.num_rows
 
-        def _flat(name: str, dtype) -> tuple[np.ndarray, np.ndarray]:
-            col = rows.column(name).combine_chunks()
-            if isinstance(col, pa.ChunkedArray):
-                col = (col.chunk(0) if col.num_chunks == 1
-                       else pa.concat_arrays(col.chunks))
-            vals = col.flatten().to_numpy(zero_copy_only=False).astype(
-                dtype, copy=False)
-            lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
-            return vals, lens
-
-        off_f, row_nb = _flat("block_offset", np.int64)
-        ln_f, _ = _flat("block_length", np.int64)
-        mtf_f, _ = _flat("block_max_tf", np.float64)
-        mdl_f, _ = _flat("block_min_dl", np.float64)
-        last_f, _ = _flat("block_last_doc", np.int64)
-        nd_f, _ = _flat("block_n_docs", np.int64)
+        off_f, row_nb = _flatten_list_column(rows, "block_offset")
+        ln_f, _ = _flatten_list_column(rows, "block_length")
+        mtf_f, _ = _flatten_list_column(rows, "block_max_tf", np.float64)
+        mdl_f, _ = _flatten_list_column(rows, "block_min_dl", np.float64)
+        last_f, _ = _flatten_list_column(rows, "block_last_doc")
+        nd_f, _ = _flatten_list_column(rows, "block_n_docs")
         nb = len(off_f)
         if nb == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -616,7 +636,11 @@ class BM25Scorer:
         # too-fine cells pay per-cell numpy overhead without extra pruning
         n_cells = max(16, min(256, nb // max(1, 4 * n_terms)))
         n_cells = min(n_cells, max(1, nb))
-        cell_span = (max_doc + n_cells) // n_cells
+        # cap the cell width: the dense per-cell accumulator below allocates
+        # O(cell_span), so a rare term whose few blocks span a huge doc-id
+        # space must not turn one cell into the whole corpus
+        cell_span = min((max_doc + n_cells) // n_cells, 1 << 16)
+        cell_span = max(1, cell_span)
         c0 = first_f // cell_span
         spans = last_f // cell_span - c0 + 1
         tot = int(spans.sum())

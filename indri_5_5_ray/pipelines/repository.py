@@ -112,6 +112,12 @@ class MultiIndexReader:
             [("term", "ascending"), ("first_doc", "ascending")]
         )
 
+    def term_payloads(self, terms: list[str]) -> list[bytes]:
+        """Payload bytes row-aligned with :meth:`term_rows` (same global
+        (term, first_doc) sort).  Extracted per call — the multi-segment
+        view is the repository maintenance path, not the hot query path."""
+        return self.term_rows(terms).column("postings").to_pylist()
+
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         out: dict[str, tuple[int, int]] = {}
         for r in self.readers:

@@ -259,10 +259,14 @@ def _accumulate_chunk(
         doc_tok_offsets = np.concatenate(([0], np.cumsum(raw_lens)))
         doc_exp_offsets = cum_counts[doc_tok_offsets]
         dl_arr = np.diff(doc_exp_offsets)
-    # per-slot doc index and in-doc position (chunk-local → int32-safe)
-    doc_local = np.repeat(np.arange(n, dtype=np.int32), dl_arr)
-    pos_stream = np.arange(total, dtype=np.int32) - np.repeat(
-        doc_exp_offsets[:-1].astype(np.int32, copy=False), dl_arr)
+    # per-slot doc index and in-doc position — int32 when the chunk's slot
+    # count allows (the normal case; half the sort/gather traffic), int64
+    # otherwise: a silent int32 wrap would corrupt postings, so the dtype is
+    # chosen by the actual total, never assumed
+    slot_dt = np.int32 if total < 2**31 else np.int64
+    doc_local = np.repeat(np.arange(n, dtype=slot_dt), dl_arr)
+    pos_stream = np.arange(total, dtype=slot_dt) - np.repeat(
+        doc_exp_offsets[:-1].astype(slot_dt, copy=False), dl_arr)
     mask = tid_stream >= 0
     t_v = tid_stream[mask]
     d_v = doc_local[mask]

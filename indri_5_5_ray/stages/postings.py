@@ -65,13 +65,16 @@ POSTINGS_SCHEMA = pa.schema(
 _DATASET_CACHE: dict = {}
 
 
-def cached_dataset(path: str):
+def cached_dataset(path: str, salt: str = ""):
     """Process-global pyarrow dataset handle keyed by the directory's file
     listing (name, size, mtime).  Warm Ray workers run many one-bucket merge
     tasks back to back; reusing the dataset object lets pyarrow's per-fragment
     metadata (parquet footers already read for row-group pruning) be loaded
     once per worker instead of once per task.  The listing fingerprint makes
-    a rebuild in the same session (files rewritten) miss the cache."""
+    a rebuild in the same session (files rewritten) miss the cache; callers
+    pass their build/plan fingerprint as ``salt`` to close the residual
+    window of a same-size rewrite inside one mtime tick (coarse-granularity
+    filesystems)."""
     import os
 
     import pyarrow.dataset as pads
@@ -81,7 +84,7 @@ def cached_dataset(path: str):
             (e.name, e.stat().st_size, e.stat().st_mtime_ns)
             for e in it if e.name.endswith(".parquet")
         ))
-    key = (path, sig)
+    key = (path, salt, sig)
     hit = _DATASET_CACHE.get(key)
     if hit is None:
         if len(_DATASET_CACHE) > 4:
@@ -126,7 +129,7 @@ class MergeWorker:
         from ..state import lineage
 
         out_rows = []
-        dset = cached_dataset(self.partials_dir)
+        dset = cached_dataset(self.partials_dir, salt=self.plan_fingerprint)
         for bucket in batch.column("bucket").to_pylist():
             t0 = time.perf_counter()
             pid = f"{bucket:05d}"
@@ -176,16 +179,23 @@ class MergeWorker:
         return pa.Table.from_pylist(out_rows)
 
 
-def _flatten_list_column(tbl: pa.Table, name: str) -> tuple[np.ndarray, np.ndarray]:
-    """List column → (flat values ndarray, per-row lengths). Zero-copy where
-    arrow allows."""
+def combine_column(tbl: pa.Table, name: str) -> pa.Array:
+    """One contiguous Array for a (possibly chunked) table column."""
     col = tbl.column(name).combine_chunks()
     if isinstance(col, pa.ChunkedArray):
         col = col.chunk(0) if col.num_chunks == 1 else pa.concat_arrays(col.chunks)
+    return col
+
+
+def _flatten_list_column(tbl: pa.Table, name: str,
+                         dtype=np.int64) -> tuple[np.ndarray, np.ndarray]:
+    """List column → (flat values ndarray, per-row lengths). Zero-copy where
+    arrow allows."""
+    col = combine_column(tbl, name)
     flat = col.flatten().to_numpy(zero_copy_only=False)
     offsets = col.offsets.to_numpy(zero_copy_only=False)
     lengths = np.diff(offsets)
-    return flat.astype(np.int64, copy=False), lengths.astype(np.int64)
+    return flat.astype(dtype, copy=False), lengths.astype(np.int64)
 
 
 def merge_bucket(
@@ -220,11 +230,8 @@ def merge_bucket(
     # group boundaries: rows where (term, salt) changes — dictionary-encoded
     # term codes make the scan one vectorized int comparison, not a Python
     # string loop over every partial row
-    tcol = group.column("term").combine_chunks()
-    if isinstance(tcol, pa.ChunkedArray):
-        tcol = (tcol.chunk(0) if tcol.num_chunks == 1
-                else pa.concat_arrays(tcol.chunks))
-    tcodes = tcol.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    tcodes = combine_column(group, "term").dictionary_encode().indices.to_numpy(
+        zero_copy_only=False)
     change = np.flatnonzero(
         (tcodes[1:] != tcodes[:-1]) | (salts[1:] != salts[:-1])) + 1
     bounds = np.concatenate(([0], change, [n_rows]))
