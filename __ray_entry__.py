@@ -657,6 +657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,
         "lang_id": textstats.lang_id,
         "lang_table_stats": textstats.lang_table_stats,
+        "line_stats": textstats.line_stats,
+        "gopher_filter": textstats.gopher_filter,
         # --- sampling / contamination (training-data curation) ---
         "sample_hash": sampling.sample_hash,
         "quota_sample": sampling.quota_sample,
@@ -1459,6 +1461,26 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(toks)) AS n_distinct,
                    CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(len(list_distinct(toks))::DOUBLE / len(toks), 6) END AS distinct_ratio
             FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents)
+            ORDER BY doc_id""",
+        "line_stats": """
+            SELECT doc_id, len(ls) AS n_lines,
+                   len(list_distinct(ls)) AS n_unique_lines,
+                   round((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6)
+                     AS dup_line_frac
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+            ORDER BY doc_id""",
+        "gopher_filter": f"""
+            SELECT doc_id, n_tokens,
+                   round(sum_len::DOUBLE / n_tokens, 6) AS mean_tok_len,
+                   round((n_lines - n_uniq)::DOUBLE / n_lines, 6) AS dup_line_frac
+            FROM (SELECT doc_id, len(t) AS n_tokens,
+                         list_aggregate(list_transform(t, x -> length(x)), 'sum') AS sum_len,
+                         len(ls) AS n_lines, len(list_distinct(ls)) AS n_uniq
+                  FROM (SELECT doc_id, {TOKEN_SQL} AS t,
+                               string_split(text, chr(10)) AS ls FROM documents))
+            WHERE n_tokens BETWEEN 50 AND 100000
+              AND sum_len::DOUBLE / n_tokens BETWEEN 3 AND 10
+              AND (n_lines - n_uniq)::DOUBLE / n_lines < 0.3
             ORDER BY doc_id""",
         "lang_id": f"""
             SELECT doc_id,

@@ -148,6 +148,67 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def line_stats(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_lines, n_unique_lines, dup_line_frac) — within-document
+    line repetition, the boilerplate/template signal behind the Gopher
+    repetition rules (Rae et al. 2021 §A1.1).  Pure map; the fraction is
+    rounded to 6 decimals the same way in the SQL oracle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            pl.col("text").str.split("\n").alias("ls"))
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("ls").list.len().cast(pl.Int64).alias("n_lines"),
+            pl.col("ls").list.n_unique().cast(pl.Int64).alias("n_unique_lines"),
+        ).with_columns(
+            ((pl.col("n_lines") - pl.col("n_unique_lines"))
+             / pl.col("n_lines")).round(6).alias("dup_line_frac"))
+        return out.to_arrow()
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def gopher_filter(sf_dir: str, min_tokens: int = 50, max_tokens: int = 100_000,
+                  min_mean: float = 3.0, max_mean: float = 10.0,
+                  max_dup_line_frac: float = 0.3) -> ray.data.Dataset:
+    """Gopher-style composite quality filter: docs passing token-count
+    bounds, mean-token-length bounds, and a duplicate-line-fraction cap
+    (Rae et al. 2021 §A1.1), with the metrics that justified the decision.
+
+    Map-only (each batch filters independently); thresholds are applied to
+    the UNROUNDED ratios on both the Ray and SQL sides, so boundary
+    decisions agree bit-for-bit."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            tokens_expr().alias("toks"),
+            pl.col("text").str.split("\n").alias("ls"))
+        m = df.select(
+            "doc_id",
+            pl.col("toks").list.len().cast(pl.Int64).alias("n_tokens"),
+            pl.col("toks").list.eval(pl.element().str.len_chars())
+              .list.sum().cast(pl.Int64).alias("sum_len"),
+            pl.col("ls").list.len().cast(pl.Int64).alias("n_lines"),
+            pl.col("ls").list.n_unique().cast(pl.Int64).alias("n_uniq"),
+        ).filter(pl.col("n_tokens") > 0).with_columns(
+            (pl.col("sum_len") / pl.col("n_tokens")).alias("_mean"),
+            ((pl.col("n_lines") - pl.col("n_uniq"))
+             / pl.col("n_lines")).alias("_dupf"),
+        ).filter(
+            (pl.col("n_tokens") >= min_tokens)
+            & (pl.col("n_tokens") <= max_tokens)
+            & (pl.col("_mean") >= min_mean) & (pl.col("_mean") <= max_mean)
+            & (pl.col("_dupf") < max_dup_line_frac))
+        out = m.select(
+            "doc_id", "n_tokens",
+            pl.col("_mean").round(6).alias("mean_tok_len"),
+            pl.col("_dupf").round(6).alias("dup_line_frac"))
+        return out.to_arrow()
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, pred_lang) marker-word language-ID heuristic.
 

@@ -85,3 +85,32 @@ def test_contamination_screen_flags_real_overlaps_only(modulus):
     got = {r["doc_id"]: r["n_hits"] for r in rows}
     assert got == want
     assert all(d % modulus != 0 for d in got)  # benchmark docs never flagged
+
+
+def test_line_stats_and_gopher_filter_brute_force():
+    """textstats.line_stats / gopher_filter vs a per-doc Python recompute."""
+    import re
+
+    from indri_5_5_ray.functions import textstats
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+    got_ls = {r["doc_id"]: r for r in textstats.line_stats(SF).take_all()}
+    got_gf = {r["doc_id"]: r for r in textstats.gopher_filter(SF).take_all()}
+    passed = set()
+    for d, x in docs.items():
+        lines = x.split("\n")
+        nl, nu = len(lines), len(set(lines))
+        r = got_ls[d]
+        assert (r["n_lines"], r["n_unique_lines"]) == (nl, nu)
+        assert r["dup_line_frac"] == pytest.approx((nl - nu) / nl, abs=1e-6)
+        toks = re.findall(r"[a-z0-9]+", x.lower())
+        if toks:
+            mean = sum(len(w) for w in toks) / len(toks)
+            dupf = (nl - nu) / nl
+            if 50 <= len(toks) <= 100_000 and 3 <= mean <= 10 and dupf < 0.3:
+                passed.add(d)
+                assert got_gf[d]["n_tokens"] == len(toks)
+    assert set(got_gf) == passed
+    assert passed  # thresholds keep a non-trivial subset at sf0.001
