@@ -192,6 +192,10 @@ def run_bench() -> dict:
     for k_, v_ in _ann_recall().items():
         results[k_] = v_
 
+    def _sampling():
+        from indri_5_5_ray.functions import sampling
+        return sampling
+
     for name, fn in [
         ("term_stats", lambda: textstats.term_stats(SF_DIR).count()),
         ("minhash_lsh", lambda: dedup.lsh_candidate_pairs(SF_DIR).count()),
@@ -202,6 +206,8 @@ def run_bench() -> dict:
         ("window_5q", lambda: [eng.run(f"#combine(#od2({sq[0]} {sq[1]}) {t.split()[0]})", k=100)
                                for _, t in queries[:5]]),
         ("field_4q", lambda: [field_eng.run(q, k=100) for _, q in FIELD_QUERIES]),
+        ("gopher_filter", lambda: textstats.gopher_filter(SF_DIR).count()),
+        ("contamination", lambda: _sampling().contamination_screen(SF_DIR).count()),
     ]:
         t0 = time.perf_counter()
         fn()
