@@ -140,7 +140,8 @@ def contamination_screen(sf_dir: str, modulus: int = 97) -> ray.data.Dataset:
         key = bench_ref.hex()
         bench = _BENCH_MEMO.get(key)
         if bench is None:
-            _BENCH_MEMO.clear()
+            while len(_BENCH_MEMO) >= 2:  # bounded; two interleaved screens
+                _BENCH_MEMO.pop(next(iter(_BENCH_MEMO)))  # must not thrash
             bench = pl.Series("shingle", ray.get(bench_ref), dtype=pl.Utf8)
             _BENCH_MEMO[key] = bench
         sh = _doc_shingles(_mod_filter(batch, modulus, keep_zero=False))

@@ -63,7 +63,8 @@ def _ingest_concurrency() -> int:
 _DEDUP_BUCKETS = 32
 
 
-def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str) -> str | None:
+def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str,
+                  corpus_sig: str = "") -> str | None:
     """Phase 1: find duplicate doc_ids to drop (keep first arrival = min
     doc_id, mirroring the reference's keep-first ingest dedup).
 
@@ -143,7 +144,9 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str) -> st
     from ..state import lineage as _lineage
 
     losers_dir = f"{out_dir}/dedup_losers"
-    fingerprint = f"{key}:{len(chunk_dicts)}:{chunk_dicts[-1]['doc_id_base'] if chunk_dicts else 0}"
+    fingerprint = (f"{key}:{len(chunk_dicts)}"
+                   f":{chunk_dicts[-1]['doc_id_base'] if chunk_dicts else 0}"
+                   f":{corpus_sig}")
 
     def _count_rows() -> int:
         return sum(
@@ -282,10 +285,21 @@ def build_index(
                         c.doc_id_base + doc_id_base) for c in chunks]
     chunk_dicts = [asdict(c) for c in chunks]
     timings: dict[str, float] = {}
+    # corpus content identity (paths + sizes + mtimes): folded into the
+    # dedup/merge lineage fingerprints and the worker dataset-cache salts so
+    # an in-place corpus change with unchanged shape can neither resume-skip
+    # a phase nor hit a stale cached dataset handle
+    import hashlib as _hl
+
+    corpus_sig = _hl.md5("\n".join(
+        f"{f}:{os.path.getsize(f)}:{os.stat(f).st_mtime_ns}"
+        for f in sorted({c.file_path for c in chunks})).encode()
+    ).hexdigest()[:12]
 
     # -- phase 1: dedup scan ------------------------------------------------
     t0 = time.perf_counter()
-    losers_path = _dedup_losers(chunk_dicts, cfg, str(out)) if cfg.dedup_key else None
+    losers_path = (_dedup_losers(chunk_dicts, cfg, str(out), corpus_sig)
+                   if cfg.dedup_key else None)
     timings["dedup_s"] = time.perf_counter() - t0
 
     # -- phase 2: ingest (tokenize/stem/partial postings) -------------------
@@ -349,7 +363,8 @@ def build_index(
     t0 = time.perf_counter()
     out_str = str(out)
     cfg_dict = cfg.to_dict()
-    plan_fp = f"{len(chunks)}:{chunks[-1].doc_id_base if chunks else 0}"
+    plan_fp = (f"{len(chunks)}:{chunks[-1].doc_id_base if chunks else 0}"
+               f":{corpus_sig}")
     # bound each reducer's fan-in before the merge (no-op below the
     # file-count threshold; see _consolidate_partials)
     partials_src = _consolidate_partials(out_str, cfg)

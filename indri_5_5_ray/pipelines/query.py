@@ -115,8 +115,12 @@ class IndexReader:
         self._row_cache: dict[str, pa.Table] = {}
         # per-term postings payload bytes, aligned with _row_cache row order:
         # large_binary -> Python bytes is a full copy, so it is paid once at
-        # cache insert, not per query (see term_payloads)
+        # cache insert, not per query (see term_payloads).  The copy doubles
+        # a cached term's payload footprint, so eviction is ALSO byte-bound
+        # (not just term-count-bound) to keep long-lived actors at the same
+        # memory ceiling as before the payload cache existed
         self._payload_cache: dict[str, list[bytes]] = {}
+        self._cache_payload_bytes = 0
         self._stats_cache: dict[str, tuple[int, int] | None] = {}
         # per-subdir dataset handles: discovery + fragment metadata (file
         # listing, footers) are paid once per reader, not per point lookup
@@ -328,11 +332,14 @@ class IndexReader:
             buckets = sorted({self._bucket_of(t) for t in missing})
             expr = pads.field("bucket").isin(buckets) & pads.field("term").isin(missing)
             fetched = self._postings_ds.to_table(filter=expr)
-            if len(self._row_cache) > 8192:  # bound long-lived actor memory
-                keep = set(terms)
+            if (len(self._row_cache) > 8192
+                    or self._cache_payload_bytes > (256 << 20)):
+                keep = set(terms)  # bound long-lived actor memory
                 for k in [k for k in self._row_cache if k not in keep]:
                     del self._row_cache[k]
                     self._payload_cache.pop(k, None)
+                self._cache_payload_bytes = sum(
+                    len(b) for pl_ in self._payload_cache.values() for b in pl_)
             for term in missing:
                 mask = pc.equal(fetched.column("term"), term)
                 # sorted ONCE at insert: per-query assembly below is then a
@@ -342,25 +349,27 @@ class IndexReader:
                 t_rows = fetched.filter(mask).sort_by(
                     [("first_doc", "ascending")])
                 self._row_cache[term] = t_rows
-                self._payload_cache[term] = t_rows.column(
-                    "postings").to_pylist()
+                pl_ = t_rows.column("postings").to_pylist()
+                self._payload_cache[term] = pl_
+                self._cache_payload_bytes += sum(len(b) for b in pl_)
         tables = [self._row_cache[t] for t in sorted(terms)
                   if self._row_cache[t].num_rows]
         if not tables:
             return POSTINGS_SCHEMA.empty_table()
         return pa.concat_tables(tables)
 
-    def term_payloads(self, terms: list[str]) -> list[bytes]:
+    def term_payloads(self, terms: list[str],
+                      rows: pa.Table | None = None) -> list[bytes]:
         """Cached postings payload bytes for ``terms``, row-aligned with
         :meth:`term_rows`'s result for the same terms (same sorted-term,
         first_doc-ascending order).  Call AFTER term_rows so the cache is
-        populated; avoids re-copying every payload byte out of arrow per
-        query."""
+        populated — a cache miss raises (silent misalignment would decode
+        the wrong term's bytes); avoids re-copying every payload byte out of
+        arrow per query.  ``rows`` is accepted for reader-interface parity
+        (MultiIndexReader extracts from it) and ignored here."""
         out: list[bytes] = []
         for t in sorted(terms):
-            pl = self._payload_cache.get(t)
-            if pl:
-                out.extend(pl)
+            out.extend(self._payload_cache[t])
         return out
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -601,8 +610,9 @@ class BM25Scorer:
         row_terms = rows.column("term").to_pylist()
         # payload bytes come from the reader's per-term cache (copied out of
         # arrow once at insert) — rows and payloads share the same
-        # (sorted term, first_doc asc) row order
-        payloads = self.r.term_payloads(list(term_order))
+        # (sorted term, first_doc asc) row order; multi-segment readers
+        # extract from the rows table passed here instead of re-fetching
+        payloads = self.r.term_payloads(list(term_order), rows)
         row_first = rows.column("first_doc").to_numpy()
         nrows = rows.num_rows
 

@@ -394,8 +394,10 @@ class IngestWorker:
         cfg_fp = hashlib.md5(
             repr(sorted(self.cfg.to_dict().items())).encode()
         ).hexdigest()[:12]
+        st = os.stat(chunk.file_path)
         fingerprint = (
-            f"{chunk.file_path}:{chunk.row_start}:{chunk.row_end}"
+            f"{chunk.file_path}:{st.st_size}:{st.st_mtime_ns}"
+            f":{chunk.row_start}:{chunk.row_end}"
             f":{cfg_fp}:{self.losers_path or ''}"
         )
         if lineage.is_done(self.out_dir, "ingest", cid, fingerprint):
