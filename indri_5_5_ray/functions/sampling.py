@@ -84,14 +84,22 @@ def quota_sample(sf_dir: str, per_key: int = 50) -> ray.data.Dataset:
     deterministic md5(text) order (doc_id tie-break), rk = 1-based rank.
 
     Shuffle plan: each batch keeps at most ``per_key`` candidates per key
-    (map-side partial top-N), so the per-key final ranks
-    O(n_batches × per_key) rows, not the corpus; the groupby shuffle moves
-    only those survivors."""
+    (map-side partial top-N), a combine stage re-reduces bundles of those
+    tiny partial blocks (top-N of top-Ns ≡ top-N), and only the combined
+    survivors reach the per-key final — at 10⁶ input blocks the groupby
+    shuffles thousands of rows, not n_batches × per_key."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select(["doc_id", "lang"])).with_columns(
             pl.Series("hk", _md5_hex16(_text_bytes(batch)), dtype=pl.Utf8))
         return (df.sort(["hk", "doc_id"])
+                  .group_by("lang", maintain_order=True)
+                  .head(per_key)
+                  .to_arrow())
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return (pl.from_arrow(batch)
+                  .sort(["hk", "doc_id"])
                   .group_by("lang", maintain_order=True)
                   .head(per_key)
                   .to_arrow())
@@ -105,7 +113,8 @@ def quota_sample(sf_dir: str, per_key: int = 50) -> ray.data.Dataset:
 
     ds = read_spread(f"{sf_dir}/documents.parquet",
                      ["doc_id", "lang", "text"]).map_batches(
-        partial, batch_format="pyarrow")
+        partial, batch_format="pyarrow").map_batches(
+        combine, batch_format="pyarrow", batch_size=4096)
     return ds.groupby("lang").map_groups(final, batch_format="pyarrow")
 
 
