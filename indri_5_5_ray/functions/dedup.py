@@ -164,10 +164,14 @@ def _dup_groups(sf_dir: str) -> tuple[dict[int, np.ndarray], dict[int, int], set
         keep = g.filter((pl.col("cnt") >= 2) | pl.col("h_hi").is_in(edge))
         return keep.drop("cnt").to_arrow().cast(empty.schema)
 
+    # materialize() before to_arrow_refs(): on a lazy dataset,
+    # to_arrow_refs re-executes the WHOLE plan a second time with limit=1
+    # just to resolve the schema — for a sort pipeline that doubles the
+    # shuffle (applies to every to_arrow_refs site in functions/)
     parts = [
         t for t in (ray.get(r) for r in keyed_ds.sort("h_hi")
                     .map_batches(batch_groups, batch_format="pyarrow")
-                    .to_arrow_refs())
+                    .materialize().to_arrow_refs())
         if t.num_rows
     ]
     groups: dict[int, np.ndarray] = {}
@@ -725,7 +729,7 @@ def near_dup_clusters(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
     pairs (3-gram Jaccard ≥ tau); cluster_rep = min doc_id in the component.
     Docs in no pair form singleton clusters (rep = self)."""
     pairs = ngram_jaccard_pairs(sf_dir, tau=tau)
-    tables = [t for t in (ray.get(r) for r in pairs.to_arrow_refs())
+    tables = [t for t in (ray.get(r) for r in pairs.materialize().to_arrow_refs())
               if t.num_rows]
     pt = pa.concat_tables(tables) if tables else None
     ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",

@@ -117,7 +117,7 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 10) -> pa.Table:
         )
 
     parts = _emb(sf_dir).map_batches(partial_topk, batch_format="pyarrow")
-    t = parts.to_arrow_refs()
+    t = parts.materialize().to_arrow_refs()
     tables = [ray.get(r) for r in t]
     allt = pa.concat_tables([x for x in tables if x.num_rows])
     qs = allt.column("query_id").to_numpy()
@@ -184,7 +184,7 @@ def cosine_pairs(sf_dir: str, tau: float = 0.4,
 
     blocks = _emb(sf_dir).map_batches(
         lambda t: t, batch_size=block_rows, batch_format="pyarrow"
-    ).to_arrow_refs()
+    ).materialize().to_arrow_refs()
     nrefs = [norm_block.remote(r) for r in blocks]
     tasks = [
         block_pair.remote(nrefs[i], nrefs[j], i == j)
@@ -280,7 +280,7 @@ def lsh_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
 
     cands = _emb(sf_dir).map_batches(bucket_filter, batch_format="pyarrow")
     parts = cands.map_batches(partial_topk, batch_format="pyarrow")
-    tables = [x for x in (ray.get(r) for r in parts.to_arrow_refs()) if x.num_rows]
+    tables = [x for x in (ray.get(r) for r in parts.materialize().to_arrow_refs()) if x.num_rows]
     if not tables:
         return pa.table({"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
@@ -478,7 +478,7 @@ def ivf_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
         tables: list[pa.Table] = []
     else:
         parts = src.map_batches(partial_topk, batch_format="pyarrow")
-        tables = [x for x in (ray.get(r) for r in parts.to_arrow_refs())
+        tables = [x for x in (ray.get(r) for r in parts.materialize().to_arrow_refs())
                   if x.num_rows]
     rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
     if tables:
