@@ -114,3 +114,21 @@ def test_line_stats_and_gopher_filter_brute_force():
                 assert got_gf[d]["n_tokens"] == len(toks)
     assert set(got_gf) == passed
     assert passed  # thresholds keep a non-trivial subset at sf0.001
+
+
+def test_read_spread_splits_single_row_group(tmp_path):
+    """A one-row-group parquet cannot be split inside Ray's reader, so
+    operator pipelines over it run as ONE task; read_spread must repartition
+    small inputs to cluster width so map stages parallelize."""
+    import pyarrow as pa
+
+    from indri_5_5_ray.functions.textstats import read_spread
+
+    p = tmp_path / "one_rg.parquet"
+    tbl = pa.table({"doc_id": pa.array(range(5000), pa.int64()),
+                    "text": pa.array(["word " * 30] * 5000)})
+    pq.write_table(tbl, p, row_group_size=5000)  # ONE row group
+    ds = read_spread(str(p), ["doc_id", "text"])
+    n_blocks = ds.materialize().num_blocks()
+    assert n_blocks > 1
+    assert ds.count() == 5000
