@@ -84,25 +84,27 @@ def quota_sample(sf_dir: str, per_key: int = 50) -> ray.data.Dataset:
     deterministic md5(text) order (doc_id tie-break), rk = 1-based rank.
 
     Shuffle plan: each batch keeps at most ``per_key`` candidates per key
-    (map-side partial top-N), a combine stage re-reduces bundles of those
-    tiny partial blocks (top-N of top-Ns ≡ top-N), and only the combined
-    survivors reach the per-key final — at 10⁶ input blocks the groupby
-    shuffles thousands of rows, not n_batches × per_key."""
+    (map-side partial top-N), a combine stage re-reduces 4096-row bundles of
+    those tiny partial blocks (top-N of top-Ns ≡ top-N, so the reduction
+    factor is ~4096 / (per_key × n_keys) per pass — repeat the combine stage
+    for deeper trees if a corpus needs it), and only the combined survivors
+    reach the per-key final."""
 
-    def partial(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select(["doc_id", "lang"])).with_columns(
-            pl.Series("hk", _md5_hex16(_text_bytes(batch)), dtype=pl.Utf8))
+    def _reduce(df: pl.DataFrame) -> pa.Table:
+        # the ONE definition of the quota order: (hk asc, doc_id asc) per key
         return (df.sort(["hk", "doc_id"])
                   .group_by("lang", maintain_order=True)
                   .head(per_key)
                   .to_arrow())
 
+    def partial(batch: pa.Table) -> pa.Table:
+        return _reduce(
+            pl.from_arrow(batch.select(["doc_id", "lang"])).with_columns(
+                pl.Series("hk", _md5_hex16(_text_bytes(batch)),
+                          dtype=pl.Utf8)))
+
     def combine(batch: pa.Table) -> pa.Table:
-        return (pl.from_arrow(batch)
-                  .sort(["hk", "doc_id"])
-                  .group_by("lang", maintain_order=True)
-                  .head(per_key)
-                  .to_arrow())
+        return _reduce(pl.from_arrow(batch))
 
     def final(group: pa.Table) -> pa.Table:
         df = pl.from_arrow(group).sort(["hk", "doc_id"]).head(per_key)

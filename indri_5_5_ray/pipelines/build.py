@@ -209,7 +209,13 @@ def _consolidate_partials(out_dir: str, cfg: IndexConfig) -> str:
     if len(files) <= max_fan:
         return str(partials_dir)
     target_group_bytes = 256 << 20  # per-task input cap (compressed bytes)
-    sizes = [os.path.getsize(f) for f in files]
+    # content identity per input file (size + mtime): a re-ingested partials
+    # file under the same name changes the group fingerprint, so a resumed
+    # build re-consolidates instead of skipping on stale bytes
+    stats = [os.stat(f) for f in files]
+    sizes = [st.st_size for st in stats]
+    file_sig = {f: f"{f}:{st.st_size}:{st.st_mtime_ns}"
+                for f, st in zip(files, stats)}
     groups: list[list[str]] = []
     cur: list[str] = []
     cur_bytes = 0
@@ -228,10 +234,20 @@ def _consolidate_partials(out_dir: str, cfg: IndexConfig) -> str:
     out_c.mkdir(parents=True, exist_ok=True)
     n_buckets = cfg.n_buckets
     out_str = str(out_c)
+    # prune leftovers from a previous grouping: fewer groups this run would
+    # otherwise leave stale c-NNNNN files that the merge dataset reads as
+    # duplicate postings
+    expected = {f"c-{g:05d}.parquet" for g in range(len(groups))}
+    for p in out_c.glob("*.parquet"):
+        if p.name not in expected:
+            p.unlink()
+    group_fps = [
+        _hl.md5("\n".join(file_sig[f] for f in grp).encode()).hexdigest()[:16]
+        for grp in groups
+    ]
 
     @ray.remote(num_cpus=1)
-    def _consolidate(gid: int, group: list[str]) -> None:
-        fp = _hl.md5("\n".join(group).encode()).hexdigest()[:16]
+    def _consolidate(gid: int, group: list[str], fp: str) -> None:
         pid = f"{gid:05d}"
         dest = f"{out_str}/c-{pid}.parquet"
         if _lineage.is_done(out_dir, "consolidate", pid, fp) and os.path.exists(dest):
@@ -248,7 +264,8 @@ def _consolidate_partials(out_dir: str, cfg: IndexConfig) -> str:
             bytes_written=int(t.nbytes),
             wall_ms=(_time.perf_counter() - t0) * 1000)
 
-    ray.get([_consolidate.remote(g, grp) for g, grp in enumerate(groups)])
+    ray.get([_consolidate.remote(g, grp, fp)
+             for g, (grp, fp) in enumerate(zip(groups, group_fps))])
     return out_str
 
 
@@ -291,9 +308,12 @@ def build_index(
     # a phase nor hit a stale cached dataset handle
     import hashlib as _hl
 
+    def _fsig(f: str) -> str:
+        st = os.stat(f)
+        return f"{f}:{st.st_size}:{st.st_mtime_ns}"
+
     corpus_sig = _hl.md5("\n".join(
-        f"{f}:{os.path.getsize(f)}:{os.stat(f).st_mtime_ns}"
-        for f in sorted({c.file_path for c in chunks})).encode()
+        _fsig(f) for f in sorted({c.file_path for c in chunks})).encode()
     ).hexdigest()[:12]
 
     # -- phase 1: dedup scan ------------------------------------------------

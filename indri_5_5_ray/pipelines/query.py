@@ -366,10 +366,17 @@ class IndexReader:
         populated — a cache miss raises (silent misalignment would decode
         the wrong term's bytes); avoids re-copying every payload byte out of
         arrow per query.  ``rows`` is accepted for reader-interface parity
-        (MultiIndexReader extracts from it) and ignored here."""
+        (MultiIndexReader extracts from it); here it is used only to ASSERT
+        alignment — rows from a ``doc_range`` fetch (which bypasses the
+        cache) would silently pair the wrong payloads otherwise."""
         out: list[bytes] = []
         for t in sorted(terms):
             out.extend(self._payload_cache[t])
+        if rows is not None and len(out) != rows.num_rows:
+            raise ValueError(
+                f"term_payloads misaligned with rows ({len(out)} payloads vs "
+                f"{rows.num_rows} rows) — rows must come from a cache-backed "
+                "term_rows call (no doc_range) for the same term list")
         return out
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
