@@ -94,3 +94,53 @@ def test_consolidation_noop_below_threshold(tmp_path, monkeypatch):
     cfg = IndexConfig(store_positions=False, n_buckets=N_BUCKETS)
     src = _consolidate_partials(str(out), cfg)
     assert src.endswith("partials")
+
+
+def test_consolidation_rebuilds_on_rewritten_partials(tmp_path, monkeypatch):
+    """A resumed build that re-ingests partials under the SAME file names
+    must re-consolidate (content fingerprint = size+mtime, not names), and
+    a smaller regrouping must prune the previous run's leftover files."""
+    import os
+
+    out = tmp_path / "idx"
+    _write_partials(out)
+    out_str = str(out)
+    monkeypatch.setenv("INDRI55_MAX_REDUCER_FILES", "64")
+    cfg = IndexConfig(store_positions=False, n_buckets=N_BUCKETS)
+    src = _consolidate_partials(out_str, cfg)
+    first = {p.name: p.stat().st_mtime_ns
+             for p in (out / "partials_c").glob("*.parquet")}
+
+    # unchanged partials → second call skips every group (no rewrites)
+    _consolidate_partials(out_str, cfg)
+    second = {p.name: p.stat().st_mtime_ns
+              for p in (out / "partials_c").glob("*.parquet")}
+    assert second == first
+
+    # rewrite ONE partials file in place (same name, new content/mtime):
+    # its group must be re-consolidated and reflect the new rows
+    victim = sorted((out / "partials").glob("*.parquet"))[0]
+    t = pq.read_table(victim)
+    t = t.set_column(t.schema.get_field_index("tfs"),
+                     "tfs", pa.array([[7]], pa.list_(pa.int32())))
+    pq.write_table(t, victim)
+    os.utime(victim, ns=(time.time_ns(), time.time_ns() + 10**6))
+    src = _consolidate_partials(out_str, cfg)
+    third = {p.name: p.stat().st_mtime_ns
+             for p in (out / "partials_c").glob("*.parquet")}
+    changed = [n for n in third if third[n] != first.get(n)]
+    assert changed, "rewritten partials file did not trigger re-consolidation"
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(src, format="parquet")
+    got = dset.to_table(filter=pads.field("first_doc") == 0)
+    assert got.column("tfs").to_pylist() == [[7]]
+
+    # smaller regrouping (larger fan budget → fewer groups) prunes leftovers
+    monkeypatch.setenv("INDRI55_MAX_REDUCER_FILES", "8")
+    # force regroup with a much larger per-group budget → fewer files
+    src = _consolidate_partials(out_str, cfg)
+    names = {p.name for p in (out / "partials_c").glob("*.parquet")}
+    expected = {f"c-{g:05d}.parquet" for g in range(len(names))}
+    assert names == expected  # contiguous, no stale high-numbered leftovers
+    assert len(names) <= 9
