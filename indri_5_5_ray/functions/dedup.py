@@ -103,10 +103,12 @@ def dedup_keep_first(sf_dir: str) -> ray.data.Dataset:
 
 # The exact-dup pre-collapse is shared by every pair-generating operator
 # (jaccard pairs → lsh pairs → clusters → keep-first chains each need it),
-# so one full-corpus pass is cached per corpus: keyed by (realpath, mtime)
-# the result is valid as long as the documents table is unchanged.  The
-# cached value is driver-resident but O(#duplicated docs) only.
-_DUP_GROUPS_CACHE: dict[tuple[str, float], tuple] = {}
+# so one full-corpus pass is cached per corpus: keyed by
+# (realpath, st_mtime_ns, size) — nanosecond mtime + size, consistent with
+# cached_dataset and the build corpus_sig, so an in-place rewrite within one
+# coarse mtime tick still misses.  The cached value is driver-resident but
+# O(#duplicated docs) only.
+_DUP_GROUPS_CACHE: dict[tuple[str, int, int], tuple] = {}
 
 
 def _dup_groups(sf_dir: str) -> tuple[dict[int, np.ndarray], dict[int, int], set[int]]:
@@ -120,8 +122,8 @@ def _dup_groups(sf_dir: str) -> tuple[dict[int, np.ndarray], dict[int, int], set
     Cached per (corpus path, mtime): the LSH chain calls this from several
     operators and must not re-run the collapse each time."""
     try:
-        cache_key = (os.path.realpath(sf_dir),
-                     os.path.getmtime(f"{sf_dir}/documents.parquet"))
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        cache_key = (os.path.realpath(sf_dir), st.st_mtime_ns, st.st_size)
     except OSError:
         cache_key = None
     if cache_key is not None:
@@ -732,8 +734,8 @@ def near_dup_clusters(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
     tables = [t for t in (ray.get(r) for r in pairs.materialize().to_arrow_refs())
               if t.num_rows]
     pt = pa.concat_tables(tables) if tables else None
-    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                columns=["doc_id"])  # assignment needs no text
+    ids = read_spread(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id"])  # assignment needs no text
     return _components_assign(pt, "doc_a", "doc_b", ids, "doc_id")
 
 
@@ -760,8 +762,7 @@ def embedding_dup_clusters(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
     from .simsearch import cosine_pairs
 
     pt = cosine_pairs(sf_dir, tau=tau)
-    ids = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id"])
+    ids = read_spread(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
     return _components_assign(pt, "vec_id_a", "vec_id_b", ids, "vec_id")
 
 

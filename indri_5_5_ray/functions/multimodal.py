@@ -141,24 +141,44 @@ def synth_media_table(sf_dir: str) -> pa.Table:
     return _synth_media_batch(t)
 
 
+# bump when MULTIMODAL_SCHEMA / _synth_media_batch change shape: the cache
+# key carries it, so tables written by an older code version are never reused
+_MEDIA_TABLE_VERSION = "v2"
+
+
 def ensure_media_table(sf_dir: str) -> str:
     """Materialize the synthetic media table as PARQUET once per corpus
-    (keyed by the documents table's mtime) so the media pipelines READ a
-    real table and stream — generation itself is a Ray pipeline
-    (map_batches over the documents read), not a driver loop."""
+    (keyed by the documents table's st_mtime_ns + size + schema version) so
+    the media pipelines READ a real table and stream — generation itself is
+    a Ray pipeline (map_batches over the documents read), not a driver loop.
+
+    Written into a unique temp dir then atomically renamed into place, so a
+    concurrent driver can never observe a partially written table (the
+    loser of the rename race removes its own copy)."""
     name = os.path.basename(os.path.realpath(sf_dir))
-    mtime = int(os.path.getmtime(f"{sf_dir}/documents.parquet"))
-    out = f"/tmp/indri55_media/{name}-{mtime}"
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    out = (f"/tmp/indri55_media/{name}-{st.st_mtime_ns}-{st.st_size}"
+           f"-{_MEDIA_TABLE_VERSION}")
     marker = f"{out}/_COMPLETE"
     if os.path.exists(marker):
         return out
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    tmp = f"{out}.tmp-{os.getpid()}"
+    from .textstats import read_spread
+
+    ds = read_spread(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
     # modest batch size: payload bytes, not row count, are the memory knob
     ds.map_batches(_synth_media_batch, batch_format="pyarrow",
-                   batch_size=512).write_parquet(out)
-    with open(marker, "w") as f:
+                   batch_size=512).write_parquet(tmp)
+    with open(f"{tmp}/_COMPLETE", "w") as f:
         f.write("ok")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # another driver won the race; its table is complete — use it
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

@@ -79,16 +79,22 @@ def sample_hash(sf_dir: str, rate_pct: int = 10) -> ray.data.Dataset:
         f, batch_format="pyarrow")
 
 
-def quota_sample(sf_dir: str, per_key: int = 50) -> ray.data.Dataset:
+def quota_sample(sf_dir: str, per_key: int = 50, combine_batch: int = 4096,
+                 partial_batch: int | None = None) -> ray.data.Dataset:
     """(lang, doc_id, rk) — the first ``per_key`` docs per language in
     deterministic md5(text) order (doc_id tie-break), rk = 1-based rank.
 
     Shuffle plan: each batch keeps at most ``per_key`` candidates per key
-    (map-side partial top-N), a combine stage re-reduces 4096-row bundles of
-    those tiny partial blocks (top-N of top-Ns ≡ top-N, so the reduction
-    factor is ~4096 / (per_key × n_keys) per pass — repeat the combine stage
-    for deeper trees if a corpus needs it), and only the combined survivors
-    reach the per-key final."""
+    (map-side partial top-N), then a DEEP combine tree: combine passes
+    (each re-reducing ``combine_batch``-row bundles; top-N of top-Ns ≡
+    top-N) repeat until the surviving partial count fits one combine batch
+    — at extreme partial counts (10⁵+ chunks × many keys) one pass is not
+    enough, and each pass shrinks the set by ~combine_batch/(per_key ×
+    n_keys).  Inter-pass counts run over the tiny materialized partials
+    (bounded by passes × survivors, never the corpus); only the final
+    survivors reach the per-key groupby.  The number of combine passes of
+    the last call is recorded on ``quota_sample.last_combine_passes`` (test
+    hook)."""
 
     def _reduce(df: pl.DataFrame) -> pa.Table:
         # the ONE definition of the quota order: (hk asc, doc_id asc) per key
@@ -113,10 +119,24 @@ def quota_sample(sf_dir: str, per_key: int = 50) -> ray.data.Dataset:
                   .select(["lang", "doc_id", "rk"])
                   .to_arrow())
 
+    # partial_batch: smaller map batches → more partial survivors → deeper
+    # combine tree (the knob the multi-pass test turns; None = Ray default)
     ds = read_spread(f"{sf_dir}/documents.parquet",
                      ["doc_id", "lang", "text"]).map_batches(
-        partial, batch_format="pyarrow").map_batches(
-        combine, batch_format="pyarrow", batch_size=4096)
+        partial, batch_format="pyarrow",
+        **({"batch_size": partial_batch} if partial_batch else {})
+    ).materialize()
+    passes = 0
+    n = ds.count()
+    while n > combine_batch:
+        ds = ds.map_batches(combine, batch_format="pyarrow",
+                            batch_size=combine_batch).materialize()
+        passes += 1
+        n_prev, n = n, ds.count()
+        if n >= n_prev:
+            # all survivors are distinct-key heads — no pass can shrink this
+            break
+    quota_sample.last_combine_passes = passes
     return ds.groupby("lang").map_groups(final, batch_format="pyarrow")
 
 

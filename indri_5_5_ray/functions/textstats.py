@@ -46,18 +46,33 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy).  pandas-written parquet
+    carries a ``b'pandas'`` metadata blob; a pyarrow schema with ANY
+    metadata is unhashable (``hash(schema)`` hashes the metadata dict), so
+    every Ray shuffle that dedups block schemas (repartition/groupby/sort
+    reduce tasks) logs 'Failed to hash the schemas' and loses the dedup.
+    Stripping at the read kills the warning and restores schema dedup."""
+    if batch.schema.metadata:
+        return batch.replace_schema_metadata(None)
+    return batch
+
+
 def read_spread(path: str, columns: list[str]) -> ray.data.Dataset:
     """Parquet read that never strands the cluster on block granularity:
     Ray can't split INSIDE a row group, so a table written as one (or few)
     row groups reads as one block and every downstream kernel runs
     serially.  Small inputs (< 64 MB — the repartition cost is bounded by
     that) are spread to cluster width; large corpora already arrive as
-    many blocks and stream unchanged."""
+    many blocks and stream unchanged.  Schema-level metadata is stripped
+    (see _strip_schema_metadata) so downstream shuffles keep hashable,
+    dedupable block schemas."""
     import os
 
     import ray as _ray
 
     ds = ray.data.read_parquet(path, columns=columns)
+    ds = ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
     try:
         small = os.path.getsize(path) < (64 << 20)
     except OSError:

@@ -371,7 +371,14 @@ class IndexReader:
         cache) would silently pair the wrong payloads otherwise."""
         out: list[bytes] = []
         for t in sorted(terms):
-            out.extend(self._payload_cache[t])
+            cached = self._payload_cache.get(t)
+            if cached is None:
+                raise ValueError(
+                    f"term_payloads: no cached payloads for {t!r} — run a "
+                    "cache-backed term_rows (no doc_range) for the same term "
+                    "list first; doc_range fetches bypass the cache, and an "
+                    "interleaved query may have evicted the entry")
+            out.extend(cached)
         if rows is not None and len(out) != rows.num_rows:
             raise ValueError(
                 f"term_payloads misaligned with rows ({len(out)} payloads vs "

@@ -443,16 +443,21 @@ def scan_raw_chunk(contents: list[bytes]) -> tuple["object", np.ndarray]:
     order = np.argsort(s_all, kind="stable")  # starts are unique
     s_all, e_all = s_all[order], e_all[order]
 
-    # arrow binary array straight from the chunk buffer (one gather;
-    # int32 index math — token bytes per chunk stay far below 2^31)
-    lens = (e_all - s_all).astype(np.int32)
+    # arrow binary array straight from the chunk buffer (one gather).
+    # int32 index math is the fast path; like _accumulate_chunk's slot_dt
+    # selection, fall back to int64 when either the joined buffer or the
+    # total token bytes could reach 2^31 (large-web-doc chunks) — int32
+    # would silently wrap and gather garbage
+    lens64 = e_all - s_all
     offsets = np.zeros(len(s_all) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
+    np.cumsum(lens64, out=offsets[1:])
     total = int(offsets[-1])
-    starts32 = s_all.astype(np.int32)
-    off32 = offsets[:-1].astype(np.int32)
-    idx = np.arange(total, dtype=np.int32)
-    idx -= np.repeat(off32 - starts32, lens)
+    idx_dt = np.int32 if (total < 2**31 and n < 2**31) else np.int64
+    lens = lens64.astype(idx_dt, copy=False)
+    starts = s_all.astype(idx_dt)
+    off = offsets[:-1].astype(idx_dt)
+    idx = np.arange(total, dtype=idx_dt)
+    idx -= np.repeat(off - starts, lens)
     values = a[idx]
     tokens = pa.Array.from_buffers(
         pa.large_binary(), len(s_all),

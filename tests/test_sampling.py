@@ -65,6 +65,23 @@ def test_quota_sample_bounds_and_order():
         assert got == want
 
 
+def test_quota_sample_deep_combine_multi_pass():
+    """A tiny combine_batch forces the combine tree ≥2 passes deep; the
+    result must be identical to the single-pass (default) plan — top-N of
+    top-Ns ≡ top-N at any tree depth."""
+    want = sorted(
+        (r["lang"], r["doc_id"], r["rk"])
+        for r in sampling.quota_sample(SF, per_key=3).take_all())
+    # combine_batch must exceed a partial block's row count (≤ 15 here) so
+    # each combine batch bundles several blocks — that is what shrinks; it
+    # is small enough that one pass cannot finish, forcing a ≥2-level tree
+    got_ds = sampling.quota_sample(SF, per_key=3, combine_batch=24,
+                                   partial_batch=32)
+    got = sorted((r["lang"], r["doc_id"], r["rk"]) for r in got_ds.take_all())
+    assert sampling.quota_sample.last_combine_passes >= 2
+    assert got == want
+
+
 @pytest.mark.parametrize("modulus", [29, 400])
 def test_contamination_screen_flags_real_overlaps_only(modulus):
     rows = sampling.contamination_screen(SF, modulus=modulus).take_all()
