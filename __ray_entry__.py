@@ -617,6 +617,13 @@ def _quality_filter(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """ORDER IS A BUDGET: the driver verifies only the FIRST 50 entries, so
+    the dict is ordered by verification need, not by topic.  Entries that
+    fell outside the window in round 3 (the event operators, quality_filter
+    and the media pipelines — never driver-checked) lead; entries hash-green
+    for 2+ consecutive rounds (or rows-only twins of in-window oracles) are
+    rotated to the tail.  When ADDING an entry, append it near the FRONT and
+    rotate a long-green entry past position 50 — never insert mid-dict."""
     from indri_5_5_ray.functions import (
         dedup,
         events,
@@ -627,18 +634,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     return {
+        # --- event-stream operators + curation filters (unchecked in r3:
+        # displaced past the driver window; now first so CORRECTNESS_r04
+        # finally records them) ---
+        "media_stats": multimodal.media_stats,
+        "media_features": multimodal.media_features,
+        "hopping_counts": events.hopping_counts,
+        "asof_join_events": events.asof_join_events,
+        "sessionize": events.sessionize,
+        "user_activity": events.user_activity,
+        "quality_filter": _quality_filter,
         # --- inverted index + BM25 (the reference's core) ---
         "index_term_stats": _index_term_stats,
         "index_doc_lens": _index_doc_lens,
         "index_stopped_stats": _index_stopped_stats,
-        "index_stopped_doc_lens": _index_stopped_doc_lens,
         "bm25_topk": lambda sf: _bm25_topk(sf, stem=False),
         "bm25_topk_kstem": lambda sf: _bm25_topk(sf, stem=True),
         "tfidf_topk": lambda sf: _bm25_topk(sf, stem=False, variant="tfidf"),
         "lm_topk_dirichlet": lambda sf: _lm_topk(sf, stem=False, method="dirichlet"),
-        "lm_topk_jm": lambda sf: _lm_topk(sf, stem=False, method="jm"),
-        "lm_topk_two": lambda sf: _lm_topk(sf, stem=False, method="two"),
-        "lm_topk_kstem": lambda sf: _lm_topk(sf, stem=True, method="dirichlet"),
         "structured_topk": lambda sf: _structured_topk(sf, stem=False),
         "field_topk": _field_topk,
         "anno_field_topk": _anno_field_topk,
@@ -672,31 +685,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "near_dup_clusters": dedup.near_dup_clusters,
         "near_dedup_keep_first": dedup.near_dedup_keep_first,
-        "embedding_dup_clusters": dedup.embedding_dup_clusters,
         "embedding_dedup_keep_first": dedup.embedding_dedup_keep_first,
         # --- similarity search ---
         "knn_bruteforce": simsearch.knn_bruteforce,
         "cosine_pairs": simsearch.cosine_pairs,
-        "lsh_ann_topk": simsearch.lsh_ann_topk,
-        "ivf_ann_topk": simsearch.ivf_ann_topk,
         # full-probe IVF: every list probed → must equal brute force, so the
         # whole IVF machinery (assignment, probe mask, distributed partial
         # top-k, merge) gets an exact SQL oracle; the pruned path's
-        # selectivity is pytest-verified (rows-only above)
+        # selectivity is pytest-verified (rows-only entries in the tail)
         "ivf_ann_full_probe": lambda sf: simsearch.ivf_ann_topk(
             sf, n_centroids=8, nprobe=8),
         "lsh_ann_full_probe": lambda sf: simsearch.lsh_ann_topk(
             sf, probe_bits=12),  # all 2^12 buckets probed ≡ brute force
         # --- event-stream operators ---
         "tumbling_counts": events.tumbling_counts,
-        "hopping_counts": events.hopping_counts,
-        "asof_join_events": events.asof_join_events,
-        "sessionize": events.sessionize,
-        "user_activity": events.user_activity,
-        "quality_filter": _quality_filter,
-        # --- multimodal plumbing ---
-        "media_features": multimodal.media_features,
-        "media_stats": multimodal.media_stats,
+        # ---------------- position 51+: outside the driver window ----------
+        # rotated out after 2+ consecutive hash-green rounds (r2+r3), or
+        # rows-only entries whose exactness twin is in-window; all remain
+        # pytest-covered
+        "lm_topk_jm": lambda sf: _lm_topk(sf, stem=False, method="jm"),
+        "lm_topk_two": lambda sf: _lm_topk(sf, stem=False, method="two"),
+        "lm_topk_kstem": lambda sf: _lm_topk(sf, stem=True, method="dirichlet"),
+        "index_stopped_doc_lens": _index_stopped_doc_lens,
+        "embedding_dup_clusters": dedup.embedding_dup_clusters,
+        "lsh_ann_topk": simsearch.lsh_ann_topk,
+        "ivf_ann_topk": simsearch.ivf_ann_topk,
     }
 
 
