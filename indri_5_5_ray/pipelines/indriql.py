@@ -578,6 +578,11 @@ class StructuredQueryEngine:
         self._partial_const: dict[tuple, float] | None = None
         self._field_range: tuple[int, int] | None = None  # pruned run only
         self._passage: tuple[int, int] | None = None  # active passage window
+        # block-max delegation for plain-term #combine/#weight roots (the
+        # WeightedAndNode skip); lazily built LMScorer sharing this reader,
+        # disable-able for exhaustive-vs-pruned identity tests
+        self._bm_lm = None
+        self._disable_blockmax = False
 
     # -- leaf data ----------------------------------------------------------
 
@@ -1513,8 +1518,56 @@ class StructuredQueryEngine:
         finally:
             self._field_range = None
 
+    def _blockmax_term_root(self, root: Node, k: int):
+        """Delegate a plain-term #combine/#weight root to the LM block-max
+        cell skip (the WeightedAndNode quorum skip,
+        ref:src/WeightedAndNode.cpp:119-186): postings decode only for cells
+        whose upper bound can still reach the top-k.  The combiner callback
+        reproduces THIS engine's combination arithmetic (np.mean /
+        normalized tensordot, the same ops `_belief` runs), and the child
+        formula is the same smoothing expression, so results are identical
+        to the generic evaluation path (asserted in tests)."""
+        from .lm import LMScorer
+
+        if self._bm_lm is None:
+            method = "dirichlet" if self.method == "dirichlet" else "jm"
+            self._bm_lm = LMScorer(self.r, method=method, mu=self.mu,
+                                   lam=self.lam)
+        children = [self._node_term(c) or "" for c in root.children]
+        if root.op == "combine":
+            tw = [(t, 1.0) for t in children]
+            mean_of: int | None = len(children)
+
+            def combiner(kids: list[np.ndarray]) -> np.ndarray:
+                return np.mean(kids, axis=0)
+        else:  # weight
+            w = np.asarray(root.weights, dtype=np.float64)
+            w = w / w.sum()
+            tw = list(zip(children, w.tolist()))
+            mean_of = None
+
+            def combiner(kids: list[np.ndarray], _w=w) -> np.ndarray:
+                return np.tensordot(_w, np.stack(kids), axes=1)
+
+        return self._bm_lm._score_weighted_blockmax(tw, k, mean_of,
+                                                    combiner=combiner)
+
     def _run_inner(self, query, k, doc_set, doc_range, pruned, _warm):
         root = parse_query(query)
+        # fast path: an unrestricted bag-of-words / weighted-terms root needs
+        # no positions, no fields, no node-statistics pass — skip the full
+        # postings decode and use the rank-safe block-max scan.  ≤ 8 children
+        # keeps np.mean's per-column reduction sequential (pairwise summation
+        # starts above 8 lanes), preserving bit-identity with _belief.
+        if (not _warm and not self._disable_blockmax
+                and doc_set is None and doc_range is None and not pruned
+                and root.op in ("combine", "weight")
+                and root.children and len(root.children) <= 8
+                and all(c.op == "term" for c in root.children)
+                and (root.op == "combine"
+                     or (len(root.weights) == len(root.children)
+                         and all(wt > 0 for wt in root.weights)))):
+            return self._blockmax_term_root(root, k)
         leaf_terms: set[str] = set()
         self._leaf_terms(root, leaf_terms)
         terms_key = tuple(sorted(leaf_terms))

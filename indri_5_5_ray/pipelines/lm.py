@@ -196,7 +196,8 @@ class LMScorer:
     # -- block-max path -------------------------------------------------------
 
     def _score_weighted_blockmax(self, term_weights: list[tuple[str, float]],
-                                 k: int, mean_of: int | None
+                                 k: int, mean_of: int | None,
+                                 combiner=None
                                  ) -> tuple[np.ndarray, np.ndarray]:
         """Rank-safe cell skipping for positive-weight #weight/#combine.
 
@@ -208,7 +209,15 @@ class LMScorer:
         scored COMPLETELY with the same per-doc arithmetic (and child order)
         as the exhaustive path, so emitted scores are bit-identical; the
         loop stops when a bound is strictly below the k-th finalized score,
-        so skipped docs can never enter the top-k even under ties."""
+        so skipped docs can never enter the top-k even under ties.
+
+        ``combiner`` (optional): callable taking the per-child log-belief
+        arrays (child order) and returning the per-doc scores — lets the
+        structured engine delegate #combine/#weight term roots while
+        reproducing ITS combination arithmetic (np.mean / tensordot)
+        bit-for-bit.  The weights in ``term_weights`` (and ``mean_of``)
+        must then describe the same positive combination so the cell
+        bounds stay valid; ``mean_of`` scales only the bounds."""
         from ..codec import decode_doc_tf_batch
         from ..stages.postings import _flatten_list_column
 
@@ -363,6 +372,7 @@ class LMScorer:
             dl = doc_lens[cand].astype(np.float64)
             # EXACT exhaustive arithmetic: children in query order, same
             # searchsorted gather, same child formula, same accumulation
+            kids: list[np.ndarray] = []
             acc = np.zeros(len(cand), dtype=np.float64)
             for term, w in term_weights:
                 tf = np.zeros(len(cand), dtype=np.float64)
@@ -374,8 +384,13 @@ class LMScorer:
                     hit = cand[pos_c] == d
                     tf[pos_c[hit]] = t[hit].astype(np.float64)
                 child = self._child_scores(tf, dl, p_c[term])
-                acc += child if w == 1.0 else w * child
-            if mean_of:
+                if combiner is not None:
+                    kids.append(child)
+                else:
+                    acc += child if w == 1.0 else w * child
+            if combiner is not None:
+                acc = combiner(kids)
+            elif mean_of:
                 acc /= mean_of
             final_ids.append(cand)
             final_scores.append(acc)

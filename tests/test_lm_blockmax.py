@@ -96,6 +96,57 @@ def test_blockmax_prunes_blocks(reader):
         assert decoded_counter["n"] < total_blocks
 
 
+STRUCT_QUERIES = [
+    "#combine(merge buffer token)",
+    "#combine(merge merge buffer)",      # duplicate child
+    "merge buffer",                       # implicit #combine
+    "#combine(the a of and data)",        # common-term heavy
+    "#weight(2.0 merge 1.0 buffer)",
+    "#weight(0.5 merge 0.25 token 0.25 zzzzunseenterm)",
+]
+
+
+@pytest.mark.parametrize("query", STRUCT_QUERIES)
+def test_structured_blockmax_bit_identical(built_index, query):
+    """The structured engine's plain-term #combine/#weight fast path must
+    reproduce the generic evaluation path bit-for-bit (same combination
+    arithmetic per doc)."""
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+
+    index_dir, _ = built_index
+    eng = StructuredQueryEngine(IndexReader(index_dir))
+    ids_p, s_p = eng.run(query, k=15)
+    eng._disable_blockmax = True
+    try:
+        ids_e, s_e = eng.run(query, k=15)
+    finally:
+        eng._disable_blockmax = False
+    assert np.array_equal(ids_p, ids_e)
+    assert np.array_equal(s_p, s_e)  # bitwise
+
+
+def test_structured_blockmax_gate_excludes_restricted(built_index):
+    """Roots the fast path cannot bound (windows, restrictions, doc_set,
+    doc_range) must keep taking the generic path and stay correct."""
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+
+    index_dir, _ = built_index
+    eng = StructuredQueryEngine(IndexReader(index_dir))
+    # window root: generic path regardless of the flag
+    q = "#combine(#od2(merge buffer) token)"
+    ids_a, s_a = eng.run(q, k=10)
+    eng._disable_blockmax = True
+    ids_b, s_b = eng.run(q, k=10)
+    eng._disable_blockmax = False
+    assert np.array_equal(ids_a, ids_b)
+    assert np.array_equal(s_a, s_b)
+    # doc_set restriction falls back and intersects correctly
+    ids_all, _ = eng.run("#combine(merge buffer)", k=50)
+    subset = sorted(int(d) for d in ids_all[:5])
+    ids_ws, _ = eng.run("#combine(merge buffer)", k=50, doc_set=subset)
+    assert set(ids_ws.tolist()) <= set(subset)
+
+
 def test_blockmax_respects_deletions(built_index):
     """Deleted docs must leave the pruned top-k exactly as they leave the
     exhaustive one."""
