@@ -391,9 +391,23 @@ def build_index(
     timings["consolidate_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
 
+    # per-task memory request: a reducer materializes one bucket's partials
+    # (parquet → arrow lists → numpy runs → encoded payloads), ~12× the
+    # bucket's compressed bytes at peak.  Declaring it lets Ray THROTTLE
+    # merge concurrency when buckets are large (small-cluster safety: a
+    # 10M-doc build with n_buckets sized for a smaller corpus OOM-killed
+    # 30+ concurrent reducers; with the request Ray runs what fits).
+    # n_buckets stays the real scale knob — size it so a bucket fits a
+    # worker's heap — this is the backstop, not the plan.
+    partials_bytes = sum(
+        f.stat().st_size for f in Path(partials_src).glob("*.parquet"))
+    est_bucket = partials_bytes / max(1, cfg.n_buckets)
+    merge_mem = int(min(max(12 * est_bucket + (256 << 20), 512 << 20),
+                        48 << 30))
+
     # num_cpus=0.9: lets merge tasks schedule even while the last dying
     # ingest actors still hold whole CPUs (teardown is async)
-    @ray.remote(num_cpus=0.9)
+    @ray.remote(num_cpus=0.9, memory=merge_mem)
     def _merge_task(buckets: list[int]) -> list[dict]:
         # plain task: the work list is fixed and all IO goes through the
         # filesystem (bucket-pruned parquet reads), so raw tasks avoid the
