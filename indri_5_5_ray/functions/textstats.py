@@ -46,16 +46,26 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
-    """Drop schema-level metadata (zero-copy).  pandas-written parquet
-    carries a ``b'pandas'`` metadata blob; a pyarrow schema with ANY
-    metadata is unhashable (``hash(schema)`` hashes the metadata dict), so
-    every Ray shuffle that dedups block schemas (repartition/groupby/sort
-    reduce tasks) logs 'Failed to hash the schemas' and loses the dedup.
-    Stripping at the read kills the warning and restores schema dedup."""
-    if batch.schema.metadata:
-        return batch.replace_schema_metadata(None)
-    return batch
+def _stripped_schema(path: str, columns: list[str] | None):
+    """File schema with metadata REMOVED, pruned to ``columns``.
+
+    pandas-written parquet carries a ``b'pandas'`` schema-metadata blob; a
+    pyarrow schema with ANY metadata is unhashable (``hash(schema)`` hashes
+    the metadata dict), so every Ray operator that dedups block schemas
+    (the read's SplitBlocks, repartition/groupby/sort reduce tasks) logs
+    'Failed to hash the schemas' and loses the dedup.  Passing a stripped
+    schema to ``read_parquet`` fixes it at the source — blocks are born
+    metadata-free.  Returns None when the footer can't be read (directory
+    inputs): the caller then reads without an explicit schema."""
+    import pyarrow.parquet as pq
+
+    try:
+        full = pq.read_schema(path).remove_metadata()
+    except (OSError, IOError, pa.ArrowInvalid):
+        return None
+    if columns is None:
+        return full
+    return pa.schema([full.field(c) for c in columns])
 
 
 def read_spread(path: str, columns: list[str]) -> ray.data.Dataset:
@@ -64,15 +74,15 @@ def read_spread(path: str, columns: list[str]) -> ray.data.Dataset:
     row groups reads as one block and every downstream kernel runs
     serially.  Small inputs (< 64 MB — the repartition cost is bounded by
     that) are spread to cluster width; large corpora already arrive as
-    many blocks and stream unchanged.  Schema-level metadata is stripped
-    (see _strip_schema_metadata) so downstream shuffles keep hashable,
-    dedupable block schemas."""
+    many blocks and stream unchanged.  Blocks carry a metadata-stripped
+    schema (see _stripped_schema) so every downstream shuffle keeps
+    hashable, dedupable block schemas."""
     import os
 
     import ray as _ray
 
-    ds = ray.data.read_parquet(path, columns=columns)
-    ds = ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+    ds = ray.data.read_parquet(path, columns=columns,
+                               schema=_stripped_schema(path, columns))
     try:
         small = os.path.getsize(path) < (64 << 20)
     except OSError:
