@@ -398,6 +398,10 @@ def run_scaling() -> dict:
             "n_attempts": len(pair_effs),
             "min_clean_pair": (round(min(clean_pair_effs), 3)
                                if clean_pair_effs else -1.0),
+            # independent clean pairs at/above the 0.8 bar — the count the
+            # two-cluster-size rule's evidence rests on (early exit at 2)
+            "n_clean_pairs_ge_bar": len(
+                [e for e in clean_pair_effs if e >= 0.8]),
         },
         "pair_effs": pair_effs,
         "clean_pair_effs": clean_pair_effs,
