@@ -73,10 +73,15 @@ def read_spread(path: str, columns: list[str]) -> ray.data.Dataset:
     Ray can't split INSIDE a row group, so a table written as one (or few)
     row groups reads as one block and every downstream kernel runs
     serially.  Small inputs (< 64 MB — the repartition cost is bounded by
-    that) are spread to cluster width; large corpora already arrive as
-    many blocks and stream unchanged.  Blocks carry a metadata-stripped
-    schema (see _stripped_schema) so every downstream shuffle keeps
-    hashable, dedupable block schemas."""
+    that) are spread; large corpora already arrive as many blocks and
+    stream unchanged.  Blocks carry a metadata-stripped schema (see
+    _stripped_schema) so every downstream shuffle keeps hashable,
+    dedupable block schemas.
+
+    Width is BYTES-based (~512 KB compressed per block, floor 8, cap
+    2×CPUs), not cluster width: over-spreading a tiny file multiplies
+    every downstream shuffle's task count — on a 2 MB events table, 64
+    blocks made the 5-operator event family 2.4× slower than 16."""
     import os
 
     import ray as _ray
@@ -84,12 +89,13 @@ def read_spread(path: str, columns: list[str]) -> ray.data.Dataset:
     ds = ray.data.read_parquet(path, columns=columns,
                                schema=_stripped_schema(path, columns))
     try:
-        small = os.path.getsize(path) < (64 << 20)
+        size = os.path.getsize(path)
     except OSError:
-        small = False
-    if small:
-        n = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        ds = ds.repartition(2 * n)
+        return ds
+    if size < (64 << 20):
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        n = int(max(8, min(2 * cpus, size // (512 << 10))))
+        ds = ds.repartition(n)
     return ds
 
 
