@@ -644,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": events.sessionize,
         "user_activity": events.user_activity,
         "quality_filter": _quality_filter,
+        "repetition_stats": textstats.repetition_stats,  # NEW r4
         # --- inverted index + BM25 (the reference's core) ---
         "index_term_stats": _index_term_stats,
         "index_doc_lens": _index_doc_lens,
@@ -669,7 +670,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": textstats.top_terms,
         "quality_scores": textstats.quality_scores,
         "lang_id": textstats.lang_id,
-        "lang_table_stats": textstats.lang_table_stats,
         "line_stats": textstats.line_stats,
         "gopher_filter": textstats.gopher_filter,
         # --- sampling / contamination (training-data curation) ---
@@ -703,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated out after 2+ consecutive hash-green rounds (r2+r3), or
         # rows-only entries whose exactness twin is in-window; all remain
         # pytest-covered
+        "lang_table_stats": textstats.lang_table_stats,
         "lm_topk_jm": lambda sf: _lm_topk(sf, stem=False, method="jm"),
         "lm_topk_two": lambda sf: _lm_topk(sf, stem=False, method="two"),
         "lm_topk_kstem": lambda sf: _lm_topk(sf, stem=True, method="dirichlet"),
@@ -1635,6 +1636,20 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_ns(ts) // 1000000000)::BIGINT AS first_ts,
                    max(epoch_ns(ts) // 1000000000)::BIGINT AS last_ts
             FROM events GROUP BY user_id ORDER BY user_id""",
+        "repetition_stats": f"""
+            WITH toks AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
+            big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS pair
+                    FROM (SELECT doc_id, t,
+                                 unnest(generate_series(1, len(t) - 1)) AS i
+                          FROM toks WHERE len(t) >= 2)),
+            cnt AS (SELECT doc_id, pair, count(*) AS c
+                    FROM big GROUP BY doc_id, pair),
+            mx AS (SELECT doc_id, max(c) AS m FROM cnt GROUP BY doc_id)
+            SELECT tk.doc_id,
+                   coalesce(round(2.0 * mx.m / len(tk.t), 6), 0.0)
+                     AS top_bigram_frac
+            FROM toks tk LEFT JOIN mx USING (doc_id)
+            ORDER BY tk.doc_id""",
         "quality_filter": f"""
             SELECT doc_id FROM (
               SELECT doc_id, len(toks) AS n_tokens,

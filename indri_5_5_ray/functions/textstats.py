@@ -240,6 +240,47 @@ def gopher_filter(sf_dir: str, min_tokens: int = 50, max_tokens: int = 100_000,
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, top_bigram_frac) — fraction of the document's tokens
+    covered by its single most frequent adjacent-token bigram
+    (2 · max bigram count / n_tokens, rounded to 6), the Gopher top-n-gram
+    repetition signal (Rae et al. 2021 §A1.1 "fraction of characters in
+    most common n-gram"; token-fraction variant).  Docs with fewer than 2
+    tokens score 0.
+
+    Map-only: one vectorized polars pass per batch (aligned list slices
+    exploded to bigram rows, per-doc group count + max) — no shuffle, so
+    the operator streams at any corpus size."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(tokens_expr().alias("t"))
+        base = df.select(
+            "doc_id",
+            pl.col("t").list.len().cast(pl.Int64).alias("n"), "t")
+        pairs = (
+            base.filter(pl.col("n") >= 2)
+            .with_columns(
+                pl.col("t").list.slice(0, pl.col("n") - 1).alias("a"),
+                pl.col("t").list.slice(1).alias("b"))
+            .select("doc_id", "a", "b")
+            .explode(["a", "b"])
+            .group_by("doc_id", "a", "b").agg(pl.len().alias("c"))
+            .group_by("doc_id").agg(pl.col("c").max().alias("m"))
+        )
+        out = (
+            base.join(pairs, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                pl.when(pl.col("m").is_null())
+                .then(0.0)
+                .otherwise((2.0 * pl.col("m") / pl.col("n")).round(6))
+                .alias("top_bigram_frac"))
+        )
+        return out.to_arrow()
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, pred_lang) marker-word language-ID heuristic.
 

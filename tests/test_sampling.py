@@ -133,6 +133,30 @@ def test_line_stats_and_gopher_filter_brute_force():
     assert passed  # thresholds keep a non-trivial subset at sf0.001
 
 
+def test_repetition_stats_brute_force():
+    """textstats.repetition_stats vs a per-doc Python recompute of the
+    top-bigram token fraction."""
+    import re
+    from collections import Counter
+
+    from indri_5_5_ray.functions import textstats
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = {r["doc_id"]: r["top_bigram_frac"]
+           for r in textstats.repetition_stats(SF).take_all()}
+    for d, x in zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()):
+        toks = re.findall(r"[a-z0-9]+", x.lower())
+        if len(toks) < 2:
+            want = 0.0
+        else:
+            m = max(Counter(zip(toks, toks[1:])).values())
+            want = round(2.0 * m / len(toks), 6)
+        assert got[d] == pytest.approx(want, abs=1e-9), d
+    assert len(got) == t.num_rows
+    assert any(v > 0 for v in got.values())  # signal is non-trivial here
+
+
 def test_read_spread_splits_single_row_group(tmp_path):
     """A one-row-group parquet cannot be split inside Ray's reader, so
     operator pipelines over it run as ONE task; read_spread must repartition
