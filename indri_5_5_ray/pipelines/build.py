@@ -246,7 +246,16 @@ def _consolidate_partials(out_dir: str, cfg: IndexConfig) -> str:
         for grp in groups
     ]
 
-    @ray.remote(num_cpus=1)
+    # memory declaration (same rationale as the merge tasks): a group is
+    # read decompressed, concatenated and sort-copied — ~6× its compressed
+    # bytes at peak; declaring it lets Ray throttle concurrency instead of
+    # OOMing when groups run at the 256 MB target on a loaded node
+    max_group_bytes = max(
+        (sum(os.stat(f).st_size for f in grp) for grp in groups), default=0)
+    consolidate_mem = int(min(max(6 * max_group_bytes + (128 << 20),
+                                  256 << 20), 16 << 30))
+
+    @ray.remote(num_cpus=1, memory=consolidate_mem)
     def _consolidate(gid: int, group: list[str], fp: str) -> None:
         pid = f"{gid:05d}"
         dest = f"{out_str}/c-{pid}.parquet"
