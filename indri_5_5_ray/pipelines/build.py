@@ -63,6 +63,18 @@ def _ingest_concurrency() -> int:
 _DEDUP_BUCKETS = 32
 
 
+def _mem_resource_cap() -> int:
+    """A memory REQUEST above the cluster's per-node memory resource would
+    leave the task pending forever — cap every declaration at a third of
+    the cluster total (local mode: one node), so an over-estimate degrades
+    to 3-way concurrency instead of a scheduling deadlock."""
+    try:
+        total = int(ray.cluster_resources().get("memory", 0))
+    except Exception:
+        total = 0
+    return max(total // 3, 1 << 30)
+
+
 def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str,
                   corpus_sig: str = "") -> str | None:
     """Phase 1: find duplicate doc_ids to drop (keep first arrival = min
@@ -253,7 +265,8 @@ def _consolidate_partials(out_dir: str, cfg: IndexConfig) -> str:
     max_group_bytes = max(
         (sum(os.stat(f).st_size for f in grp) for grp in groups), default=0)
     consolidate_mem = int(min(max(6 * max_group_bytes + (128 << 20),
-                                  256 << 20), 16 << 30))
+                                  256 << 20), 16 << 30,
+                              _mem_resource_cap()))
 
     @ray.remote(num_cpus=1, memory=consolidate_mem)
     def _consolidate(gid: int, group: list[str], fp: str) -> None:
@@ -412,7 +425,7 @@ def build_index(
         f.stat().st_size for f in Path(partials_src).glob("*.parquet"))
     est_bucket = partials_bytes / max(1, cfg.n_buckets)
     merge_mem = int(min(max(12 * est_bucket + (256 << 20), 512 << 20),
-                        48 << 30))
+                        48 << 30, _mem_resource_cap()))
 
     # num_cpus=0.9: lets merge tasks schedule even while the last dying
     # ingest actors still hold whole CPUs (teardown is async)
