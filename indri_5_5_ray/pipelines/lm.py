@@ -295,10 +295,13 @@ class LMScorer:
         # cell's real-doc dl floor
         cell_ub = np.zeros(n_cells_real)
         zero_tf = np.zeros(n_cells_real)
-        for term, w in term_weights:
-            ti = tindex[term]
-            bg_ub = self._child_scores(zero_tf, min_dl, p_c[term])
-            cell_ub += w * np.maximum(M_ub[:, ti], bg_ub)
+        # cells whose dl floor is +inf (no real doc) evaluate to log(0):
+        # they are masked to -inf below, so silence the transient warning
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for term, w in term_weights:
+                ti = tindex[term]
+                bg_ub = self._child_scores(zero_tf, min_dl, p_c[term])
+                cell_ub += w * np.maximum(M_ub[:, ti], bg_ub)
         if mean_of:
             cell_ub /= mean_of
         has_block = np.zeros(n_cells_real, bool)
