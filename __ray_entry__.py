@@ -653,6 +653,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_kstem": lambda sf: _bm25_topk(sf, stem=True),
         "tfidf_topk": lambda sf: _bm25_topk(sf, stem=False, variant="tfidf"),
         "lm_topk_dirichlet": lambda sf: _lm_topk(sf, stem=False, method="dirichlet"),
+        # the LM entries stay IN-window this round: round 4 switched their
+        # execution onto the new block-max pruned path, so "green for 2+
+        # rounds" no longer describes the code that runs — rotation must
+        # consider path changes, not just past results
+        "lm_topk_jm": lambda sf: _lm_topk(sf, stem=False, method="jm"),
+        "lm_topk_two": lambda sf: _lm_topk(sf, stem=False, method="two"),
+        "lm_topk_kstem": lambda sf: _lm_topk(sf, stem=True, method="dirichlet"),
         "structured_topk": lambda sf: _structured_topk(sf, stem=False),
         "field_topk": _field_topk,
         "anno_field_topk": _anno_field_topk,
@@ -663,14 +670,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_topk": _passage_topk,
         "rm3_topk": _rm3_topk,
         # --- text statistics / analysis ---
-        "token_counts": textstats.token_counts,
         "token_counts_bpe": textstats.token_counts_bpe,
         "doc_fingerprints": textstats.doc_fingerprints,
         "term_stats": textstats.term_stats,
         "top_terms": textstats.top_terms,
-        "quality_scores": textstats.quality_scores,
         "lang_id": textstats.lang_id,
-        "line_stats": textstats.line_stats,
         "gopher_filter": textstats.gopher_filter,
         # --- sampling / contamination (training-data curation) ---
         "sample_hash": sampling.sample_hash,
@@ -700,13 +704,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-stream operators ---
         "tumbling_counts": events.tumbling_counts,
         # ---------------- position 51+: outside the driver window ----------
-        # rotated out after 2+ consecutive hash-green rounds (r2+r3), or
+        # rotated out after 2+ consecutive hash-green rounds (r2+r3) with an
+        # UNCHANGED execution path, each with an in-window twin exercising
+        # the same kernel (quality_scores↔quality_filter, line_stats↔
+        # gopher_filter, token_counts↔token_counts_bpe/index_doc_lens), or
         # rows-only entries whose exactness twin is in-window; all remain
         # pytest-covered
+        "token_counts": textstats.token_counts,
+        "quality_scores": textstats.quality_scores,
+        "line_stats": textstats.line_stats,
         "lang_table_stats": textstats.lang_table_stats,
-        "lm_topk_jm": lambda sf: _lm_topk(sf, stem=False, method="jm"),
-        "lm_topk_two": lambda sf: _lm_topk(sf, stem=False, method="two"),
-        "lm_topk_kstem": lambda sf: _lm_topk(sf, stem=True, method="dirichlet"),
         "index_stopped_doc_lens": _index_stopped_doc_lens,
         "embedding_dup_clusters": dedup.embedding_dup_clusters,
         "lsh_ann_topk": simsearch.lsh_ann_topk,

@@ -162,7 +162,14 @@ def ensure_media_table(sf_dir: str) -> str:
     marker = f"{out}/_COMPLETE"
     if os.path.exists(marker):
         return out
-    tmp = f"{out}.tmp-{os.getpid()}"
+    # a FRESH unique dir per attempt (never a reusable name like a PID —
+    # a crashed attempt's leftovers must not receive a second write, or the
+    # renamed table would carry duplicate rows)
+    import tempfile
+
+    os.makedirs("/tmp/indri55_media", exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f"{os.path.basename(out)}.tmp-",
+                           dir="/tmp/indri55_media")
     from .textstats import read_spread
 
     ds = read_spread(f"{sf_dir}/documents.parquet",

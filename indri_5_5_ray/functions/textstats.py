@@ -94,7 +94,11 @@ def read_spread(path: str, columns: list[str]) -> ray.data.Dataset:
         return ds
     if size < (64 << 20):
         cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        n = int(max(8, min(2 * cpus, size // (512 << 10))))
+        # floor of min(2×CPUs, 16): byte-small inputs can still be
+        # compute-heavy per byte (media synthesis, per-doc md5), so keep a
+        # modest parallel floor; above it, width tracks bytes so tiny
+        # tables stop multiplying downstream shuffle task counts
+        n = min(2 * cpus, max(16, int(size // (512 << 10))))
         ds = ds.repartition(n)
     return ds
 

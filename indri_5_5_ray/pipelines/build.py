@@ -64,15 +64,29 @@ _DEDUP_BUCKETS = 32
 
 
 def _mem_resource_cap() -> int:
-    """A memory REQUEST above the cluster's per-node memory resource would
-    leave the task pending forever — cap every declaration at a third of
-    the cluster total (local mode: one node), so an over-estimate degrades
-    to 3-way concurrency instead of a scheduling deadlock."""
+    """A memory REQUEST above a node's memory resource would leave the
+    task pending forever — cap every declaration at a third of the
+    SMALLEST alive node's memory resource (not the cluster total, which
+    exceeds any one node on multi-node clusters), so an over-estimate
+    degrades to 3-way per-node concurrency instead of a scheduling
+    deadlock.  Returns 0 (callers then declare NO memory) when the
+    per-node resource can't be determined — an unknown bound must not
+    become a deadlocking request."""
     try:
-        total = int(ray.cluster_resources().get("memory", 0))
+        per_node = [
+            int(n.get("Resources", {}).get("memory", 0))
+            for n in ray.nodes() if n.get("Alive")
+        ]
+        smallest = min((m for m in per_node if m > 0), default=0)
     except Exception:
-        total = 0
-    return max(total // 3, 1 << 30)
+        smallest = 0
+    return smallest // 3
+
+
+def _mem_opts(request: int) -> dict:
+    """ray.remote option dict for a memory declaration; empty when the
+    request is unbounded/unknown (see _mem_resource_cap)."""
+    return {"memory": request} if request > 0 else {}
 
 
 def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str,
@@ -264,11 +278,12 @@ def _consolidate_partials(out_dir: str, cfg: IndexConfig) -> str:
     # OOMing when groups run at the 256 MB target on a loaded node
     max_group_bytes = max(
         (sum(os.stat(f).st_size for f in grp) for grp in groups), default=0)
+    cap = _mem_resource_cap()
     consolidate_mem = int(min(max(6 * max_group_bytes + (128 << 20),
                                   256 << 20), 16 << 30,
-                              _mem_resource_cap()))
+                              cap if cap else 16 << 30))
 
-    @ray.remote(num_cpus=1, memory=consolidate_mem)
+    @ray.remote(num_cpus=1, **_mem_opts(consolidate_mem if cap else 0))
     def _consolidate(gid: int, group: list[str], fp: str) -> None:
         pid = f"{gid:05d}"
         dest = f"{out_str}/c-{pid}.parquet"
@@ -424,12 +439,13 @@ def build_index(
     partials_bytes = sum(
         f.stat().st_size for f in Path(partials_src).glob("*.parquet"))
     est_bucket = partials_bytes / max(1, cfg.n_buckets)
+    mcap = _mem_resource_cap()
     merge_mem = int(min(max(12 * est_bucket + (256 << 20), 512 << 20),
-                        48 << 30, _mem_resource_cap()))
+                        48 << 30, mcap if mcap else 48 << 30))
 
     # num_cpus=0.9: lets merge tasks schedule even while the last dying
     # ingest actors still hold whole CPUs (teardown is async)
-    @ray.remote(num_cpus=0.9, memory=merge_mem)
+    @ray.remote(num_cpus=0.9, **_mem_opts(merge_mem if mcap else 0))
     def _merge_task(buckets: list[int]) -> list[dict]:
         # plain task: the work list is fixed and all IO goes through the
         # filesystem (bucket-pruned parquet reads), so raw tasks avoid the
