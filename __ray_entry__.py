@@ -645,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity": events.user_activity,
         "quality_filter": _quality_filter,
         "repetition_stats": textstats.repetition_stats,  # NEW r4
+        "fingerprint_dup_pairs": dedup.fingerprint_dup_pairs,  # NEW r4
         # --- inverted index + BM25 (the reference's core) ---
         "index_term_stats": _index_term_stats,
         "index_doc_lens": _index_doc_lens,
@@ -682,7 +683,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_screen": sampling.contamination_screen,
         # --- dedup family ---
         "exact_dup_groups": dedup.exact_dup_groups,
-        "dedup_keep_first": dedup.dedup_keep_first,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
@@ -711,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only entries whose exactness twin is in-window; all remain
         # pytest-covered
         "token_counts": textstats.token_counts,
+        "dedup_keep_first": dedup.dedup_keep_first,
         "quality_scores": textstats.quality_scores,
         "line_stats": textstats.line_stats,
         "lang_table_stats": textstats.lang_table_stats,
@@ -1772,6 +1773,25 @@ def oracle_sql() -> dict[str, str]:
               FROM grams)
             SELECT DISTINCT doc_id, fp FROM wins WHERE i >= 4
             ORDER BY doc_id, fp""",
+        "fingerprint_dup_pairs": f"""
+            WITH toks AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
+            grams AS (
+              SELECT doc_id, i,
+                     md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM toks WHERE len(t) >= 3)),
+            wins AS (
+              SELECT doc_id, i,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+              FROM grams),
+            fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE i >= 4)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM fps a JOIN fps b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY doc_a, doc_b""",
         "rm3_topk": _rm3_sql().replace("{values}", _rm3_values_clause()),
         # media payload sizes are pure functions of doc_id (see
         # multimodal._synth_media_batch): P6 header 9 + digits(w) +

@@ -771,3 +771,58 @@ def embedding_dedup_keep_first(sf_dir: str, tau: float = 0.4) -> ray.data.Datase
     near-dup cluster — the embedding-space analogue of
     ``near_dedup_keep_first``."""
     return _keep_reps(embedding_dup_clusters(sf_dir, tau=tau), "vec_id")
+
+
+def fingerprint_dup_pairs(sf_dir: str, min_shared: int = 2) -> ray.data.Dataset:
+    """(doc_a, doc_b, n_shared) — document pairs sharing ≥ ``min_shared``
+    distinct winnowing fingerprints: span-level overlap detection (the
+    MOSS scheme, Schleimer/Wilkerson/Aiken SIGMOD'03 §4).  A shared
+    fingerprint witnesses a shared token run of length ≥ FP_K + FP_W - 1,
+    so this surfaces partial plagiarism/boilerplate overlap that whole-doc
+    Jaccard misses and exact dedup never sees.
+
+    Shuffle plan: the per-batch winnowing pass (:func:`~indri_5_5_ray.
+    functions.textstats.doc_fingerprints`, no shuffle) → groupby(fp) emits
+    co-occurrence pairs (a hot boilerplate fingerprint group is capped at
+    MAX_PAIR_GROUP docs with a logged warning, the same bound as the
+    shingle pair generator) → groupby(pair) counts shared fingerprints —
+    both exchanges move pair rows, never documents."""
+    from ray.data.aggregate import Count
+
+    from .textstats import doc_fingerprints
+
+    def pairs_of_group(group: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        if "doc_id" not in group.column_names or group.num_rows < 2:
+            return empty
+        ids = np.sort(group.column("doc_id").to_numpy())
+        n = len(ids)
+        if n > MAX_PAIR_GROUP:
+            logger.warning(
+                "per-fingerprint pair cap: %d docs share fp %r; truncated to %d",
+                n, group.column("fp")[0].as_py(), MAX_PAIR_GROUP)
+            ids, n = ids[:MAX_PAIR_GROUP], MAX_PAIR_GROUP
+        ia, ib = np.triu_indices(n, k=1)
+        return pa.table({"doc_a": pa.array(ids[ia], pa.int64()),
+                         "doc_b": pa.array(ids[ib], pa.int64())})
+
+    pairs = (
+        doc_fingerprints(sf_dir)
+        .groupby("fp")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_shared"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "n_shared": pa.array([], pa.int64())})
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return empty
+        df = pl.from_arrow(batch).filter(pl.col("n_shared") >= min_shared)
+        return df.select("doc_a", "doc_b", "n_shared").to_arrow().cast(
+            empty.schema)
+
+    return pairs.map_batches(finish, batch_format="pyarrow")

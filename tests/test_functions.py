@@ -437,3 +437,37 @@ def test_ann_recall_at_bench_settings():
                    for q, v in zip(t.column("query_id").to_pylist(),
                                    t.column("vec_id").to_pylist()))
         assert hits / total >= 0.9, hits / total
+
+
+def test_fingerprint_dup_pairs_brute_force():
+    """dedup.fingerprint_dup_pairs vs a per-doc Python winnowing recompute
+    (k=3 grams, window 4, md5 minima) and an O(n^2) shared-fp pair count."""
+    import hashlib
+    import re
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from indri_5_5_ray.functions.dedup import fingerprint_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+    def fps(text: str) -> set[str]:
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        hs = [hashlib.md5(" ".join(toks[i:i + 3]).encode()).hexdigest()
+              for i in range(len(toks) - 2)]
+        return {min(hs[max(0, i - 3):i + 1]) for i in range(3, len(hs))}
+
+    by_doc = {int(d): fps(x)
+              for d, x in zip(t.column("doc_id").to_pylist(),
+                              t.column("text").to_pylist())}
+    want = {}
+    for a, b in combinations(sorted(by_doc), 2):
+        n = len(by_doc[a] & by_doc[b])
+        if n >= 2:
+            want[(a, b)] = n
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in fingerprint_dup_pairs(sf).take_all()}
+    assert got == want
+    assert want  # the fixture corpus actually produces shared-span pairs
