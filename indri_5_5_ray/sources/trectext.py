@@ -155,7 +155,7 @@ def add_file_class(name: str, parse_fn) -> None:
 
     ``parse_fn`` receives one file's text and returns ``[(docno, content)]``.
     Must be importable at the worker (Ray ships it by reference)."""
-    if name in ("trectext", "trecweb", "html"):
+    if name in ("trectext", "trecweb", "html", "warc", "mbox"):
         raise ValueError(f"cannot shadow built-in file class {name!r}")
     _FILE_CLASSES[name] = parse_fn
 
@@ -171,6 +171,10 @@ def read_tagged(paths: list[str] | str, file_class: str = "trectext") -> ray.dat
         paths = [str(p)] if p.is_file() else sorted(str(f) for f in p.rglob("*") if f.is_file())
     if file_class == "trectext":
         return read_trectext(paths)
+    if file_class in ("warc", "mbox"):
+        from .webarchive import read_mbox, read_warc
+
+        return read_warc(paths) if file_class == "warc" else read_mbox(paths)
     custom = _FILE_CLASSES.get(file_class)
 
     def parse_file(row: dict) -> list[dict]:

@@ -1,0 +1,168 @@
+"""WARC / Mbox iterators (sources/webarchive.py) vs the reference's
+semantics (ref:src/WARCDocumentIterator.cpp, ref:src/MboxDocumentIterator.cpp):
+warcinfo-first validation, response-only selection, TREC-ID/uuid docnos,
+Content-Length byte-exact bodies with NUL replacement, gzip transparency;
+mbox header capture with tab continuation, From-line body termination, and
+subject-derived docnos."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from indri_5_5_ray.sources.webarchive import (
+    archive_to_corpus,
+    parse_mbox,
+    parse_warc,
+    read_mbox,
+    read_warc,
+)
+
+
+def _warc_record(headers: dict[str, str], body: bytes) -> bytes:
+    lines = [b"WARC/0.18"]
+    for k, v in headers.items():
+        lines.append(f"{k}: {v}".encode())
+    lines.append(f"Content-Length: {len(body)}".encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def _sample_warc() -> bytes:
+    info = _warc_record(
+        {"WARC-Type": "warcinfo",
+         "WARC-Record-ID": "<urn:uuid:file-0001>"},
+        b"software: synthetic\r\n")
+    resp1_body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                  b"hello warc world\n\nsecond paragraph kept\x00intact")
+    resp1 = _warc_record(
+        {"WARC-Type": "response",
+         "WARC-Record-ID": "<urn:uuid:rec-0001>",
+         "WARC-Target-URI": "http://example.com/a"},
+        resp1_body)
+    req = _warc_record(
+        {"WARC-Type": "request",
+         "WARC-Record-ID": "<urn:uuid:rec-0002>",
+         "WARC-Target-URI": "http://example.com/a"},
+        b"GET /a HTTP/1.1\r\n\r\n")
+    resp2 = _warc_record(
+        {"WARC-Type": "response",
+         "WARC-Record-ID": "<urn:uuid:rec-0003>",
+         "WARC-TREC-ID": "clueweb09-en0000-00-00001",
+         "WARC-Target-URI": "http://example.com/b"},
+        b"HTTP/1.1 200 OK\r\n\r\nbeta document body")
+    return info + resp1 + req + resp2
+
+
+def test_parse_warc_documents_and_docnos():
+    docs = parse_warc(_sample_warc())
+    assert len(docs) == 2  # the request record is skipped
+    a, b = docs
+    # no TREC id → fileUUID-recordUUID (ref :281-283)
+    assert a["docno"] == "file-0001-rec-0001"
+    assert a["url"] == "http://example.com/a"
+    # body = content after the HTTP headers; NUL became a space
+    assert a["content"] == "hello warc world\n\nsecond paragraph kept intact"
+    assert a["dochdr"].startswith("http://example.com/a\n")
+    assert "Content-Type: text/html" in a["dochdr"]
+    # TREC id wins when present
+    assert b["docno"] == "clueweb09-en0000-00-00001"
+    assert b["content"] == "beta document body"
+
+
+def test_parse_warc_gzip_transparent():
+    plain = parse_warc(_sample_warc())
+    gz = parse_warc(gzip.compress(_sample_warc()))
+    assert gz == plain
+
+
+def test_parse_warc_rejects_non_warcinfo_first():
+    body = _sample_warc()
+    # strip the leading warcinfo record: find the second "WARC/0.18"
+    second = body.index(b"WARC/0.18", 1)
+    with pytest.raises(ValueError, match="Bad WARC file"):
+        parse_warc(body[second:])
+
+
+MBOX = (
+    "From alice@example.com Thu Jan  1 00:00:00 2004\n"
+    "From: alice@example.com\n"
+    "To: bob@example.com\n"
+    "Subject: merge results\n"
+    "\tpart two\n"
+    "X-Mailer: synthetic\n"
+    "\n"
+    "body line one\n"
+    "body line two\n"
+    "From bob@example.com Thu Jan  1 00:05:00 2004\n"
+    "From: bob@example.com\n"
+    "Date: Thu, 1 Jan 2004\n"
+    "Subject: reply here\n"
+    "\n"
+    "reply body\n"
+)
+
+
+def test_parse_mbox_messages():
+    docs = parse_mbox(MBOX)
+    assert len(docs) == 2
+    m1, m2 = docs
+    # docno = subject, whitespace → '_' (cleanDocno); tab continuation
+    # joined with a newline first
+    assert m1["docno"] == "merge_results\n\tpart_two".replace("\n", "_").replace("\t", "_")
+    assert m1["author"] == "alice@example.com"
+    assert m1["recipient"] == "bob@example.com"
+    # interesting header values are PREPENDED to the content (ref :56-76)
+    assert m1["content"].startswith(
+        "alice@example.com\nbob@example.com\nmerge results\n\tpart two\n")
+    assert "body line one\nbody line two\n" in m1["content"]
+    # body stopped at the next From line; message 2 parsed after it
+    assert "reply body" not in m1["content"]
+    assert m2["docno"] == "reply_here"
+    assert m2["date"] == "Thu, 1 Jan 2004"
+    assert m2["content"].endswith("reply body\n")
+
+
+def test_mbox_body_stops_at_any_from_line():
+    """The reference stops the body at ANY line starting with 'From' —
+    a preserved quirk, asserted so it isn't 'fixed' silently."""
+    data = ("From x Thu\n"
+            "Subject: q\n"
+            "\n"
+            "keep this\n"
+            "From here on this is lost\n"
+            "also lost\n")
+    docs = parse_mbox(data)
+    assert len(docs) >= 1
+    assert docs[0]["content"].endswith("keep this\n")
+    assert "lost" not in docs[0]["content"]
+
+
+def test_read_and_corpus_bridge(tmp_path):
+    w = tmp_path / "a.warc.gz"
+    w.write_bytes(gzip.compress(_sample_warc()))
+    m = tmp_path / "a.mbox"
+    m.write_text(MBOX)
+    assert read_warc([str(w)]).count() == 2
+    assert read_mbox([str(m)]).count() == 2
+    out = archive_to_corpus([str(w)], str(tmp_path / "corpus"), "warc")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    assert t.num_rows == 2
+    assert set(t.column_names) == {"repo", "path", "commit", "lang", "content"}
+    assert set(t.column("path").to_pylist()) == {
+        "file-0001-rec-0001", "clueweb09-en0000-00-00001"}
+
+
+def test_read_tagged_dispatches_warc_mbox(tmp_path):
+    from indri_5_5_ray.sources.trectext import add_file_class, read_tagged
+
+    w = tmp_path / "a.warc"
+    w.write_bytes(_sample_warc())
+    assert read_tagged(str(w), file_class="warc").count() == 2
+    m = tmp_path / "a.mbox"
+    m.write_text(MBOX)
+    assert read_tagged(str(m), file_class="mbox").count() == 2
+    with pytest.raises(ValueError, match="cannot shadow"):
+        add_file_class("warc", lambda s: [])
