@@ -353,6 +353,11 @@ _CLS_TABLE[0x2D] |= _CLS_DASH
 _U_TABLE = (_CLS_TABLE & _CLS_U).astype(bool)  # per-start lookups
 
 
+# int32 gather is safe only below this; tests lower it to force (and so
+# actually exercise) the int64 fallback without multi-GB inputs
+_INT32_LIMIT = 2**31
+
+
 def scan_raw_chunk(contents: list[bytes]) -> tuple["object", np.ndarray]:
     """Scan a whole chunk of documents in one vectorized pass.
 
@@ -452,7 +457,8 @@ def scan_raw_chunk(contents: list[bytes]) -> tuple["object", np.ndarray]:
     offsets = np.zeros(len(s_all) + 1, dtype=np.int64)
     np.cumsum(lens64, out=offsets[1:])
     total = int(offsets[-1])
-    idx_dt = np.int32 if (total < 2**31 and n < 2**31) else np.int64
+    idx_dt = (np.int32 if (total < _INT32_LIMIT and n < _INT32_LIMIT)
+              else np.int64)
     lens = lens64.astype(idx_dt, copy=False)
     starts = s_all.astype(idx_dt)
     off = offsets[:-1].astype(idx_dt)

@@ -180,3 +180,22 @@ def test_scan_raw_chunk_matches_scan_raw(doc_pieces):
         want_lens.append(len(w))
     assert got == want
     assert lens.tolist() == want_lens
+
+
+def test_scan_raw_chunk_int64_fallback_identical(monkeypatch):
+    """Chunks whose joined bytes reach 2^31 must fall back to int64 index
+    math; force the fallback by lowering the limit and assert the token
+    stream is identical to the int32 fast path."""
+    import numpy as np
+
+    from indri_5_5_ray import tokenizer as tok
+
+    docs = [b"alpha beta-7 gamma.delta 3.14 -42 eps!",
+            b"<tag>zap me</tag> plain words",
+            b"u.s.a. acronym chain x",
+            "unicode café mix".encode()]
+    fast_tokens, fast_lens = tok.scan_raw_chunk(docs)
+    monkeypatch.setattr(tok, "_INT32_LIMIT", 8)  # every chunk overflows now
+    slow_tokens, slow_lens = tok.scan_raw_chunk(docs)
+    assert fast_tokens.to_pylist() == slow_tokens.to_pylist()
+    assert np.array_equal(fast_lens, slow_lens)
