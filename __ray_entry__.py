@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _quality_filter,
         "repetition_stats": textstats.repetition_stats,  # NEW r4
         "fingerprint_dup_pairs": dedup.fingerprint_dup_pairs,  # NEW r4
+        "pack_shards": sampling.pack_shards,  # NEW r4
         # --- inverted index + BM25 (the reference's core) ---
         "index_term_stats": _index_term_stats,
         "index_doc_lens": _index_doc_lens,
@@ -674,7 +675,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_bpe": textstats.token_counts_bpe,
         "doc_fingerprints": textstats.doc_fingerprints,
         "term_stats": textstats.term_stats,
-        "top_terms": textstats.top_terms,
         "lang_id": textstats.lang_id,
         "gopher_filter": textstats.gopher_filter,
         # --- sampling / contamination (training-data curation) ---
@@ -711,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only entries whose exactness twin is in-window; all remain
         # pytest-covered
         "token_counts": textstats.token_counts,
+        "top_terms": textstats.top_terms,
         "dedup_keep_first": dedup.dedup_keep_first,
         "quality_scores": textstats.quality_scores,
         "line_stats": textstats.line_stats,
@@ -1644,6 +1645,14 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_ns(ts) // 1000000000)::BIGINT AS first_ts,
                    max(epoch_ns(ts) // 1000000000)::BIGINT AS last_ts
             FROM events GROUP BY user_id ORDER BY user_id""",
+        "pack_shards": f"""
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) // 2048 AS BIGINT) AS shard_id
+            FROM (SELECT doc_id, len({TOKEN_SQL}) AS n_tokens FROM documents)
+            ORDER BY doc_id""",
         "repetition_stats": f"""
             WITH toks AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
             big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS pair

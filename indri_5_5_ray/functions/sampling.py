@@ -183,3 +183,73 @@ def contamination_screen(sf_dir: str, modulus: int = 97) -> ray.data.Dataset:
 
     ds = read_spread(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
     return ds.map_batches(screen, batch_format="pyarrow")
+
+
+def pack_shards(sf_dir: str, budget: int = 2048) -> ray.data.Dataset:
+    """(doc_id, n_tokens, shard_id) — greedy sequential packing of documents
+    into ~``budget``-token training shards: shard_id = exclusive running
+    token count (doc_id order) // budget.  The step that turns a curated
+    corpus into fixed-token-budget shards for sequence packing; a document
+    is assigned by its START offset, so shards hold ≈budget tokens and a
+    doc larger than the budget takes whole shards by itself.
+
+    Shape: a DISTRIBUTED PREFIX SUM — pass 1 maps per-block (doc_id,
+    n_tokens) partials and brings only per-block (doc range, token
+    subtotal) triples to the driver (O(#blocks), never rows); blocks are
+    put in doc_id order BY THEIR RANGES — Ray's streaming executor does
+    not guarantee block delivery order (``preserve_order`` is off), but
+    each block is a contiguous row range of the doc_id-sorted input, so
+    range-sorting reconstructs the global order (overlapping ranges raise:
+    they would mean the input was not doc_id-sorted).  An exclusive scan
+    gives each block's starting offset; pass 2 re-maps each materialized
+    block with its offset.  Nothing shuffles.
+    """
+
+    def counts(batch: pa.Table) -> pa.Table:
+        from .textstats import token_count_expr
+
+        df = pl.from_arrow(batch)
+        return df.select(
+            "doc_id",
+            token_count_expr().cast(pl.Int64).alias("n_tokens"),
+        ).to_arrow()
+
+    counted = read_spread(f"{sf_dir}/documents.parquet",
+                          ["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow").materialize()
+    refs = counted.to_arrow_refs()
+
+    @ray.remote
+    def block_stats(t: pa.Table) -> tuple[int, int, int]:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return (1 << 62, 1 << 62, 0)
+        d = t.column("doc_id")
+        return (int(pc.min(d).as_py()), int(pc.max(d).as_py()),
+                int(pc.sum(t.column("n_tokens")).as_py() or 0))
+
+    stats = ray.get([block_stats.remote(r) for r in refs])
+    order = sorted(range(len(refs)), key=lambda i: stats[i][0])
+    prev_max = -1
+    for i in order:
+        lo, hi, _ = stats[i]
+        if stats[i][2] or lo != (1 << 62):
+            if lo <= prev_max:
+                raise ValueError(
+                    "pack_shards requires a doc_id-sorted input: block doc "
+                    "ranges overlap, so the running offset is undefined")
+            prev_max = hi
+    sums = [stats[i][2] for i in order]
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+
+    @ray.remote
+    def assign(t: pa.Table, offset: int) -> pa.Table:
+        n = t.column("n_tokens").to_numpy()
+        excl = offset + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return t.append_column(
+            "shard_id", pa.array(excl // budget, pa.int64()))
+
+    out_refs = [assign.remote(refs[i], int(o))
+                for i, o in zip(order, offsets)]
+    return ray.data.from_arrow_refs(out_refs)

@@ -173,3 +173,26 @@ def test_read_spread_splits_single_row_group(tmp_path):
     n_blocks = ds.materialize().num_blocks()
     assert n_blocks > 1
     assert ds.count() == 5000
+
+
+def test_pack_shards_prefix_sum_brute_force():
+    """sampling.pack_shards vs a sequential recompute: shard_id must equal
+    the exclusive running token count // budget in doc_id order, across
+    block boundaries (the distributed prefix sum's offsets)."""
+    import re
+
+    from indri_5_5_ray.functions import sampling
+
+    t = _docs_table()
+    got = sorted((r["doc_id"], r["n_tokens"], r["shard_id"])
+                 for r in sampling.pack_shards(SF, budget=512).take_all())
+    docs = sorted(zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()))
+    cum = 0
+    want = []
+    for d, x in docs:
+        n = len(re.findall(r"[a-z0-9]+", x.lower()))
+        want.append((d, n, cum // 512))
+        cum += n
+    assert got == want
+    assert want[-1][2] > 0  # more than one shard → offsets actually used
