@@ -785,8 +785,12 @@ def fingerprint_dup_pairs(sf_dir: str, min_shared: int = 2) -> ray.data.Dataset:
     functions.textstats.doc_fingerprints`, no shuffle) → groupby(fp) emits
     co-occurrence pairs (a hot boilerplate fingerprint group is capped at
     MAX_PAIR_GROUP docs with a logged warning, the same bound as the
-    shingle pair generator) → groupby(pair) counts shared fingerprints —
-    both exchanges move pair rows, never documents."""
+    shingle pair generator — past the cap, pairs are DROPPED and surviving
+    pairs' n_shared undercounts fps routed through truncated groups, so a
+    corpus that trips the warning diverges from the exact SQL oracle;
+    raise INDRI55_MAX_PAIR_GROUP for exactness there) → groupby(pair)
+    counts shared fingerprints — both exchanges move pair rows, never
+    documents."""
     from ray.data.aggregate import Count
 
     from .textstats import doc_fingerprints

@@ -220,26 +220,31 @@ def pack_shards(sf_dir: str, budget: int = 2048) -> ray.data.Dataset:
     refs = counted.to_arrow_refs()
 
     @ray.remote
-    def block_stats(t: pa.Table) -> tuple[int, int, int]:
+    def block_stats(t: pa.Table) -> tuple[int, int, int, bool]:
         import pyarrow.compute as pc
 
-        if t.num_rows == 0:
-            return (1 << 62, 1 << 62, 0)
-        d = t.column("doc_id")
-        return (int(pc.min(d).as_py()), int(pc.max(d).as_py()),
-                int(pc.sum(t.column("n_tokens")).as_py() or 0))
+        # repartitioning a tiny corpus wider than its row count yields
+        # EMPTY blocks (without even the mapped schema) — mark, drop later
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return (1 << 62, 1 << 62, 0, True)
+        d = t.column("doc_id").to_numpy()
+        is_sorted = bool(np.all(np.diff(d) > 0)) if len(d) > 1 else True
+        return (int(d.min()), int(d.max()),
+                int(pc.sum(t.column("n_tokens")).as_py() or 0), is_sorted)
 
     stats = ray.get([block_stats.remote(r) for r in refs])
-    order = sorted(range(len(refs)), key=lambda i: stats[i][0])
+    nonempty = [i for i in range(len(refs)) if stats[i][0] != (1 << 62)]
+    order = sorted(nonempty, key=lambda i: stats[i][0])
     prev_max = -1
     for i in order:
-        lo, hi, _ = stats[i]
-        if stats[i][2] or lo != (1 << 62):
-            if lo <= prev_max:
-                raise ValueError(
-                    "pack_shards requires a doc_id-sorted input: block doc "
-                    "ranges overlap, so the running offset is undefined")
-            prev_max = hi
+        lo, hi, _, is_sorted = stats[i]
+        if lo <= prev_max or not is_sorted:
+            # cross-block range overlap OR disorder inside a block — either
+            # way the running offset is undefined
+            raise ValueError(
+                "pack_shards requires a doc_id-sorted input (ranges overlap "
+                "or a block is internally unsorted)")
+        prev_max = hi
     sums = [stats[i][2] for i in order]
     offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
 
@@ -252,4 +257,9 @@ def pack_shards(sf_dir: str, budget: int = 2048) -> ray.data.Dataset:
 
     out_refs = [assign.remote(refs[i], int(o))
                 for i, o in zip(order, offsets)]
+    if not out_refs:  # corpus smaller than the spread width → no real blocks
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "shard_id": pa.array([], pa.int64())}))
     return ray.data.from_arrow_refs(out_refs)

@@ -61,17 +61,18 @@ def read_trectext(paths: list[str] | str) -> ray.data.Dataset:
     return ray.data.from_items([{"path": p} for p in paths]).flat_map(parse_file)
 
 
-def trectext_to_corpus(paths: list[str] | str, out_dir: str,
-                       rows_per_file: int = 10000) -> str:
-    """Convert TREC-text input into the standard corpus parquet shape
-    (repo='trec', path=docno, commit=sha1(docno)) for the build pipeline."""
-    ds = read_trectext(paths)
+def dataset_to_corpus(ds: ray.data.Dataset, repo: str, out_dir: str,
+                      rows_per_file: int = 10000) -> str:
+    """Write a (docno, content, …) dataset in the standard corpus parquet
+    shape (repo=<label>, path=docno, commit=sha1(docno)) — the ONE bridge
+    every reader (trectext, WARC, mbox, custom file classes) shares into
+    the build pipeline."""
 
     def to_corpus(batch: pa.Table) -> pa.Table:
         docnos = batch.column("docno").to_pylist()
         return pa.table(
             {
-                "repo": pa.array(["trec"] * len(docnos), pa.string()),
+                "repo": pa.array([repo] * len(docnos), pa.string()),
                 "path": batch.column("docno"),
                 "commit": pa.array(
                     [hashlib.sha1(d.encode()).hexdigest() for d in docnos], pa.string()
@@ -87,6 +88,14 @@ def trectext_to_corpus(paths: list[str] | str, out_dir: str,
         str(out), min_rows_per_file=rows_per_file
     )
     return str(out)
+
+
+def trectext_to_corpus(paths: list[str] | str, out_dir: str,
+                       rows_per_file: int = 10000) -> str:
+    """Convert TREC-text input into the standard corpus parquet shape
+    (repo='trec', path=docno, commit=sha1(docno)) for the build pipeline."""
+    return dataset_to_corpus(read_trectext(paths), "trec", out_dir,
+                             rows_per_file)
 
 
 _DOCHDR_RE = re.compile(r"<DOCHDR>.*?</DOCHDR>", re.DOTALL)

@@ -35,7 +35,6 @@ engine's standard corpus parquet shape for the normal build pipeline.
 from __future__ import annotations
 
 import gzip
-import hashlib
 import re
 from pathlib import Path
 
@@ -60,18 +59,22 @@ def iter_warc_records(data: bytes):
     while pos < n:
         headers: dict[str, str] = {}
         content_length = 0
-        saw_empty = False
-        # header block
-        while pos < n and not (content_length and saw_empty):
+        done = False
+        # header block: ends at the first blank line AFTER a Content-Length
+        # header was seen (stray blank lines before it are tolerated, the
+        # reference's clueweb workaround); an explicit zero/unparsable
+        # Content-Length still ENDS the record here — the reference would
+        # merge it into the next record's headers, which silently
+        # misattributes that record
+        while pos < n and not done:
             nl = data.find(b"\n", pos)
             if nl < 0:
                 return
             line = data[pos:nl].rstrip(b"\r\n")
             pos = nl + 1
             if not line:
-                saw_empty = True
+                done = "content-length" in headers
                 continue
-            saw_empty = False
             colon = line.find(b":")
             if colon >= 0:
                 key = line[:colon].decode("latin-1").strip().lower()
@@ -82,7 +85,7 @@ def iter_warc_records(data: bytes):
                         content_length = int(value)
                     except ValueError:
                         content_length = 0
-        if not content_length:
+        if not done:
             return
         content = data[pos:pos + content_length]
         pos += content_length
@@ -118,16 +121,18 @@ def parse_warc(data: bytes) -> list[dict]:
         trec_id = headers.get("warc-trec-id", "")
         docno = trec_id if trec_id else f"{file_uuid}-{uuid}"
         uri = headers.get("warc-target-uri", "")
-        # HTTP headers end at the first blank line; text is the remainder
-        text = content
-        for sep in (b"\r\n\r\n", b"\n\n"):
-            cut = content.find(sep)
-            if cut >= 0:
-                http_headers = content[:cut]
-                text = content[cut + len(sep):]
-                break
+        # HTTP headers end at the EARLIEST blank line (CRLF-CRLF or LF-LF,
+        # whichever comes first — LF-terminated headers with a CRLF pair
+        # later in the body must not swallow body text); remainder is text
+        cuts = [(content.find(sep), sep) for sep in (b"\r\n\r\n", b"\n\n")]
+        cuts = [(c, sep) for c, sep in cuts if c >= 0]
+        if cuts:
+            cut, sep = min(cuts)
+            http_headers = content[:cut]
+            text = content[cut + len(sep):]
         else:
             http_headers = b""
+            text = content
         out.append({
             "docno": docno,
             "content": text.decode("utf-8", errors="replace"),
@@ -232,23 +237,11 @@ def archive_to_corpus(paths: list[str] | str, out_dir: str,
                       rows_per_file: int = 10000) -> str:
     """Convert WARC/mbox input into the standard corpus parquet shape
     (repo=file_class, path=docno, commit=sha1(docno)) so the normal build
-    pipeline consumes it — the same bridge trectext_to_corpus provides."""
+    pipeline consumes it — the shared dataset_to_corpus bridge."""
+    if file_class not in ("warc", "mbox"):
+        raise ValueError(f"unknown archive file class {file_class!r} "
+                         "(expected 'warc' or 'mbox')")
+    from .trectext import dataset_to_corpus
+
     ds = read_warc(paths) if file_class == "warc" else read_mbox(paths)
-
-    def to_corpus(batch: pa.Table) -> pa.Table:
-        docnos = batch.column("docno").to_pylist()
-        return pa.table({
-            "repo": pa.array([file_class] * len(docnos), pa.string()),
-            "path": batch.column("docno"),
-            "commit": pa.array(
-                [hashlib.sha1(d.encode()).hexdigest() for d in docnos],
-                pa.string()),
-            "lang": pa.array(["txt"] * len(docnos), pa.string()),
-            "content": batch.column("content"),
-        })
-
-    out = Path(out_dir)
-    out.mkdir(parents=True, exist_ok=True)
-    ds.map_batches(to_corpus, batch_format="pyarrow").write_parquet(
-        str(out), min_rows_per_file=rows_per_file)
-    return str(out)
+    return dataset_to_corpus(ds, file_class, out_dir, rows_per_file)

@@ -196,3 +196,31 @@ def test_pack_shards_prefix_sum_brute_force():
         cum += n
     assert got == want
     assert want[-1][2] > 0  # more than one shard → offsets actually used
+
+
+def test_pack_shards_tiny_corpus_and_unsorted_input(tmp_path):
+    """A corpus smaller than the spread width yields empty blocks that must
+    be dropped, not crash assign; an unsorted doc_id column must raise."""
+    import pyarrow as pa
+
+    d = tmp_path / "tiny"
+    d.mkdir()
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                    "text": pa.array([f"word{i} " * (i + 1) for i in range(5)])})
+    pq.write_table(tbl, d / "documents.parquet")
+    rows = sorted((r["doc_id"], r["n_tokens"], r["shard_id"])
+                  for r in sampling.pack_shards(str(d), budget=4).take_all())
+    # exclusive cumsum of n_tokens [1,2,3,4,5] → offsets [0,1,3,6,10] // 4
+    assert rows == [(0, 1, 0), (1, 2, 0), (2, 3, 0), (3, 4, 1), (4, 5, 2)]
+
+    # a mildly unsorted tiny file can still be VALID: single-row blocks
+    # with disjoint ranges range-sort back into doc_id order.  Descending
+    # ids make every multi-row block internally unsorted → must raise.
+    d2 = tmp_path / "unsorted"
+    d2.mkdir()
+    ids = list(range(39, -1, -1))
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(["w x y"] * 40)}),
+                   d2 / "documents.parquet")
+    with pytest.raises(ValueError, match="doc_id-sorted"):
+        sampling.pack_shards(str(d2), budget=4).take_all()

@@ -166,3 +166,41 @@ def test_read_tagged_dispatches_warc_mbox(tmp_path):
     assert read_tagged(str(m), file_class="mbox").count() == 2
     with pytest.raises(ValueError, match="cannot shadow"):
         add_file_class("warc", lambda s: [])
+
+
+def test_warc_lf_headers_with_crlf_in_body():
+    """HTTP header split must take the EARLIEST blank line: LF-terminated
+    headers with a CRLF-CRLF later in the body must not move body text
+    into dochdr."""
+    body = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nline one\r\n\r\nline two"
+    data = (_warc_record({"WARC-Type": "warcinfo",
+                          "WARC-Record-ID": "<urn:uuid:f>"}, b"x")
+            + _warc_record({"WARC-Type": "response",
+                            "WARC-Record-ID": "<urn:uuid:r>",
+                            "WARC-Target-URI": "http://e/x"}, body))
+    docs = parse_warc(data)
+    assert docs[0]["content"] == "line one\r\n\r\nline two"
+    assert "line one" not in docs[0]["dochdr"]
+
+
+def test_warc_zero_length_record_does_not_swallow_next():
+    """A Content-Length: 0 record must terminate at its blank line instead
+    of merging the following record's headers into itself."""
+    zero = (b"WARC/0.18\r\nWARC-Type: revisit\r\n"
+            b"WARC-Record-ID: <urn:uuid:z>\r\nContent-Length: 0\r\n\r\n")
+    data = (_warc_record({"WARC-Type": "warcinfo",
+                          "WARC-Record-ID": "<urn:uuid:f>"}, b"x")
+            + zero
+            + _warc_record({"WARC-Type": "response",
+                            "WARC-Record-ID": "<urn:uuid:r>",
+                            "WARC-Target-URI": "http://e/y"},
+                           b"HTTP/1.1 200 OK\r\n\r\nreal body"))
+    docs = parse_warc(data)
+    assert len(docs) == 1
+    assert docs[0]["docno"] == "f-r"
+    assert docs[0]["content"] == "real body"
+
+
+def test_archive_to_corpus_rejects_unknown_class(tmp_path):
+    with pytest.raises(ValueError, match="unknown archive file class"):
+        archive_to_corpus([], str(tmp_path / "c"), file_class="trectext")
