@@ -638,7 +638,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # displaced past the driver window; now first so CORRECTNESS_r04
         # finally records them) ---
         "media_stats": multimodal.media_stats,
-        "media_features": multimodal.media_features,
+        # flat (f0..f15) shape of the actor-pool decode pipeline: every
+        # value — including the P6/WAV decode statistics and the payload
+        # checksum — is reproduced by the SQL oracle from the documents
+        # view, closing the last rows-only driver entry (VERDICT r4 item 2)
+        "media_features": multimodal.media_features_flat,
         "hopping_counts": events.hopping_counts,
         "asof_join_events": events.asof_join_events,
         "sessionize": events.sessionize,
@@ -721,6 +725,125 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_topk": simsearch.lsh_ann_topk,
         "ivf_ann_topk": simsearch.ivf_ann_topk,
     }
+
+
+def _media_features_sql() -> str:
+    """Exact SQL for the ``media_features`` entry: rebuilds every synthetic
+    payload byte-for-byte inside DuckDB — the md5 keystream blocks are
+    ``md5(seed || ':' || i || tag)`` over ASCII inputs (multimodal._keystream),
+    so ``string_agg`` of block hashes is the payload hex — then recomputes
+    the P6 pixel statistics, WAV PCM16 sample statistics and byte-histogram
+    features, the hex-form checksum (``md5_number_upper(phex)`` ==
+    little-endian first-8-digest-bytes in Python), and the same
+    ``floor(x·10⁶)/10⁶`` pin the Ray side applies.  2591 = max body bytes
+    (image 3·36·24) at any sf, so the fixed series covers every payload."""
+
+    def le4(e: str) -> str:
+        h = f"printf('%08x', {e})"
+        return (f"(substr({h},7,2)||substr({h},5,2)"
+                f"||substr({h},3,2)||substr({h},1,2))")
+
+    vcols = ", ".join(f"max(CASE WHEN j={j} THEN frac END) v{j}"
+                      for j in range(16))
+    gtail = ", ".join(
+        f"CASE p.kind WHEN 'video' THEN v.v{j} ELSE 0.0 END AS g{j}"
+        for j in range(10, 16))
+    fouts = ", ".join(f"floor(g{j} * 1000000) / 1000000 AS f{j}"
+                      for j in range(16))
+    wav_hdr = ("'52494646' || " + le4("36 + 2*nsamp")
+               + " || '57415645666d74201000000001000100803e0000007d0000"
+               "0200100064617461' || " + le4("2*nsamp"))
+    return f"""
+WITH series AS (SELECT i FROM generate_series(0, 2591) t(i)),
+base AS (
+  SELECT doc_id, md5(text) AS seed,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         (8 + (doc_id % 8) * 4)::INT AS w, (8 + (doc_id % 5) * 4)::INT AS h,
+         (400 + (doc_id % 100) * 8)::INT AS nsamp, (64 + (doc_id % 7) * 17)::INT AS vbytes
+  FROM documents
+),
+sized AS (
+  SELECT *, CASE kind WHEN 'image' THEN 3*w*h WHEN 'audio' THEN 2*nsamp ELSE vbytes END AS body_n,
+         CASE kind WHEN 'image' THEN '' WHEN 'audio' THEN 'a' ELSE 'v' END AS tag
+  FROM base
+),
+ks AS (
+  SELECT s.doc_id, string_agg(md5(s.seed || ':' || t.i || s.tag), '' ORDER BY t.i) AS stream_hex
+  FROM sized s JOIN series t ON t.i <= ((s.body_n + 15) // 16) - 1
+  GROUP BY s.doc_id
+),
+body AS (
+  SELECT s.*, substr(k.stream_hex, 1, 2*s.body_n) AS body_hex
+  FROM sized s JOIN ks k USING (doc_id)
+),
+payload AS (
+  SELECT doc_id, kind, w, h, nsamp, body_n, body_hex,
+    CASE kind
+      WHEN 'image' THEN lower(hex(encode('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)))) || body_hex
+      WHEN 'audio' THEN {wav_hdr} || body_hex
+      ELSE body_hex
+    END AS phex
+  FROM body
+),
+imgb AS (
+  SELECT p.doc_id, t.i, ('0x' || substr(p.body_hex, 2*t.i + 1, 2))::INT AS b, t.i % 3 AS ch
+  FROM payload p JOIN series t ON t.i <= p.body_n - 1 WHERE p.kind = 'image'
+),
+imgch AS (SELECT doc_id, ch, avg(b) AS m FROM imgb GROUP BY doc_id, ch),
+imgstd AS (
+  SELECT b.doc_id, b.ch, sqrt(avg((b.b - c.m)*(b.b - c.m))) AS sd
+  FROM imgb b JOIN imgch c USING (doc_id, ch) GROUP BY b.doc_id, b.ch
+),
+imgm AS (SELECT doc_id, max(CASE WHEN ch=0 THEN m END) m0, max(CASE WHEN ch=1 THEN m END) m1,
+                max(CASE WHEN ch=2 THEN m END) m2 FROM imgch GROUP BY doc_id),
+imgs AS (SELECT doc_id, max(CASE WHEN ch=0 THEN sd END) s0, max(CASE WHEN ch=1 THEN sd END) s1,
+                max(CASE WHEN ch=2 THEN sd END) s2 FROM imgstd GROUP BY doc_id),
+imgmm AS (SELECT doc_id, min(b)::DOUBLE mn, max(b)::DOUBLE mx FROM imgb GROUP BY doc_id),
+audx AS (
+  SELECT p.doc_id, t.i,
+    (CASE WHEN ('0x' || substr(p.body_hex, 4*t.i + 3, 2) || substr(p.body_hex, 4*t.i + 1, 2))::INT >= 32768
+          THEN ('0x' || substr(p.body_hex, 4*t.i + 3, 2) || substr(p.body_hex, 4*t.i + 1, 2))::INT - 65536
+          ELSE ('0x' || substr(p.body_hex, 4*t.i + 3, 2) || substr(p.body_hex, 4*t.i + 1, 2))::INT END)::DOUBLE AS x
+  FROM payload p JOIN series t ON t.i <= p.nsamp - 1 WHERE p.kind = 'audio'
+),
+audst AS (SELECT doc_id, sqrt(avg(x*x)) rms, avg(x) mean, min(x) mn, max(x) mx FROM audx GROUP BY doc_id),
+audzc AS (
+  SELECT doc_id, sum(CASE WHEN (x < 0) != (px < 0) THEN 1 ELSE 0 END)::DOUBLE zc
+  FROM (SELECT doc_id, x, lag(x) OVER (PARTITION BY doc_id ORDER BY i) px FROM audx)
+  WHERE px IS NOT NULL GROUP BY doc_id
+),
+vidb AS (
+  SELECT p.doc_id, ('0x' || substr(p.body_hex, 2*t.i + 1, 2))::INT // 16 AS bin
+  FROM payload p JOIN series t ON t.i <= p.body_n - 1 WHERE p.kind = 'video'
+),
+vidcnt AS (SELECT doc_id, bin, count(*) c FROM vidb GROUP BY doc_id, bin),
+vidgrid AS (SELECT p.doc_id, p.body_n, g.j FROM payload p, generate_series(0,15) g(j) WHERE p.kind='video'),
+vidh AS (
+  SELECT g.doc_id, g.j, coalesce(c.c, 0)::DOUBLE / g.body_n AS frac
+  FROM vidgrid g LEFT JOIN vidcnt c ON c.doc_id = g.doc_id AND c.bin = g.j
+),
+vidw AS (SELECT doc_id, {vcols} FROM vidh GROUP BY doc_id),
+raw AS (
+  SELECT p.doc_id, p.kind, (length(p.phex) // 2)::BIGINT AS n_bytes,
+         (md5_number_upper(p.phex) // 2)::BIGINT AS checksum,
+    CASE p.kind WHEN 'image' THEN p.w::DOUBLE WHEN 'audio' THEN 16000.0 ELSE v.v0 END AS g0,
+    CASE p.kind WHEN 'image' THEN p.h::DOUBLE WHEN 'audio' THEN p.nsamp::DOUBLE ELSE v.v1 END AS g1,
+    CASE p.kind WHEN 'image' THEN m.m0 WHEN 'audio' THEN a.rms ELSE v.v2 END AS g2,
+    CASE p.kind WHEN 'image' THEN m.m1 WHEN 'audio' THEN a.mean ELSE v.v3 END AS g3,
+    CASE p.kind WHEN 'image' THEN m.m2 WHEN 'audio' THEN a.mn ELSE v.v4 END AS g4,
+    CASE p.kind WHEN 'image' THEN s.s0 WHEN 'audio' THEN a.mx ELSE v.v5 END AS g5,
+    CASE p.kind WHEN 'image' THEN s.s1 WHEN 'audio' THEN z.zc ELSE v.v6 END AS g6,
+    CASE p.kind WHEN 'image' THEN s.s2 WHEN 'audio' THEN 0.0 ELSE v.v7 END AS g7,
+    CASE p.kind WHEN 'image' THEN mm.mn WHEN 'audio' THEN 0.0 ELSE v.v8 END AS g8,
+    CASE p.kind WHEN 'image' THEN mm.mx WHEN 'audio' THEN 0.0 ELSE v.v9 END AS g9,
+    {gtail}
+  FROM payload p
+  LEFT JOIN imgm m USING (doc_id) LEFT JOIN imgs s USING (doc_id) LEFT JOIN imgmm mm USING (doc_id)
+  LEFT JOIN audst a USING (doc_id) LEFT JOIN audzc z USING (doc_id) LEFT JOIN vidw v USING (doc_id)
+)
+SELECT doc_id AS item_id, kind, n_bytes, checksum, {fouts}
+FROM raw ORDER BY item_id
+"""
 
 
 def _bm25_values_clause() -> str:
@@ -1823,8 +1946,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT kind, COUNT(*)::BIGINT AS n_items,
                    CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
             FROM m GROUP BY kind ORDER BY kind""",
-        # lsh_ann_topk, ivf_ann_topk, media_features: non-SQL-expressible
-        # (seeded hyperplanes / seeded k-means / binary decode) → rows-only
-        # driver check; semantics are pytest-verified instead (the ANN paths
-        # also have full-probe ≡ brute-force oracle entries).
+        # the decode pipeline itself: payload bytes rebuilt in SQL from the
+        # md5 keystream, decode statistics recomputed per kind (see
+        # _media_features_sql) — the last formerly rows-only entry
+        "media_features": _media_features_sql(),
+        # lsh_ann_topk, ivf_ann_topk: non-SQL-expressible (seeded
+        # hyperplanes / seeded k-means) → rows-only driver check; semantics
+        # are pytest-verified instead, and both have full-probe ≡
+        # brute-force oracle entries in-window.
     }

@@ -41,29 +41,31 @@ MULTIMODAL_SCHEMA = pa.schema(
 N_FEATURES = 16
 
 
-def make_ppm(width: int, height: int, seed: bytes) -> bytes:
-    """Deterministic P6 netpbm image: header + raw RGB bytes derived from
-    an md5 keystream (a REAL image format, stdlib-decodable)."""
-    n = width * height * 3
+def _keystream(seed: str, n: int, tag: str = "") -> bytes:
+    """Deterministic byte stream: concatenated ``md5(f"{seed}:{i}{tag}")``
+    digests, truncated to ``n``.  Block inputs are plain ASCII strings so a
+    SQL oracle (DuckDB ``md5(VARCHAR)``) reproduces every byte —
+    ``string_agg(md5(seed || ':' || i || tag), '' ORDER BY i)`` is the hex
+    of this stream."""
     blocks = []
     counter = 0
-    while sum(map(len, blocks)) < n:
-        blocks.append(hashlib.md5(seed + counter.to_bytes(4, "little")).digest())
+    while len(blocks) * 16 < n:
+        blocks.append(hashlib.md5(f"{seed}:{counter}{tag}".encode()).digest())
         counter += 1
-    pixels = b"".join(blocks)[:n]
+    return b"".join(blocks)[:n]
+
+
+def make_ppm(width: int, height: int, seed: str) -> bytes:
+    """Deterministic P6 netpbm image: header + raw RGB bytes derived from
+    an md5 keystream (a REAL image format, stdlib-decodable)."""
+    pixels = _keystream(seed, width * height * 3)
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
-def make_wav(sample_rate: int, n_samples: int, seed: bytes) -> bytes:
+def make_wav(sample_rate: int, n_samples: int, seed: str) -> bytes:
     """Deterministic mono PCM16 WAV (a REAL audio container, stdlib-
     decodable): samples from an md5 keystream."""
-    n = n_samples * 2
-    blocks = []
-    counter = 0
-    while sum(map(len, blocks)) < n:
-        blocks.append(hashlib.md5(seed + counter.to_bytes(4, "big")).digest())
-        counter += 1
-    frames = b"".join(blocks)[:n]
+    frames = _keystream(seed, n_samples * 2, tag="a")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -73,15 +75,10 @@ def make_wav(sample_rate: int, n_samples: int, seed: bytes) -> bytes:
     return buf.getvalue()
 
 
-def make_opaque(n: int, seed: bytes) -> bytes:
+def make_opaque(n: int, seed: str) -> bytes:
     """Deterministic opaque payload (an md5 keystream) — stands in for
     video, whose containers have no stdlib codec."""
-    blocks = []
-    counter = 0
-    while sum(map(len, blocks)) < n:
-        blocks.append(hashlib.md5(seed + counter.to_bytes(4, "little") + b"v").digest())
-        counter += 1
-    return b"".join(blocks)[:n]
+    return _keystream(seed, n, tag="v")
 
 
 def _synth_media_batch(batch: pa.Table) -> pa.Table:
@@ -95,7 +92,7 @@ def _synth_media_batch(batch: pa.Table) -> pa.Table:
     ids = batch.column("doc_id").to_pylist()
     for did, text in zip(ids, batch.column("text").to_pylist()):
         kind = kinds[did % 3]
-        seed = hashlib.md5(text.encode("utf-8")).digest()
+        seed = hashlib.md5(text.encode("utf-8")).hexdigest()
         if kind == "image":
             iw, ih = 8 + (did % 8) * 4, 8 + (did % 5) * 4
             payloads.append(make_ppm(iw, ih, seed))
@@ -143,7 +140,7 @@ def synth_media_table(sf_dir: str) -> pa.Table:
 
 # bump when MULTIMODAL_SCHEMA / _synth_media_batch change shape: the cache
 # key carries it, so tables written by an older code version are never reused
-_MEDIA_TABLE_VERSION = "v2"
+_MEDIA_TABLE_VERSION = "v3"
 
 
 def ensure_media_table(sf_dir: str) -> str:
@@ -260,8 +257,13 @@ class MediaFeatureExtractor:
         feats = (np.stack([self._features(p, k)
                            for p, k in zip(payloads, kinds)])
                  if payloads else np.zeros((0, N_FEATURES)))
+        # integrity checksum over the payload's lowercase-hex rendering
+        # (not the raw bytes): DuckDB's md5() only accepts VARCHAR, so the
+        # hex form is what the SQL oracle can hash — `md5_number_upper(hex)`
+        # equals the little-endian first-8-digest-bytes below
         checks = [
-            int.from_bytes(hashlib.md5(p).digest()[:8], "little", signed=False) >> 1
+            int.from_bytes(hashlib.md5(p.hex().encode()).digest()[:8],
+                           "little", signed=False) >> 1
             for p in payloads
         ]
         return pa.table(
@@ -295,6 +297,34 @@ def media_features(sf_dir: str, concurrency: tuple[int, int] = (1, 4),
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def media_features_flat(sf_dir: str) -> ray.data.Dataset:
+    """:func:`media_features` with the fixed-size feature vector flattened
+    to ``f0..f15`` scalar columns, each floor-pinned to 6 decimals
+    (``floor(x·10⁶)/10⁶`` — identical on both sides regardless of the
+    engines' round-half rules).  This is the driver-checked shape: every
+    value is reproducible in SQL because the synthetic payloads are md5
+    keystreams over ASCII block inputs (see :func:`_keystream`) and the
+    checksum hashes the payload's hex form."""
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        feats = batch.column("features")
+        mat = (np.asarray(feats.combine_chunks().flatten(), dtype=np.float64)
+               .reshape(-1, N_FEATURES)
+               if batch.num_rows else np.zeros((0, N_FEATURES)))
+        mat = np.floor(mat * 1e6) / 1e6
+        cols = {
+            "item_id": batch.column("item_id"),
+            "kind": batch.column("kind"),
+            "n_bytes": batch.column("n_bytes"),
+            "checksum": batch.column("checksum"),
+        }
+        for j in range(N_FEATURES):
+            cols[f"f{j}"] = pa.array(mat[:, j], pa.float64())
+        return pa.table(cols)
+
+    return media_features(sf_dir).map_batches(flatten, batch_format="pyarrow")
 
 
 def media_stats(sf_dir: str) -> ray.data.Dataset:

@@ -144,9 +144,11 @@ def test_media_pipeline(mini_sf):
             assert row[2] > 0  # RMS of the PCM stream
         else:  # opaque video payload → normalized histogram fallback
             assert abs(sum(row) - 1.0) < 1e-9
-    # checksum is deterministic md5 of payload
+    # checksum is deterministic md5 of the payload's hex form (the
+    # SQL-portable rendering; see MediaFeatureExtractor.__call__)
     p0 = tbl.column("payload")[0].as_py()
-    want = int.from_bytes(hashlib.md5(p0).digest()[:8], "little") >> 1
+    want = int.from_bytes(
+        hashlib.md5(p0.hex().encode()).digest()[:8], "little") >> 1
     assert feats.loc[0, "checksum"] == want
 
 
@@ -157,13 +159,13 @@ def test_media_real_decode_roundtrip():
     from indri_5_5_ray.functions.multimodal import (
         MediaFeatureExtractor, make_ppm, make_wav)
 
-    ppm = make_ppm(6, 4, b"seed")
+    ppm = make_ppm(6, 4, "seed")
     f = MediaFeatureExtractor._decode_ppm(ppm)
     assert (f[0], f[1]) == (6, 4)
     px = np.frombuffer(ppm[len(ppm) - 6 * 4 * 3:], dtype=np.uint8)
     assert abs(f[2:5].mean() - px.astype(float).mean()) < 1e-9
 
-    wav = make_wav(8000, 100, b"seed")
+    wav = make_wav(8000, 100, "seed")
     g = MediaFeatureExtractor._decode_wav(wav)
     assert (g[0], g[1]) == (8000, 100)
     assert g[2] > 0 and g[4] <= g[5]
