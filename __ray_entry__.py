@@ -632,8 +632,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         simsearch,
         textstats,
     )
+    from indri_5_5_ray.sources import webarchive
 
     return {
+        # --- NEW r5: the streaming WARC reader, driver-checked end to end
+        # over a deterministic synthetic archive set (VERDICT r4 item 7;
+        # displaces tumbling_counts — green r2-r4, hopping_counts is its
+        # in-window kernel twin) ---
+        "warc_corpus": webarchive.warc_corpus,
         # --- event-stream operators + curation filters (unchecked in r3:
         # displaced past the driver window; now first so CORRECTNESS_r04
         # finally records them) ---
@@ -705,9 +711,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, n_centroids=8, nprobe=8),
         "lsh_ann_full_probe": lambda sf: simsearch.lsh_ann_topk(
             sf, probe_bits=12),  # all 2^12 buckets probed ≡ brute force
-        # --- event-stream operators ---
-        "tumbling_counts": events.tumbling_counts,
         # ---------------- position 51+: outside the driver window ----------
+        # tumbling_counts rotated out r5 (hash-green r2-r4, unchanged path;
+        # hopping_counts exercises the same window kernel in-window)
+        "tumbling_counts": events.tumbling_counts,
         # rotated out after 2+ consecutive hash-green rounds (r2+r3) with an
         # UNCHANGED execution path, each with an in-window twin exercising
         # the same kernel (quality_scores↔quality_filter, line_stats↔
@@ -1950,6 +1957,19 @@ def oracle_sql() -> dict[str, str]:
         # md5 keystream, decode statistics recomputed per kind (see
         # _media_features_sql) — the last formerly rows-only entry
         "media_features": _media_features_sql(),
+        # streaming WARC reader over the synthetic archive set: every
+        # parsed field is a pure function of (doc_id, text) — docno from
+        # the WARC-TREC-ID, content = the bytes after the HTTP headers,
+        # dochdr = target URI + the header block before the first blank
+        # line (see webarchive.ensure_warc_archive)
+        "warc_corpus": """
+            SELECT 'warc-' || lpad(doc_id::VARCHAR, 6, '0') AS docno,
+                   text AS content,
+                   'http://synthetic.test/' || doc_id AS url,
+                   'http://synthetic.test/' || doc_id || chr(10)
+                     || 'HTTP/1.1 200 OK' || chr(13) || chr(10)
+                     || 'Content-Type: text/html' AS dochdr
+            FROM documents ORDER BY doc_id""",
         # lsh_ann_topk, ivf_ann_topk: non-SQL-expressible (seeded
         # hyperplanes / seeded k-means) → rows-only driver check; semantics
         # are pytest-verified instead, and both have full-probe ≡

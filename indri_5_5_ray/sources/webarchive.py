@@ -12,8 +12,9 @@ Semantics pinned to the reference:
   with embedded NULs replaced by spaces (:166-173).  docno = ``WARC-TREC-ID``
   when present, else ``{fileUUID}-{recordUUID}`` (:281-283); the record's
   ``WARC-Target-URI`` plus the HTTP response headers (body up to the first
-  blank line, :303-320) form the ``dochdr`` metadata and the text is what
-  follows them.
+  blank line, :303-320 — two consecutive newlines where each newline may be
+  ``\\n`` or ``\\r\\n``, i.e. the EARLIEST ``\\r?\\n\\r?\\n`` match) form the
+  ``dochdr`` metadata and the text is what follows them.
 * Mbox (ref:src/MboxDocumentIterator.cpp:88-224): per message, header lines
   are scanned until an empty line; the interesting fields (From:→author,
   To:→recipient, Subject:→subject, Cc:→copied, Date:→date, :108-114) join
@@ -24,17 +25,30 @@ Semantics pinned to the reference:
   (:172-183 — the envelope separator, a quirk that also stops at body lines
   starting with "From"); docno = the subject with whitespace replaced by
   ``_`` (``cleanDocno``, ref:include/indri/DocumentIterator.hpp:42-49).
+  DIVERGENCE (documented): the reference emits NO docno for subjectless
+  messages; through ``dataset_to_corpus`` an empty docno would collapse
+  distinct messages to one identity (path="" ⇒ equal commit sha), so
+  :func:`read_mbox` synthesizes ``{filename}#{ordinal}`` instead.  The
+  string-level :func:`parse_mbox` (no file context) keeps the reference's
+  empty docno.
 
 Both run as Ray Data ``flat_map`` over file paths (one task per archive —
 the natural parallel unit; WARC files are independently splittable only at
 record boundaries, which member-gzip archives don't expose to a blind byte
 splitter, so file granularity is the safe default) and convert to the
 engine's standard corpus parquet shape for the normal build pipeline.
+
+Archives are streamed record-at-a-time (the reference's own iterator shape,
+ref:src/WARCDocumentIterator.cpp:103-150): gzip members are inflated
+incrementally through ``gzip.GzipFile`` (multi-member aware, the standard
+.warc.gz layout of one member per record) and per-task memory is O(largest
+record), never O(decompressed archive).
 """
 
 from __future__ import annotations
 
 import gzip
+import io
 import re
 from pathlib import Path
 
@@ -42,21 +56,80 @@ import pyarrow as pa
 import ray.data
 
 _URN_UUID = re.compile(r"<?urn:uuid:([^>]*)>?\s*$")
+# two consecutive newlines, each optionally CR-prefixed — exactly the
+# reference's newline counter (\r\n or \n each count one; anything else
+# resets), so the earliest match is where it splits headers from text
+_HDR_END = re.compile(rb"\r?\n\r?\n")
+
+_READ_CHUNK = 1 << 16
 
 
-def _maybe_gunzip(data: bytes) -> bytes:
-    if data[:2] == b"\x1f\x8b":
-        return gzip.decompress(data)
+class _ByteLines:
+    """Minimal buffered reader over a binary file object: ``readline()``
+    (terminator included; final unterminated line returned as-is; ``None``
+    at EOF) and ``read(n)`` (up to n bytes).  Memory is O(buffered bytes),
+    so pulling records through it never materializes the archive."""
+
+    def __init__(self, fobj):
+        self._f = fobj
+        self._buf = bytearray()
+
+    def _fill(self) -> bool:
+        chunk = self._f.read(_READ_CHUNK)
+        if not chunk:
+            return False
+        self._buf += chunk
+        return True
+
+    def readline(self) -> bytes | None:
+        start = 0
+        while True:
+            nl = self._buf.find(b"\n", start)
+            if nl >= 0:
+                line = bytes(self._buf[: nl + 1])
+                del self._buf[: nl + 1]
+                return line
+            start = len(self._buf)
+            if not self._fill():
+                if self._buf:
+                    line = bytes(self._buf)
+                    self._buf.clear()
+                    return line
+                return None
+
+    def read(self, n: int) -> bytes:
+        while len(self._buf) < n and self._fill():
+            pass
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
+
+
+def _as_stream(data) -> "io.RawIOBase":
+    """bytes → BytesIO (transparently gunzipped); file objects pass through
+    wrapped in GzipFile when positioned at a gzip magic."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        data = io.BytesIO(bytes(data))
+    head = data.peek(2)[:2] if hasattr(data, "peek") else None
+    if head is None:
+        # BytesIO has no peek; probe and rewind
+        pos = data.tell()
+        head = data.read(2)
+        data.seek(pos)
+    if head == b"\x1f\x8b":
+        # GzipFile iterates MULTI-member streams (the .warc.gz layout of
+        # one deflate member per record) without inflating them all at once
+        return gzip.GzipFile(fileobj=data)
     return data
 
 
-def iter_warc_records(data: bytes):
-    """Raw WARC bytes → (headers dict {lower key: value}, content bytes)
-    per record.  Header reading mirrors the reference: skip anything until
-    Content-Length has been parsed AND an empty line ends the block."""
-    pos = 0
-    n = len(data)
-    while pos < n:
+def iter_warc_records(data):
+    """WARC bytes or binary file object → (headers dict {lower key: value},
+    content bytes) per record, streamed — memory is O(largest record).
+    Header reading mirrors the reference: skip anything until Content-Length
+    has been parsed AND an empty line ends the block."""
+    reader = _ByteLines(_as_stream(data))
+    while True:
         headers: dict[str, str] = {}
         content_length = 0
         done = False
@@ -66,12 +139,11 @@ def iter_warc_records(data: bytes):
         # Content-Length still ENDS the record here — the reference would
         # merge it into the next record's headers, which silently
         # misattributes that record
-        while pos < n and not done:
-            nl = data.find(b"\n", pos)
-            if nl < 0:
-                return
-            line = data[pos:nl].rstrip(b"\r\n")
-            pos = nl + 1
+        while not done:
+            raw = reader.readline()
+            if raw is None:
+                return  # EOF mid-headers: no further complete record
+            line = raw.rstrip(b"\r\n")
             if not line:
                 done = "content-length" in headers
                 continue
@@ -85,10 +157,7 @@ def iter_warc_records(data: bytes):
                         content_length = int(value)
                     except ValueError:
                         content_length = 0
-        if not done:
-            return
-        content = data[pos:pos + content_length]
-        pos += content_length
+        content = reader.read(content_length)
         # NULs become spaces, exactly like the reference's readContent
         if b"\x00" in content:
             content = content.replace(b"\x00", b" ")
@@ -101,19 +170,17 @@ def _record_uuid(headers: dict[str, str]) -> str:
     return m.group(1) if m else rid.strip("<>")
 
 
-def parse_warc(data: bytes) -> list[dict]:
-    """One WARC archive (gzipped or plain) → document dicts
-    ``{docno, content, url, dochdr}``.
+def iter_warc_documents(data):
+    """WARC bytes or binary file object → document dicts
+    ``{docno, content, url, dochdr}``, streamed one record at a time.
 
     Raises ValueError when the first record is not ``warcinfo`` — the
     reference treats such a file as partial/broken."""
-    data = _maybe_gunzip(data)
     records = iter_warc_records(data)
     first = next(records, None)
     if first is None or first[0].get("warc-type") != "warcinfo":
         raise ValueError("Bad WARC file.")
     file_uuid = _record_uuid(first[0])
-    out: list[dict] = []
     for headers, content in records:
         if headers.get("warc-type") != "response":
             continue  # request/metadata/... records are skipped
@@ -121,26 +188,29 @@ def parse_warc(data: bytes) -> list[dict]:
         trec_id = headers.get("warc-trec-id", "")
         docno = trec_id if trec_id else f"{file_uuid}-{uuid}"
         uri = headers.get("warc-target-uri", "")
-        # HTTP headers end at the EARLIEST blank line (CRLF-CRLF or LF-LF,
-        # whichever comes first — LF-terminated headers with a CRLF pair
-        # later in the body must not swallow body text); remainder is text
-        cuts = [(content.find(sep), sep) for sep in (b"\r\n\r\n", b"\n\n")]
-        cuts = [(c, sep) for c, sep in cuts if c >= 0]
-        if cuts:
-            cut, sep = min(cuts)
-            http_headers = content[:cut]
-            text = content[cut + len(sep):]
+        # HTTP headers end at the EARLIEST two-newline run (each newline
+        # \n or \r\n — mixed terminators like \n\r\n split exactly like
+        # the reference's newline counter); remainder is the text
+        m = _HDR_END.search(content)
+        if m:
+            http_headers = content[: m.start()]
+            text = content[m.end():]
         else:
             http_headers = b""
             text = content
-        out.append({
+        yield {
             "docno": docno,
             "content": text.decode("utf-8", errors="replace"),
             "url": uri,
             "dochdr": (uri + "\n"
                        + http_headers.decode("latin-1", errors="replace")),
-        })
-    return out
+        }
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """One in-memory WARC archive (gzipped or plain) → document dicts.
+    Convenience wrapper over the streaming :func:`iter_warc_documents`."""
+    return list(iter_warc_documents(data))
 
 
 _MBOX_FIELDS = (
@@ -151,24 +221,43 @@ _MBOX_FIELDS = (
     ("Date:", "date"),
 )
 
+_END = object()  # _Peekable EOF sentinel
 
-def parse_mbox(data: str) -> list[dict]:
-    """One mbox stream → document dicts ``{docno, content, author,
-    recipient, subject, copied, date}`` (missing fields empty)."""
-    lines = data.split("\n")
-    if lines and lines[-1] == "":
-        lines.pop()  # a trailing newline is a line TERMINATOR, not a line
-    i = 0
-    n = len(lines)
-    out: list[dict] = []
-    while i < n:
+
+class _Peekable:
+    """One-line lookahead over a line iterator (terminators stripped)."""
+
+    def __init__(self, it):
+        self._it = iter(it)
+        self._nxt = next(self._it, _END)
+
+    def at_end(self) -> bool:
+        return self._nxt is _END
+
+    def peek(self) -> str:
+        return self._nxt
+
+    def next(self) -> str:
+        v = self._nxt
+        self._nxt = next(self._it, _END)
+        return v
+
+
+def iter_mbox_documents(lines, origin: str = ""):
+    """Iterator of terminator-stripped lines → document dicts ``{docno,
+    content, author, recipient, subject, copied, date}``, streamed one
+    message at a time.  ``origin`` (typically the mailbox filename) makes
+    subjectless messages' docnos unique (``{origin}#{ordinal}``); empty
+    origin keeps the reference's empty docno."""
+    it = _Peekable(lines)
+    ordinal = 0
+    while not it.at_end():
         meta = {tag: "" for _, tag in _MBOX_FIELDS}
         head_parts: list[str] = []
-        # header block: until an empty line (EOF ends the message list)
         saw_any = False
-        while i < n:
-            line = lines[i]
-            i += 1
+        # header block: until an empty line (EOF ends the message list)
+        while not it.at_end():
+            line = it.next()
             if line == "":
                 break
             saw_any = True
@@ -178,31 +267,52 @@ def parse_mbox(data: str) -> list[dict]:
                     # _copyMetadata's `headerLine + ignoreBytes + 1`
                     value = line[len(field) + 1:]
                     # tab-continuation lines joined with newlines
-                    while i < n and lines[i].startswith("\t"):
-                        value += "\n" + lines[i]
-                        i += 1
+                    while not it.at_end() and it.peek().startswith("\t"):
+                        value += "\n" + it.next()
                     meta[tag] = value
                     head_parts.append(value)
                     break
-        if not saw_any and i >= n:
+        if not saw_any and it.at_end():
             break
         # body: until a line starting with "From" (the envelope separator;
         # the reference also stops at body lines starting with "From")
         body_parts: list[str] = []
-        while i < n:
-            line = lines[i]
+        while not it.at_end():
+            line = it.peek()
             if line.startswith("From"):
-                i += 1  # the From line itself is consumed, not kept
+                it.next()  # the From line itself is consumed, not kept
                 break
-            body_parts.append(line)
-            i += 1
+            body_parts.append(it.next())
         content = "".join(p + "\n" for p in head_parts) \
             + "".join(p + "\n" for p in body_parts)
         if not (saw_any or body_parts):
             continue
         docno = re.sub(r"\s", "_", meta["subject"])
-        out.append({"docno": docno, "content": content, **meta})
-    return out
+        if not docno and origin:
+            docno = f"{origin}#{ordinal}"
+        yield {"docno": docno, "content": content, **meta}
+        ordinal += 1
+
+
+def _split_lines(data: str):
+    """``data.split("\\n")`` minus a trailing terminator-produced empty
+    line, as a generator (a trailing newline is a TERMINATOR, not a line)."""
+    start = 0
+    n = len(data)
+    while start < n:
+        nl = data.find("\n", start)
+        if nl < 0:
+            yield data[start:]
+            return
+        yield data[start:nl]
+        start = nl + 1
+
+
+def parse_mbox(data: str) -> list[dict]:
+    """One in-memory mbox stream → document dicts (missing fields empty;
+    subjectless messages keep the reference's empty docno).  Convenience
+    wrapper over the streaming :func:`iter_mbox_documents`."""
+    return list(iter_mbox_documents(_split_lines(data)))
 
 
 def _expand(paths: list[str] | str) -> list[str]:
@@ -213,10 +323,21 @@ def _expand(paths: list[str] | str) -> list[str]:
     return list(paths)
 
 
+def _file_lines(path: str):
+    """Terminator-stripped text lines, streamed with universal newlines
+    (matching what ``read_text().split("\\n")`` produced before)."""
+    with open(path, errors="replace") as f:
+        for raw in f:
+            yield raw[:-1] if raw.endswith("\n") else raw
+
+
 def read_warc(paths: list[str] | str) -> ray.data.Dataset:
-    """Dataset of (docno, content, url, dochdr) rows from WARC archives."""
-    def parse_file(row: dict) -> list[dict]:
-        return parse_warc(Path(row["path"]).read_bytes())
+    """Dataset of (docno, content, url, dochdr) rows from WARC archives.
+    Each task streams its archive record-at-a-time (member-gzip aware) —
+    peak memory is O(largest record), not O(decompressed archive)."""
+    def parse_file(row: dict):
+        with open(row["path"], "rb") as f:  # buffered: _as_stream peeks it
+            yield from iter_warc_documents(f)
 
     return ray.data.from_items(
         [{"path": p} for p in _expand(paths)]).flat_map(parse_file)
@@ -224,12 +345,92 @@ def read_warc(paths: list[str] | str) -> ray.data.Dataset:
 
 def read_mbox(paths: list[str] | str) -> ray.data.Dataset:
     """Dataset of (docno, content, author, recipient, subject, copied,
-    date) rows from mbox mailboxes."""
-    def parse_file(row: dict) -> list[dict]:
-        return parse_mbox(Path(row["path"]).read_text(errors="replace"))
+    date) rows from mbox mailboxes, streamed line-at-a-time.  Subjectless
+    messages get ``{filename}#{ordinal}`` docnos so distinct messages never
+    collapse to one identity downstream (see module docstring)."""
+    def parse_file(row: dict):
+        origin = Path(row["path"]).name
+        yield from iter_mbox_documents(_file_lines(row["path"]), origin)
 
     return ray.data.from_items(
         [{"path": p} for p in _expand(paths)]).flat_map(parse_file)
+
+
+# bump when the synthetic WARC layout changes: the cache key carries it
+_WARC_TABLE_VERSION = "v1"
+
+
+def ensure_warc_archive(sf_dir: str) -> list[str]:
+    """Materialize a deterministic synthetic .warc.gz archive set derived
+    from the documents table (one gzip member per record, warcinfo first —
+    the standard web-archive layout), cached per corpus like
+    ``ensure_media_table``.  Every parsed field is a pure function of
+    (doc_id, text), so the WARC reader has an exact SQL oracle over the
+    documents view.  Generation is a Ray pipeline (one archive file per
+    batch); returns the archive file list."""
+    import os
+
+    name = os.path.basename(os.path.realpath(sf_dir))
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    out = (f"/tmp/indri55_warc/{name}-{st.st_mtime_ns}-{st.st_size}"
+           f"-{_WARC_TABLE_VERSION}")
+
+    def _archives() -> list[str]:
+        return sorted(str(p) for p in Path(out).glob("*.warc.gz"))
+
+    if os.path.exists(f"{out}/_COMPLETE"):
+        return _archives()
+    import tempfile
+
+    os.makedirs("/tmp/indri55_warc", exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f"{os.path.basename(out)}.tmp-",
+                           dir="/tmp/indri55_warc")
+
+    def to_warc(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        if not ids:
+            return pa.table({"file": pa.array([], pa.string())})
+        texts = batch.column("text").to_pylist()
+        info = (f"WARC/0.18\r\nWARC-Type: warcinfo\r\n"
+                f"WARC-Record-ID: <urn:uuid:file-{min(ids):08d}>\r\n"
+                f"Content-Length: 10\r\n\r\nsynthetic\n\r\n\r\n").encode()
+        members = [gzip.compress(info)]
+        for did, text in zip(ids, texts):
+            body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + text.encode("utf-8"))
+            hdrs = (f"WARC/0.18\r\nWARC-Type: response\r\n"
+                    f"WARC-Record-ID: <urn:uuid:rec-{did:06d}>\r\n"
+                    f"WARC-TREC-ID: warc-{did:06d}\r\n"
+                    f"WARC-Target-URI: http://synthetic.test/{did}\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n").encode()
+            members.append(gzip.compress(hdrs + body + b"\r\n\r\n"))
+        fn = f"{tmp}/part-{min(ids):08d}.warc.gz"
+        with open(fn, "wb") as f:
+            f.write(b"".join(members))
+        return pa.table({"file": pa.array([fn], pa.string())})
+
+    from ..functions.textstats import read_spread
+
+    (read_spread(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+     .map_batches(to_warc, batch_format="pyarrow").materialize())
+    with open(f"{tmp}/_COMPLETE", "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; reuse winner
+    return _archives()
+
+
+def warc_corpus(sf_dir: str) -> ray.data.Dataset:
+    """(docno, content, url, dochdr) parsed from the synthetic archive set
+    by the streaming WARC reader — the driver-checked entry whose SQL
+    oracle recomputes every field from the documents view (docno =
+    'warc-' || lpad(doc_id, 6, '0'), content = text, dochdr = uri + the
+    fixed HTTP header block)."""
+    return read_warc(ensure_warc_archive(sf_dir))
 
 
 def archive_to_corpus(paths: list[str] | str, out_dir: str,

@@ -204,3 +204,91 @@ def test_warc_zero_length_record_does_not_swallow_next():
 def test_archive_to_corpus_rejects_unknown_class(tmp_path):
     with pytest.raises(ValueError, match="unknown archive file class"):
         archive_to_corpus([], str(tmp_path / "c"), file_class="trectext")
+
+
+def test_warc_mixed_lf_crlf_header_split():
+    """The reference's newline counter treats \\n\\r\\n as TWO newlines
+    (ADVICE r4): records with mixed line endings must split there, not at
+    a later uniform pair."""
+    body = b"HTTP/1.1 200 OK\nX: y\n\r\nactual body text"
+    data = (_warc_record({"WARC-Type": "warcinfo",
+                          "WARC-Record-ID": "<urn:uuid:f>"}, b"x")
+            + _warc_record({"WARC-Type": "response",
+                            "WARC-Record-ID": "<urn:uuid:r>",
+                            "WARC-Target-URI": "http://e/m"}, body))
+    docs = parse_warc(data)
+    assert docs[0]["content"] == "actual body text"
+    assert "X: y" in docs[0]["dochdr"]
+    # and \r\n\n likewise
+    body2 = b"HTTP/1.1 200 OK\r\n\nsecond body"
+    data2 = (_warc_record({"WARC-Type": "warcinfo",
+                           "WARC-Record-ID": "<urn:uuid:f>"}, b"x")
+             + _warc_record({"WARC-Type": "response",
+                             "WARC-Record-ID": "<urn:uuid:r2>",
+                             "WARC-Target-URI": "http://e/n"}, body2))
+    assert parse_warc(data2)[0]["content"] == "second body"
+
+
+def test_warc_multi_member_gzip_streams(tmp_path):
+    """A .warc.gz with one gzip MEMBER per record (the standard layout)
+    parses identically to the plain archive, and the reader streams: peak
+    traced allocation while iterating a ~24 MB-decompressed archive stays
+    a small multiple of the LARGEST RECORD, far under the archive size."""
+    import tracemalloc
+
+    from indri_5_5_ray.sources.webarchive import iter_warc_documents
+
+    rec_body = (b"HTTP/1.1 200 OK\r\n\r\n" + b"payload line\n" * 8000)  # ~100 KB
+    members = [gzip.compress(_warc_record(
+        {"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:f>"}, b"x"))]
+    for i in range(240):
+        members.append(gzip.compress(_warc_record(
+            {"WARC-Type": "response",
+             "WARC-Record-ID": f"<urn:uuid:r{i:04d}>",
+             "WARC-Target-URI": f"http://e/{i}"}, rec_body)))
+    p = tmp_path / "multi.warc.gz"
+    p.write_bytes(b"".join(members))
+
+    decompressed_size = (len(rec_body) + 200) * 240  # ~24 MB
+    tracemalloc.start()
+    n = 0
+    with open(p, "rb") as f:
+        for doc in iter_warc_documents(f):
+            assert doc["content"].endswith("payload line\n")
+            n += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 240
+    # streaming bound: a handful of records buffered, never the archive
+    assert peak < decompressed_size / 4, (peak, decompressed_size)
+
+    # semantics unchanged vs the single-blob path
+    docs_stream = None
+    with open(p, "rb") as f:
+        docs_stream = list(iter_warc_documents(f))
+    plain = b"".join(gzip.decompress(m) for m in members)
+    assert docs_stream == parse_warc(plain)
+
+
+def test_mbox_subjectless_docno_unique(tmp_path):
+    """Documented divergence: read_mbox synthesizes {filename}#{ordinal}
+    docnos for subjectless messages so distinct messages never collapse to
+    one identity in the corpus bridge; string-level parse_mbox keeps the
+    reference's empty docno."""
+    data = ("From a Thu\n"
+            "From: a@example.com\n"
+            "\n"
+            "first body\n"
+            "From b Thu\n"
+            "From: b@example.com\n"
+            "\n"
+            "second body\n")
+    # string API: reference semantics (empty docno)
+    docs = parse_mbox(data)
+    assert [d["docno"] for d in docs] == ["", ""]
+    # file API: unique synthesized docnos
+    p = tmp_path / "nosubj.mbox"
+    p.write_text(data)
+    rows = read_mbox([str(p)]).take_all()
+    assert sorted(r["docno"] for r in rows) == [
+        "nosubj.mbox#0", "nosubj.mbox#1"]
