@@ -103,128 +103,214 @@ def dedup_keep_first(sf_dir: str) -> ray.data.Dataset:
 
 # The exact-dup pre-collapse is shared by every pair-generating operator
 # (jaccard pairs → lsh pairs → clusters → keep-first chains each need it),
-# so one full-corpus pass is cached per corpus: keyed by
-# (realpath, st_mtime_ns, size) — nanosecond mtime + size, consistent with
-# cached_dataset and the build corpus_sig, so an in-place rewrite within one
-# coarse mtime tick still misses.  The cached value is driver-resident but
-# O(#duplicated docs) only.
-_DUP_GROUPS_CACHE: dict[tuple[str, int, int], tuple] = {}
+# so one full-corpus pass is SPILLED per corpus: the groups live in a
+# content-keyed parquet directory under /tmp (same key discipline as
+# cached_dataset / ensure_media_table: realpath + st_mtime_ns + size) and
+# the driver holds only a DupGroups handle — path plus two counts — so
+# driver memory stays FLAT regardless of duplication rate (a 100 TB web
+# corpus routinely duplicates 30-50% of its docs; the old driver-resident
+# dict was the engine's one remaining O(#dup docs) driver hot spot).
+_DUP_GROUPS_CACHE: dict[tuple[str, int, int], "DupGroups"] = {}
+
+_DUP_SPILL_VERSION = "v1"
+
+# per-WORKER memo of loaded spill shards, keyed by spill dir (paths are
+# content-keyed → immutable, so no invalidation is needed):
+# (members frame [rep, members, n_tokens], sorted losers int64 array)
+_DUP_SPILL_MEMO: dict[str, tuple[pl.DataFrame, np.ndarray]] = {}
 
 
-def _dup_groups(sf_dir: str) -> tuple[dict[int, np.ndarray], dict[int, int], set[int]]:
-    """Content-identical groups with ≥2 members:
-    ``({rep: sorted members}, {rep: n_tokens}, losers)``.
+class DupGroups:
+    """Handle to the exact-dup group spill.  ``path`` is a directory
+    (``groups/*.parquet`` shards: rep int64, members list<int64> sorted,
+    n_tokens int64 = rep token count; ``meta.json``: counts).  Workers
+    memo-load it (:func:`_load_dup_spill`) — the filesystem is the
+    broadcast medium, exactly like the build's filesystem-shuffled merge."""
 
-    Only MULTI-member groups reach the driver — memory is O(#duplicated
-    docs), the same bound as the keep-first dedup loser list the index build
-    already materializes (a corpus where this is large is a corpus that
-    needed exact dedup first).  Singleton groups are never collected.
-    Cached per (corpus path, mtime): the LSH chain calls this from several
-    operators and must not re-run the collapse each time."""
-    try:
-        st = os.stat(f"{sf_dir}/documents.parquet")
-        cache_key = (os.path.realpath(sf_dir), st.st_mtime_ns, st.st_size)
-    except OSError:
-        cache_key = None
-    if cache_key is not None:
-        hit = _DUP_GROUPS_CACHE.get(cache_key)
-        if hit is not None:
-            return hit
+    __slots__ = ("path", "n_groups", "n_losers")
+
+    def __init__(self, path: str, n_groups: int, n_losers: int):
+        self.path = path
+        self.n_groups = n_groups
+        self.n_losers = n_losers
+
+
+_DUP_BUCKETS = 32
+
+_GROUPS_SCHEMA = pa.schema([("rep", pa.int64()),
+                            ("members", pa.list_(pa.int64())),
+                            ("n_tokens", pa.int64())])
+
+
+def _load_dup_spill(path: str) -> tuple[pl.DataFrame, np.ndarray]:
+    """Worker-side memoized load of a group spill: the (rep, members,
+    n_tokens) frame plus the sorted loser array (members minus reps).
+    O(#dup docs) per WORKER — the broadcast-shard bound the pair expansion
+    needs anyway; never driver-resident."""
+    hit = _DUP_SPILL_MEMO.get(path)
+    if hit is not None:
+        return hit
+    import pyarrow.dataset as pads
+
+    mdf = pl.from_arrow(
+        pads.dataset(f"{path}/groups", format="parquet").to_table(
+            columns=["rep", "members", "n_tokens"]))
+    losers = (
+        mdf.select(pl.col("members").list.slice(1).alias("l"))
+        .explode("l").drop_nulls()["l"].to_numpy().astype(np.int64)
+    )
+    losers.sort()
+    if len(_DUP_SPILL_MEMO) > 4:
+        _DUP_SPILL_MEMO.clear()
+    _DUP_SPILL_MEMO[path] = (mdf, losers)
+    return (mdf, losers)
+
+
+def _reduce_dup_bucket(keys_dir: str, bucket: int, groups_dir: str
+                       ) -> tuple[int, int]:
+    """One key-hash bucket → its multi-member groups written directly as a
+    spill shard (rep-sorted); returns (n_groups, n_losers) counts only."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    t = pads.dataset(keys_dir, format="parquet").to_table(
+        filter=pads.field("kbucket") == bucket,
+        columns=["h_hi", "h_lo", "doc_id", "n_tokens"], use_threads=False)
+    if t.num_rows == 0:
+        return 0, 0
+    g = (
+        pl.from_arrow(t)
+        .group_by("h_hi", "h_lo")
+        .agg(
+            pl.col("doc_id").sort().alias("members"),
+            # identical content → identical count; keep the rep's for form
+            pl.col("n_tokens").sort_by("doc_id").first().alias("n_tokens"),
+            pl.len().alias("cnt"),
+        )
+        .filter(pl.col("cnt") >= 2)
+    )
+    if g.height == 0:
+        return 0, 0
+    n_losers = int((g["cnt"] - 1).sum())
+    out = (g.with_columns(pl.col("members").list.first().alias("rep"))
+           .sort("rep").select("rep", "members", "n_tokens"))
+    pq.write_table(out.to_arrow().cast(_GROUPS_SCHEMA),
+                   f"{groups_dir}/groups-b{bucket:02d}.parquet",
+                   row_group_size=16384)
+    return g.height, n_losers
+
+
+def _dup_groups(sf_dir: str) -> DupGroups:
+    """Content-identical groups with ≥2 members, as a :class:`DupGroups`
+    spill handle.
+
+    Shuffle plan: the same FILESYSTEM bucket exchange as the index build's
+    dedup phase (pipelines/build.py:_dedup_losers) — map tasks write
+    (kbucket-sorted) key rows, one reduce task per bucket reads its bucket
+    by predicate pushdown, groups EXACTLY (no boundary fragments: a hash's
+    rows are always in one bucket) and writes its spill shard directly.
+    No Ray all-to-all: a ``Dataset.sort`` here costs the driver
+    O(mappers × reducers) shuffle-lineage metadata (measured ~110 MB at
+    2M rows), while this plan's driver state is per-task COUNTS.  Token
+    counts ride the key rows, so eligibility needs no second corpus read.
+    Cached per (corpus path, mtime); the spill dir is content-keyed, so
+    concurrent drivers share it."""
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    cache_key = (os.path.realpath(sf_dir), st.st_mtime_ns, st.st_size)
+    hit = _DUP_GROUPS_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    name = os.path.basename(os.path.realpath(sf_dir))
+    final = (f"/tmp/indri55_dupgroups/{name}-{st.st_mtime_ns}-{st.st_size}"
+             f"-{_DUP_SPILL_VERSION}")
+    if os.path.exists(f"{final}/meta.json"):
+        import json
+
+        with open(f"{final}/meta.json") as f:
+            meta = json.load(f)
+        dg = DupGroups(final, meta["n_groups"], meta["n_losers"])
+        _DUP_GROUPS_CACHE[cache_key] = dg
+        return dg
+
+    import json
+    import tempfile
+
+    os.makedirs("/tmp/indri55_dupgroups", exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f"{os.path.basename(final)}.tmp-",
+                           dir="/tmp/indri55_dupgroups")
+    keys_dir = f"{tmp}/keys"
+    groups_dir = f"{tmp}/groups"
+    os.makedirs(keys_dir)
+    os.makedirs(groups_dir)
 
     def keyed(batch: pa.Table) -> pa.Table:
         # md5 as TWO int64 lanes (exact 128-bit equality, no string column
-        # rides the shuffle); texts hashed straight from the arrow buffer
+        # on disk); texts hashed straight from the arrow buffer; token
+        # counts computed here while the text is in hand
+        import pyarrow.parquet as pq
+
+        if batch.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
         texts = batch.column("text").cast(pa.large_binary()).to_pylist()
         dig = b"".join(hashlib.md5(t).digest() for t in texts)
-        u = np.frombuffer(dig, dtype=">u8").reshape(-1, 2).astype(np.int64)
-        return pa.table({
+        u = np.frombuffer(dig, dtype=">u8").reshape(-1, 2)
+        ntok = (pl.from_arrow(batch)
+                .select(token_count_expr().cast(pl.Int64).alias("n"))["n"]
+                .to_numpy())
+        ids = batch.column("doc_id").to_numpy()
+        t = pa.table({
+            "kbucket": pa.array((u[:, 0] % _DUP_BUCKETS).astype(np.int32),
+                                pa.int32()),
+            "h_hi": pa.array(u[:, 0].astype(np.int64), pa.int64()),
+            "h_lo": pa.array(u[:, 1].astype(np.int64), pa.int64()),
             "doc_id": batch.column("doc_id"),
-            "h_hi": pa.array(np.ascontiguousarray(u[:, 0]), pa.int64()),
-            "h_lo": pa.array(np.ascontiguousarray(u[:, 1]), pa.int64()),
-        })
+            "n_tokens": pa.array(ntok, pa.int64()),
+        }).sort_by([("kbucket", "ascending")])
+        pq.write_table(t, f"{keys_dir}/keys-{int(ids.min()):012d}.parquet",
+                       row_group_size=max(256, t.num_rows // _DUP_BUCKETS))
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
-    # ONE pipeline execution, no per-group Python: sort by the int64 high
-    # lane so every (h_hi, h_lo) group's rows land in one contiguous run,
-    # then a vectorized polars group-by per batch.  Only multi-member
-    # groups and the ≤2 batch-BOUNDARY h_hi runs per batch (a group can
-    # straddle a block cut) reach the driver — O(#dup docs + #blocks),
-    # scale-safe — where boundary fragments merge.
-    keyed_ds = _docs(sf_dir).map_batches(keyed, batch_format="pyarrow")
+    _docs(sf_dir).map_batches(keyed, batch_format="pyarrow").materialize()
+    reduce_t = ray.remote(num_cpus=0.9)(_reduce_dup_bucket)
+    counts = ray.get([reduce_t.remote(keys_dir, b, groups_dir)
+                      for b in range(_DUP_BUCKETS)])
+    n_groups = sum(c[0] for c in counts)
+    n_losers = sum(c[1] for c in counts)
+    if n_groups == 0:
+        # consumers guard on the counts, but keep the dataset readable
+        import pyarrow.parquet as pq
 
-    def batch_groups(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"h_hi": pa.array([], pa.int64()),
-                          "h_lo": pa.array([], pa.int64()),
-                          "members": pa.array([], pa.list_(pa.int64()))})
-        if batch.num_rows == 0 or "h_hi" not in batch.column_names:
-            return empty
-        df = pl.from_arrow(batch)
-        g = df.group_by("h_hi", "h_lo").agg(
-            pl.col("doc_id").sort().alias("members"),
-            pl.len().alias("cnt"),
-        )
-        edge = [df["h_hi"][0], df["h_hi"][-1]]
-        keep = g.filter((pl.col("cnt") >= 2) | pl.col("h_hi").is_in(edge))
-        return keep.drop("cnt").to_arrow().cast(empty.schema)
+        pq.write_table(_GROUPS_SCHEMA.empty_table(),
+                       f"{groups_dir}/groups-empty.parquet")
+    import shutil
 
-    # materialize() before to_arrow_refs(): on a lazy dataset,
-    # to_arrow_refs re-executes the WHOLE plan a second time with limit=1
-    # just to resolve the schema — for a sort pipeline that doubles the
-    # shuffle (applies to every to_arrow_refs site in functions/)
-    parts = [
-        t for t in (ray.get(r) for r in keyed_ds.sort("h_hi")
-                    .map_batches(batch_groups, batch_format="pyarrow")
-                    .materialize().to_arrow_refs())
-        if t.num_rows
-    ]
-    groups: dict[int, np.ndarray] = {}
-    ntok: dict[int, int] = {}
-    losers: set[int] = set()
-    if parts:
-        merged = (
-            pl.from_arrow(pa.concat_tables(parts))
-            .explode("members")
-            .group_by("h_hi", "h_lo")
-            .agg(pl.col("members").sort())
-            .filter(pl.col("members").list.len() >= 2)
-        )
-        for members in merged["members"].to_list():
-            arr = np.asarray(members, dtype=np.int64)
-            rep = int(arr[0])
-            groups[rep] = arr
-            losers.update(int(x) for x in arr[1:])
-        # token counts only for the REP docs (output-bounded point read):
-        # eligibility (n_tokens >= NGRAM_N) never needs a full-corpus count
-        if groups:
-            import pyarrow.dataset as pads
-
-            reps = sorted(groups)
-            t = pads.dataset(f"{sf_dir}/documents.parquet",
-                             format="parquet").to_table(
-                filter=pads.field("doc_id").isin(reps),
-                columns=["doc_id", "text"])
-            cnt = pl.from_arrow(t).select(
-                "doc_id", token_count_expr().cast(pl.Int64).alias("n"))
-            ntok = dict(zip(cnt["doc_id"].to_list(), cnt["n"].to_list()))
-    if cache_key is not None:
-        if len(_DUP_GROUPS_CACHE) > 8:
-            _DUP_GROUPS_CACHE.clear()
-        _DUP_GROUPS_CACHE[cache_key] = (groups, ntok, losers)
-    return groups, ntok, losers
+    shutil.rmtree(keys_dir, ignore_errors=True)  # intermediate exchange
+    with open(f"{tmp}/meta.json", "w") as f:
+        json.dump({"n_groups": n_groups, "n_losers": n_losers}, f)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; reuse winner
+    dg = DupGroups(final, n_groups, n_losers)
+    if len(_DUP_GROUPS_CACHE) > 8:
+        _DUP_GROUPS_CACHE.clear()
+    _DUP_GROUPS_CACHE[cache_key] = dg
+    return dg
 
 
-def _rep_docs(sf_dir: str, losers: set[int]) -> ray.data.Dataset:
+def _rep_docs(sf_dir: str, dg: DupGroups) -> ray.data.Dataset:
     """Representative document rows = all docs minus dup losers — a map-side
-    filter against the broadcast loser set (no text shuffle)."""
-    import ray as _ray
-
-    losers_ref = _ray.put(np.array(sorted(losers), dtype=np.int64))
+    filter against the worker-memoized loser array (no text shuffle)."""
+    if dg.n_losers == 0:
+        return _docs(sf_dir)
+    spill = dg.path
 
     def drop_losers(batch: pa.Table) -> pa.Table:
-        lose = _ray.get(losers_ref)
+        _, lose = _load_dup_spill(spill)
         if not len(lose):
             return batch
         ids = batch.column("doc_id").to_numpy()
-        # vectorized membership against the sorted broadcast array
+        # vectorized membership against the sorted memoized array
         pos = np.minimum(np.searchsorted(lose, ids), len(lose) - 1)
         return batch.filter(pa.array(lose[pos] != ids))
 
@@ -233,29 +319,23 @@ def _rep_docs(sf_dir: str, losers: set[int]) -> ray.data.Dataset:
 
 def _expand_rep_pairs(
     rep_pairs: ray.data.Dataset,
-    groups: dict[int, np.ndarray],
+    dg: DupGroups,
     extra_cols: list[str],
 ) -> ray.data.Dataset:
     """Expand pairs over representatives to pairs over ALL group members —
-    a map-side broadcast join (most reps are singletons and pass through
-    unchanged; only pairs touching a multi-member group fan out).  Fully
-    vectorized: a polars join against the broadcast (rep → members) table,
-    then a double explode for the per-pair cartesian product."""
-    import ray as _ray
-
-    mdf = pl.DataFrame({
-        "rep": pl.Series(list(groups), dtype=pl.Int64),
-        "mem": pl.Series([g.tolist() for g in groups.values()],
-                         dtype=pl.List(pl.Int64)),
-    })
-    groups_ref = _ray.put(mdf)
+    a map-side join against the worker-memoized (rep → members) spill shard
+    (most reps are singletons and pass through unchanged; only pairs
+    touching a multi-member group fan out).  Fully vectorized: a polars
+    join, then a double explode for the per-pair cartesian product."""
+    spill = dg.path
 
     def expand(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "doc_a" not in batch.column_names:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              **{c: pa.array([], pa.float64()) for c in extra_cols}})
-        m = _ray.get(groups_ref)
+        m = _load_dup_spill(spill)[0].select(
+            "rep", pl.col("members").alias("mem"))
         df = pl.from_arrow(batch)
         df = (
             df.join(m.rename({"rep": "doc_a", "mem": "ma"}), on="doc_a", how="left")
@@ -284,24 +364,27 @@ def _expand_rep_pairs(
 
 
 def _intra_group_pairs(
-    groups: dict[int, np.ndarray],
-    eligible: set[int],
+    dg: DupGroups,
     extra: dict[str, float],
+    min_tokens: int = NGRAM_N,
 ) -> ray.data.Dataset:
-    """All within-group pairs for multi-member groups whose rep is in
-    ``eligible``, tagged with constant ``extra`` columns (e.g. jaccard=1.0).
-    One Ray task per group (from_items fan-out), capped at MAX_PAIR_GROUP."""
-    items = [{"rep": int(r), "members": g.tolist()}
-             for r, g in groups.items() if int(r) in eligible]
+    """All within-group pairs for multi-member groups whose rep has at
+    least ``min_tokens`` tokens (shingle-less docs never pair in the
+    all-pairs oracle), tagged with constant ``extra`` columns (e.g.
+    jaccard=1.0).  Streams the group SPILL as a Dataset — group rows never
+    pass through the driver; capped at MAX_PAIR_GROUP per group."""
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       **{c: pa.array([], pa.float64()) for c in extra}})
-    if not items:
+    if dg.n_groups == 0:
         return ray.data.from_arrow(empty)
 
     def pairs(batch: pa.Table) -> pa.Table:
         out = [empty]
-        for members in batch.column("members").to_pylist():
+        df = pl.from_arrow(batch)
+        if "n_tokens" in df.columns:
+            df = df.filter(pl.col("n_tokens") >= min_tokens)
+        for members in (df["members"].to_list() if df.height else []):
             ids = np.asarray(members, dtype=np.int64)
             n = len(ids)
             if n > MAX_PAIR_GROUP:
@@ -318,9 +401,10 @@ def _intra_group_pairs(
             }))
         return pa.concat_tables(out)
 
-    return ray.data.from_items(items).map_batches(
-        pairs, batch_format="pyarrow", batch_size=1
-    )
+    return ray.data.read_parquet(
+        f"{dg.path}/groups",
+        columns=["members", "n_tokens"],
+    ).map_batches(pairs, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -380,8 +464,8 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.2) -> ray.data.Dataset:
     costs one row, not O(n²) pairs; remaining super-frequent shingles
     (templated boilerplate across distinct docs) are capped at
     MAX_PAIR_GROUP docs with a logged warning."""
-    groups, ntok, losers = _dup_groups(sf_dir)
-    reps = _rep_docs(sf_dir, losers)
+    dg = _dup_groups(sf_dir)
+    reps = _rep_docs(sf_dir, dg)
 
     sh = reps.map_batches(
         lambda b: _doc_shingles(b).to_arrow(), batch_format="pyarrow"
@@ -438,14 +522,13 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.2) -> ray.data.Dataset:
         return out.filter(pl.col("jaccard") >= tau).to_arrow()
 
     rep_pairs = pair_counts.map_batches(jaccard, batch_format="pyarrow")
-    if not groups:  # no exact dups: reps == docs, nothing to expand
+    if dg.n_groups == 0:  # no exact dups: reps == docs, nothing to expand
         return rep_pairs
-    expanded = _expand_rep_pairs(rep_pairs, groups, ["jaccard"])
+    expanded = _expand_rep_pairs(rep_pairs, dg, ["jaccard"])
     # within-group pairs: identical docs share every shingle → jaccard 1.0,
     # but only for docs that HAVE shingles (≥ NGRAM_N tokens), matching the
     # all-pairs oracle which never sees shingle-less docs
-    eligible = {r for r, n in ntok.items() if n >= NGRAM_N}
-    intra = _intra_group_pairs(groups, eligible, {"jaccard": 1.0})
+    intra = _intra_group_pairs(dg, {"jaccard": 1.0})
     return expanded.union(intra) if 1.0 >= tau else expanded
 
 
@@ -541,8 +624,8 @@ def lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
     single reducer), then expands back to members — identical docs are
     trivially candidates of each other and of everything their rep pairs
     with, so the result equals the all-docs oracle."""
-    groups, ntok, losers = _dup_groups(sf_dir)
-    reps = _rep_docs(sf_dir, losers)
+    dg = _dup_groups(sf_dir)
+    reps = _rep_docs(sf_dir, dg)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         # bprefix rides along from _band_buckets: 256 coarse groups put
@@ -588,13 +671,12 @@ def lsh_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Count(alias_name="n_buckets"))
         .drop_columns(["n_buckets"])
     )
-    if not groups:  # no exact dups: candidate set already final and unique
+    if dg.n_groups == 0:  # no exact dups: candidate set is final and unique
         return rep_pairs
-    expanded = _expand_rep_pairs(rep_pairs, groups, [])
+    expanded = _expand_rep_pairs(rep_pairs, dg, [])
     # within-group candidates: any group with ≥2 members whose rep produces
     # band buckets (i.e. has ≥1 shingle → ≥ NGRAM_N tokens)
-    eligible = {r for r, n in ntok.items() if n >= NGRAM_N}
-    intra = _intra_group_pairs(groups, eligible, {})
+    intra = _intra_group_pairs(dg, {})
     # no final dedup shuffle needed: rep pairs were already unique, the
     # member expansion maps them injectively, and intra pairs (same content
     # group) are disjoint from expanded pairs (different content groups)

@@ -140,15 +140,23 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str,
             out_rows.append({"chunk_id": chunk.chunk_id, "rows": tbl.num_rows})
         return pa.Table.from_pylist(out_rows)
 
-    def reduce_bucket(batch: pa.Table) -> pa.Table:
+    def reduce_bucket(batch: pa.Table) -> int:
+        """One key-hash bucket → its losers written DIRECTLY as a
+        doc_id-sorted parquet shard (never returned to the driver: at
+        web-scale duplication rates — 30-50% of a crawl — #losers is
+        O(corpus), so the driver must only ever see per-task counts).
+        Small row groups keep ingest's doc-range predicate pushdown
+        effective across the per-bucket shards."""
         import polars as pl
         import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
 
         from ..stages.postings import cached_dataset
 
         out = []
         dset = cached_dataset(f"{out_dir}/dedup_keys", salt=fingerprint)
-        for b in batch.column("kbucket").to_pylist():
+        buckets = batch.column("kbucket").to_pylist()
+        for b in buckets:
             t = dset.to_table(filter=pads.field("kbucket") == b, columns=["key", "doc_id"],
                               use_threads=False)
             if t.num_rows == 0:
@@ -162,8 +170,13 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str,
             )
             out.append(losers.to_arrow())
         if not out:
-            return pa.table({"doc_id": pa.array([], pa.int64())})
-        return pa.concat_tables(out)
+            return 0
+        tbl = pa.concat_tables(out).sort_by([("doc_id", "ascending")])
+        if tbl.num_rows:
+            pq.write_table(
+                tbl, f"{losers_dir}/losers-b{min(buckets):02d}.parquet",
+                row_group_size=8192)
+        return tbl.num_rows
 
     import pyarrow.parquet as _pq
 
@@ -185,6 +198,9 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str,
     t0 = time.perf_counter()
     shutil.rmtree(losers_dir, ignore_errors=True)
     shutil.rmtree(f"{out_dir}/dedup_keys", ignore_errors=True)
+    import os as _os
+
+    _os.makedirs(losers_dir, exist_ok=True)
     # plain Ray tasks: the work lists are fixed and all data moves through
     # the filesystem, so the Dataset streaming executor would only add
     # per-phase scheduling overhead here
@@ -193,20 +209,10 @@ def _dedup_losers(chunk_dicts: list[dict], cfg: IndexConfig, out_dir: str,
     reduce_t = ray.remote(num_cpus=0.9)(
         lambda bs: reduce_bucket(pa.table({"kbucket": pa.array(bs, pa.int32())}))
     )
-    # one bucket per task (dynamic packing; see the merge-phase comment)
-    parts = [t for t in ray.get([reduce_t.remote([b]) for b in range(_DEDUP_BUCKETS)])
-             if t.num_rows]
-    import os as _os
-
-    _os.makedirs(losers_dir, exist_ok=True)
-    losers_tbl = (
-        pa.concat_tables(parts).sort_by([("doc_id", "ascending")])
-        if parts else pa.table({"doc_id": pa.array([], pa.int64())})
-    )
-    # doc_id-sorted output → ingest workers range-prune their losers lookup
-    _pq.write_table(losers_tbl, f"{losers_dir}/losers.parquet",
-                    row_group_size=65536)
-    n = losers_tbl.num_rows
+    # one bucket per task (dynamic packing; see the merge-phase comment);
+    # each task WRITES its doc_id-sorted loser shard — ingest's range-pruned
+    # lookup reads the directory, and the driver only sums counts
+    n = sum(ray.get([reduce_t.remote([b]) for b in range(_DEDUP_BUCKETS)]))
     _lineage.write_record(
         out_dir, "dedup", "all", fingerprint, rows=n, bytes_written=0,
         wall_ms=(time.perf_counter() - t0) * 1000,
