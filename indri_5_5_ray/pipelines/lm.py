@@ -91,19 +91,45 @@ class LMScorer:
                                    mean_of=len(terms), doc_range=doc_range,
                                    prune=prune)
 
+    def _use_dense_dl(self) -> bool:
+        """Dense doc-length array only while it is small (or already
+        resident); past the gate the pruned path fetches per-cell slices —
+        a query actor then holds O(processed cells), never O(max_doc_id)
+        (4 GB × actors at 10⁹ docs).  Same gate as BM25's block-max."""
+        import os
+
+        gate = int(os.environ.get("INDRI55_DENSE_DL_DOCS", str(4 << 20)))
+        return (self.r._doc_lens is not None
+                or self.r.manifest["max_doc_id"] + 1 <= gate)
+
     def _cell_min_dl(self, span: int) -> np.ndarray:
         """Per-cell min dl over REAL docs (dl > 0); +inf for cells with
         none.  Gaps in the dense dl array (dedup losers, empty docs) can
         never be candidates — they have no postings — so excluding them
-        keeps the bound tight without affecting safety."""
+        keeps the bound tight without affecting safety.  Past the dense
+        gate the mins are folded SLAB by SLAB (cell-aligned range reads),
+        so the whole dl array is never resident; the result is only
+        O(n_cells) either way."""
         hit = self._cell_min_dl_cache.get(span)
         if hit is None:
-            dl = self.r.doc_lens()
-            n = len(dl)
+            n = self.r.manifest["max_doc_id"] + 1
             n_cells = (n + span - 1) // span
-            pad = np.full(n_cells * span, np.inf)
-            pad[:n] = np.where(dl > 0, dl, np.inf)
-            hit = pad.reshape(n_cells, span).min(axis=1)
+            if self._use_dense_dl():
+                dl = self.r.doc_lens()
+                pad = np.full(n_cells * span, np.inf)
+                pad[:n] = np.where(dl > 0, dl, np.inf)
+                hit = pad.reshape(n_cells, span).min(axis=1)
+            else:
+                hit = np.full(n_cells, np.inf)
+                slab = span * max(1, (4 << 20) // span)  # cell-aligned
+                for lo in range(0, n, slab):
+                    arr = self.r.doc_lens_range(lo, min(lo + slab, n))
+                    c0 = lo // span
+                    k = (len(arr) + span - 1) // span
+                    pad = np.full(k * span, np.inf)
+                    pad[:len(arr)] = np.where(arr > 0, arr, np.inf)
+                    hit[c0:c0 + k] = np.minimum(
+                        hit[c0:c0 + k], pad.reshape(k, span).min(axis=1))
             if len(self._cell_min_dl_cache) > 4:
                 self._cell_min_dl_cache.clear()
             self._cell_min_dl_cache[span] = hit
@@ -237,7 +263,7 @@ class LMScorer:
         if rows.num_rows == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         payloads = r.term_payloads(terms_with_rows, rows)
-        doc_lens = r.doc_lens()
+        doc_lens = r.doc_lens() if self._use_dense_dl() else None
 
         # flatten per-row block metadata (one C pass per column)
         row_terms = rows.column("term").to_pylist()
@@ -372,7 +398,8 @@ class LMScorer:
             cand = cand[r.keep_mask(cand)]
             if not len(cand):
                 continue
-            dl = doc_lens[cand].astype(np.float64)
+            dl = (doc_lens[cand] if doc_lens is not None
+                  else r.doc_lens_range(lo, hi)[cand - lo]).astype(np.float64)
             # EXACT exhaustive arithmetic: children in query order, same
             # searchsorted gather, same child formula, same accumulation
             kids: list[np.ndarray] = []

@@ -35,6 +35,7 @@ Two scorers, both returning identical rankings:
 from __future__ import annotations
 
 import json
+import os
 from functools import lru_cache
 from pathlib import Path
 
@@ -109,6 +110,7 @@ class IndexReader:
             Path(index_dir) / "deleted.parquet")
         self._doc_lens: np.ndarray | None = None
         self._range_lens: dict[tuple[int, int], np.ndarray] = {}
+        self._range_lens_bytes = 0
         self._docnos: dict[int, str] | None = None
         self._postings_ds: pads.Dataset | None = None
         self._dict_ds: pads.Dataset | None = None
@@ -154,7 +156,10 @@ class IndexReader:
         Docs files are doc-range partitioned, so the filtered read prunes row
         groups; a sharded query actor holds O(shard span) memory instead of
         the whole index's dl array (at 10⁹ docs the dense array is GBs ×
-        actors)."""
+        actors).  Slices are cached with a BYTE bound (not an entry count):
+        block-max cells recur across queries, and the bound keeps a
+        long-lived query actor's dl footprint at ~64 MB regardless of how
+        many distinct cells its query mix touches."""
         hi = min(hi, self.manifest["max_doc_id"] + 1)
         if hi <= lo:
             return np.empty(0, np.int32)
@@ -170,9 +175,11 @@ class IndexReader:
             )
             hit = np.zeros(hi - lo, dtype=np.int32)
             hit[t.column("doc_id").to_numpy() - lo] = t.column("dl").to_numpy()
-            if len(self._range_lens) > 64:
+            if self._range_lens_bytes + hit.nbytes > (64 << 20):
                 self._range_lens.clear()
+                self._range_lens_bytes = 0
             self._range_lens[key] = hit
+            self._range_lens_bytes += hit.nbytes
         return hit
 
     def docnos(self, doc_ids: list[int]) -> list[str]:
@@ -610,7 +617,15 @@ class BM25Scorer:
         term_order = {t: i for i, (t, _) in enumerate(consts)}
         numer_by_ti = [c for _, c in consts]
         rows = self.r.term_rows(list(term_order))
-        doc_lens = self.r.doc_lens()
+        # doc lengths: dense only while the whole array is small (or already
+        # resident from an exhaustive pass); past the gate each processed
+        # CELL fetches its own dl slice via the row-group-pruned range read,
+        # so a query actor holds O(processed cells), never O(max_doc_id) —
+        # at 10⁹+ docs the dense array is 4 GB × every actor
+        dense_gate = int(os.environ.get("INDRI55_DENSE_DL_DOCS", str(4 << 20)))
+        use_dense = (self.r._doc_lens is not None
+                     or self.r.manifest["max_doc_id"] + 1 <= dense_gate)
+        doc_lens = self.r.doc_lens() if use_dense else None
         has_pos = self.r.cfg.store_positions
         n_terms = len(consts)
 
@@ -747,6 +762,8 @@ class BM25Scorer:
             dense_cell = np.zeros(width, np.float64)
             touched = np.zeros(width, bool)
             bis_ti = ti_f[bis]
+            cell_lens = (doc_lens if doc_lens is not None
+                         else self.r.doc_lens_range(lo, hi))
             any_term = False
             for ti in range(n_terms):
                 t_ids, t_tfs = [], []
@@ -760,7 +777,8 @@ class BM25Scorer:
                     continue
                 d = np.concatenate(t_ids)
                 tf = np.concatenate(t_tfs).astype(np.float64)
-                dl = doc_lens[d].astype(np.float64)
+                dl = (doc_lens[d] if doc_lens is not None
+                      else cell_lens[d - lo]).astype(np.float64)
                 s = self._score_arrays(tf, dl, numer_by_ti[ti], k1_1mb, k1b_avg)
                 dloc = d - lo
                 dense_cell[dloc] += s

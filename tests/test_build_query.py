@@ -155,6 +155,22 @@ def test_rank_identity(built_index, oracle_model, query):
     assert ids2.tolist() == ids.tolist()
     np.testing.assert_array_equal(scores, scores2)  # bit-identical paths
 
+    # cell-local doc-length path (the >gate shape query actors use at
+    # 10⁹-doc scale): a FRESH reader with the dense gate forced to 0 must
+    # fetch per-cell dl slices and still be bit-identical
+    import os as _os
+
+    _os.environ["INDRI55_DENSE_DL_DOCS"] = "0"
+    try:
+        fresh = IndexReader(out)
+        ids3, scores3 = BM25Scorer(fresh).score_blockmax(terms, k=k)
+        assert fresh._doc_lens is None  # never loaded the dense array
+        assert fresh._range_lens_bytes > 0  # used ranged slices
+        assert ids3.tolist() == ids.tolist()
+        np.testing.assert_array_equal(scores, scores3)
+    finally:
+        del _os.environ["INDRI55_DENSE_DL_DOCS"]
+
 
 def test_positions_roundtrip_against_oracle(built_index, small_corpus_dir):
     """Decode a few terms' positions from the index and check them against

@@ -46,6 +46,25 @@ def test_blockmax_bit_identical(reader, method, query):
         assert np.array_equal(s_p, s_e)  # bitwise, not approx
 
 
+@pytest.mark.parametrize("query", ["merge buffer token", "the a of and data"])
+def test_blockmax_cell_local_dl_bit_identical(built_index, query, monkeypatch):
+    """With the dense doc-length gate forced to 0, the pruned path fetches
+    per-cell dl slices (the 10⁹-doc query-actor shape) and must still be
+    bit-identical to exhaustive; the dense array must never be loaded."""
+    monkeypatch.setenv("INDRI55_DENSE_DL_DOCS", "0")
+    index_dir, _ = built_index
+    fresh = IndexReader(index_dir)
+    sc = LMScorer(fresh, method="dirichlet")
+    terms = process_query_lm(query, fresh.cfg)
+    ids_p, s_p = sc.score(terms, k=25, prune=True)
+    assert fresh._doc_lens is None  # dense array never materialized
+    dense = IndexReader(index_dir)
+    ids_e, s_e = LMScorer(dense, method="dirichlet").score(
+        terms, k=25, prune=False)
+    assert np.array_equal(ids_p, ids_e)
+    assert np.array_equal(s_p, s_e)
+
+
 def test_blockmax_weighted_bit_identical(reader):
     sc = LMScorer(reader)
     tw = [("merge", 2.0), ("buffer", 1.0), ("token", 0.5)]
