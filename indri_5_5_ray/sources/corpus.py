@@ -65,43 +65,90 @@ def corpus_files(corpus: str | list[str]) -> list[str]:
     return sorted(str(f) for f in p.rglob("*.parquet"))
 
 
-def plan_chunks(corpus: str | list[str], max_chunk_docs: int = 4096) -> list[Chunk]:
-    """Deterministic chunk plan. Row-group aligned where possible; row groups
-    larger than 4× the target are sliced (small-scale parallelism); the
-    metadata scan is per-file and cheap (footer reads only)."""
+def _footer_rg_sizes(fp: str) -> list[int]:
+    """Row-group sizes from one parquet footer."""
+    md = pq.read_metadata(fp)
+    return [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+
+
+def _chunks_for_file(fp: str, rg_sizes: list[int], base: int,
+                     max_chunk_docs: int) -> list[Chunk]:
+    """One file's chunks given its row-group sizes and global base —
+    pure function, so the footer scan can run anywhere."""
     chunks: list[Chunk] = []
-    base = 0
-    for fp in corpus_files(corpus):
-        md = pq.read_metadata(fp)
-        row = 0
-        rg_sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
-        pending = 0
-        pending_start = 0
-        for n in rg_sizes:
-            if n > 4 * max_chunk_docs:
-                if pending:
-                    chunks.append(Chunk(fp, pending_start, pending_start + pending, base + pending_start))
-                    pending = 0
-                # slice the big row group
-                s = row
-                while s < row + n:
-                    e = min(s + max_chunk_docs, row + n)
-                    chunks.append(Chunk(fp, s, e, base + s))
-                    s = e
-                row += n
-                pending_start = row
-                continue
-            if pending == 0:
-                pending_start = row
-            pending += n
-            row += n
-            if pending >= max_chunk_docs:
+    row = 0
+    pending = 0
+    pending_start = 0
+    for n in rg_sizes:
+        if n > 4 * max_chunk_docs:
+            if pending:
                 chunks.append(Chunk(fp, pending_start, pending_start + pending, base + pending_start))
                 pending = 0
-                pending_start = row
-        if pending:
+            # slice the big row group
+            s = row
+            while s < row + n:
+                e = min(s + max_chunk_docs, row + n)
+                chunks.append(Chunk(fp, s, e, base + s))
+                s = e
+            row += n
+            pending_start = row
+            continue
+        if pending == 0:
+            pending_start = row
+        pending += n
+        row += n
+        if pending >= max_chunk_docs:
             chunks.append(Chunk(fp, pending_start, pending_start + pending, base + pending_start))
-        base += row
+            pending = 0
+            pending_start = row
+    if pending:
+        chunks.append(Chunk(fp, pending_start, pending_start + pending, base + pending_start))
+    return chunks
+
+
+# below this many files the footer scan stays a serial driver loop — the
+# per-file footer read is ~100 µs, so task fan-out only pays off when the
+# corpus has enough files that the scan would otherwise be the build's
+# serial prefix (10⁵-10⁶ files at web scale = minutes before the first task)
+_PLAN_PARALLEL_MIN = 512
+_PLAN_SCAN_BATCH = 256  # files per footer-scan task
+
+
+def plan_chunks(corpus: str | list[str], max_chunk_docs: int = 4096,
+                parallel: bool | None = None) -> list[Chunk]:
+    """Deterministic chunk plan. Row-group aligned where possible; row groups
+    larger than 4× the target are sliced (small-scale parallelism).
+
+    The footer scan fans out as Ray tasks when the corpus has many files
+    (``parallel=None`` auto-enables at ≥ ``_PLAN_PARALLEL_MIN`` files with
+    Ray initialised); the doc_id bases are then a prefix sum over per-file
+    row counts, so the plan is IDENTICAL to the serial scan's by
+    construction (pytest-pinned).  Chunk assembly itself is pure in-memory
+    arithmetic and stays on the driver."""
+    files = corpus_files(corpus)
+    use_parallel = (len(files) >= _PLAN_PARALLEL_MIN
+                    if parallel is None else parallel)
+    if use_parallel:
+        import ray
+
+        if not ray.is_initialized():
+            use_parallel = False
+    if use_parallel:
+        import ray
+
+        scan = ray.remote(num_cpus=0.5)(
+            lambda fps: [_footer_rg_sizes(fp) for fp in fps])
+        batches = [files[i:i + _PLAN_SCAN_BATCH]
+                   for i in range(0, len(files), _PLAN_SCAN_BATCH)]
+        nested = ray.get([scan.remote(b) for b in batches])
+        sizes_by_file = [s for part in nested for s in part]
+    else:
+        sizes_by_file = [_footer_rg_sizes(fp) for fp in files]
+    chunks: list[Chunk] = []
+    base = 0
+    for fp, rg_sizes in zip(files, sizes_by_file):
+        chunks.extend(_chunks_for_file(fp, rg_sizes, base, max_chunk_docs))
+        base += sum(rg_sizes)
     return chunks
 
 
