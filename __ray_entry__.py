@@ -634,12 +634,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from indri_5_5_ray.sources import webarchive
 
+    from indri_5_5_ray.functions import linkgraph
+
     return {
         # --- NEW r5: the streaming WARC reader, driver-checked end to end
         # over a deterministic synthetic archive set (VERDICT r4 item 7;
         # displaces tumbling_counts — green r2-r4, hopping_counts is its
         # in-window kernel twin) ---
         "warc_corpus": webarchive.warc_corpus,
+        # --- NEW r5: link graph + PageRank prior (VERDICT r4 item 8) —
+        # the filesystem-bucketed power iteration, oracle = unrolled
+        # iterations in SQL.  Displace doc_fingerprints (green r3-r4,
+        # winnowing kernel twin fingerprint_dup_pairs stays in-window) and
+        # sample_hash (green r2-r4, deterministic-hash sampling twins
+        # quota_sample/contamination_screen stay in-window) ---
+        "link_edges": linkgraph.link_edges,
+        "pagerank_scores": linkgraph.pagerank_scores,
         # --- event-stream operators + curation filters (unchecked in r3:
         # displaced past the driver window; now first so CORRECTNESS_r04
         # finally records them) ---
@@ -683,12 +693,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_topk": _rm3_topk,
         # --- text statistics / analysis ---
         "token_counts_bpe": textstats.token_counts_bpe,
-        "doc_fingerprints": textstats.doc_fingerprints,
         "term_stats": textstats.term_stats,
         "lang_id": textstats.lang_id,
         "gopher_filter": textstats.gopher_filter,
         # --- sampling / contamination (training-data curation) ---
-        "sample_hash": sampling.sample_hash,
         "quota_sample": sampling.quota_sample,
         "contamination_screen": sampling.contamination_screen,
         # --- dedup family ---
@@ -712,9 +720,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_full_probe": lambda sf: simsearch.lsh_ann_topk(
             sf, probe_bits=12),  # all 2^12 buckets probed ≡ brute force
         # ---------------- position 51+: outside the driver window ----------
-        # tumbling_counts rotated out r5 (hash-green r2-r4, unchanged path;
-        # hopping_counts exercises the same window kernel in-window)
+        # rotated out r5 (each hash-green 2+ rounds on an unchanged path
+        # with an in-window kernel twin): tumbling_counts↔hopping_counts,
+        # doc_fingerprints↔fingerprint_dup_pairs (same winnowing kernel),
+        # sample_hash↔quota_sample/contamination_screen (deterministic
+        # content-hash selection)
         "tumbling_counts": events.tumbling_counts,
+        "doc_fingerprints": textstats.doc_fingerprints,
+        "sample_hash": sampling.sample_hash,
         # rotated out after 2+ consecutive hash-green rounds (r2+r3) with an
         # UNCHANGED execution path, each with an in-window twin exercising
         # the same kernel (quality_scores↔quality_filter, line_stats↔
@@ -851,6 +864,47 @@ raw AS (
 SELECT doc_id AS item_id, kind, n_bytes, checksum, {fouts}
 FROM raw ORDER BY item_id
 """
+
+
+_LINK_EDGES_SQL = """
+    WITH deg AS (SELECT doc_id, 1 + doc_id % 3 AS d FROM documents)
+    SELECT g.doc_id AS src,
+           ((g.doc_id * 31 + j.j * 17)
+            % (SELECT count(*) FROM documents))::BIGINT AS dst,
+           1.0 / g.d AS w
+    FROM deg g JOIN generate_series(1, 3) j(j) ON j.j <= g.d
+    ORDER BY src, dst"""
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled damped power iteration matching functions/linkgraph.py:
+    identical synthetic edge set, identical per-iteration round(…, 12) pin
+    (contribution fan-in is small, so the pin absorbs summation-order
+    ulps), no dangling nodes in this graph (outdeg ≥ 1 by construction —
+    the engine's dangling redistribution is pytest-covered instead)."""
+    parts = [
+        "WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),",
+        "deg AS (SELECT doc_id, 1 + doc_id % 3 AS d FROM documents),",
+        """edges AS (
+          SELECT g.doc_id AS src,
+                 ((g.doc_id * 31 + j.j * 17)
+                  % (SELECT count(*) FROM documents))::BIGINT AS dst,
+                 1.0 / g.d AS w
+          FROM deg g JOIN generate_series(1, 3) j(j) ON j.j <= g.d),""",
+        "s0 AS (SELECT doc_id, 1.0/(SELECT n FROM nn) AS score FROM documents)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+        s{t} AS (
+          SELECT d.doc_id,
+                 round((1 - {damping})/(SELECT n FROM nn)
+                       + {damping} * coalesce(c.contrib, 0), 12) AS score
+          FROM documents d LEFT JOIN (
+            SELECT e.dst AS doc_id, sum(e.w * s.score) AS contrib
+            FROM edges e JOIN s{t - 1} s ON s.doc_id = e.src
+            GROUP BY e.dst) c USING (doc_id))""")
+    parts.append(f"\nSELECT doc_id, score FROM s{iters} ORDER BY doc_id")
+    return "".join(parts)
 
 
 def _bm25_values_clause() -> str:
@@ -1957,6 +2011,10 @@ def oracle_sql() -> dict[str, str]:
         # md5 keystream, decode statistics recomputed per kind (see
         # _media_features_sql) — the last formerly rows-only entry
         "media_features": _media_features_sql(),
+        # link graph + PageRank: deterministic synthetic edges from the
+        # documents view; scores = unrolled damped power iteration
+        "link_edges": _LINK_EDGES_SQL,
+        "pagerank_scores": _pagerank_sql(),
         # streaming WARC reader over the synthetic archive set: every
         # parsed field is a pure function of (doc_id, text) — docno from
         # the WARC-TREC-ID, content = the bytes after the HTTP headers,
