@@ -93,8 +93,9 @@ def quota_sample(sf_dir: str, per_key: int = 50, combine_batch: int = 4096,
     n_keys).  Inter-pass counts run over the tiny materialized partials
     (bounded by passes × survivors, never the corpus); only the final
     survivors reach the per-key groupby.  The number of combine passes of
-    the last call is recorded on ``quota_sample.last_combine_passes`` (test
-    hook)."""
+    the calling THREAD's last call is recorded in
+    ``quota_sample_combine_passes()`` (test hook; thread-local so
+    concurrent drivers in one process can't race it)."""
 
     def _reduce(df: pl.DataFrame) -> pa.Table:
         # the ONE definition of the quota order: (hk asc, doc_id asc) per key
@@ -136,8 +137,21 @@ def quota_sample(sf_dir: str, per_key: int = 50, combine_batch: int = 4096,
         if n >= n_prev:
             # all survivors are distinct-key heads — no pass can shrink this
             break
-    quota_sample.last_combine_passes = passes
+    _QUOTA_TLS.passes = passes
     return ds.groupby("lang").map_groups(final, batch_format="pyarrow")
+
+
+# thread-local test hook (ADVICE r4: a mutable attribute on the function
+# object raced across concurrent quota_sample calls in one driver)
+import threading as _threading  # noqa: E402
+
+_QUOTA_TLS = _threading.local()
+
+
+def quota_sample_combine_passes() -> int:
+    """Combine passes of THIS thread's most recent quota_sample call
+    (-1 when the thread has not run one)."""
+    return getattr(_QUOTA_TLS, "passes", -1)
 
 
 def benchmark_shingles(sf_dir: str, modulus: int = 97) -> set[str]:

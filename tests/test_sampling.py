@@ -78,7 +78,7 @@ def test_quota_sample_deep_combine_multi_pass():
     got_ds = sampling.quota_sample(SF, per_key=3, combine_batch=24,
                                    partial_batch=32)
     got = sorted((r["lang"], r["doc_id"], r["rk"]) for r in got_ds.take_all())
-    assert sampling.quota_sample.last_combine_passes >= 2
+    assert sampling.quota_sample_combine_passes() >= 2
     assert got == want
 
 
