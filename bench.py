@@ -196,6 +196,21 @@ def run_bench() -> dict:
         from indri_5_5_ray.functions import sampling
         return sampling
 
+    def _pagerank_fresh() -> int:
+        import shutil as _sh
+
+        from indri_5_5_ray.functions import linkgraph
+        _sh.rmtree("/tmp/indri55_pagerank", ignore_errors=True)
+        return linkgraph.pagerank_scores(SF_DIR).count()
+
+    def _warc_parse() -> int:
+        from indri_5_5_ray.sources import webarchive
+        return webarchive.read_warc(_warc_files).count()
+
+    from indri_5_5_ray.sources import webarchive as _webarchive
+
+    _warc_files = _webarchive.ensure_warc_archive(SF_DIR)
+
     def _events_5ops() -> int:
         # the whole event-operator family over the events table: tumbling +
         # hopping windows, sessionization, as-of join, per-user rollup
@@ -219,6 +234,12 @@ def run_bench() -> dict:
         ("gopher_filter", lambda: textstats.gopher_filter(SF_DIR).count()),
         ("contamination", lambda: _sampling().contamination_screen(SF_DIR).count()),
         ("events_5ops", _events_5ops),
+        # NEW r5: bucketed power iteration (5 iters) incl. edge-spill build
+        # (result cache cleared so each round measures the real pipeline)
+        ("pagerank", _pagerank_fresh),
+        # NEW r5: streaming WARC parse of the pre-generated archive set
+        # (generation is fixture work, excluded from the timing)
+        ("warc_parse", _warc_parse),
     ]:
         t0 = time.perf_counter()
         fn()
