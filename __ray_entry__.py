@@ -310,6 +310,26 @@ def _rm3_topk(sf_dir: str, k: int = 10):
     )
 
 
+def _query_clarity(sf_dir: str):
+    """(qid, clarity) — query clarity in bits over the RM1 relevance model
+    (ref:clarity/clarity.cpp), fb_docs=5 / fb_terms=10 / dirichlet mu=2500
+    matching the RM3 entry; rounded to 9 decimals on both sides."""
+    import pyarrow as pa
+
+    from indri_5_5_ray.pipelines.feedback import query_clarity
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    index_dir = _ensure_index(sf_dir, stem=False)
+    reader = IndexReader(index_dir)
+    rows = [(int(qid), round(query_clarity(reader, text, fb_docs=5,
+                                           fb_terms=10), 9))
+            for qid, text in BM25_QUERIES[:4]]
+    return pa.table({
+        "qid": pa.array([q for q, _ in rows], pa.int64()),
+        "clarity": pa.array([c for _, c in rows], pa.float64()),
+    })
+
+
 FIELD_QUERIES: list[tuple[str, str]] = [
     ("1", "#combine(merge.(title) join)"),       # field-context restriction
     ("2", "#combine[title](window sort)"),       # scored-op extent restriction
@@ -650,6 +670,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quota_sample/contamination_screen stay in-window) ---
         "link_edges": linkgraph.link_edges,
         "pagerank_scores": linkgraph.pagerank_scores,
+        # NEW r5: real HTML anchor extraction + inlink aggregation over a
+        # deterministic synthetic HTML corpus (displaces simhash_
+        # fingerprints — green r2-r4, md5-token-hash kernel family twin
+        # minhash_signatures stays in-window)
+        "anchor_stats": linkgraph.anchor_stats,
+        # NEW r5: query clarity over the RM1 relevance model (the
+        # reference's clarity app; shares the RM1 CTE prefix with the RM3
+        # oracle; displaces cosine_pairs — green r2-r4, exact-cosine
+        # kernel twin knn_bruteforce stays in-window)
+        "query_clarity": _query_clarity,
         # --- event-stream operators + curation filters (unchecked in r3:
         # displaced past the driver window; now first so CORRECTNESS_r04
         # finally records them) ---
@@ -704,13 +734,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
-        "simhash_fingerprints": dedup.simhash_fingerprints,
         "near_dup_clusters": dedup.near_dup_clusters,
         "near_dedup_keep_first": dedup.near_dedup_keep_first,
         "embedding_dedup_keep_first": dedup.embedding_dedup_keep_first,
         # --- similarity search ---
         "knn_bruteforce": simsearch.knn_bruteforce,
-        "cosine_pairs": simsearch.cosine_pairs,
         # full-probe IVF: every list probed → must equal brute force, so the
         # whole IVF machinery (assignment, probe mask, distributed partial
         # top-k, merge) gets an exact SQL oracle; the pruned path's
@@ -724,10 +752,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with an in-window kernel twin): tumbling_counts↔hopping_counts,
         # doc_fingerprints↔fingerprint_dup_pairs (same winnowing kernel),
         # sample_hash↔quota_sample/contamination_screen (deterministic
-        # content-hash selection)
+        # content-hash selection), simhash_fingerprints↔minhash_signatures
+        # (vectorized md5-token-hash kernels), cosine_pairs↔knn_bruteforce
+        # (exact normalized-cosine kernels)
         "tumbling_counts": events.tumbling_counts,
         "doc_fingerprints": textstats.doc_fingerprints,
         "sample_hash": sampling.sample_hash,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "cosine_pairs": simsearch.cosine_pairs,
         # rotated out after 2+ consecutive hash-green rounds (r2+r3) with an
         # UNCHANGED execution path, each with an in-window twin exercising
         # the same kernel (quality_scores↔quality_filter, line_stats↔
@@ -1515,14 +1547,14 @@ def _rm3_values_clause() -> str:
     return ", ".join(rows)
 
 
-def _rm3_sql() -> str:
-    """DuckDB oracle for RM3 (fb_docs=5, fb_terms=10, orig_weight=0.5,
-    dirichlet mu=2500): initial LM retrieval -> softmax P(d|Q) over the
-    feedback set -> RM1 P(w|R) = sum_d P(d|Q) tf/dl -> top terms by
-    round(p_w, 12) -> interpolate with P(w|Q) -> weighted-sum rescore,
-    ranked by round(score, 9) desc, doc_id desc (mirrors
-    pipelines/feedback.py exactly, including both rounding pins)."""
-    cf_eff = "(CASE WHEN coalesce(cfreq.cf, 0) > 0 THEN cfreq.cf ELSE 0.5 END)"
+def _rm_cte_prefix() -> str:
+    """The shared RM1 CTE chain (fb_docs=5, fb_terms=10, dirichlet
+    mu=2500): initial LM retrieval -> softmax P(d|Q) over the feedback
+    set -> RM1 P(w|R) = sum_d P(d|Q) tf/dl -> top terms by round(p_w, 12)
+    -> normalized grams, ending at the ``rm1`` CTE.  Used by BOTH the RM3
+    oracle (interpolation + rescore) and the clarity oracle (KL against
+    the collection model) — one definition, two finishes, mirroring
+    pipelines/feedback.py's rm1_model factoring."""
     return f"""
 WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents),
 stats AS (SELECT sum(len(toks))::DOUBLE AS total FROM docs),
@@ -1568,7 +1600,16 @@ top AS (
                               ORDER BY round(pw, 12) DESC, term ASC) AS r
     FROM pw) WHERE r <= 10),
 z AS (SELECT qid, sum(pw) AS z FROM top GROUP BY qid),
-rm1 AS (SELECT top.qid, term, pw / z.z AS p FROM top JOIN z ON z.qid = top.qid),
+rm1 AS (SELECT top.qid, term, pw / z.z AS p FROM top JOIN z ON z.qid = top.qid)"""
+
+
+def _rm3_sql() -> str:
+    """DuckDB oracle for RM3 (orig_weight=0.5): the shared RM1 prefix,
+    then interpolate with P(w|Q) and weighted-sum rescore, ranked by
+    round(score, 9) desc, doc_id desc (mirrors pipelines/feedback.py
+    exactly, including both rounding pins)."""
+    cf_eff = "(CASE WHEN coalesce(cfreq.cf, 0) > 0 THEN cfreq.cf ELSE 0.5 END)"
+    return _rm_cte_prefix() + f""",
 pq AS (SELECT q.qid, term, sum(qtf) / any_value(qn.n) AS p
        FROM q JOIN qn ON qn.qid = q.qid GROUP BY q.qid, term),
 comb AS (
@@ -1600,6 +1641,19 @@ SELECT qid, rank, doc_id FROM (
 WHERE rank <= 10
 ORDER BY qid, rank
 """
+
+
+def _clarity_sql() -> str:
+    """Query clarity (ref:clarity/clarity.cpp:62-81) over the shared RM1
+    prefix: Σ p·ln(p/(cf/total)) / Σ p / ln 2 per query, pinned at 9
+    decimals on both sides (the Σ runs over ≤ fb_terms=10 grams, so the
+    pin absorbs summation-order ulps)."""
+    return _rm_cte_prefix() + """
+SELECT qid,
+       round(sum(p * ln(p / (cf / total))) / sum(p) / ln(2), 9) AS clarity
+FROM (SELECT rm1.qid, rm1.p, cfreq.cf, s.total
+      FROM rm1 JOIN cfreq USING (term) CROSS JOIN stats s)
+GROUP BY qid ORDER BY qid"""
 
 
 def _bpe_re() -> str:
@@ -2015,6 +2069,22 @@ def oracle_sql() -> dict[str, str]:
         # documents view; scores = unrolled damped power iteration
         "link_edges": _LINK_EDGES_SQL,
         "pagerank_scores": _pagerank_sql(),
+        # anchor extraction over the synthetic HTML corpus: the oracle
+        # recomputes the deterministic link set (linkgraph.anchor_stats)
+        "anchor_stats": """
+            WITH links AS (
+              SELECT 'http://t/' || ((doc_id * 7 + j.j * 13)
+                       % (SELECT count(*) FROM documents)) AS dst,
+                     'http://src/' || doc_id AS src
+              FROM documents JOIN generate_series(1, 2) j(j)
+                ON j.j <= 1 + doc_id % 2)
+            SELECT dst, count(*)::BIGINT AS n_inlinks,
+                   count(DISTINCT src)::BIGINT AS n_distinct_src
+            FROM links GROUP BY dst ORDER BY dst""",
+        # query clarity: the RM1 CTE prefix shared with the RM3 oracle,
+        # finished with the KL-vs-collection aggregation
+        "query_clarity": _clarity_sql().replace(
+            "{values}", _rm3_values_clause()),
         # streaming WARC reader over the synthetic archive set: every
         # parsed field is a pure function of (doc_id, text) — docno from
         # the WARC-TREC-ID, content = the bytes after the HTTP headers,

@@ -350,6 +350,36 @@ def pagerank_scores(sf_dir: str, iters: int = ITERS,
     return ray.data.read_parquet(f"{final}/final")
 
 
+def anchor_stats(sf_dir: str) -> ray.data.Dataset:
+    """(dst, n_inlinks, n_distinct_src) from REAL HTML anchor extraction
+    over a deterministic synthetic HTML corpus — doc i's page embeds its
+    text plus links ``http://t/{(i·7 + j·13) mod N}`` for j in
+    1..(1 + i%2), so the extraction+aggregation pipeline
+    (:func:`harvest_links` → :func:`anchor_counts`) has an exact SQL
+    oracle over the documents view."""
+    from .textstats import read_spread
+
+    n = _n_docs(sf_dir)
+
+    def to_html(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls, pages = [], []
+        for i, text in zip(ids, texts):
+            links = "".join(
+                f'<a href="http://t/{(i * 7 + j * 13) % n}">anchor {j}</a>'
+                for j in range(1, 2 + i % 2))
+            urls.append(f"http://src/{i}")
+            pages.append(f"<html><body><p>{text}</p>{links}</body></html>")
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "content": pa.array(pages, pa.string())})
+
+    docs = read_spread(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"]).map_batches(
+        to_html, batch_format="pyarrow")
+    return anchor_counts(harvest_links(docs))
+
+
 def build_pagerank_prior(sf_dir: str, index_dir: str,
                          name: str = "pagerank") -> str:
     """Materialize the PageRank scores as a ``#prior(name)`` table under an

@@ -79,32 +79,36 @@ def _feedback_doc_vectors(reader: IndexReader, doc_ids: list[int]) -> dict[int, 
     return vecs
 
 
-def rm_expand(
+def rm1_model(
     reader: IndexReader,
     query: str,
     fb_docs: int = 10,
     fb_terms: int = 20,
-    orig_weight: float = 0.5,
     method: str = "dirichlet",
     mu: float = 2500.0,
     lam: float = 0.4,
     first_pass: tuple[np.ndarray, np.ndarray] | None = None,
-) -> list[tuple[str, float]]:
-    """RM3 expansion: returns the expanded [(term, weight)] list.
+) -> tuple[list[str], list[tuple[str, float]] | None]:
+    """The RM1 relevance model: ``(query_terms, [(term, P(w|R))])`` with
+    the weights normalized over the top ``fb_terms`` terms (the reference's
+    ``RelevanceModel`` grams).  Ordered by the pinned selection key
+    (round(p, 12) desc, term asc).  The second element is ``None`` when
+    the initial retrieval is EMPTY (no feedback docs at all) — distinct
+    from an empty model.
 
     ``first_pass=(ids, scores)`` supplies a precomputed initial retrieval
     (e.g. from the doc-partitioned scatter — bit-identical to
     ``LMScorer.score``); otherwise it is computed here."""
     q_terms = process_query_lm(query, reader.cfg)
     if not q_terms:
-        return []
+        return [], None
     if first_pass is not None:
         ids, scores = first_pass
     else:
         lm = LMScorer(reader, method=method, mu=mu, lam=lam)
         ids, scores = lm.score(q_terms, k=fb_docs + 40)
     if len(ids) == 0:
-        return [(t, 1.0) for t in q_terms]
+        return q_terms, None
     # feedback-doc cutoff pinned like every oracle-checked ranking: round
     # the score to 9 decimals (desc) then doc_id desc, so a SQL oracle with
     # unspecified float summation order selects the same feedback set
@@ -127,7 +131,64 @@ def rm_expand(
     # rounding pins the fb_terms selection against last-ulp noise
     top = sorted(p_w.items(), key=lambda kv: (-round(kv[1], 12), kv[0]))[:fb_terms]
     z = sum(v for _, v in top)
-    rm1 = {t: v / z for t, v in top} if z > 0 else {}
+    return q_terms, ([(t, v / z) for t, v in top] if z > 0 else [])
+
+
+def query_clarity(
+    reader: IndexReader,
+    query: str,
+    fb_docs: int = 10,
+    fb_terms: int = 20,
+    method: str = "dirichlet",
+    mu: float = 2500.0,
+    lam: float = 0.4,
+) -> float:
+    """Query clarity (ref:clarity/clarity.cpp:62-81): the KL divergence of
+    the RM1 relevance model from the collection model over the model's top
+    terms, in bits —
+
+        clarity = Σ_w P(w|Q)·log(P(w|Q)/P(w)) / Σ_w P(w|Q) / log 2
+
+    with P(w|Q) = the gram weight (RM1, normalized over the top fb_terms)
+    and P(w) = cf(w)/|C| (the reference uses stemCount — RM1 terms are
+    already index stems here too)."""
+    import math
+
+    _, rm1 = rm1_model(reader, query, fb_docs, fb_terms, method, mu, lam)
+    if not rm1:  # no query terms, empty retrieval, or empty model
+        return 0.0
+    stats = reader.term_stats([t for t, _ in rm1])
+    total = float(reader.total_terms)
+    s = 0.0
+    ln_pr = 0.0
+    for t, p in rm1:  # fixed gram order — the same loop as the reference
+        cf = float(stats.get(t, (0, 0))[0])
+        pw = cf / total if cf > 0 else 0.5 / total
+        s += p
+        ln_pr += p * math.log(p / pw)
+    return ln_pr / (s if s else 1.0) / math.log(2.0)
+
+
+def rm_expand(
+    reader: IndexReader,
+    query: str,
+    fb_docs: int = 10,
+    fb_terms: int = 20,
+    orig_weight: float = 0.5,
+    method: str = "dirichlet",
+    mu: float = 2500.0,
+    lam: float = 0.4,
+    first_pass: tuple[np.ndarray, np.ndarray] | None = None,
+) -> list[tuple[str, float]]:
+    """RM3 expansion: returns the expanded [(term, weight)] list —
+    :func:`rm1_model` interpolated with the original query model."""
+    q_terms, rm1_list = rm1_model(reader, query, fb_docs, fb_terms,
+                                  method, mu, lam, first_pass)
+    if not q_terms:
+        return []
+    if rm1_list is None:  # empty initial retrieval: keep the raw query
+        return [(t, 1.0) for t in q_terms]
+    rm1 = dict(rm1_list)
     # original query model P(w|Q) = qtf/|Q|
     n = len(q_terms)
     p_q: dict[str, float] = {}

@@ -70,6 +70,27 @@ def test_rm3_expansion_and_search(reader):
     assert ids_orig.tolist() == ids_lm.tolist()
 
 
+def test_query_clarity(reader):
+    """Clarity (ref:clarity/clarity.cpp): the score is the hand-computed
+    KL of the RM1 grams from the collection model (bits), positive for a
+    query whose feedback set concentrates probability on specific terms."""
+    import math
+
+    from indri_5_5_ray.pipelines.feedback import query_clarity, rm1_model
+
+    c_focused = query_clarity(reader, "merge buffer", fb_docs=5, fb_terms=10)
+    assert c_focused > 0
+    # direct recomputation from the model + collection statistics
+    _, rm1 = rm1_model(reader, "merge buffer", fb_docs=5, fb_terms=10)
+    stats = reader.term_stats([t for t, _ in rm1])
+    total = float(reader.total_terms)
+    want = sum(p * math.log(p / (stats[t][0] / total)) for t, p in rm1)
+    want /= sum(p for _, p in rm1) * math.log(2)
+    assert abs(c_focused - want) < 1e-12
+    # no query terms → 0 by definition
+    assert query_clarity(reader, "") == 0.0
+
+
 def test_length_prior(reader):
     from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
     from indri_5_5_ray.pipelines.priors import build_length_prior, load_prior
