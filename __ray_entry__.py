@@ -2090,8 +2090,10 @@ def oracle_sql() -> dict[str, str]:
         # the WARC-TREC-ID, content = the bytes after the HTTP headers,
         # dochdr = target URI + the header block before the first blank
         # line (see webarchive.ensure_warc_archive)
+        # printf('%06d') WIDENS past 6 digits exactly like Python's
+        # f"{id:06d}" (lpad would TRUNCATE ids ≥ 1e6 and collide docnos)
         "warc_corpus": """
-            SELECT 'warc-' || lpad(doc_id::VARCHAR, 6, '0') AS docno,
+            SELECT 'warc-' || printf('%06d', doc_id) AS docno,
                    text AS content,
                    'http://synthetic.test/' || doc_id AS url,
                    'http://synthetic.test/' || doc_id || chr(10)

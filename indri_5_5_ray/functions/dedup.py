@@ -215,83 +215,74 @@ def _dup_groups(sf_dir: str) -> DupGroups:
     counts ride the key rows, so eligibility needs no second corpus read.
     Cached per (corpus path, mtime); the spill dir is content-keyed, so
     concurrent drivers share it."""
+    import json
+
+    from ..cachedir import ensure_cached_dir, source_key
+
     st = os.stat(f"{sf_dir}/documents.parquet")
     cache_key = (os.path.realpath(sf_dir), st.st_mtime_ns, st.st_size)
     hit = _DUP_GROUPS_CACHE.get(cache_key)
     if hit is not None:
         return hit
-    name = os.path.basename(os.path.realpath(sf_dir))
-    final = (f"/tmp/indri55_dupgroups/{name}-{st.st_mtime_ns}-{st.st_size}"
-             f"-{_DUP_SPILL_VERSION}")
-    if os.path.exists(f"{final}/meta.json"):
-        import json
 
-        with open(f"{final}/meta.json") as f:
-            meta = json.load(f)
-        dg = DupGroups(final, meta["n_groups"], meta["n_losers"])
-        _DUP_GROUPS_CACHE[cache_key] = dg
-        return dg
+    def build(tmp: str) -> None:
+        keys_dir = f"{tmp}/keys"
+        groups_dir = f"{tmp}/groups"
+        os.makedirs(keys_dir)
+        os.makedirs(groups_dir)
 
-    import json
-    import tempfile
+        def keyed(batch: pa.Table) -> pa.Table:
+            # md5 as TWO int64 lanes (exact 128-bit equality, no string
+            # column on disk); texts hashed straight from the arrow buffer;
+            # token counts computed here while the text is in hand
+            import pyarrow.parquet as pq
 
-    os.makedirs("/tmp/indri55_dupgroups", exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix=f"{os.path.basename(final)}.tmp-",
-                           dir="/tmp/indri55_dupgroups")
-    keys_dir = f"{tmp}/keys"
-    groups_dir = f"{tmp}/groups"
-    os.makedirs(keys_dir)
-    os.makedirs(groups_dir)
+            if batch.num_rows == 0:
+                return pa.table({"rows": pa.array([], pa.int64())})
+            texts = batch.column("text").cast(pa.large_binary()).to_pylist()
+            dig = b"".join(hashlib.md5(t).digest() for t in texts)
+            u = np.frombuffer(dig, dtype=">u8").reshape(-1, 2)
+            ntok = (pl.from_arrow(batch)
+                    .select(token_count_expr().cast(pl.Int64).alias("n"))["n"]
+                    .to_numpy())
+            ids = batch.column("doc_id").to_numpy()
+            t = pa.table({
+                "kbucket": pa.array((u[:, 0] % _DUP_BUCKETS).astype(np.int32),
+                                    pa.int32()),
+                "h_hi": pa.array(u[:, 0].astype(np.int64), pa.int64()),
+                "h_lo": pa.array(u[:, 1].astype(np.int64), pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(ntok, pa.int64()),
+            }).sort_by([("kbucket", "ascending")])
+            pq.write_table(t, f"{keys_dir}/keys-{int(ids.min()):012d}.parquet",
+                           row_group_size=max(256, t.num_rows // _DUP_BUCKETS))
+            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
-    def keyed(batch: pa.Table) -> pa.Table:
-        # md5 as TWO int64 lanes (exact 128-bit equality, no string column
-        # on disk); texts hashed straight from the arrow buffer; token
-        # counts computed here while the text is in hand
-        import pyarrow.parquet as pq
+        _docs(sf_dir).map_batches(keyed, batch_format="pyarrow").materialize()
+        reduce_t = ray.remote(num_cpus=0.9)(_reduce_dup_bucket)
+        counts = ray.get([reduce_t.remote(keys_dir, b, groups_dir)
+                          for b in range(_DUP_BUCKETS)])
+        n_groups = sum(c[0] for c in counts)
+        n_losers = sum(c[1] for c in counts)
+        if n_groups == 0:
+            # consumers guard on the counts, but keep the dataset readable
+            import pyarrow.parquet as pq
 
-        if batch.num_rows == 0:
-            return pa.table({"rows": pa.array([], pa.int64())})
-        texts = batch.column("text").cast(pa.large_binary()).to_pylist()
-        dig = b"".join(hashlib.md5(t).digest() for t in texts)
-        u = np.frombuffer(dig, dtype=">u8").reshape(-1, 2)
-        ntok = (pl.from_arrow(batch)
-                .select(token_count_expr().cast(pl.Int64).alias("n"))["n"]
-                .to_numpy())
-        ids = batch.column("doc_id").to_numpy()
-        t = pa.table({
-            "kbucket": pa.array((u[:, 0] % _DUP_BUCKETS).astype(np.int32),
-                                pa.int32()),
-            "h_hi": pa.array(u[:, 0].astype(np.int64), pa.int64()),
-            "h_lo": pa.array(u[:, 1].astype(np.int64), pa.int64()),
-            "doc_id": batch.column("doc_id"),
-            "n_tokens": pa.array(ntok, pa.int64()),
-        }).sort_by([("kbucket", "ascending")])
-        pq.write_table(t, f"{keys_dir}/keys-{int(ids.min()):012d}.parquet",
-                       row_group_size=max(256, t.num_rows // _DUP_BUCKETS))
-        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+            pq.write_table(_GROUPS_SCHEMA.empty_table(),
+                           f"{groups_dir}/groups-empty.parquet")
+        import shutil
 
-    _docs(sf_dir).map_batches(keyed, batch_format="pyarrow").materialize()
-    reduce_t = ray.remote(num_cpus=0.9)(_reduce_dup_bucket)
-    counts = ray.get([reduce_t.remote(keys_dir, b, groups_dir)
-                      for b in range(_DUP_BUCKETS)])
-    n_groups = sum(c[0] for c in counts)
-    n_losers = sum(c[1] for c in counts)
-    if n_groups == 0:
-        # consumers guard on the counts, but keep the dataset readable
-        import pyarrow.parquet as pq
+        shutil.rmtree(keys_dir, ignore_errors=True)  # intermediate exchange
+        with open(f"{tmp}/meta.json", "w") as f:
+            json.dump({"n_groups": n_groups, "n_losers": n_losers}, f)
 
-        pq.write_table(_GROUPS_SCHEMA.empty_table(),
-                       f"{groups_dir}/groups-empty.parquet")
-    import shutil
-
-    shutil.rmtree(keys_dir, ignore_errors=True)  # intermediate exchange
-    with open(f"{tmp}/meta.json", "w") as f:
-        json.dump({"n_groups": n_groups, "n_losers": n_losers}, f)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; reuse winner
-    dg = DupGroups(final, n_groups, n_losers)
+    final = ensure_cached_dir(
+        "/tmp/indri55_dupgroups",
+        source_key(f"{sf_dir}/documents.parquet", _DUP_SPILL_VERSION),
+        build, marker="meta.json")
+    with open(f"{final}/meta.json") as f:
+        meta = json.load(f)
+    dg = DupGroups(final, meta["n_groups"], meta["n_losers"])
     if len(_DUP_GROUPS_CACHE) > 8:
         _DUP_GROUPS_CACHE.clear()
     _DUP_GROUPS_CACHE[cache_key] = dg

@@ -40,7 +40,6 @@ import json
 import os
 import re
 import shutil
-import tempfile
 
 import numpy as np
 import polars as pl
@@ -105,8 +104,14 @@ def harvest_links(docs: ray.data.Dataset, url_col: str = "url",
 
 def anchor_counts(links: ray.data.Dataset) -> ray.data.Dataset:
     """(dst, n_inlinks, n_distinct_src) per link target — the groupby(dst)
-    exchange that feeds anchor-text fields and inlink priors."""
-    from ray.data.aggregate import Count
+    exchange that feeds anchor-text fields and inlink priors.
+
+    Two pair-row exchanges: the per-batch (dst, src) collapse is only a
+    COMBINER (a pair straddling a batch cut yields two partial rows), so a
+    global groupby(dst, src) sums the partials first, and the final
+    groupby(dst) then counts one row per truly distinct source — a
+    per-batch count would double-count recrawled/batch-split pairs."""
+    from ray.data.aggregate import Count, Sum
 
     def dedup_src(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
@@ -117,12 +122,10 @@ def anchor_counts(links: ray.data.Dataset) -> ray.data.Dataset:
         g = df.group_by("dst", "src").agg(pl.len().alias("n"))
         return g.to_arrow()
 
-    # map-side partial (dst, src) collapse bounds the exchange at one row
-    # per distinct pair per block, then a small groupby finalizes
     partial = links.map_batches(dedup_src, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-
-    return (partial.groupby("dst")
+    pairs = (partial.groupby(["dst", "src"])
+             .aggregate(Sum("n", alias_name="n")))
+    return (pairs.groupby("dst")
             .aggregate(Sum("n", alias_name="n_inlinks"),
                        Count(alias_name="n_distinct_src")))
 
@@ -175,11 +178,14 @@ def _apply_task(doclist_file: str, contrib_dir: str, bucket: int, t: int,
     import pyarrow.parquet as pq
 
     docs = pl.from_arrow(pq.read_table(doclist_file, columns=["doc_id"]))
-    try:
+    # a fully-dangling iteration writes NO contribution files: the dataset
+    # over an empty dir has an empty schema and the filter would raise
+    # (ArrowInvalid, not FileNotFoundError) — check for files explicitly
+    if any(f.endswith(".parquet") for f in os.listdir(contrib_dir)):
         ct = pads.dataset(contrib_dir, format="parquet").to_table(
             filter=pads.field("dbucket") == bucket,
             columns=["dst", "c"], use_threads=False)
-    except FileNotFoundError:
+    else:
         ct = None
     base = (1.0 - damping) / n_docs + damping * dangling_mass / n_docs
     if ct is not None and ct.num_rows:
@@ -293,14 +299,9 @@ def pagerank_scores(sf_dir: str, iters: int = ITERS,
     the other derived-table entries."""
     from .textstats import read_spread
 
-    st = os.stat(f"{sf_dir}/documents.parquet")
-    name = os.path.basename(os.path.realpath(sf_dir))
-    final = (f"/tmp/indri55_pagerank/{name}-{st.st_mtime_ns}-{st.st_size}"
-             f"-i{iters}-d{damping}-v1")
-    if not os.path.exists(f"{final}/_COMPLETE"):
-        os.makedirs("/tmp/indri55_pagerank", exist_ok=True)
-        tmp = tempfile.mkdtemp(prefix=f"{name}.tmp-",
-                               dir="/tmp/indri55_pagerank")
+    from ..cachedir import ensure_cached_dir, source_key
+
+    def build(tmp: str) -> None:
         n = _n_docs(sf_dir)
         edges_dir = f"{tmp}/edges"
         doclist_dir = f"{tmp}/doclists"
@@ -341,12 +342,16 @@ def pagerank_scores(sf_dir: str, iters: int = ITERS,
         os.makedirs(out_dir)
         for i, f in enumerate(shard_files):
             shutil.copy(f, f"{out_dir}/part-{i:02d}.parquet")
-        with open(f"{tmp}/_COMPLETE", "w") as fh:
-            fh.write("ok")
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the cache race
+        # only final/ is ever read back: drop the edge spill, doclists and
+        # per-iteration score generations before the rename so the cache
+        # dir doesn't retain ~(edges + iters × score-vector) of /tmp
+        for sub in ("edges", "doclists", "scores", "contrib"):
+            shutil.rmtree(f"{tmp}/{sub}", ignore_errors=True)
+
+    final = ensure_cached_dir(
+        "/tmp/indri55_pagerank",
+        source_key(f"{sf_dir}/documents.parquet",
+                   f"i{iters}-d{damping}-v1"), build)
     return ray.data.read_parquet(f"{final}/final")
 
 

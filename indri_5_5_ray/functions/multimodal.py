@@ -145,45 +145,24 @@ _MEDIA_TABLE_VERSION = "v3"
 
 def ensure_media_table(sf_dir: str) -> str:
     """Materialize the synthetic media table as PARQUET once per corpus
-    (keyed by the documents table's st_mtime_ns + size + schema version) so
-    the media pipelines READ a real table and stream — generation itself is
-    a Ray pipeline (map_batches over the documents read), not a driver loop.
+    (content-keyed via :mod:`indri_5_5_ray.cachedir` — documents mtime +
+    size + schema version) so the media pipelines READ a real table and
+    stream — generation itself is a Ray pipeline (map_batches over the
+    documents read), not a driver loop."""
+    from ..cachedir import ensure_cached_dir, source_key
 
-    Written into a unique temp dir then atomically renamed into place, so a
-    concurrent driver can never observe a partially written table (the
-    loser of the rename race removes its own copy)."""
-    name = os.path.basename(os.path.realpath(sf_dir))
-    st = os.stat(f"{sf_dir}/documents.parquet")
-    out = (f"/tmp/indri55_media/{name}-{st.st_mtime_ns}-{st.st_size}"
-           f"-{_MEDIA_TABLE_VERSION}")
-    marker = f"{out}/_COMPLETE"
-    if os.path.exists(marker):
-        return out
-    # a FRESH unique dir per attempt (never a reusable name like a PID —
-    # a crashed attempt's leftovers must not receive a second write, or the
-    # renamed table would carry duplicate rows)
-    import tempfile
+    src = f"{sf_dir}/documents.parquet"
 
-    os.makedirs("/tmp/indri55_media", exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix=f"{os.path.basename(out)}.tmp-",
-                           dir="/tmp/indri55_media")
-    from .textstats import read_spread
+    def build(tmp: str) -> None:
+        from .textstats import read_spread
 
-    ds = read_spread(f"{sf_dir}/documents.parquet",
-                     columns=["doc_id", "text"])
-    # modest batch size: payload bytes, not row count, are the memory knob
-    ds.map_batches(_synth_media_batch, batch_format="pyarrow",
-                   batch_size=512).write_parquet(tmp)
-    with open(f"{tmp}/_COMPLETE", "w") as f:
-        f.write("ok")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        # another driver won the race; its table is complete — use it
-        import shutil
+        ds = read_spread(src, columns=["doc_id", "text"])
+        # modest batch size: payload bytes, not rows, are the memory knob
+        ds.map_batches(_synth_media_batch, batch_format="pyarrow",
+                       batch_size=512).write_parquet(tmp)
 
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return ensure_cached_dir("/tmp/indri55_media",
+                             source_key(src, _MEDIA_TABLE_VERSION), build)
 
 
 class MediaFeatureExtractor:

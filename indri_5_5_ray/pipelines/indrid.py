@@ -136,10 +136,14 @@ class _QueryDaemon:
         return int(self.r.manifest.get("unique_terms", 0))
 
     def term_field_count(self, term: str, field: str) -> int:
-        """Occurrences of term inside field extents (termFieldCount)."""
+        """Occurrences of term inside field extents (termFieldCount) —
+        served by the RESIDENT structured engine so its postings memo
+        persists across requests like every other daemon cache."""
         from .indriql import StructuredQueryEngine, parse_query
 
-        eng = StructuredQueryEngine(self.r)
+        if self._structured is None:
+            self._structured = StructuredQueryEngine(self.r)
+        eng = self._structured
         root = parse_query(f"{term}.({field})")
         leaf: set[str] = set()
         eng._leaf_terms(root, leaf)

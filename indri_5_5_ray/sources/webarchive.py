@@ -368,60 +368,42 @@ def ensure_warc_archive(sf_dir: str) -> list[str]:
     (doc_id, text), so the WARC reader has an exact SQL oracle over the
     documents view.  Generation is a Ray pipeline (one archive file per
     batch); returns the archive file list."""
-    import os
+    from ..cachedir import ensure_cached_dir, source_key
 
-    name = os.path.basename(os.path.realpath(sf_dir))
-    st = os.stat(f"{sf_dir}/documents.parquet")
-    out = (f"/tmp/indri55_warc/{name}-{st.st_mtime_ns}-{st.st_size}"
-           f"-{_WARC_TABLE_VERSION}")
+    src = f"{sf_dir}/documents.parquet"
 
-    def _archives() -> list[str]:
-        return sorted(str(p) for p in Path(out).glob("*.warc.gz"))
+    def build(tmp: str) -> None:
+        def to_warc(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            if not ids:
+                return pa.table({"file": pa.array([], pa.string())})
+            texts = batch.column("text").to_pylist()
+            info = (f"WARC/0.18\r\nWARC-Type: warcinfo\r\n"
+                    f"WARC-Record-ID: <urn:uuid:file-{min(ids):08d}>\r\n"
+                    f"Content-Length: 10\r\n\r\nsynthetic\n\r\n\r\n").encode()
+            members = [gzip.compress(info)]
+            for did, text in zip(ids, texts):
+                body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                        + text.encode("utf-8"))
+                hdrs = (f"WARC/0.18\r\nWARC-Type: response\r\n"
+                        f"WARC-Record-ID: <urn:uuid:rec-{did:06d}>\r\n"
+                        f"WARC-TREC-ID: warc-{did:06d}\r\n"
+                        f"WARC-Target-URI: http://synthetic.test/{did}\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n").encode()
+                members.append(gzip.compress(hdrs + body + b"\r\n\r\n"))
+            fn = f"{tmp}/part-{min(ids):08d}.warc.gz"
+            with open(fn, "wb") as f:
+                f.write(b"".join(members))
+            return pa.table({"file": pa.array([fn], pa.string())})
 
-    if os.path.exists(f"{out}/_COMPLETE"):
-        return _archives()
-    import tempfile
+        from ..functions.textstats import read_spread
 
-    os.makedirs("/tmp/indri55_warc", exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix=f"{os.path.basename(out)}.tmp-",
-                           dir="/tmp/indri55_warc")
+        (read_spread(src, columns=["doc_id", "text"])
+         .map_batches(to_warc, batch_format="pyarrow").materialize())
 
-    def to_warc(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        if not ids:
-            return pa.table({"file": pa.array([], pa.string())})
-        texts = batch.column("text").to_pylist()
-        info = (f"WARC/0.18\r\nWARC-Type: warcinfo\r\n"
-                f"WARC-Record-ID: <urn:uuid:file-{min(ids):08d}>\r\n"
-                f"Content-Length: 10\r\n\r\nsynthetic\n\r\n\r\n").encode()
-        members = [gzip.compress(info)]
-        for did, text in zip(ids, texts):
-            body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-                    + text.encode("utf-8"))
-            hdrs = (f"WARC/0.18\r\nWARC-Type: response\r\n"
-                    f"WARC-Record-ID: <urn:uuid:rec-{did:06d}>\r\n"
-                    f"WARC-TREC-ID: warc-{did:06d}\r\n"
-                    f"WARC-Target-URI: http://synthetic.test/{did}\r\n"
-                    f"Content-Length: {len(body)}\r\n\r\n").encode()
-            members.append(gzip.compress(hdrs + body + b"\r\n\r\n"))
-        fn = f"{tmp}/part-{min(ids):08d}.warc.gz"
-        with open(fn, "wb") as f:
-            f.write(b"".join(members))
-        return pa.table({"file": pa.array([fn], pa.string())})
-
-    from ..functions.textstats import read_spread
-
-    (read_spread(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-     .map_batches(to_warc, batch_format="pyarrow").materialize())
-    with open(f"{tmp}/_COMPLETE", "w") as f:
-        f.write("ok")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; reuse winner
-    return _archives()
+    out = ensure_cached_dir("/tmp/indri55_warc",
+                            source_key(src, _WARC_TABLE_VERSION), build)
+    return sorted(str(p) for p in Path(out).glob("*.warc.gz"))
 
 
 def warc_corpus(sf_dir: str) -> ray.data.Dataset:

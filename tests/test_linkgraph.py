@@ -110,6 +110,17 @@ def test_pagerank_dangling_mass_conserved(ray_session, tmp_path):
     assert abs(got.sum() - 1.0) < 1e-9  # mass conserved
 
 
+def test_pagerank_all_dangling_graph(ray_session, tmp_path):
+    """ZERO edges (every node dangling, e.g. a linkless harvested corpus):
+    no contribution files are written at all, and the uniform dangling
+    redistribution must still produce the stationary uniform vector."""
+    n = 7
+    got = _run_pagerank_on_edges(tmp_path, [], n, iters=3)
+    # s = (1-d)/n + d*(0 + dangling/n) with dangling = 1 each iteration
+    np.testing.assert_allclose(got, np.full(n, 1.0 / n), atol=1e-9)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
 def test_pagerank_scores_properties(ray_session):
     sf = "/root/testdata/sf0.001"
     df = pagerank_scores(sf).to_pandas()
