@@ -192,6 +192,60 @@ def _structured2_topk(sf_dir: str):
     return _structured_topk(sf_dir, queries=STRUCTURED2_QUERIES)
 
 
+# raw natural-language queries for the reformulate app (ref:reformulate/
+# ReformulateQuery.cpp) — each exercises a different stop-structure prefix
+# (first-match-in-array-order semantics) before SDM generation
+SDM_RAW_QUERIES: list[tuple[str, str]] = [
+    ("1", "what is the merge data"),
+    ("2", "how does table hash"),
+    ("3", "where can i find stuff about customer join"),
+    ("4", "why do people think spark window sort"),
+    ("5", "find the slow key"),
+]
+
+
+def _sdm_terms(raw: str) -> list[str]:
+    """The post-transform term list the SDM rewrite is built over (downcase
+    -> stop structures -> lite stop), shared by the Ray entry and the SQL
+    oracle builder so both sides embed identical terms."""
+    from indri_5_5_ray.pipelines.reformulate import (
+        downcase, lite_stop, remove_stop_structures)
+
+    return [t for t in lite_stop(remove_stop_structures(downcase(raw))).split(" ") if t]
+
+
+def _sdm_topk(sf_dir: str, k: int = 10):
+    """(qid, rank, doc_id) for the reformulate app's SDM rewrite
+    (ref:src/ReformulateQuery.cpp:144-164): raw text -> #weight(0.85
+    #combine(terms) 0.1 #combine(#1 bigrams) 0.05 #combine(#uw8 bigrams))
+    executed on the structured engine."""
+    import numpy as np
+    import pyarrow as pa
+
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.pipelines.reformulate import reformulate
+
+    index_dir = _ensure_index(sf_dir, stem=False)
+    eng = StructuredQueryEngine(IndexReader(index_dir))
+    out_q, out_r, out_d = [], [], []
+    for qid, raw in SDM_RAW_QUERIES:
+        text = reformulate(raw, {"genSDM": True})
+        ids, scores = eng.run(text, k=k + 40)
+        r9 = np.round(scores, 9)
+        order = np.lexsort((-ids, -r9))[:k]
+        out_q.extend([int(qid)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_d.extend(ids[order].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
 PASSAGE_QUERIES: list[tuple[str, str]] = [
     ("1", "#combine[passage20:10](merge join)"),
     ("2", "#combine[passage15:5](window sort group)"),
@@ -680,6 +734,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle; displaces cosine_pairs — green r2-r4, exact-cosine
         # kernel twin knn_bruteforce stays in-window)
         "query_clarity": _query_clarity,
+        # NEW r5: the reformulate app — raw NL text -> stop-structure strip
+        # -> lite stop -> SDM rewrite, executed on the structured engine;
+        # oracle recomputes the dirichlet + #1 + #uw8 mixture in SQL
+        # (displaces tfidf_topk — green r2-r4 on an unchanged path; its
+        # scorer-constant kernel twins bm25_topk/bm25_topk_kstem stay
+        # in-window)
+        "sdm_topk": _sdm_topk,
         # --- event-stream operators + curation filters (unchecked in r3:
         # displaced past the driver window; now first so CORRECTNESS_r04
         # finally records them) ---
@@ -703,7 +764,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stopped_stats": _index_stopped_stats,
         "bm25_topk": lambda sf: _bm25_topk(sf, stem=False),
         "bm25_topk_kstem": lambda sf: _bm25_topk(sf, stem=True),
-        "tfidf_topk": lambda sf: _bm25_topk(sf, stem=False, variant="tfidf"),
         "lm_topk_dirichlet": lambda sf: _lm_topk(sf, stem=False, method="dirichlet"),
         # the LM entries stay IN-window this round: round 4 switched their
         # execution onto the new block-max pruned path, so "green for 2+
@@ -755,6 +815,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # content-hash selection), simhash_fingerprints↔minhash_signatures
         # (vectorized md5-token-hash kernels), cosine_pairs↔knn_bruteforce
         # (exact normalized-cosine kernels)
+        # rotated out r5: tfidf_topk (hash-green r2-r4 on an unchanged
+        # path; in-window scorer-kernel twins bm25_topk/bm25_topk_kstem)
+        "tfidf_topk": lambda sf: _bm25_topk(sf, stem=False, variant="tfidf"),
         "tumbling_counts": events.tumbling_counts,
         "doc_fingerprints": textstats.doc_fingerprints,
         "sample_hash": sampling.sample_hash,
@@ -1276,6 +1339,110 @@ ORDER BY qid, rank
 """
 
 
+def _sdm_sql() -> str:
+    """Oracle for SDM_RAW_QUERIES: the reformulate app's SDM rewrite
+    (ref:src/ReformulateQuery.cpp:144-164) scored with dirichlet beliefs.
+    Per query with terms t1..tk: score = 0.85·avg(term beliefs) +
+    0.1·avg(#1 bigram beliefs) + 0.05·avg(#uw8 bigram beliefs), weights
+    normalized by 1.0.  #1 tf = adjacent-pair count; #uw8 tf = the anchor
+    scan (ref:src/UnorderedWindowNode.cpp:68-151) — for two DISTINCT terms
+    an anchor p of either type counts iff the other term has an occurrence
+    q with p < q ≤ p+7, expressed as one EXISTS per direction.  The term
+    lists are derived by the same transform the Ray side runs
+    (downcase → stop structures → lite stop)."""
+
+    def dir_term(alias: str, term: str) -> str:
+        cfv = f"(SELECT cf FROM cfreq WHERE term = '{term}')"
+        return (
+            f"ln((coalesce({alias}.tf, 0) + 2500.0 * "
+            f"(CASE WHEN coalesce({cfv}, 0) > 0 THEN {cfv} ELSE 0.5 END) / s.total)"
+            f" / (dl.dl + 2500.0))"
+        )
+
+    def dir_w(walias: str, wcf: str) -> str:
+        return (
+            f"ln((coalesce({walias}.wtf, 0) + 2500.0 * "
+            f"(CASE WHEN {wcf}.cf > 0 THEN {wcf}.cf ELSE 0.5 END) / s.total)"
+            f" / (dl.dl + 2500.0))"
+        )
+
+    window_ctes: list[str] = []
+    score_selects: list[str] = []
+    for qid, raw in SDM_RAW_QUERIES:
+        ts = _sdm_terms(raw)
+        k = len(ts)
+        bigrams = list(zip(ts, ts[1:]))
+        term_beliefs = []
+        joins = [f"JOIN dl ON dl.doc_id = c.doc_id"]
+        for i, t in enumerate(ts):
+            a = f"t{qid}_{i}"
+            term_beliefs.append(dir_term(a, t))
+            joins.append(
+                f"LEFT JOIN tf {a} ON {a}.doc_id = c.doc_id AND {a}.term = '{t}'")
+        od_beliefs = []
+        uw_beliefs = []
+        for j, (a, b) in enumerate(bigrams):
+            o, u = f"o{qid}_{j}", f"u{qid}_{j}"
+            window_ctes.append(
+                f"{o} AS (SELECT doc_id, count(*)::DOUBLE AS wtf FROM seq\n"
+                f"  WHERE t[i] = '{a}' AND t[i+1] = '{b}' GROUP BY doc_id)")
+            window_ctes.append(
+                f"{o}cf AS (SELECT coalesce(sum(wtf), 0)::DOUBLE AS cf FROM {o})")
+            window_ctes.append(
+                f"{u} AS (SELECT doc_id, count(*)::DOUBLE AS wtf FROM (\n"
+                f"  SELECT p.doc_id FROM pos p WHERE p.term = '{a}' AND EXISTS (\n"
+                f"    SELECT 1 FROM pos q WHERE q.doc_id = p.doc_id AND q.term = '{b}'\n"
+                f"      AND q.i > p.i AND q.i <= p.i + 7)\n"
+                f"  UNION ALL\n"
+                f"  SELECT p.doc_id FROM pos p WHERE p.term = '{b}' AND EXISTS (\n"
+                f"    SELECT 1 FROM pos q WHERE q.doc_id = p.doc_id AND q.term = '{a}'\n"
+                f"      AND q.i > p.i AND q.i <= p.i + 7)\n"
+                f"  ) GROUP BY doc_id)")
+            window_ctes.append(
+                f"{u}cf AS (SELECT coalesce(sum(wtf), 0)::DOUBLE AS cf FROM {u})")
+            od_beliefs.append(dir_w(o, f"{o}cf"))
+            uw_beliefs.append(dir_w(u, f"{u}cf"))
+            joins.append(f"LEFT JOIN {o} ON {o}.doc_id = c.doc_id")
+            joins.append(f"LEFT JOIN {u} ON {u}.doc_id = c.doc_id")
+            joins.append(f"CROSS JOIN {o}cf")
+            joins.append(f"CROSS JOIN {u}cf")
+        joins.append("CROSS JOIN stats s")
+        inlist = ", ".join(f"'{t}'" for t in ts)
+        cand = f"(SELECT DISTINCT doc_id FROM tf WHERE term IN ({inlist}))"
+        score = (
+            f"(0.85 * ({' + '.join(term_beliefs)}) / {k}.0"
+            f" + 0.1 * ({' + '.join(od_beliefs)}) / {k - 1}.0"
+            f" + 0.05 * ({' + '.join(uw_beliefs)}) / {k - 1}.0)")
+        score_selects.append(
+            f"  SELECT {qid} AS qid, c.doc_id, {score} AS score\n"
+            f"  FROM {cand} c\n  " + "\n  ".join(joins))
+
+    windows_sql = ",\n".join(window_ctes)
+    scores_sql = " UNION ALL ".join(score_selects)
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
+stats AS (SELECT sum(len(t))::DOUBLE AS total FROM docs),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM docs),
+tf AS (SELECT doc_id, x AS term, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(t) AS x FROM docs) GROUP BY doc_id, x),
+cfreq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+seq AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM docs WHERE len(t) >= 2),
+pos AS (SELECT doc_id, i, t[i] AS term
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+              FROM docs)),
+{windows_sql},
+scores AS ({scores_sql})
+SELECT qid, rank, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id DESC) AS rank
+  FROM scores)
+WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
 def _date_sql() -> str:
     """Oracle for DATE_QUERIES: the dated corpus derives each doc's date
     from doc_id (day 1+%28, month %12, year 2000+%5), so the day-serial is
@@ -1700,6 +1867,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_topk_jm": _lm_sql("jm").replace("{values}", _bm25_values_clause()),
         "lm_topk_two": _lm_sql("two").replace("{values}", _bm25_values_clause()),
         "structured_topk": _structured_sql(),
+        "sdm_topk": _sdm_sql(),
         "field_topk": _field_sql(),
         "anno_field_topk": _field_sql(),
         "field_filter_topk": _field_filter_sql(),

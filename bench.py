@@ -381,7 +381,16 @@ def run_scaling() -> dict:
     # lower bound, but a second independent clean pair makes the recorded
     # number unimpeachable (a single lucky window can no longer carry it).
     max_pairs = 8
+    # wall-clock budget (seconds) across all pairs: a depressed co-tenant
+    # window makes every leg slow AND dirty, and 8 slow pairs could starve
+    # the rest of the per-round bench — stop launching new pairs past the
+    # budget and report what was measured (n_clean_pairs_ge_bar says how
+    # much evidence was actually collected)
+    budget_s = float(os.environ.get("INDRI55_SCALING_BUDGET_S", "900"))
+    t_start = time.perf_counter()
     for attempt in range(max_pairs):
+        if attempt and time.perf_counter() - t_start > budget_s:
+            break
         r_lo = one_attempt(lo)
         r_hi = one_attempt(hi)
         eff_i = r_hi["build_docs_per_sec"] / (
