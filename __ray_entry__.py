@@ -584,6 +584,49 @@ def _path_topk(sf_dir: str):
     return _field_run(sf_dir, PATH_QUERIES, ensure=_ensure_nested_index)
 
 
+SHRINKAGE_QUERIES: list[tuple[str, str]] = [
+    ("1", "merge data"),
+    ("2", "table sort"),
+    ("3", "hash"),
+    ("4", "spark window"),
+]
+
+# the reference's rule-string format (ref:src/ShrinkageBeliefNode.cpp:481-524)
+SHRINKAGE_RULES = ("parentWeight:0.1,docWeight:0.2", "field:title,weight:0.3")
+
+
+def _shrinkage_topk(sf_dir: str, k: int = 10):
+    """(qid, rank, doc_id) hierarchical shrinkage retrieval over the nested
+    tagged corpus (ShrinkageBeliefNode, ref:src/ShrinkageBeliefNode.cpp):
+    linear smoothing λ=0.4, parentWeight 0.1, docWeight 0.2, an absolute
+    0.3 up-weight rule on title children, non-recursive."""
+    import numpy as np
+    import pyarrow as pa
+
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.pipelines.shrinkage import ShrinkageScorer
+
+    index_dir = _ensure_nested_index(sf_dir)
+    scorer = ShrinkageScorer(IndexReader(index_dir),
+                             rules=SHRINKAGE_RULES, method="linear", lam=0.4)
+    out_q, out_r, out_d = [], [], []
+    for qid, text in SHRINKAGE_QUERIES:
+        terms = [(t, 1) for t in text.split()]
+        ids, scores = scorer.score(terms, k=k + 40)
+        r9 = np.round(scores, 9)
+        order = np.lexsort((-ids, -r9))[:k]
+        out_q.extend([int(qid)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_d.extend(ids[order].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
 STOPWORDS_SMALL = (
     "the", "a", "in", "of", "to", "and", "is", "it", "that", "for",
 )
@@ -741,6 +784,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scorer-constant kernel twins bm25_topk/bm25_topk_kstem stay
         # in-window)
         "sdm_topk": _sdm_topk,
+        # NEW r5: hierarchical shrinkage retrieval (ShrinkageBeliefNode) —
+        # per-field smoothing rules + parent/doc mixing over the nested tag
+        # tree, linear smoothing; oracle unrolls the up/down passes per
+        # doc_id%3 structure (displaces ngram_jaccard_pairs — green r2-r4
+        # unchanged; shingle-set twins lsh_candidate_pairs/minhash_
+        # signatures stay in-window)
+        "shrinkage_topk": _shrinkage_topk,
         # --- event-stream operators + curation filters (unchecked in r3:
         # displaced past the driver window; now first so CORRECTNESS_r04
         # finally records them) ---
@@ -791,7 +841,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_screen": sampling.contamination_screen,
         # --- dedup family ---
         "exact_dup_groups": dedup.exact_dup_groups,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
@@ -817,7 +866,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (exact normalized-cosine kernels)
         # rotated out r5: tfidf_topk (hash-green r2-r4 on an unchanged
         # path; in-window scorer-kernel twins bm25_topk/bm25_topk_kstem)
+        # and ngram_jaccard_pairs (green r2-r4 unchanged; shingle-set twins
+        # lsh_candidate_pairs/minhash_signatures/contamination_screen stay
+        # in-window)
         "tfidf_topk": lambda sf: _bm25_topk(sf, stem=False, variant="tfidf"),
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "tumbling_counts": events.tumbling_counts,
         "doc_fingerprints": textstats.doc_fingerprints,
         "sample_hash": sampling.sample_hash,
@@ -1443,6 +1496,107 @@ ORDER BY qid, rank
 """
 
 
+def _shrinkage_sql() -> str:
+    """Oracle for SHRINKAGE_QUERIES: the nested corpus's tag tree is fixed
+    per ``doc_id % 3`` (corpus_from_documents_nested), so the shrinkage
+    up/down passes unroll to closed-form arithmetic per mod.  Token stream
+    = first-8 title tokens + text tokens + n_chars token; node spans:
+    mod 0 sec{p{title}} = [0,k+n){[0,k){[0,k)}}, mod 1 sec{title}, mod 2
+    separate roots title=[0,k) sec=[k,k+n).  Linear smoothing λ=0.4 makes
+    each node's subtracted base the pure MLE c/len; parentWeight=0.1,
+    docWeight=0.2, an absolute 0.3 rule on title children; unmatched trees
+    score 0 and are excluded from the leaf average; a doc with no matched
+    tree takes the default ``0.2·base₀ + 0.8·λ·p_c``
+    (ref:src/ShrinkageBeliefNode.cpp:278-418)."""
+    def mle(c: str, l: str) -> str:
+        return (f"(CASE WHEN {l} > 0 THEN (0.6*({c})/({l}) + 0.4*p) "
+                f"ELSE (0.4*p) END - 0.4*p) / 0.6")
+
+    def ab(x: str) -> str:  # add back the collection weight
+        return f"(0.6*({x}) + 0.4*p)"
+
+    base0 = "(0.6*(ct+cx)/dl + 0.4*p)"
+    default = f"(0.2*{base0} + 0.8*(0.4*p))"
+
+    # mod 0: sec{p{title}} — one tree, 3 nodes
+    b_t = mle("ct", "k")
+    u_p0 = f"(0.7*({mle('ct', 'k')}) + 0.3*({b_t}))"
+    u_s0 = mle("ct+cx", "k+n")
+    d_s0 = f"(0.8*({u_s0}) + 0.2*{base0})"
+    d_p0 = f"(0.7*({u_p0}) + 0.1*({u_s0}) + 0.2*{base0})"
+    d_t0 = f"(0.7*({b_t}) + 0.1*({u_p0}) + 0.2*{base0})"
+    mod0 = (f"CASE WHEN ct+cx > 0 THEN ln(({ab(d_s0)} + {ab(d_p0)} + "
+            f"{ab(d_t0)})/3.0) ELSE ln({default}) END")
+    # mod 1: sec{title} — one tree, 2 nodes, the title rule applies to sec
+    u_s1 = f"(0.7*({mle('ct+cx', 'k+n')}) + 0.3*({b_t}))"
+    d_s1 = f"(0.8*({u_s1}) + 0.2*{base0})"
+    d_t1 = f"(0.7*({b_t}) + 0.1*({u_s1}) + 0.2*{base0})"
+    mod1 = (f"CASE WHEN ct+cx > 0 THEN ln(({ab(d_s1)} + {ab(d_t1)})/2.0) "
+            f"ELSE ln({default}) END")
+    # mod 2: separate roots title=[0,k), sec=[k,k+n) — per-tree match
+    d_t2 = ab(f"(0.8*({mle('ct', 'k')}) + 0.2*{base0})")
+    d_s2 = ab(f"(0.8*({mle('cx', 'n')}) + 0.2*{base0})")
+    mod2 = (f"CASE WHEN ct > 0 AND cx > 0 THEN ln(({d_t2} + {d_s2})/2.0) "
+            f"WHEN ct > 0 THEN ln({d_t2}) "
+            f"WHEN cx > 0 THEN ln({d_s2}) "
+            f"ELSE ln({default}) END")
+    per_term = (f"CASE mod WHEN 0 THEN {mod0} WHEN 1 THEN {mod1} "
+                f"ELSE {mod2} END")
+
+    term_ctes: list[str] = []
+    score_selects: list[str] = []
+    seen: set[str] = set()
+    for qid, text in SHRINKAGE_QUERIES:
+        ts = text.split()
+        for t in ts:
+            if t in seen:
+                continue
+            seen.add(t)
+            term_ctes.append(
+                f"c_{t} AS (SELECT doc_id, k, n, dl, mod,\n"
+                f"  len(list_filter(tk[1:k], x -> x = '{t}'))::DOUBLE AS ct,\n"
+                f"  len(list_filter(tk, x -> x = '{t}'))::DOUBLE AS cx\n"
+                f"  FROM base)")
+            term_ctes.append(
+                f"p_{t} AS (SELECT sum(ct+cx) / (SELECT total FROM tot) AS p"
+                f" FROM c_{t})")
+            term_ctes.append(
+                f"s_{t} AS (SELECT doc_id, ct+cx AS tf, {per_term} AS s "
+                f"FROM c_{t} CROSS JOIN p_{t})")
+        joins = "\n  ".join(
+            f"JOIN s_{t} ON s_{t}.doc_id = c.doc_id" for t in ts)
+        sum_s = " + ".join(f"s_{t}.s" for t in ts)
+        any_tf = " OR ".join(f"s_{t}.tf > 0" for t in ts)
+        cand = (f"(SELECT DISTINCT b.doc_id FROM base b "
+                + " ".join(f"JOIN s_{t} s{i} ON s{i}.doc_id = b.doc_id"
+                           for i, t in enumerate(ts))
+                + " WHERE "
+                + " OR ".join(f"s{i}.tf > 0" for i in range(len(ts))) + ")")
+        score_selects.append(
+            f"  SELECT {qid} AS qid, c.doc_id, ({sum_s})/{len(ts)}.0 AS score\n"
+            f"  FROM {cand} c\n  {joins}")
+
+    terms_sql = ",\n".join(term_ctes)
+    scores_sql = " UNION ALL ".join(score_selects)
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS tk FROM documents),
+base AS (SELECT doc_id, tk, least(8, len(tk)) AS k, len(tk) AS n,
+                least(8, len(tk)) + len(tk) + 1 AS dl,
+                doc_id % 3 AS mod
+         FROM docs),
+tot AS (SELECT sum(dl)::DOUBLE AS total FROM base),
+{terms_sql},
+scores AS ({scores_sql})
+SELECT qid, rank, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id DESC) AS rank
+  FROM scores)
+WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
 def _date_sql() -> str:
     """Oracle for DATE_QUERIES: the dated corpus derives each doc's date
     from doc_id (day 1+%28, month %12, year 2000+%5), so the day-serial is
@@ -1868,6 +2022,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_topk_two": _lm_sql("two").replace("{values}", _bm25_values_clause()),
         "structured_topk": _structured_sql(),
         "sdm_topk": _sdm_sql(),
+        "shrinkage_topk": _shrinkage_sql(),
         "field_topk": _field_sql(),
         "anno_field_topk": _field_sql(),
         "field_filter_topk": _field_filter_sql(),

@@ -1,0 +1,335 @@
+"""Hierarchical shrinkage scoring — the ShrinkageBeliefNode analogue
+(ref:src/ShrinkageBeliefNode.cpp:36-524, ref:src/DocumentStructure.cpp).
+
+Ogilvie's shrinkage model for structured documents: each document's tag
+tree becomes a hierarchy of language models; a node's estimate is smoothed
+UP from its children (per-field smoothing rules, absolute or
+length-proportional weights, ref:ShrinkageBeliefNode.cpp:312-379), then
+DOWN from its parent chain and the whole-document model (parentWeight /
+docWeight mixing, :382-408), with the collection weight added back
+(:410-418).  A document's belief for a term extent averages the smoothed
+probabilities of the matching structure nodes (:85-141); an extent query
+uses the exact node, a whole-document query falls back to every node of
+the trees the term actually matched (``findLeafs`` approximate pass,
+ref:src/DocumentStructure.cpp:240-255 — nodes of UNMATCHED trees keep a
+zero score and are excluded, because the reference only walks
+``topDownOrder(_roots)``).
+
+Faithfully preserved reference behaviors:
+
+- counts include every child component ("break from the model in my
+  proposal", ref:ShrinkageBeliefNode.cpp:186-190): an occurrence counts
+  into EVERY ancestor node containing it, with the ``lastEnd`` skip for
+  overlapping extents (:241-274).
+- the document node's base (``_base[0]``) keeps the SMOOTHED probability
+  (it never goes through the collection-weight subtraction the structure
+  nodes get, :278-308) — so ``up[0]`` mixes a smoothed document model
+  into every node.
+- non-``recursive`` mode mixes the parent's UP estimate; ``recursive``
+  mixes the parent's already-shrunk DOWN estimate (:388-406).
+- rule weights summing past 1 make the absolute weights ignored
+  (``remaining < 0`` branch, :362-377); a zero-length node falls back to
+  its own base (NaN divisor branch, :369-377).
+- no matching node at all → the default score
+  ``docWeight·base₀ + (1−docWeight)·collection`` (:283-289).
+
+Scale note: scoring is doc-local (one doc's tag tree + one term's
+positions), so the doc-partitioned scatter in ``pipelines/run.py`` shards
+it unchanged — global statistics (cf, total terms) come from the
+manifest, never per-shard.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .query import IndexReader
+
+
+@dataclass
+class SmoothingRule:
+    field_name: str
+    weight: float = 0.0
+    length_proportional: bool = False
+
+
+@dataclass
+class ShrinkageSettings:
+    parent_weight: float = 0.0
+    doc_weight: float = 0.0
+    recursive: bool = False
+    query_level_combine: bool = False
+    rules: dict[str, SmoothingRule] = field(default_factory=dict)
+
+
+def parse_shrinkage_rule(text: str, settings: ShrinkageSettings) -> None:
+    """One ``key:value,key:value`` rule string
+    (ref:ShrinkageBeliefNode.cpp:481-524): global keys mutate the
+    settings; a ``field`` key defines one per-field rule (kept only when
+    the field name is non-empty, last definition wins like the
+    reference's set insert keyed by field)."""
+    rule = SmoothingRule("")
+    for part in text.split(","):
+        if ":" not in part:
+            continue
+        key, value = part.split(":", 1)
+        if key == "parentWeight":
+            settings.parent_weight = float(value)
+        elif key == "docWeight":
+            settings.doc_weight = float(value)
+        elif key == "recursive":
+            settings.recursive = value == "true"
+        elif key == "queryLevelCombine":
+            settings.query_level_combine = value == "true"
+        elif key == "field":
+            rule.field_name = value
+        elif key == "weight":
+            rule.weight = float(value)
+        elif key == "length":
+            rule.length_proportional = value == "true"
+    if rule.field_name:
+        settings.rules[rule.field_name] = rule
+
+
+class ShrinkageScorer:
+    """#combine of per-term shrinkage beliefs over whole documents.
+
+    ``rules`` is a list of the reference's rule strings; ``method`` /
+    ``lam`` / ``mu`` pick the term score function (linear = the model's
+    native configuration: the collection-weight subtraction then recovers
+    the node MLE exactly; dirichlet is supported for parity but can go
+    negative under subtraction, as in the reference)."""
+
+    def __init__(self, reader: IndexReader, rules: list[str] | tuple = (),
+                 method: str = "linear", lam: float = 0.4,
+                 mu: float = 2500.0):
+        self.r = reader
+        self.settings = ShrinkageSettings()
+        for text in rules:
+            parse_shrinkage_rule(text, self.settings)
+        if method in ("linear", "jm", "jelinek-mercer"):
+            self.method = "linear"
+            # setSmoothing: otherWeight = documentLambda(0) + collectionLambda
+            self.other_weight = lam
+        elif method == "dirichlet":
+            self.method = "dirichlet"
+            self.other_weight = 0.0
+        else:
+            raise ValueError(f"unknown smoothing method {method!r}")
+        self.lam = lam
+        self.mu = mu
+        total = reader.manifest["total_terms"]
+        self._total = float(total)
+        # doc structures: ordinal-keyed node arrays per doc, one build per
+        # scorer (the DocumentStructureHolderNode analogue)
+        self._structs: dict[int, dict] | None = None
+
+    # -- term score function (4-arg form, documentLambda = 0) ---------------
+
+    def _score_occurrence(self, occ: float, ctx: float, p_c: float) -> float:
+        if self.method == "linear":
+            ctx_freq = occ / ctx if ctx else 0.0
+            return math.log((1.0 - self.lam) * ctx_freq + self.lam * p_c)
+        seen = (occ + self.mu * p_c) / (ctx + self.mu)
+        return math.log(seen)
+
+    # -- document structures -------------------------------------------------
+
+    def _structures(self) -> dict[int, dict]:
+        """doc_id → {"begin","end","parent","type"} ordinal-indexed arrays
+        (index 0 unused; ordinals are the build's per-document numbering,
+        identical to the reference's DocumentStructure node ids)."""
+        if self._structs is not None:
+            return self._structs
+        fields = tuple(self.r.cfg.fields or ())
+        per_doc: dict[int, list[tuple[int, int, int, int, str]]] = {}
+        for fname in fields:
+            t = self.r.field_extents(fname)
+            if "ordinals" not in t.column_names:
+                raise ValueError("index lacks tag-tree ordinals")
+            for row in t.to_pylist():
+                d = row["doc_id"]
+                rows = per_doc.setdefault(d, [])
+                for b, e, o, p in zip(row["begins"], row["ends"],
+                                      row["ordinals"],
+                                      row["parent_ordinals"]):
+                    rows.append((o, b, e, p, fname))
+        structs: dict[int, dict] = {}
+        for d, rows in per_doc.items():
+            n = max(o for o, *_ in rows)
+            begin = np.zeros(n + 1, np.int64)
+            end = np.zeros(n + 1, np.int64)
+            parent = np.zeros(n + 1, np.int64)
+            ftype = [""] * (n + 1)
+            for o, b, e, p, fn in rows:
+                begin[o], end[o], parent[o], ftype[o] = b, e, p, fn
+            children: list[list[int]] = [[] for _ in range(n + 1)]
+            for o in range(1, n + 1):
+                children[parent[o]].append(o)
+            structs[d] = {"begin": begin, "end": end, "parent": parent,
+                          "type": ftype, "children": children, "n": n}
+        self._structs = structs
+        return structs
+
+    # -- the score cache (per doc, per term) ---------------------------------
+
+    def _doc_term_score(self, struct: dict | None, positions: np.ndarray,
+                        dl: int, p_c: float) -> float:
+        """log belief of one term for one whole document — the reference's
+        ``_buildScoreCache`` + ``score`` with extent = [0, doclen), ordinal
+        0 (ref:ShrinkageBeliefNode.cpp:74-143,167-427)."""
+        s = self.settings
+        qlc = s.query_level_combine
+        tf = float(len(positions))
+        n = struct["n"] if struct else 0
+        counts = np.zeros(n + 1, np.float64)
+        counts[0] = tf
+        roots: set[int] = set()
+        if struct is not None and tf:
+            begin, end, parent = struct["begin"], struct["end"], struct["parent"]
+            # single-term extents [p, p+1) never overlap → the lastEnd skip
+            # never fires; containment counting replaces the active-list walk
+            for o in range(1, n + 1):
+                c = int(np.searchsorted(positions, end[o])
+                        - np.searchsorted(positions, begin[o]))
+                if c:
+                    counts[o] = c
+                    r = o
+                    while parent[r] != 0:
+                        r = parent[r]
+                    roots.add(r)
+        base = np.zeros(n + 1, np.float64)
+        up = np.zeros(n + 1, np.float64)
+        down = np.zeros(n + 1, np.float64)
+        base[0] = self._score_occurrence(counts[0], dl, p_c)
+        default = self._score_occurrence(0.0, 0.0, p_c)
+        if not qlc:
+            base[0] = math.exp(base[0])
+            default = math.exp(default)
+        other_score = default
+        default = s.doc_weight * base[0] + (1.0 - s.doc_weight) * default
+
+        # top-down order over MATCHED trees only (parents before children —
+        # ordinals sort (begin asc, end desc), so ascending ordinal works
+        # within each subtree)
+        order: list[int] = []
+        if roots:
+            children = struct["children"]
+            stack = sorted(roots, reverse=True)
+            while stack:
+                i = stack.pop()
+                order.append(i)
+                stack.extend(reversed(children[i]))
+        for i in order:
+            ctx = float(struct["end"][i] - struct["begin"][i])
+            score = self._score_occurrence(counts[i], ctx, p_c)
+            if not qlc:
+                score = (math.exp(score) - other_score) / (1.0 - self.other_weight)
+            base[i] = score
+
+        # smooth up (children rules)
+        for i in reversed(order):
+            remaining = 1.0
+            absolute = 0.0
+            length = float(struct["end"][i] - struct["begin"][i])
+            divisor = length
+            relative = base[i] * length
+            if s.rules:
+                for kid in struct["children"][i]:
+                    rule = s.rules.get(struct["type"][kid])
+                    if rule is None:
+                        continue
+                    if rule.length_proportional:
+                        alpha = rule.weight * float(
+                            struct["end"][kid] - struct["begin"][kid])
+                        relative += alpha * (up[kid] if s.recursive
+                                             else base[kid])
+                        divisor += alpha
+                    else:
+                        absolute += rule.weight * (up[kid] if s.recursive
+                                                   else base[kid])
+                        remaining -= rule.weight
+            if divisor != 0.0:
+                relative /= divisor
+                up[i] = (remaining * relative + absolute
+                         if remaining >= 0 else relative)
+            else:
+                up[i] = (remaining * base[i] + absolute
+                         if remaining >= 0 else base[i])
+
+        # smooth down
+        up[0] = base[0]
+        down[0] = up[0]
+        pw, dw = s.parent_weight, s.doc_weight
+        for i in order:
+            p = struct["parent"][i]
+            # down[0] == up[0], so the doc component is the same either
+            # mode; the parent component is the recursive/non-recursive
+            # difference (ref:ShrinkageBeliefNode.cpp:388-406)
+            if p == 0:
+                down[i] = (1.0 - dw) * up[i] + dw * down[0]
+            else:
+                par = down[p] if s.recursive else up[p]
+                down[i] = (1.0 - pw - dw) * up[i] + pw * par + dw * down[0]
+        if not qlc:
+            for i in order:
+                down[i] = (1.0 - self.other_weight) * down[i] + other_score
+
+        # whole-doc extent: no node spans [0, dl) exactly → approximate
+        # leafs = every node; unmatched trees' zeros are excluded
+        matched = 0
+        total = 0.0
+        for i in range(1, n + 1):
+            if down[i] != 0.0:
+                total += down[i]
+                matched += 1
+        if matched:
+            score = total / matched
+            return score if qlc else math.log(score)
+        return default if qlc else math.log(default)
+
+    # -- query entry ----------------------------------------------------------
+
+    def score(self, terms_qtf: list[tuple[str, int]], k: int = 1000
+              ) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, scores) top-k for a #combine of shrinkage beliefs.
+        Candidates = union of term postings (``hasMatch``); ties broken by
+        the caller like every other scorer."""
+        from .indriql import StructuredQueryEngine
+
+        eng = StructuredQueryEngine(self.r)
+        terms = sorted({t for t, _ in terms_qtf})
+        postings = eng._fetch_postings(terms)
+        stats = self.r.term_stats(terms)
+        structs = self._structures()
+        cand = np.unique(np.concatenate(
+            [postings[t][0] for t in terms if t in postings]
+            or [np.empty(0, np.int64)]))
+        if not len(cand):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        lo, hi = int(cand[0]), int(cand[-1]) + 1
+        dl_range = self.r.doc_lens_range(lo, hi)
+        qn = float(sum(q for _, q in terms_qtf))
+        scores = np.zeros(len(cand), np.float64)
+        for term, qtf in terms_qtf:
+            tp = postings.get(term)
+            cf = float(stats[term][0]) if term in stats else 0.0
+            p_c = cf / self._total
+            if tp is not None:
+                flat, doc_idx = eng._gather_flat(tp, cand)
+            else:
+                flat = np.empty(0, np.int64)
+                doc_idx = np.empty(0, np.int64)
+            splits = np.searchsorted(doc_idx, np.arange(len(cand) + 1))
+            for ci, d in enumerate(cand):
+                pos = flat[splits[ci]:splits[ci + 1]]
+                dl = int(dl_range[d - lo])
+                sc = self._doc_term_score(structs.get(int(d)), pos, dl, p_c)
+                scores[ci] += qtf * sc
+        scores /= qn
+        if len(cand) > k:
+            part = np.argpartition(-scores, k - 1)[:k]
+            cand, scores = cand[part], scores[part]
+        return cand, scores
