@@ -584,6 +584,47 @@ def _path_topk(sf_dir: str):
     return _field_run(sf_dir, PATH_QUERIES, ensure=_ensure_nested_index)
 
 
+NEXI_QUERIES: list[tuple[str, str]] = [
+    ("1", "//sec[about(., merge data)]"),
+    ("2", "merge data token"),
+    ("3", '"merge data" token'),
+    ("4", "//sec[about(., merge) OR about(., data)]"),
+    ("5", "merge -token data"),
+    ("6", "//sec[about(.//title, merge)]"),
+]
+
+
+def _nexi_topk(sf_dir: str, k: int = 10):
+    """(qid, rank, doc_id) for NEXI queries (ref:src/nexilang.g): parsed to
+    the reference's AST, translated to this dialect (shrinkage=False →
+    plain scorers), executed on the structured engine over the nested
+    tagged corpus."""
+    import numpy as np
+    import pyarrow as pa
+
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.nexi import parse_nexi
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    index_dir = _ensure_nested_index(sf_dir)
+    eng = StructuredQueryEngine(IndexReader(index_dir))
+    out_q, out_r, out_d = [], [], []
+    for qid, text in NEXI_QUERIES:
+        ids, scores = eng.run(parse_nexi(text), k=k + 40)
+        r9 = np.round(scores, 9)
+        order = np.lexsort((-ids, -r9))[:k]
+        out_q.extend([int(qid)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_d.extend(ids[order].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
 SHRINKAGE_QUERIES: list[tuple[str, str]] = [
     ("1", "merge data"),
     ("2", "table sort"),
@@ -791,6 +832,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unchanged; shingle-set twins lsh_candidate_pairs/minhash_
         # signatures stay in-window)
         "shrinkage_topk": _shrinkage_topk,
+        # NEW r5: NEXI query language (nexilang.g) — parsed to the
+        # reference AST, translated to the dialect, executed over the
+        # nested corpus (displaces near_dup_clusters — green r2-r4
+        # unchanged; union-find twin near_dedup_keep_first stays
+        # in-window)
+        "nexi_topk": _nexi_topk,
         # --- event-stream operators + curation filters (unchecked in r3:
         # displaced past the driver window; now first so CORRECTNESS_r04
         # finally records them) ---
@@ -843,7 +890,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_groups": dedup.exact_dup_groups,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
-        "near_dup_clusters": dedup.near_dup_clusters,
         "near_dedup_keep_first": dedup.near_dedup_keep_first,
         "embedding_dedup_keep_first": dedup.embedding_dedup_keep_first,
         # --- similarity search ---
@@ -871,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window)
         "tfidf_topk": lambda sf: _bm25_topk(sf, stem=False, variant="tfidf"),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "near_dup_clusters": dedup.near_dup_clusters,
         "tumbling_counts": events.tumbling_counts,
         "doc_fingerprints": textstats.doc_fingerprints,
         "sample_hash": sampling.sample_hash,
@@ -1496,6 +1543,127 @@ ORDER BY qid, rank
 """
 
 
+def _nexi_sql() -> str:
+    """Oracle for NEXI_QUERIES over the nested corpus, mirroring the
+    translated dialect's pinned semantics: [sec]-context dirichlet uses
+    sec extent counts/length/total (per the doc_id%3 tree), the
+    descendant restriction [.//title] inside [sec] matches only mods 0-1
+    with title-context statistics (the _path_sql q2 relation), #1 counts
+    adjacent pairs over the full token stream with the window node's
+    collection count as cf, #or/#not mix in probability space, and
+    candidates are the union of ALL term leaves (the DAAT union,
+    including #not children)."""
+
+    def cf_case(expr: str) -> str:
+        return f"(CASE WHEN coalesce({expr}, 0) > 0 THEN {expr} ELSE 0.5 END)"
+
+    sec_total = ("(SELECT sum(CASE WHEN doc_id % 3 = 2 THEN len(t0)"
+                 " ELSE len(tt) + len(t0) END)::DOUBLE FROM docs)")
+    sec_dl = ("(CASE WHEN c.doc_id % 3 = 2 THEN len(d.t0)"
+              " ELSE len(d.tt) + len(d.t0) END)")
+
+    def sec_c(t: str) -> str:
+        """per-doc count inside sec extents (title+text for mods 0-1,
+        text for mod 2); aliases tt_{t}/t0_{t} must be joined."""
+        return (f"(CASE WHEN c.doc_id % 3 <> 2 THEN coalesce(tt_{t}.tf, 0)"
+                f" + coalesce(t0_{t}.tf, 0) ELSE coalesce(t0_{t}.tf, 0) END)")
+
+    def sec_cf(t: str) -> str:
+        return cf_case(
+            f"(SELECT sum(CASE WHEN d2.doc_id % 3 <> 2 THEN"
+            f" coalesce(a.tf, 0) + coalesce(b.tf, 0)"
+            f" ELSE coalesce(b.tf, 0) END) FROM docs d2"
+            f" LEFT JOIN ttf a ON a.doc_id = d2.doc_id AND a.term = '{t}'"
+            f" LEFT JOIN t0f b ON b.doc_id = d2.doc_id AND b.term = '{t}')")
+
+    def sec_belief(t: str) -> str:
+        return (f"ln(({sec_c(t)} + 2500.0 * {sec_cf(t)} / {sec_total})"
+                f" / ({sec_dl} + 2500.0))")
+
+    def sec_joins(ts: list[str]) -> str:
+        return "\n  ".join(
+            f"LEFT JOIN ttf tt_{t} ON tt_{t}.doc_id = c.doc_id AND"
+            f" tt_{t}.term = '{t}'\n  "
+            f"LEFT JOIN t0f t0_{t} ON t0_{t}.doc_id = c.doc_id AND"
+            f" t0_{t}.term = '{t}'" for t in ts)
+
+    def doc_belief(alias: str, t: str) -> str:
+        cfv = f"(SELECT cf FROM cfreq WHERE term = '{t}')"
+        return (f"ln((coalesce({alias}.tf, 0) + 2500.0 * {cf_case(cfv)}"
+                f" / s.total) / (dl.dl + 2500.0))")
+
+    def cand(ts: list[str]) -> str:
+        inlist = ", ".join(f"'{t}'" for t in ts)
+        return f"(SELECT DISTINCT doc_id FROM tf WHERE term IN ({inlist}))"
+
+    # q1: //sec[about(., merge data)] → mean of sec-ctx beliefs
+    q1 = f"""
+  SELECT 1 AS qid, c.doc_id,
+         ({sec_belief('merge')} + {sec_belief('data')}) / 2.0 AS score
+  FROM {cand(['merge', 'data'])} c
+  JOIN docs d ON d.doc_id = c.doc_id
+  {sec_joins(['merge', 'data'])}"""
+    # q2: bare term list → doc-level dirichlet mean
+    q2 = f"""
+  SELECT 2 AS qid, c.doc_id,
+         ({doc_belief('f_m', 'merge')} + {doc_belief('f_d', 'data')}
+          + {doc_belief('f_t', 'token')}) / 3.0 AS score
+  FROM {cand(['merge', 'data', 'token'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN tf f_m ON f_m.doc_id = c.doc_id AND f_m.term = 'merge'
+  LEFT JOIN tf f_d ON f_d.doc_id = c.doc_id AND f_d.term = 'data'
+  LEFT JOIN tf f_t ON f_t.doc_id = c.doc_id AND f_t.term = 'token'
+  CROSS JOIN stats s"""
+    # q3: "merge data" token → #1 window belief (doc ctx) + term belief
+    wtbl = ("(SELECT doc_id, count(*)::DOUBLE AS wtf FROM"
+            " (SELECT doc_id, T, unnest(generate_series(1, len(T) - 1)) AS i"
+            " FROM docs)"
+            " WHERE T[i] = 'merge' AND T[i+1] = 'data' GROUP BY doc_id)")
+    wcf = cf_case(f"(SELECT sum(wtf) FROM {wtbl} w2)")
+    q3 = f"""
+  SELECT 3 AS qid, c.doc_id,
+         (ln((coalesce(w.wtf, 0) + 2500.0 * {wcf} / s.total)
+             / (dl.dl + 2500.0)) + {doc_belief('f_t', 'token')}) / 2.0 AS score
+  FROM {cand(['merge', 'data', 'token'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN {wtbl} w ON w.doc_id = c.doc_id
+  LEFT JOIN tf f_t ON f_t.doc_id = c.doc_id AND f_t.term = 'token'
+  CROSS JOIN stats s"""
+    # q4: //sec[about(., merge) OR about(., data)] → #or of sec-ctx beliefs
+    q4 = f"""
+  SELECT 4 AS qid, c.doc_id,
+         ln(1.0 - (1.0 - exp({sec_belief('merge')}))
+                * (1.0 - exp({sec_belief('data')}))) AS score
+  FROM {cand(['merge', 'data'])} c
+  JOIN docs d ON d.doc_id = c.doc_id
+  {sec_joins(['merge', 'data'])}"""
+    # q5: merge -token data → mean(term, #not(term), term) at doc level
+    q5 = f"""
+  SELECT 5 AS qid, c.doc_id,
+         ({doc_belief('f_m', 'merge')}
+          + ln(1.0 - exp({doc_belief('f_t', 'token')}))
+          + {doc_belief('f_d', 'data')}) / 3.0 AS score
+  FROM {cand(['merge', 'token', 'data'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN tf f_m ON f_m.doc_id = c.doc_id AND f_m.term = 'merge'
+  LEFT JOIN tf f_t ON f_t.doc_id = c.doc_id AND f_t.term = 'token'
+  LEFT JOIN tf f_d ON f_d.doc_id = c.doc_id AND f_d.term = 'data'
+  CROSS JOIN stats s"""
+    # q6: //sec[about(.//title, merge)] → title-in-sec restriction =
+    # _path_sql q2's descendant relation (mods 0-1), title-ctx statistics
+    cf6 = cf_case(
+        "(SELECT sum(tf) FROM ttf WHERE term = 'merge' AND doc_id % 3 <> 2)")
+    q6 = f"""
+  SELECT 6 AS qid, c.doc_id,
+         ln(((CASE WHEN c.doc_id % 3 <> 2 THEN coalesce(tm.tf, 0) ELSE 0 END)
+             + 2500.0 * {cf6} / s.totalf) / (dl.dlf + 2500.0)) AS score
+  FROM {cand(['merge'])} c
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN ttf tm ON tm.doc_id = c.doc_id AND tm.term = 'merge'
+  CROSS JOIN stats s"""
+    return _rank_wrap(" UNION ALL ".join([q1, q2, q3, q4, q5, q6]))
+
+
 def _shrinkage_sql() -> str:
     """Oracle for SHRINKAGE_QUERIES: the nested corpus's tag tree is fixed
     per ``doc_id % 3`` (corpus_from_documents_nested), so the shrinkage
@@ -2023,6 +2191,7 @@ def oracle_sql() -> dict[str, str]:
         "structured_topk": _structured_sql(),
         "sdm_topk": _sdm_sql(),
         "shrinkage_topk": _shrinkage_sql(),
+        "nexi_topk": _nexi_sql(),
         "field_topk": _field_sql(),
         "anno_field_topk": _field_sql(),
         "field_filter_topk": _field_filter_sql(),
