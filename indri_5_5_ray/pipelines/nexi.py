@@ -168,7 +168,7 @@ _TOKEN_RE = re.compile(
     r"""(?P<ws>[ \t\r\n]+)
       | (?P<dslash>//)
       | (?P<float>[0-9]+\.[0-9]*)
-      | (?P<term>[A-Za-z0-9\x80-￿][A-Za-z0-9_\-\x80-￿]*)
+      | (?P<term>[A-Za-z0-9\x80-\U0010ffff][A-Za-z0-9_\-\x80-\U0010ffff]*)
       | (?P<leq><=) | (?P<geq>>=)
       | (?P<ch>[*()\[\]".,/<>=+|-])
     """,
@@ -425,9 +425,9 @@ class NexiParser:
 # -- translation to this engine's IndriQL dialect ----------------------------
 
 
-def _path_str(p, leading: str = ".//") -> str:
-    """NestedExtentInside chain → nested restriction suffix strings,
-    outermost first: ``sec`` then ``.//title`` …"""
+def _path_nodes(p) -> list:
+    """NestedExtentInside chain → its AST nodes flattened outermost first
+    (``sec`` then ``title`` …); the caller formats each step."""
     parts = []
     node = p
     while isinstance(node, NestedExtentInside):
@@ -455,7 +455,7 @@ def to_indriql(node, _in_restriction: bool = False) -> str:
             lead = ".//" if _in_restriction else ""
             return f"#combine[{lead}{ext.name}]({inner})"
         if isinstance(ext, NestedExtentInside):
-            parts = _path_str(ext)
+            parts = _path_nodes(ext)
             names = []
             for p in parts:
                 if isinstance(p, Field):

@@ -25,7 +25,12 @@ Reference quirks preserved deliberately:
 - ``makeIndriFriendly`` (ref:src/ReformulateQuery.cpp:74-102) scans its
   forbidden-character list up to a sentinel ``'e'`` — the punctuation
   before the sentinel is replaced by spaces, and ``'e'`` itself (being
-  the terminator) never is.
+  the terminator) never is.  NOTE: the reference's ``transform()``
+  (ref:src/ReformulateQuery.cpp:321-360) never calls it — it is a public
+  method left to callers — so :func:`reformulate` matching that (NOT
+  pre-normalizing punctuation, apostrophed stop structures unmatched)
+  is exact parity, not an omission; :func:`make_indri_friendly` is
+  exported for callers who want the pre-pass.
 
 For reformulating query LOGS at scale (millions of raw queries), use
 :func:`reformulate_batch` inside ``Dataset.map_batches`` — the transform

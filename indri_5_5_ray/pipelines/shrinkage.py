@@ -121,10 +121,12 @@ class ShrinkageScorer:
         self.lam = lam
         self.mu = mu
         total = reader.manifest["total_terms"]
-        self._total = float(total)
-        # doc structures: ordinal-keyed node arrays per doc, one build per
-        # scorer (the DocumentStructureHolderNode analogue)
-        self._structs: dict[int, dict] | None = None
+        self._total = float(total) if total > 0 else 1.0
+        # doc structures: ordinal-keyed node arrays per doc, loaded lazily
+        # for CANDIDATE docs only and memoized across queries on this
+        # scorer (the DocumentStructureHolderNode analogue); docs with no
+        # tag tree memoize None
+        self._structs: dict[int, dict | None] = {}
 
     # -- term score function (4-arg form, documentLambda = 0) ---------------
 
@@ -137,16 +139,27 @@ class ShrinkageScorer:
 
     # -- document structures -------------------------------------------------
 
-    def _structures(self) -> dict[int, dict]:
+    def _structures_for(self, doc_ids: np.ndarray) -> dict[int, dict | None]:
         """doc_id → {"begin","end","parent","type"} ordinal-indexed arrays
         (index 0 unused; ordinals are the build's per-document numbering,
-        identical to the reference's DocumentStructure node ids)."""
-        if self._structs is not None:
+        identical to the reference's DocumentStructure node ids).
+
+        Loads extents for the REQUESTED docs only (O(candidates), never the
+        whole collection — `field_extents` prunes by doc set / doc-range
+        partitioned files) and memoizes per doc, so repeated queries on
+        one scorer pay only for docs not yet seen."""
+        missing = [int(d) for d in doc_ids if int(d) not in self._structs]
+        if not missing:
             return self._structs
         fields = tuple(self.r.cfg.fields or ())
         per_doc: dict[int, list[tuple[int, int, int, int, str]]] = {}
+        # a dense candidate set reads faster as one range scan than a huge
+        # isin filter; a sparse one prunes harder with the explicit id list
+        lo, hi = min(missing), max(missing) + 1
+        dense = len(missing) > 10_000 and len(missing) >= (hi - lo) // 4
+        kw = ({"doc_range": (lo, hi)} if dense else {"doc_ids": missing})
         for fname in fields:
-            t = self.r.field_extents(fname)
+            t = self.r.field_extents(fname, **kw)
             if "ordinals" not in t.column_names:
                 raise ValueError("index lacks tag-tree ordinals")
             for row in t.to_pylist():
@@ -170,8 +183,9 @@ class ShrinkageScorer:
                 children[parent[o]].append(o)
             structs[d] = {"begin": begin, "end": end, "parent": parent,
                           "type": ftype, "children": children, "n": n}
-        self._structs = structs
-        return structs
+        for d in missing:
+            self._structs[d] = structs.get(d)
+        return self._structs
 
     # -- the score cache (per doc, per term) ---------------------------------
 
@@ -294,21 +308,22 @@ class ShrinkageScorer:
 
     def score(self, terms_qtf: list[tuple[str, int]], k: int = 1000
               ) -> tuple[np.ndarray, np.ndarray]:
-        """(doc_ids, scores) top-k for a #combine of shrinkage beliefs.
-        Candidates = union of term postings (``hasMatch``); ties broken by
-        the caller like every other scorer."""
+        """(doc_ids, scores) top-k ranked like every other scorer
+        (score desc, doc_id desc — the shared ``_topk``).  Candidates =
+        union of term postings (``hasMatch``)."""
         from .indriql import StructuredQueryEngine
+        from .query import _topk
 
         eng = StructuredQueryEngine(self.r)
         terms = sorted({t for t, _ in terms_qtf})
         postings = eng._fetch_postings(terms)
         stats = self.r.term_stats(terms)
-        structs = self._structures()
         cand = np.unique(np.concatenate(
             [postings[t][0] for t in terms if t in postings]
             or [np.empty(0, np.int64)]))
         if not len(cand):
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        structs = self._structures_for(cand)
         lo, hi = int(cand[0]), int(cand[-1]) + 1
         dl_range = self.r.doc_lens_range(lo, hi)
         qn = float(sum(q for _, q in terms_qtf))
@@ -316,7 +331,10 @@ class ShrinkageScorer:
         for term, qtf in terms_qtf:
             tp = postings.get(term)
             cf = float(stats[term][0]) if term in stats else 0.0
-            p_c = cf / self._total
+            # zero-cf floor: the engine's OOV convention (indriql.py
+            # _belief_from_counts) — without it an out-of-vocabulary term
+            # makes every p_c term log(0)
+            p_c = cf / self._total if cf > 0 else 1.0 / (2.0 * self._total)
             if tp is not None:
                 flat, doc_idx = eng._gather_flat(tp, cand)
             else:
@@ -329,7 +347,4 @@ class ShrinkageScorer:
                 sc = self._doc_term_score(structs.get(int(d)), pos, dl, p_c)
                 scores[ci] += qtf * sc
         scores /= qn
-        if len(cand) > k:
-            part = np.argpartition(-scores, k - 1)[:k]
-            cand, scores = cand[part], scores[part]
-        return cand, scores
+        return _topk(cand, scores, k)

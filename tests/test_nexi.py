@@ -156,3 +156,15 @@ def test_lexer_errors_and_numbers():
     # 'about' used as a term inside the list (rawText accepts ABOUT)
     q2 = _parse("//sec[about(., about)]")
     assert q2.child.child.raw.text == "about"
+
+
+def test_lexer_astral_plane_passthrough():
+    # the reference lexer is byte-oriented: every UTF-8 byte of a
+    # supplementary-plane char is >= 0x80, so astral codepoints are TERM
+    # characters too (the class extends to \U0010FFFF, not ￿)
+    q = _parse("caf\U0001d54f merge")
+    c = q.child.child
+    assert isinstance(c, CombineNode) and len(c.children) == 2
+    assert c.children[0].raw.text == "caf\U0001d54f"
+    q2 = _parse("\U0001f600data")
+    assert q2.child.child.raw.text == "\U0001f600data"
