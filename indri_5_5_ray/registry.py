@@ -40,7 +40,9 @@ def register_stemmer(name: str, fn: Callable[[str], str | None]) -> None:
 
     The function receives the normalized term and returns the indexed form
     (or None to drop the term to a termID-0 slot)."""
-    if name in ("krovetz", "porter", "none", None):
+    if name in ("krovetz", "porter", "none", None) or (
+        isinstance(name, str) and name.startswith("arabic_")
+    ):
         raise ValueError(f"cannot shadow built-in stemmer {name!r}")
     _STEMMERS[name] = fn
 

@@ -110,6 +110,13 @@ class TermProcessor:
             self.stemmer = _Porter()
         elif cfg.stemmer in (None, "none"):
             self.stemmer = None
+        elif cfg.stemmer.startswith("arabic_"):
+            # the Larkey stemmer family (ref:src/StemmerFactory.cpp:47-48
+            # name="Arabic" → ArabicStemmerTransformation, mode param per
+            # ref:src/Arabic_Stemmer_utf8.cpp:664-671)
+            from ..arabic import ArabicStemmer
+
+            self.stemmer = ArabicStemmer(cfg.stemmer)
         else:
             # extension seam: registry-provided stemmer (SURVEY.md §2.12,
             # the StemmerFactory analogue — ref:src/StemmerFactory.cpp:40-80)
