@@ -317,12 +317,15 @@ def cmd_query(reader: IndexReader, text: str, k: str = "10") -> None:
 
 
 def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
-                 baseline: str = "bm25") -> None:
+                 baseline: str = "bm25", print_snippets: str = "false") -> None:
     """Batch retrieval → TREC run lines (the IndriRunQuery analogue,
     ref:runquery/IndriRunQuery.cpp).  ``queries_path`` holds one query per
     line, ``qid<TAB>text`` or bare text (1-based qids); ``baseline``
     selects bm25 | tfidf | dirichlet | jm | two | indri (the structured
-    engine, full query language)."""
+    engine, full query language).  ``print_snippets=true`` prints a
+    query-biased snippet under each result line (the ``-printSnippets``
+    option, ref:runquery/IndriRunQuery.cpp:494-496; needs a docstore
+    build)."""
     from pathlib import Path as _Path
 
     lines = [ln.strip() for ln in _Path(queries_path).read_text().splitlines()
@@ -358,10 +361,20 @@ def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
             return eng.run(text, k=kk)
     else:
         raise SystemExit(f"unknown baseline {baseline!r}")
+    want_snippets = print_snippets.lower() in ("true", "1", "yes")
     for qid, text in queries:
         ids, scores = score(text)
-        for line in format_trec(qid, ids, scores, reader.docnos(ids.tolist())):
+        lines = format_trec(qid, ids, scores, reader.docnos(ids.tolist()))
+        if not want_snippets:
+            for line in lines:
+                print(line)
+            continue
+        from .pipelines.snippets import build_snippets
+
+        snips = build_snippets(reader, text, ids.tolist())
+        for did, line in zip(ids.tolist(), lines):
             print(line)
+            print(snips.get(did, ""))
 
 
 COMMANDS = {

@@ -595,6 +595,61 @@ def tokenize_bytes(content: bytes, mode: str = "word") -> list[bytes]:
     return tokens
 
 
+def tokenize_with_offsets(content: bytes) -> list[tuple[bytes, int, int]]:
+    """Word-mode token SLOTS with byte extents ``[(token, begin, end)]`` in
+    the original byte space — the same slot stream as
+    ``scan_raw``+``expand_raw`` (property-tested in tests/test_snippets.py),
+    which is also the index's position space (every slot counts in dl,
+    including the empty/termID-0 ones).
+
+    This is the ``ParsedDocument::positions`` analogue the snippet builder
+    needs (ref:src/SnippetBuilder.cpp:370-383 maps token positions to byte
+    offsets).  Zap regions are blanked IN PLACE with equal-length space runs
+    (a space run and a single space are equally token-neutral) so match
+    spans index directly into the raw document bytes."""
+    if content.find(b"<") >= 0 or content.find(b"&") >= 0:
+        blanked = _ZAP.sub(lambda m: b" " * (m.end() - m.start()), content)
+    else:
+        blanked = content
+    slots: list[tuple[bytes, int, int]] = []
+    for m in _TOKEN_FINDALL.finditer(blanked):
+        raw = m.group()
+        base = m.start()
+        if raw[0] == 0x2D or b"." in raw:  # negnum / acronym
+            s = _strip_trailing_punct(raw)
+            slots.append((s, base, base + len(s)))
+            continue
+        if _HIGH.search(raw) is None:  # pure-ASCII word
+            n = len(raw)
+            while n > 1 and raw[n - 1] in _ASCII_PUNCT:
+                n -= 1
+            slots.append((raw[:n], base, base + n))
+            continue
+        # UTF-8 / mixed run: pieces tile the run contiguously; sub-tokens of
+        # a UTF-8 piece are ordered contiguous slices (gaps where characters
+        # were skipped), so a sequential find recovers each slice's offset
+        pieces = _split_mixed_run(raw) if b"'" in raw else [(raw, False)]
+        pcur = 0
+        for sub, is_ascii in pieces:
+            poff = pcur
+            pcur += len(sub)
+            if is_ascii:
+                s = _strip_trailing_punct(sub)
+                slots.append((s, base + poff, base + poff + len(s)))
+                continue
+            scur = 0
+            for tok in _utf8_word_tokens(sub):
+                if tok:
+                    at = sub.find(tok, scur)
+                    if at < 0:  # defensive: never expected (slices are ordered)
+                        at = scur
+                    slots.append((tok, base + poff + at, base + poff + at + len(tok)))
+                    scur = at + len(tok)
+                else:  # empty slot (termID-0): zero-width at the cursor
+                    slots.append((tok, base + poff + scur, base + poff + scur))
+    return slots
+
+
 # ---------------------------------------------------------------------------
 # normalization
 # ---------------------------------------------------------------------------
