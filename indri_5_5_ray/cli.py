@@ -317,15 +317,17 @@ def cmd_query(reader: IndexReader, text: str, k: str = "10") -> None:
 
 
 def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
-                 baseline: str = "bm25", print_snippets: str = "false") -> None:
+                 baseline: str = "bm25", print_snippets: str = "false",
+                 print_documents: str = "false") -> None:
     """Batch retrieval → TREC run lines (the IndriRunQuery analogue,
     ref:runquery/IndriRunQuery.cpp).  ``queries_path`` holds one query per
     line, ``qid<TAB>text`` or bare text (1-based qids); ``baseline``
     selects bm25 | tfidf | dirichlet | jm | two | indri (the structured
     engine, full query language).  ``print_snippets=true`` prints a
     query-biased snippet under each result line (the ``-printSnippets``
-    option, ref:runquery/IndriRunQuery.cpp:494-496; needs a docstore
-    build)."""
+    option, ref:runquery/IndriRunQuery.cpp:494-496); ``print_documents=true``
+    prints the stored document text (``-printDocuments``, ref :482-484).
+    Both need a ``store_content=True`` build."""
     from pathlib import Path as _Path
 
     lines = [ln.strip() for ln in _Path(queries_path).read_text().splitlines()
@@ -362,19 +364,25 @@ def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
     else:
         raise SystemExit(f"unknown baseline {baseline!r}")
     want_snippets = print_snippets.lower() in ("true", "1", "yes")
+    want_documents = print_documents.lower() in ("true", "1", "yes")
     for qid, text in queries:
         ids, scores = score(text)
         lines = format_trec(qid, ids, scores, reader.docnos(ids.tolist()))
-        if not want_snippets:
+        if not want_snippets and not want_documents:
             for line in lines:
                 print(line)
             continue
-        from .pipelines.snippets import build_snippets
+        from .pipelines.snippets import _doc_texts, build_snippets
 
-        snips = build_snippets(reader, text, ids.tolist())
+        snips = (build_snippets(reader, text, ids.tolist())
+                 if want_snippets else {})
+        texts = _doc_texts(reader, ids.tolist()) if want_documents else {}
         for did, line in zip(ids.tolist(), lines):
             print(line)
-            print(snips.get(did, ""))
+            if want_documents:
+                print(texts.get(did, ""))
+            if want_snippets:
+                print(snips.get(did, ""))
 
 
 COMMANDS = {

@@ -212,6 +212,19 @@ def test_build_snippets_window_query_highlights_phrase(snippet_index):
     assert snips[1] == ""
 
 
+def test_cli_runquery_prints_snippets_and_documents(snippet_index, tmp_path,
+                                                    capsys):
+    from indri_5_5_ray.cli import cmd_runquery
+
+    qf = tmp_path / "q.txt"
+    qf.write_text("q1\tmerge buffer\n")
+    cmd_runquery(snippet_index, str(qf), "2", "bm25", "true", "true")
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].startswith("q1 Q0 ")
+    assert "merge buffer" in out[1]  # printDocuments: raw text
+    assert "MERGE" in "".join(out[2:])  # printSnippets: highlighted
+
+
 def test_build_snippets_requires_docstore(ray_session, tmp_path):
     from indri_5_5_ray.pipelines.build import build_index
     from indri_5_5_ray.pipelines.query import IndexReader
