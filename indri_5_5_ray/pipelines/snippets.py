@@ -377,7 +377,13 @@ def build_snippets(reader, query: str, doc_ids: list[int],
     scorers = collect_raw_scorers(root)
     leafs: set[str] = set()
     eng._leaf_terms(root, leafs)
-    eng._postings = eng._fetch_postings(sorted(leafs), need_positions=True)
+    # prune the postings fetch to the result docs' id range: snippets only
+    # need positions for the k result documents, so block-pruned decode
+    # instead of each term's full positional list (a stopword-ish term at
+    # web scale is GBs of positions for 10 needed docs)
+    doc_range = ((min(doc_ids), max(doc_ids) + 1) if doc_ids else None)
+    eng._postings = eng._fetch_postings(sorted(leafs), doc_range=doc_range,
+                                        need_positions=True)
     texts = _doc_texts(reader, list(doc_ids))
     builder = SnippetBuilder(html)
     out: dict[int, str] = {}
