@@ -212,6 +212,26 @@ def test_build_snippets_window_query_highlights_phrase(snippet_index):
     assert snips[1] == ""
 
 
+def test_build_snippets_stemmed_query_highlights_surface_forms(
+        ray_session, tmp_path):
+    # extents come from INDEX positions of the processed (stemmed) term, so
+    # the highlighted bytes are the document's surface forms
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    t = pa.table({
+        "repo": ["r"], "path": ["a"], "commit": ["c" * 40], "lang": ["txt"],
+        "content": ["we are merging the buffers while merges continue"],
+    })
+    pq.write_table(t, str(tmp_path / "c.parquet"))
+    build_index(str(tmp_path), str(tmp_path / "idx"),
+                IndexConfig(stemmer="krovetz", store_content=True,
+                            n_buckets=2))
+    r = IndexReader(str(tmp_path / "idx"))
+    snip = build_snippets(r, "merge buffer", [0])[0]
+    assert "MERGING" in snip and "MERGES" in snip and "BUFFERS" in snip
+
+
 def test_cli_runquery_prints_snippets_and_documents(snippet_index, tmp_path,
                                                     capsys):
     from indri_5_5_ray.cli import cmd_runquery
