@@ -153,6 +153,55 @@ def parse_html(data: str,
     return data, urls
 
 
+# binary document classes (ref:src/FileClassEnvironmentFactory.cpp:237-283
+# registers "doc"/"ppt"/"pdf" backed by PDFDocumentExtractor /
+# OfficeDocumentExtractor).  This container ships no PDF/Office codecs, so
+# the DECODE step is a documented stub: the Ray-side plumbing (one row per
+# file, bytes read on the worker, decoder probed per extractor) is real and
+# tested; the text extraction raises NotImplementedError naming the decoder
+# to install.  Probe order mirrors commonly-available pure-Python decoders.
+_BINARY_EXTRACTORS: dict[str, tuple[str, ...]] = {
+    "pdf": ("pypdf", "pdfminer.high_level"),
+    "doc": ("docx",),
+    "ppt": ("pptx",),
+}
+
+
+def _extract_binary(data: bytes, file_class: str) -> str:
+    """bytes → extracted text for a binary file class; raises
+    NotImplementedError when no decoder module is importable (this
+    container), keeping the failure explicit per stub policy."""
+    import importlib
+
+    for mod in _BINARY_EXTRACTORS[file_class]:
+        try:
+            importlib.import_module(mod)
+        except ImportError:
+            continue
+        raise NotImplementedError(
+            f"decoder module {mod!r} is importable but the {file_class} "
+            "extraction path is not wired in this build")
+    raise NotImplementedError(
+        f"file class {file_class!r} needs one of "
+        f"{_BINARY_EXTRACTORS[file_class]} installed; this environment "
+        "ships no PDF/Office codecs (documented stub — "
+        "ref:src/FileClassEnvironmentFactory.cpp:237-283)")
+
+
+def _read_binary_class(paths: list[str], file_class: str) -> ray.data.Dataset:
+    """Dataset plumbing for the binary classes: one (docno, content) row per
+    file, bytes read and decoded on the WORKER (flat_map), docno = path —
+    the same shape the text classes produce, so a decoder drop-in needs no
+    pipeline changes."""
+
+    def parse_file(row: dict) -> list[dict]:
+        data = Path(row["path"]).read_bytes()
+        return [{"docno": row["path"],
+                 "content": _extract_binary(data, file_class)}]
+
+    return ray.data.from_items([{"path": p} for p in paths]).flat_map(parse_file)
+
+
 # custom file classes: name → parse fn (file text → [(docno, content)]),
 # the IndexEnvironment::addFileClass seam (ref:src/IndexEnvironment.cpp:192-208,
 # spec struct ref:src/FileClassEnvironmentFactory.cpp:105-299)
@@ -164,7 +213,8 @@ def add_file_class(name: str, parse_fn) -> None:
 
     ``parse_fn`` receives one file's text and returns ``[(docno, content)]``.
     Must be importable at the worker (Ray ships it by reference)."""
-    if name in ("trectext", "trecweb", "html", "warc", "mbox"):
+    if name in ("trectext", "trecweb", "html", "warc", "mbox",
+                "pdf", "doc", "ppt"):
         raise ValueError(f"cannot shadow built-in file class {name!r}")
     _FILE_CLASSES[name] = parse_fn
 
@@ -184,6 +234,8 @@ def read_tagged(paths: list[str] | str, file_class: str = "trectext") -> ray.dat
         from .webarchive import read_mbox, read_warc
 
         return read_warc(paths) if file_class == "warc" else read_mbox(paths)
+    if file_class in _BINARY_EXTRACTORS:
+        return _read_binary_class(paths, file_class)
     custom = _FILE_CLASSES.get(file_class)
 
     def parse_file(row: dict) -> list[dict]:

@@ -174,3 +174,26 @@ def test_read_tagged_html(tmp_path):
     assert rows[0]["docno"].endswith("page.html")
     assert "skip" not in rows[0]["content"]
     assert rows[0]["urls"] == "http://u.example/"
+
+
+def test_binary_file_classes_are_documented_stubs(ray_session, tmp_path):
+    # pdf/doc/ppt plumbing is real (worker-side read, one row per file);
+    # decode raises a clear NotImplementedError in this codec-less container
+    import ray
+
+    from indri_5_5_ray.sources.trectext import (
+        _extract_binary,
+        add_file_class,
+        read_tagged,
+    )
+
+    f = tmp_path / "x.pdf"
+    f.write_bytes(b"%PDF-1.4 fake")
+    ds = read_tagged(str(tmp_path), file_class="pdf")
+    with pytest.raises(ray.exceptions.RayTaskError, match="pdf"):
+        ds.take_all()
+    for cls in ("pdf", "doc", "ppt"):
+        with pytest.raises(NotImplementedError, match=cls):
+            _extract_binary(b"", cls)
+        with pytest.raises(ValueError, match="shadow"):
+            add_file_class(cls, lambda d: [])
