@@ -52,14 +52,6 @@ _NORM2.update({src: dst for src, dst in NORM_PAIRS})
 
 _STOP_SET = frozenset(STOP_WORDS)
 
-ARABIC_STEMMER_MODES = (
-    "arabic_stop",
-    "arabic_norm2",
-    "arabic_norm2_stop",
-    "arabic_light10",
-    "arabic_light10_stop",
-)
-
 
 def arabic_norm2(word: str) -> str:
     """Normalize: drop diacritics/tatweel, fold alef/teh-marbuta/maqsura."""
@@ -124,6 +116,9 @@ _DISPATCH = {
     "arabic_light10": arabic_light10,
     "arabic_light10_stop": arabic_light10_stop,
 }
+
+# the IndexConfig-selectable mode names (everything but the identity)
+ARABIC_STEMMER_MODES = tuple(k for k in _DISPATCH if k != "none")
 
 
 class ArabicStemmer:

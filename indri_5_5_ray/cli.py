@@ -374,9 +374,10 @@ def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
             continue
         from .pipelines.snippets import _doc_texts, build_snippets
 
-        snips = (build_snippets(reader, text, ids.tolist())
+        texts = _doc_texts(reader, ids.tolist()) if want_documents else None
+        snips = (build_snippets(reader, text, ids.tolist(), texts=texts)
                  if want_snippets else {})
-        texts = _doc_texts(reader, ids.tolist()) if want_documents else {}
+        texts = texts or {}
         for did, line in zip(ids.tolist(), lines):
             print(line)
             if want_documents:

@@ -366,15 +366,40 @@ def _doc_texts(reader, doc_ids: list[int]) -> dict[int, str]:
                     t.column("content").to_pylist()))
 
 
+def _pre_expand_wildcards(eng: StructuredQueryEngine, node: Node) -> Node:
+    """Rewrite wildcard nodes (anywhere in a scorer subtree) to explicit syn
+    nodes ONCE per query — `_node_positions` would otherwise re-run the
+    dictionary prefix scan per result document."""
+    if node.op == "wildcard":
+        return Node(op="syn", children=[
+            Node(op="term", term=t, pre=True)
+            for t in eng._expand_wildcard(node.term.lower())])
+    if node.children:
+        node = Node(op=node.op, term=node.term, n=node.n,
+                    children=[_pre_expand_wildcards(eng, c)
+                              for c in node.children],
+                    weights=node.weights, pre=node.pre)
+    return node
+
+
 def build_snippets(reader, query: str, doc_ids: list[int],
-                   html: bool = False) -> dict[int, str]:
+                   html: bool = False,
+                   texts: dict[int, str] | None = None) -> dict[int, str]:
     """Snippets for ``doc_ids`` under ``query`` (any IndriQL query the
     structured engine accepts, including bare terms).  Returns
     {doc_id: snippet}; a document with no match yields ""
-    (ref :345-346)."""
+    (ref :345-346).  ``texts`` lets a caller that already fetched the
+    docstore rows (e.g. runquery with print_documents) skip the second
+    read."""
+    mode = getattr(reader.cfg, "tokenizer", "word") or "word"
+    if mode not in ("word", "char"):
+        raise ValueError(
+            f"snippets need a built-in tokenizer mode (word|char) to map "
+            f"index positions to bytes; index uses {mode!r}")
     eng = StructuredQueryEngine(reader)
     root = parse_query(query)
-    scorers = collect_raw_scorers(root)
+    scorers = [_pre_expand_wildcards(eng, n)
+               for n in collect_raw_scorers(root)]
     leafs: set[str] = set()
     eng._leaf_terms(root, leafs)
     # prune the postings fetch to the result docs' id range: snippets only
@@ -384,7 +409,8 @@ def build_snippets(reader, query: str, doc_ids: list[int],
     doc_range = ((min(doc_ids), max(doc_ids) + 1) if doc_ids else None)
     eng._postings = eng._fetch_postings(sorted(leafs), doc_range=doc_range,
                                         need_positions=True)
-    texts = _doc_texts(reader, list(doc_ids))
+    if texts is None:
+        texts = _doc_texts(reader, list(doc_ids))
     builder = SnippetBuilder(html)
     out: dict[int, str] = {}
     for did in doc_ids:
@@ -393,7 +419,7 @@ def build_snippets(reader, query: str, doc_ids: list[int],
             out[did] = ""
             continue
         tb = text.encode("utf-8")
-        positions = [(b, e) for _t, b, e in tokenize_with_offsets(tb)]
+        positions = [(b, e) for _t, b, e in tokenize_with_offsets(tb, mode)]
         extents = document_matches(eng, scorers, did)
         out[did] = builder.build(tb, positions, extents)
     return out

@@ -40,10 +40,13 @@ def register_stemmer(name: str, fn: Callable[[str], str | None]) -> None:
 
     The function receives the normalized term and returns the indexed form
     (or None to drop the term to a termID-0 slot)."""
-    if name in ("krovetz", "porter", "none", None) or (
-        isinstance(name, str) and name.startswith("arabic_")
-    ):
+    if name in ("krovetz", "porter", "none", None):
         raise ValueError(f"cannot shadow built-in stemmer {name!r}")
+    if isinstance(name, str) and name.startswith("arabic_"):
+        # TermProcessor routes every arabic_* config value to the built-in
+        # Larkey family before consulting the registry
+        raise ValueError(f"cannot shadow reserved stemmer prefix 'arabic_' "
+                         f"({name!r})")
     _STEMMERS[name] = fn
 
 

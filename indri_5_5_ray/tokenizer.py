@@ -595,12 +595,13 @@ def tokenize_bytes(content: bytes, mode: str = "word") -> list[bytes]:
     return tokens
 
 
-def tokenize_with_offsets(content: bytes) -> list[tuple[bytes, int, int]]:
-    """Word-mode token SLOTS with byte extents ``[(token, begin, end)]`` in
-    the original byte space — the same slot stream as
-    ``scan_raw``+``expand_raw`` (property-tested in tests/test_snippets.py),
-    which is also the index's position space (every slot counts in dl,
-    including the empty/termID-0 ones).
+def tokenize_with_offsets(content: bytes,
+                          mode: str = "word") -> list[tuple[bytes, int, int]]:
+    """Token SLOTS with byte extents ``[(token, begin, end)]`` in the
+    original byte space — the same slot stream as ``tokenize_bytes`` for the
+    given mode (property-tested in tests/test_snippets.py), which is also
+    the index's position space (every slot counts in dl, including word
+    mode's empty/termID-0 ones).
 
     This is the ``ParsedDocument::positions`` analogue the snippet builder
     needs (ref:src/SnippetBuilder.cpp:370-383 maps token positions to byte
@@ -611,6 +612,8 @@ def tokenize_with_offsets(content: bytes) -> list[tuple[bytes, int, int]]:
         blanked = _ZAP.sub(lambda m: b" " * (m.end() - m.start()), content)
     else:
         blanked = content
+    if mode == "char":
+        return _char_slots(blanked)
     slots: list[tuple[bytes, int, int]] = []
     for m in _TOKEN_FINDALL.finditer(blanked):
         raw = m.group()
@@ -647,6 +650,36 @@ def tokenize_with_offsets(content: bytes) -> list[tuple[bytes, int, int]]:
                     scur = at + len(tok)
                 else:  # empty slot (termID-0): zero-width at the cursor
                     slots.append((tok, base + poff + scur, base + poff + scur))
+    return slots
+
+
+def _char_slots(blanked: bytes) -> list[tuple[bytes, int, int]]:
+    """"char"-mode slot stream with byte extents — one slot per kept
+    character, mirroring :func:`tokenize_bytes_char` branch for branch."""
+    slots: list[tuple[bytes, int, int]] = []
+
+    def ascii_piece(piece: bytes, base: int) -> None:
+        stripped = _strip_trailing_punct(piece)
+        for i in range(len(stripped)):
+            slots.append((stripped[i:i + 1], base + i, base + i + 1))
+
+    def utf8_piece(piece: bytes, base: int) -> None:
+        for cp, off, ln in _decode_utf8_chars(piece):
+            if _CLASS_MAP.get(cp, 0) not in (0, _CONTROL, _SYMBOL, _WHITESPACE):
+                slots.append((piece[off:off + ln], base + off, base + off + ln))
+
+    for m in _TOKEN_FINDALL.finditer(blanked):
+        raw = m.group()
+        base = m.start()
+        if raw[0] == 0x2D or b"." in raw or _HIGH.search(raw) is None:
+            ascii_piece(raw, base)
+        elif b"'" not in raw:
+            utf8_piece(raw, base)
+        else:
+            pcur = 0
+            for sub, is_ascii in _split_mixed_run(raw):
+                (ascii_piece if is_ascii else utf8_piece)(sub, base + pcur)
+                pcur += len(sub)
     return slots
 
 

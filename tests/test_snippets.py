@@ -60,6 +60,18 @@ def test_offsets_match_slot_stream_prop(s):
         assert content[b:e] == t
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(max_codepoint=0x9FFF), max_size=60))
+def test_char_mode_offsets_match_slot_stream_prop(s):
+    from indri_5_5_ray.tokenizer import tokenize_bytes_char
+
+    content = s.encode("utf-8")
+    slots = tokenize_with_offsets(content, mode="char")
+    assert [t for t, _b, _e in slots] == tokenize_bytes_char(content)
+    for t, b, e in slots:
+        assert content[b:e] == t
+
+
 # ---------------------------------------------------------------------------
 # sanitize (ref :204-269)
 # ---------------------------------------------------------------------------
@@ -210,6 +222,33 @@ def test_build_snippets_window_query_highlights_phrase(snippet_index):
     assert "MERGE BUFFER" in snips[0]
     # doc 1 has both words but never adjacent in order → no window match
     assert snips[1] == ""
+
+
+def test_build_snippets_wildcard_query(snippet_index):
+    # wildcard expands once per query (syn rewrite), then highlights every
+    # expansion's occurrences
+    snips = build_snippets(snippet_index, "merg*", [0, 1])
+    assert "MERGE" in snips[0]
+    assert "MERGING" in snips[1]
+
+
+def test_build_snippets_char_mode_index(ray_session, tmp_path):
+    # CJK corpus indexed with tokenizer='char': positions are per character
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    t = pa.table({
+        "repo": ["r"], "path": ["a"], "commit": ["c" * 40], "lang": ["txt"],
+        "content": ["前文 检索引擎测试 后文"],
+    })
+    pq.write_table(t, str(tmp_path / "c.parquet"))
+    build_index(str(tmp_path), str(tmp_path / "idx"),
+                IndexConfig(tokenizer="char", stemmer=None,
+                            store_content=True, n_buckets=2))
+    r = IndexReader(str(tmp_path / "idx"))
+    snip = build_snippets(r, "引擎", [0])[0]
+    assert "引擎" in snip.upper() or "引擎" in snip  # matched slots present
+    assert snip != ""
 
 
 def test_build_snippets_stemmed_query_highlights_surface_forms(
