@@ -318,7 +318,9 @@ def cmd_query(reader: IndexReader, text: str, k: str = "10") -> None:
 
 def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
                  baseline: str = "bm25", print_snippets: str = "false",
-                 print_documents: str = "false") -> None:
+                 print_documents: str = "false", output: str = "trec",
+                 participant_id: str = "1", run_id: str = "indri55ray"
+                 ) -> None:
     """Batch retrieval → TREC run lines (the IndriRunQuery analogue,
     ref:runquery/IndriRunQuery.cpp).  ``queries_path`` holds one query per
     line, ``qid<TAB>text`` or bare text (1-based qids); ``baseline``
@@ -327,9 +329,19 @@ def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
     query-biased snippet under each result line (the ``-printSnippets``
     option, ref:runquery/IndriRunQuery.cpp:494-496); ``print_documents=true``
     prints the stored document text (``-printDocuments``, ref :482-484).
-    Both need a ``store_content=True`` build."""
+    Both need a ``store_content=True`` build.
+
+    ``output`` selects the reference's three result formats: ``trec``
+    (``-trecFormat``), ``plain`` (the default ``score\\tdocno\\tbegin\\t
+    end`` lines, ref :476-481) or ``inex`` (the ``<inex-submission>`` XML
+    with element paths, ref :467-474).  Under ``plain``/``inex`` the
+    ``indri`` baseline scores ELEMENT-level results for ``#op[f]``/
+    ``#op[passageN:M]`` roots (pipelines/extents.py); the bag-of-words
+    baselines report document results with begin = end = 0."""
     from pathlib import Path as _Path
 
+    if output not in ("trec", "plain", "inex"):
+        raise SystemExit(f"unknown output format {output!r}")
     lines = [ln.strip() for ln in _Path(queries_path).read_text().splitlines()
              if ln.strip()]
     queries = []
@@ -365,6 +377,30 @@ def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
         raise SystemExit(f"unknown baseline {baseline!r}")
     want_snippets = print_snippets.lower() in ("true", "1", "yes")
     want_documents = print_documents.lower() in ("true", "1", "yes")
+    if output in ("plain", "inex"):
+        import numpy as np
+
+        from .pipelines.extents import element_paths, format_inex, run_extents
+
+        topics = []
+        for qid, text in queries:
+            if baseline == "indri":
+                ids, bs, es, sc = run_extents(reader, text, k=kk)
+            else:
+                ids, sc = score(text)
+                bs = es = np.zeros(len(ids), dtype=np.int64)
+            docnos = reader.docnos(ids.tolist())
+            if output == "plain":
+                for s, dn, b, e in zip(sc.tolist(), docnos,
+                                       bs.tolist(), es.tolist()):
+                    print(f"{s:g}\t{dn}\t{b}\t{e}")
+            else:
+                paths = element_paths(reader, ids, bs, es)
+                topics.append((qid, list(zip(docnos, paths, sc.tolist()))))
+        if output == "inex":
+            print(format_inex(topics, participant_id=participant_id,
+                              run_id=run_id), end="")
+        return
     for qid, text in queries:
         ids, scores = score(text)
         lines = format_trec(qid, ids, scores, reader.docnos(ids.tolist()))

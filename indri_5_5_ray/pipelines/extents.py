@@ -1,0 +1,457 @@
+"""Element-level (per-extent) retrieval and the INEX result surface.
+
+The reference's ``runQuery`` returns ``ScoredExtentResult{score, document,
+begin, end}`` (ref:include/indri/ScoredExtentResult.hpp:30-46): under an
+extent restriction ``#op[f](...)`` every extent of ``f`` is scored
+separately (ExtentRestrictionNode, ref:src/ExtentRestrictionNode.cpp;
+built at ref:src/InferenceNetworkBuilder.cpp:152), under fixed-passage
+retrieval every sliding window is (FixedPassageNode, ref:src/
+InferenceNetworkBuilder.cpp:170), and a plain document query carries
+``begin = end = 0`` (the two-argument ScoredExtentResult constructor,
+ref:include/indri/ScoredExtentResult.hpp:60-82).
+
+:class:`~.indriql.StructuredQueryEngine` collapses per-extent scores to
+document scores (union of extents / best passage per doc — documented at
+``indriql.py`` module docstring); this module is the per-extent surface
+on the same index data:
+
+* :func:`run_extents` ranks ``(doc, begin, end)`` triples with the
+  reference's exact tie order ``score desc → doc desc → begin desc →
+  end desc`` (``ScoredExtentResult::score_greater``,
+  ref:include/indri/ScoredExtentResult.hpp:31-46);
+* :func:`element_paths` maps result extents to INEX element paths
+  (``/sec[1]/p[1]/title[1]``) with the reference's greedy leaf descent
+  and same-type sibling numbering (ref:src/DocumentStructure.cpp:261-330
+  ``findLeaf``/``path``, served by ref:src/LocalQueryServer.cpp:443-488
+  ``pathNames``);
+* :func:`format_inex` emits the ``<inex-submission>`` XML of runquery's
+  ``-inex`` mode (ref:runquery/IndriRunQuery.cpp:467-478 result blocks,
+  :504-521 topic wrapper, :731-745/774-776 submission envelope).
+
+Smoothing statistics are IDENTICAL to the document-level engine: a term
+under ``#op[f]`` draws its background from the term's collection
+frequency *within the field context* over the field's total length (the
+ContextCountAccumulator pair, ref:src/ContextCountAccumulator.cpp:90-131)
+— only the foreground count and the smoothing length become per-extent.
+Single-extent documents therefore score bit-identically to the document
+path (asserted in tests/test_extents.py).
+
+Scale: evaluation is per-candidate-document over the DAAT union, the
+same shape as the document-level engine; at corpus scale it shards by
+doc-range through ``pipelines.run`` exactly like every other query (the
+statistics are collection-global and extent data reads are range-pruned
+by ``IndexReader.field_extents``).
+
+Scope: the inner tree may use terms, wildcards, ``#syn``/``#wsyn``,
+``#band``, ``#odN``/``#N``/``#uwN``, ``#combine``/``#weight``/``#wsum``/
+``#max``/``#or``/``#not``, ``#prior`` and ``#filreq``/``#filrej``.
+Nested extent restrictions, paths, passages and field predicates inside
+an element-level root raise ``ValueError`` (the document-level engine
+covers those shapes).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .indriql import (
+    Node,
+    StructuredQueryEngine,
+    _NUM_PREDS,
+    ordered_window_extents,
+    parse_query,
+    unordered_window_extents,
+)
+
+__all__ = ["run_extents", "element_paths", "format_inex"]
+
+
+def _as_engine(reader_or_engine, method: str, mu: float, lam: float
+               ) -> StructuredQueryEngine:
+    if isinstance(reader_or_engine, StructuredQueryEngine):
+        return reader_or_engine
+    return StructuredQueryEngine(reader_or_engine, method=method, mu=mu,
+                                 lam=lam)
+
+
+def run_extents(reader, query: str, k: int = 1000, method: str = "dirichlet",
+                mu: float = 2500.0, lam: float = 0.4
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Element-level retrieval: ``(doc_ids, begins, ends, scores)`` of the
+    top-``k`` scored extents under ``query``.
+
+    ``#op[f](...)`` roots score every extent of ``f`` per candidate doc;
+    ``#op[passageN:M](...)`` roots score every sliding window; any other
+    query falls back to document scoring with ``begin = end = 0``
+    (matching the reference's doc-level ScoredExtentResult).  ``reader``
+    may be an :class:`IndexReader` or an already-constructed
+    :class:`StructuredQueryEngine` (statistics memos then carry over)."""
+    eng = _as_engine(reader, method, mu, lam)
+    root = parse_query(query)
+    if root.op == "ctx" and not root.term.startswith("."):
+        return _run_extent_root(eng, root.term, root.children[0], k)
+    if root.op == "passage":
+        return _run_extent_root(eng, None, root, k)
+    ids, scores = eng.run(query, k=k)
+    zero = np.zeros(len(ids), dtype=np.int64)
+    return ids, zero, zero.copy(), scores
+
+
+def _run_extent_root(eng: StructuredQueryEngine, field: str | None,
+                     node: Node, k: int):
+    """Shared field-extent / passage-window evaluation.  ``field=None`` =
+    passage mode (``node`` is the passage node, stats collection-global);
+    else ``node`` is the inner scored tree and stats are field-context."""
+    if field is not None:
+        inner = node
+    else:
+        width, stride = node.n, int(node.weights[0])
+        if width <= 0 or stride <= 0:
+            raise ValueError("passage width/stride must be positive")
+        inner = node.children[0]
+    empties = (np.empty(0, np.int64), np.empty(0, np.int64),
+               np.empty(0, np.int64), np.empty(0, np.float64))
+    leafs: set[str] = set()
+    eng._leaf_terms(inner, leafs)
+    terms_key = tuple(sorted(leafs))
+    cached = eng._postings_memo.get(((terms_key,) + (True,)))
+    if cached is None:
+        if len(eng._postings_memo) > 8:
+            eng._postings_memo.clear()
+        cached = eng._fetch_postings(list(terms_key), None,
+                                     need_positions=True)
+        eng._postings_memo[(terms_key,) + (True,)] = cached
+    eng._postings = cached
+    parts: list[np.ndarray] = []
+    eng._cand_docs(inner, parts)
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return empties
+    cand = np.unique(np.concatenate(parts))
+    cand = cand[eng.r.keep_mask(cand)]
+    if not len(cand):
+        return empties
+    # per-candidate extents → flat (edoc, eb, ee) with per-doc offsets
+    if field is not None:
+        fdata = eng._field_data(field)
+        cand = np.asarray([d for d in cand.tolist() if d in fdata],
+                          dtype=np.int64)
+        ext_bs = [fdata[d][0] for d in cand.tolist()]
+        ext_es = [fdata[d][1] for d in cand.tolist()]
+    else:
+        dl = eng.r.doc_lens()[cand].astype(np.int64)
+        ext_bs, ext_es = [], []
+        for L in dl.tolist():
+            # windows start strictly inside the doc — the document path's
+            # `valid = dl > start` guard (indriql._belief passage branch)
+            starts = np.arange(0, L, stride, dtype=np.int64)
+            ext_bs.append(starts)
+            ext_es.append(np.minimum(starts + width, L))
+    n_per = np.asarray([len(b) for b in ext_bs], dtype=np.int64)
+    if not int(n_per.sum()):
+        return empties
+    ext_start = np.zeros(len(cand) + 1, dtype=np.int64)
+    np.cumsum(n_per, out=ext_start[1:])
+    eb = np.concatenate(ext_bs).astype(np.int64)
+    ee = np.concatenate(ext_es).astype(np.int64)
+    edoc = np.repeat(cand, n_per)
+    ev = _ExtentEval(eng, field, cand, ext_start, eb, ee)
+    beliefs = ev.belief(inner)
+    keep = beliefs > -np.inf
+    edoc, eb, ee, beliefs = edoc[keep], eb[keep], ee[keep], beliefs[keep]
+    # ScoredExtentResult::score_greater: score desc, doc desc, begin desc,
+    # end desc (ref:include/indri/ScoredExtentResult.hpp:31-46)
+    order = np.lexsort((-ee, -eb, -edoc, -beliefs))[:k]
+    return edoc[order], eb[order], ee[order], beliefs[order]
+
+
+class _ExtentEval:
+    """Belief recursion over a flat extent set.  Combiner arithmetic
+    mirrors ``StructuredQueryEngine._belief`` expression for expression
+    (pinned by the single-extent ≡ document-path identity test); counts
+    and smoothing lengths are per-extent."""
+
+    def __init__(self, eng: StructuredQueryEngine, field: str | None,
+                 cand: np.ndarray, ext_start: np.ndarray,
+                 eb: np.ndarray, ee: np.ndarray):
+        self.eng = eng
+        self.field = field
+        self.cand = cand
+        self.cand_list = cand.tolist()
+        self.ext_start = ext_start
+        self.eb = eb
+        self.ee = ee
+        self.n_ext = len(eb)
+        self.dl_ext = (ee - eb).astype(np.float64)
+        self.rfields = (field,) if field is not None else ()
+        if field is not None:
+            st = eng.r.field_stats(field)
+            self.total = float(st["total_len"]) if st else 0.0
+        else:
+            self.total = None  # collection-global
+
+    # -- counts ------------------------------------------------------------
+
+    def counts(self, node: Node) -> np.ndarray:
+        eng = self.eng
+        if node.op in ("term", "wildcard", "syn"):
+            return self._position_counts(eng._positions_map(node))
+        if node.op == "wsyn":
+            w = np.asarray(node.weights, dtype=np.float64)
+            if w.sum() == 0:
+                raise ValueError("#wsyn weights sum to zero")
+            w = w / w.sum()
+            return np.sum([wi * self.counts(c)
+                           for wi, c in zip(w, node.children)], axis=0)
+        if node.op == "band":
+            present = np.ones(self.n_ext, dtype=bool)
+            for c in node.children:
+                present &= self.counts(c) > 0
+            return present.astype(np.float64)
+        if node.op in ("od", "uw"):
+            return self._window_counts(node)
+        raise ValueError(
+            f"element-level retrieval does not support #{node.op} as a "
+            f"count node (use the document-level engine)")
+
+    def _position_counts(self, pm: dict[int, np.ndarray]) -> np.ndarray:
+        """Occurrences inside each extent: two searchsorteds per candidate
+        doc over its (sorted) position list."""
+        counts = np.zeros(self.n_ext, dtype=np.float64)
+        for i, did in enumerate(self.cand_list):
+            pl = pm.get(did)
+            if pl is None or not len(pl):
+                continue
+            sl = slice(self.ext_start[i], self.ext_start[i + 1])
+            counts[sl] = (np.searchsorted(pl, self.ee[sl])
+                          - np.searchsorted(pl, self.eb[sl]))
+        return counts
+
+    def _window_counts(self, node: Node) -> np.ndarray:
+        """#odN/#uwN occurrences CONTAINED in each extent (window.begin ≥
+        extent.begin and window.end ≤ extent.end — the same
+        ExtentInsideNode containment the document path applies,
+        ref:src/ExtentInsideNode.cpp:54-73)."""
+        pos_maps = [self.eng._positions_map(c) for c in node.children]
+        counts = np.zeros(self.n_ext, dtype=np.float64)
+        for i, did in enumerate(self.cand_list):
+            pls = []
+            ok = True
+            for pm in pos_maps:
+                pl = pm.get(did)
+                if pl is None:
+                    ok = False
+                    break
+                pls.append(pl)
+            if not ok:
+                continue
+            if node.op == "od":
+                begins, ends = ordered_window_extents(pls, node.n)
+            else:
+                begins, ends = unordered_window_extents(pls, node.n)
+            if not len(begins):
+                continue
+            wb = np.asarray(begins, dtype=np.int64)
+            we = np.asarray(ends, dtype=np.int64)
+            for j in range(int(self.ext_start[i]),
+                           int(self.ext_start[i + 1])):
+                counts[j] = float(np.sum((wb >= self.eb[j])
+                                         & (we <= self.ee[j])))
+        return counts
+
+    # -- beliefs -----------------------------------------------------------
+
+    _COUNT_OPS = frozenset({"term", "wildcard", "syn", "wsyn", "band",
+                            "od", "uw"})
+
+    def belief(self, node: Node) -> np.ndarray:
+        eng = self.eng
+        if node.op in self._COUNT_OPS:
+            c = self.counts(node)
+            # node statistics mirror the document path (indriql._belief):
+            # a plain unrestricted term reads the dictionary, everything
+            # else (and any field restriction) sweeps its own candidates
+            if node.op == "term" and not self.rfields:
+                cf = eng._term_cf(node)
+            else:
+                cf = eng._node_global_cf(node, self.rfields)
+            return eng._belief_from_counts(c, self.dl_ext, cf, self.total)
+        if node.op == "prior":
+            per_doc = eng._belief(node, self.cand,
+                                  np.zeros(len(self.cand)))
+            return np.repeat(per_doc, np.diff(self.ext_start))
+        if node.op in ("filreq", "filrej"):
+            fcounts = eng._node_counts(node.children[0], eng._postings,
+                                       self.cand, self.rfields)
+            b = self.belief(node.children[1])
+            mask = fcounts > 0 if node.op == "filreq" else fcounts == 0
+            return np.where(np.repeat(mask, np.diff(self.ext_start)),
+                            b, -np.inf)
+        if node.op in ("restrict", "ctx", "passage", "any") or \
+                node.op in _NUM_PREDS:
+            raise ValueError(
+                f"element-level retrieval does not support nested "
+                f"#{node.op} (use the document-level engine)")
+        kids = [self.belief(c) for c in node.children]
+        if node.op == "combine":
+            return np.mean(kids, axis=0)
+        if node.op == "weight":
+            w = np.asarray(node.weights, dtype=np.float64)
+            w = w / w.sum()
+            return np.tensordot(w, np.stack(kids), axes=1)
+        if node.op == "wsum":
+            w = np.asarray(node.weights, dtype=np.float64)
+            w = w / w.sum()
+            probs = np.stack([np.exp(kk) for kk in kids])
+            return np.log(np.tensordot(w, probs, axes=1))
+        if node.op == "max":
+            return np.max(kids, axis=0)
+        if node.op == "or_":
+            cap = np.nextafter(1.0, 0.0)
+            log1m = np.sum([np.log1p(-np.minimum(np.exp(kk), cap))
+                            for kk in kids], axis=0)
+            return np.log1p(-np.exp(log1m))
+        if node.op == "not":
+            return np.log1p(-np.minimum(np.exp(kids[0]),
+                                        np.nextafter(1.0, 0.0)))
+        raise ValueError(f"unknown op {node.op}")
+
+
+# ---------------------------------------------------------------------------
+# INEX element paths
+# ---------------------------------------------------------------------------
+
+
+def _doc_structure(eng: StructuredQueryEngine, did: int):
+    """One document's tag tree over EVERY indexed field: ``(nodes,
+    children)`` where ``nodes[ordinal] = (field, begin, end, parent)`` and
+    ``children[parent]`` lists child ordinals ascending (the reference
+    inserts children in ordinal order, ref:src/DocumentStructure.cpp:85-102
+    — ordinals are assigned in begin/end-sorted open order, so this IS the
+    sibling order).  Returns ``None`` for a pre-ordinal index."""
+    nodes: dict[int, tuple[str, int, int, int]] = {}
+    for fname in eng.r.cfg.fields:
+        ext = eng._field_data(fname).get(did)
+        if ext is None:
+            continue
+        if ext[4] is None:
+            return None
+        for b, e, o, p in zip(ext[0].tolist(), ext[1].tolist(),
+                              ext[4].tolist(), ext[5].tolist()):
+            nodes[int(o)] = (fname, int(b), int(e), int(p))
+    children: dict[int, list[int]] = {}
+    for o in sorted(nodes):
+        children.setdefault(nodes[o][3], []).append(o)
+    return nodes, children
+
+
+def _find_leaf(nodes, children, b: int, e: int) -> int:
+    """The reference's greedy containing-leaf descent
+    (ref:src/DocumentStructure.cpp:261-286): start at the FIRST top-level
+    node, follow the first child whose extent contains ``[b, e]``, repeat.
+    Returns 0 (no element) when the walk finds no containing node — the
+    reference reads uninitialized tree memory in that case; path "" is our
+    defined behavior."""
+    top = children.get(0, [])
+    if not top:
+        return 0
+    root = top[0]
+    leaf = 0
+    if nodes[root][1] <= b and nodes[root][2] >= e:
+        leaf = root
+    kids = children.get(root, [])
+    i = 0
+    while i < len(kids):
+        c = kids[i]
+        if nodes[c][1] <= b and nodes[c][2] >= e:
+            leaf = c
+            kids = children.get(c, [])
+            i = 0
+        else:
+            i += 1
+    return leaf
+
+
+def _node_path(nodes, children, leaf: int) -> str:
+    """``/tag[k]`` chain root→leaf, ``k`` = 1-based position among
+    SAME-TYPE siblings under the same parent
+    (ref:src/DocumentStructure.cpp:289-330 ``_constructNodePath``)."""
+    if leaf <= 0:
+        return ""
+    chain = []
+    cur = leaf
+    while cur > 0:
+        chain.append(cur)
+        cur = nodes[cur][3]
+    chain.reverse()
+    parts = []
+    for node in chain:
+        fname, _b, _e, parent = nodes[node]
+        same = [s for s in children.get(parent, [])
+                if nodes[s][0] == fname]
+        parts.append(f"/{fname}[{same.index(node) + 1}]")
+    return "".join(parts)
+
+
+def element_paths(reader, doc_ids, begins, ends) -> list[str]:
+    """INEX element paths for result extents — the ``pathNames`` gather
+    (ref:src/LocalQueryServer.cpp:443-488): per result, the deepest tag
+    node containing the extent, printed as ``/tag[k]`` steps.  Documents
+    without tag-tree data (or extents outside the first top-level tree)
+    yield ``""`` exactly like the reference's unloaded-structure branch."""
+    eng = _as_engine(reader, "dirichlet", 2500.0, 0.4)
+    cache: dict[int, tuple | None] = {}
+    out = []
+    for did, b, e in zip(
+            np.asarray(doc_ids).tolist(),
+            np.asarray(begins).tolist(), np.asarray(ends).tolist()):
+        if did not in cache:
+            try:
+                cache[did] = _doc_structure(eng, did)
+            except FileNotFoundError:
+                cache[did] = None
+        struct = cache[did]
+        if struct is None:
+            out.append("")
+            continue
+        nodes, children = struct
+        out.append(_node_path(nodes, children,
+                              _find_leaf(nodes, children, int(b), int(e))))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# INEX submission formatting
+# ---------------------------------------------------------------------------
+
+
+def format_inex(topics: list[tuple[str, list[tuple[str, str, float]]]],
+                participant_id: str = "1", run_id: str = "indri",
+                task: str = "CO.Thorough", query_type: str = "automatic",
+                topic_part: str = "T", description: str = "") -> str:
+    """``<inex-submission>`` XML for ``topics = [(topic_id, [(docno, path,
+    score), ...]), ...]`` — byte-shape of the reference's -inex output:
+    envelope ref:runquery/IndriRunQuery.cpp:739-745/774-776, topic block
+    :506-511/516-518, result block :467-478.  Scores print with C++
+    default stream precision (6 significant digits)."""
+    lines = [
+        f'<inex-submission participant-id="{participant_id}" '
+        f'run-id="{run_id}" task="{task}" query="{query_type}" '
+        f'topic-part="{topic_part}">',
+        "  <description>",
+        description,
+        "  </description>",
+    ]
+    for topic_id, results in topics:
+        lines.append(f'  <topic topic-id="{topic_id}">')
+        lines.append("    <collections>")
+        lines.append("      <collection>ieee</collection>")
+        lines.append("    </collections>")
+        for docno, path, score in results:
+            lines.append("    <result>")
+            lines.append(f"      <file>{docno}</file>")
+            lines.append(f"      <path>{path}</path>")
+            lines.append(f"      <rsv>{score:g}</rsv>")
+            lines.append("    </result>")
+        lines.append("  </topic>")
+    lines.append("</inex-submission>")
+    return "\n".join(lines) + "\n"

@@ -431,6 +431,47 @@ def corpus_from_documents_nested(sf_dir: str) -> pa.Table:
     )
 
 
+def corpus_from_documents_multisec(sf_dir: str) -> pa.Table:
+    """documents table → tagged corpus with TWO ``<sec>`` extents per doc
+    for element-level (per-extent) retrieval oracles, SQL-reproducibly:
+
+    ``<title> tt </title> <sec> h1 </sec> <sec> h2 </sec> <size> nc </size>``
+
+    where ``tt`` = first 8 ``[a-z0-9]+`` tokens of ``lower(text)``, ``h1``
+    = the first ``ceil(n/2)`` text tokens, ``h2`` the rest — so with ``m =
+    len(tt)`` the sec extents are ``[m, m+ceil(n/2))`` and ``[m+ceil(n/2),
+    m+n)`` and a DuckDB oracle can slice both halves from the token list
+    (the token stream ``tt || t0 || [n_chars]`` is identical to
+    :func:`corpus_from_documents_tagged`)."""
+    import re as _re
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    sources = t.column("source").to_pylist()
+    langs = t.column("lang").to_pylist()
+    n_chars = t.column("n_chars").to_pylist()
+    contents = []
+    for text, nc in zip(texts, n_chars):
+        toks = _re.findall(r"[a-z0-9]+", text.lower())
+        title = " ".join(toks[:8])
+        h = (len(toks) + 1) // 2
+        h1, h2 = " ".join(toks[:h]), " ".join(toks[h:])
+        contents.append(
+            f"<title> {title} </title> <sec> {h1} </sec> <sec> {h2} </sec>"
+            f" <size> {nc} </size>")
+    return pa.table(
+        {
+            "repo": sources,
+            "path": [f"doc_{i}.txt" for i in ids],
+            "commit": [hashlib.md5(x.encode()).hexdigest() for x in texts],
+            "lang": langs,
+            "content": contents,
+        },
+        schema=CORPUS_SCHEMA,
+    )
+
+
 _MONTH_NAMES = ["january", "february", "march", "april", "may", "june",
                 "july", "august", "september", "october", "november",
                 "december"]

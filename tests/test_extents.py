@@ -1,0 +1,261 @@
+"""Element-level (per-extent) retrieval and the INEX surface
+(pipelines/extents.py): ScoredExtentResult semantics
+(ref:include/indri/ScoredExtentResult.hpp), per-extent dirichlet scoring
+under #op[f] / #op[passageN:M] roots, DocumentStructure findLeaf/path
+element naming (ref:src/DocumentStructure.cpp:261-330) and the
+<inex-submission> format (ref:runquery/IndriRunQuery.cpp:467-478)."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+MU = 2500.0
+
+DOCS = [
+    "<sec> alpha beta </sec> <sec> alpha gamma delta </sec>",
+    "<sec> beta beta alpha </sec>",
+    "alpha outside",
+    "<article><sec> alpha </sec><sec> beta </sec></article>",
+    "<sec> epsilon </sec> <sec> epsilon </sec>",
+]
+# token slots: doc0 [alpha beta alpha gamma delta], doc1 [beta beta alpha],
+# doc2 [alpha outside], doc3 [alpha beta], doc4 [epsilon epsilon]
+SEC_EXTS = {0: [(0, 2), (2, 5)], 1: [(0, 3)], 3: [(0, 1), (1, 2)],
+            4: [(0, 1), (1, 2)]}
+
+
+def _dir(c, dl, cf, total):
+    p_c = cf / total if cf > 0 else 1.0 / (2.0 * total)
+    return math.log((c + MU * p_c) / (dl + MU))
+
+
+@pytest.fixture(scope="module")
+def ext_index(tmp_path_factory):
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+
+    d = tmp_path_factory.mktemp("extidx")
+    corpus = d / "corpus"
+    corpus.mkdir()
+    t = pa.table({
+        "repo": ["r"] * len(DOCS),
+        "path": [f"d{i}.txt" for i in range(len(DOCS))],
+        "commit": [f"c{i}" for i in range(len(DOCS))],
+        "lang": ["txt"] * len(DOCS),
+        "content": DOCS,
+    })
+    pq.write_table(t, corpus / "corpus.parquet")
+    out = str(d / "idx")
+    cfg = IndexConfig(stemmer=None, dedup_key=None, n_buckets=4,
+                      max_chunk_docs=64, fields=("article", "sec"))
+    build_index(str(corpus), out, cfg, resume=False)
+    return out
+
+
+def _reader(ext_index):
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    return IndexReader(ext_index)
+
+
+def _rows(res):
+    ids, bs, es, sc = res
+    return list(zip(ids.tolist(), bs.tolist(), es.tolist(), sc.tolist()))
+
+
+def test_field_extent_scores_hand_computed(ext_index):
+    from indri_5_5_ray.pipelines.extents import run_extents
+
+    r = _reader(ext_index)
+    sec_total = float(r.field_stats("sec")["total_len"])
+    assert sec_total == (2 + 3) + 3 + (1 + 1) + (1 + 1)  # docs 0, 1, 3, 4
+    rows = _rows(run_extents(r, "#combine[sec](alpha)", k=100))
+    # candidates: docs with alpha anywhere AND carrying sec → 0, 1, 3
+    # cf(alpha within sec) = doc0: 2, doc1: 1, doc2 (no sec): 0, doc3: 1 → 4
+    want = {
+        (0, 0, 2): _dir(1, 2, 4.0, sec_total),
+        (0, 2, 5): _dir(1, 3, 4.0, sec_total),
+        (1, 0, 3): _dir(1, 3, 4.0, sec_total),
+        (3, 0, 1): _dir(1, 1, 4.0, sec_total),
+        (3, 1, 2): _dir(0, 1, 4.0, sec_total),
+    }
+    assert {k: pytest.approx(v, abs=1e-12) for k, v in want.items()} == {
+        (d, b, e): s for d, b, e, s in rows}
+
+
+def test_extent_ranking_and_tiebreak(ext_index):
+    from indri_5_5_ray.pipelines.extents import run_extents
+
+    r = _reader(ext_index)
+    # epsilon: doc 4 only; both extents identical (c=1, dl=1) → equal
+    # scores; ScoredExtentResult::score_greater orders begin DESC
+    rows = _rows(run_extents(r, "#combine[sec](epsilon)", k=10))
+    assert [(d, b, e) for d, b, e, _s in rows] == [(4, 1, 2), (4, 0, 1)]
+    assert rows[0][3] == rows[1][3]
+
+
+def test_single_extent_doc_matches_document_path_bitwise(ext_index):
+    from indri_5_5_ray.pipelines.extents import run_extents
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+
+    r = _reader(ext_index)
+    eng = StructuredQueryEngine(r)
+    ids, scores = eng.run("#combine[sec](alpha beta)", k=10)
+    doc_level = dict(zip(ids.tolist(), scores.tolist()))
+    rows = _rows(run_extents(r, "#combine[sec](alpha beta)", k=100))
+    # doc 1 has ONE sec extent spanning the whole field → the extent score
+    # must equal the document-path score EXACTLY (same floats, same ops)
+    ext1 = [s for d, b, e, s in rows if d == 1]
+    assert len(ext1) == 1
+    assert ext1[0] == doc_level[1]
+
+
+def test_window_node_inside_extent(ext_index):
+    from indri_5_5_ray.pipelines.extents import run_extents
+
+    r = _reader(ext_index)
+    rows = _rows(run_extents(r, "#combine[sec](#1(alpha beta))", k=100))
+    by_ext = {(d, b, e): s for d, b, e, s in rows}
+    # ordered window alpha→beta: only doc0 (0,2); doc3's spans cross the
+    # two 1-token extents (not contained in either)
+    sec_total = float(r.field_stats("sec")["total_len"])
+    assert by_ext[(0, 0, 2)] == pytest.approx(
+        _dir(1, 2, 1.0, sec_total), abs=1e-12)
+    assert by_ext[(0, 2, 5)] == pytest.approx(
+        _dir(0, 3, 1.0, sec_total), abs=1e-12)
+    assert by_ext[(3, 0, 1)] == pytest.approx(
+        _dir(0, 1, 1.0, sec_total), abs=1e-12)
+    top = rows[0]
+    assert (top[0], top[1], top[2]) == (0, 0, 2)
+
+
+def test_passage_extents_match_document_best_passage(ext_index):
+    from indri_5_5_ray.pipelines.extents import run_extents
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+
+    r = _reader(ext_index)
+    eng = StructuredQueryEngine(r)
+    q = "#combine[passage2:1](alpha beta)"
+    ids, scores = eng.run(q, k=10)
+    doc_best = dict(zip(ids.tolist(), scores.tolist()))
+    rows = _rows(run_extents(r, q, k=1000))
+    got_best: dict[int, float] = {}
+    for d, _b, _e, s in rows:
+        got_best[d] = max(got_best.get(d, -math.inf), s)
+    assert set(got_best) == set(doc_best)
+    for d in doc_best:
+        assert got_best[d] == pytest.approx(doc_best[d], abs=1e-12)
+    # window geometry: doc2 (len 2, width 2 stride 1) → (0,2), (1,2)
+    d2 = sorted((b, e) for d, b, e, _s in rows if d == 2)
+    assert d2 == [(0, 2), (1, 2)]
+
+
+def test_doc_level_fallback_zero_extents(ext_index):
+    from indri_5_5_ray.pipelines.extents import run_extents
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+
+    r = _reader(ext_index)
+    eng = StructuredQueryEngine(r)
+    ids, bs, es, sc = run_extents(r, "#combine(alpha beta)", k=10)
+    ids2, sc2 = eng.run("#combine(alpha beta)", k=10)
+    assert ids.tolist() == ids2.tolist()
+    assert sc.tolist() == sc2.tolist()
+    assert not bs.any() and not es.any()  # begin = end = 0 (doc-level)
+
+
+def test_unsupported_inner_ops_raise(ext_index):
+    from indri_5_5_ray.pipelines.extents import run_extents
+
+    r = _reader(ext_index)
+    with pytest.raises(ValueError, match="does not support"):
+        run_extents(r, "#combine[sec](#combine[article](alpha))", k=10)
+
+
+def test_element_paths(ext_index):
+    from indri_5_5_ray.pipelines.extents import element_paths
+
+    r = _reader(ext_index)
+    paths = element_paths(
+        r,
+        [0, 0, 3, 3, 1],
+        [0, 2, 0, 1, 0],
+        [2, 5, 1, 2, 3],
+    )
+    # doc0 secs are top-level (doc0's first top-level node is sec[1], the
+    # greedy walk finds sec[2] only if the FIRST root contains it — it
+    # does not, so [2,5) resolves to "" exactly like the reference's
+    # uninitialized branch is documented to)
+    assert paths[0] == "/sec[1]"
+    assert paths[1] == ""
+    assert paths[2] == "/article[1]/sec[1]"
+    assert paths[3] == "/article[1]/sec[2]"
+    assert paths[4] == "/sec[1]"
+
+
+def test_format_inex_golden():
+    from indri_5_5_ray.pipelines.extents import format_inex
+
+    xml = format_inex(
+        [("42", [("DOC-1", "/article[1]/sec[2]", -3.25)])],
+        participant_id="7", run_id="indri55ray", description="test run")
+    assert xml == (
+        '<inex-submission participant-id="7" run-id="indri55ray" '
+        'task="CO.Thorough" query="automatic" topic-part="T">\n'
+        "  <description>\n"
+        "test run\n"
+        "  </description>\n"
+        '  <topic topic-id="42">\n'
+        "    <collections>\n"
+        "      <collection>ieee</collection>\n"
+        "    </collections>\n"
+        "    <result>\n"
+        "      <file>DOC-1</file>\n"
+        "      <path>/article[1]/sec[2]</path>\n"
+        "      <rsv>-3.25</rsv>\n"
+        "    </result>\n"
+        "  </topic>\n"
+        "</inex-submission>\n")
+
+
+def test_cli_runquery_inex_and_plain(ext_index, tmp_path, capsys):
+    from indri_5_5_ray.cli import cmd_runquery
+
+    r = _reader(ext_index)
+    qf = tmp_path / "q.txt"
+    qf.write_text("9\t#combine[sec](alpha)\n")
+    cmd_runquery(r, str(qf), "3", "indri", "false", "false", "inex", "7")
+    out = capsys.readouterr().out
+    assert out.startswith('<inex-submission participant-id="7" ')
+    assert '<topic topic-id="9">' in out
+    assert "<path>/article[1]/sec[1]</path>" in out
+    assert out.endswith("</inex-submission>\n")
+
+    cmd_runquery(r, str(qf), "2", "indri", "false", "false", "plain")
+    out = capsys.readouterr().out
+    rows = [ln.split("\t") for ln in out.strip().splitlines()]
+    assert len(rows) == 2
+    # score \t docno \t begin \t end (ref:runquery/IndriRunQuery.cpp:476-481)
+    assert all(len(rr) == 4 for rr in rows)
+    assert [int(rr[2]) for rr in rows] == [0, 0]  # top extents begin at 0
+
+
+def test_multisec_corpus_builder(tmp_path):
+    from indri_5_5_ray.sources.corpus import corpus_from_documents_multisec
+
+    docs = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": ["Alpha beta GAMMA delta epsilon"],
+        "source": ["s"], "lang": ["en"],
+        "n_chars": pa.array([30], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    t = corpus_from_documents_multisec(str(tmp_path))
+    c = t.column("content").to_pylist()[0]
+    # 5 tokens → h = 3: halves [alpha beta gamma] / [delta epsilon]
+    assert c == ("<title> alpha beta gamma delta epsilon </title>"
+                 " <sec> alpha beta gamma </sec> <sec> delta epsilon </sec>"
+                 " <size> 30 </size>")
