@@ -332,6 +332,149 @@ ORDER BY qid, rank
 """
 
 
+def _ensure_multisec_index(sf_dir: str) -> str:
+    """Index over the MULTISEC tagged corpus (two <sec> extents per doc:
+    the two halves of the text tokens) for the element-level retrieval
+    oracle."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.sources.corpus import corpus_from_documents_multisec
+
+    key = hashlib.md5(f"{sf_dir}:multisec:v1".encode()).hexdigest()[:16]
+    root = Path(_CACHE) / key
+    index_dir = root / "index"
+    if (index_dir / "manifest.json").exists():
+        return str(index_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    corpus_dir = root / "corpus"
+    if not (corpus_dir / "corpus.parquet").exists():
+        import pyarrow.parquet as pq
+
+        corpus_dir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(corpus_from_documents_multisec(sf_dir),
+                       corpus_dir / "corpus.parquet")
+    cfg = IndexConfig(
+        stemmer=None, dedup_key=None, n_buckets=8, max_chunk_docs=256,
+        fields=("sec", "title"),
+    )
+    build_index(str(corpus_dir), str(index_dir), cfg)
+    return str(index_dir)
+
+
+EXTENT_QUERIES: list[tuple[str, str]] = [
+    ("1", "#combine[sec](merge data)"),
+    ("2", "#combine[sec](spark window)"),
+    ("3", "#combine[passage12:6](merge data)"),
+]
+
+
+def _extent_topk(sf_dir: str, k: int = 10):
+    """(qid, rank, doc_id, begin, end) ELEMENT-level retrieval: every sec
+    extent (qids 1-2) / every sliding passage window (qid 3) is scored
+    separately and ranked globally — the ScoredExtentResult surface
+    (ExtentRestriction / FixedPassage per-extent scoring,
+    ref:src/InferenceNetworkBuilder.cpp:152,170; pipelines/extents.py).
+    Ranked by score rounded to 9 decimals desc, then doc_id desc, then
+    begin desc (the score_greater tie order) so the DuckDB oracle ranks
+    identically."""
+    import numpy as np
+    import pyarrow as pa
+
+    from indri_5_5_ray.pipelines.extents import run_extents
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    index_dir = _ensure_multisec_index(sf_dir)
+    reader = IndexReader(index_dir)
+    out = {"qid": [], "rank": [], "doc_id": [], "begin": [], "end": []}
+    for qid, text in EXTENT_QUERIES:
+        ids, bs, es, sc = run_extents(reader, text, k=k + 40)
+        r9 = np.round(sc, 9)
+        order = np.lexsort((-es, -bs, -ids, -r9))[:k]
+        out["qid"].extend([int(qid)] * len(order))
+        out["rank"].extend(range(1, len(order) + 1))
+        out["doc_id"].extend(ids[order].tolist())
+        out["begin"].extend(bs[order].tolist())
+        out["end"].extend(es[order].tolist())
+    return pa.table({k2: pa.array(v, pa.int64()) for k2, v in out.items()})
+
+
+def _extent_sql() -> str:
+    """DuckDB oracle for EXTENT_QUERIES over the multisec corpus: the two
+    sec extents per doc are the text-token halves (begin/end offsets known
+    from len(tt) and ceil(n/2)); per-extent dirichlet beliefs draw the
+    background from the term's frequency within sec (= all text tokens)
+    over the total sec length; qid 3 windows slide over the full token
+    stream with collection-global backgrounds."""
+
+    def cfx(tbl: str, term: str) -> str:
+        cfv = f"(SELECT cf FROM {tbl} WHERE term = '{term}')"
+        return f"(CASE WHEN coalesce({cfv}, 0) > 0 THEN {cfv} ELSE 0.5 END)"
+
+    def d_sec(term: str) -> str:
+        return (f"ln((len(list_filter(er.toks, x -> x = '{term}'))::DOUBLE"
+                f" + 2500.0 * {cfx('c0f', term)} / ss.total)"
+                f" / ((er.e - er.b) + 2500.0))")
+
+    def cand(terms: list[str]) -> str:
+        inlist = ", ".join(f"'{t}'" for t in terms)
+        return (f"(SELECT DISTINCT doc_id FROM tf"
+                f" WHERE term IN ({inlist}))")
+
+    q1 = f"""
+  SELECT 1 AS qid, er.doc_id, er.b, er.e,
+         ({d_sec('merge')} + {d_sec('data')}) / 2 AS score
+  FROM erows er
+  JOIN {cand(['merge', 'data'])} c ON c.doc_id = er.doc_id
+  CROSS JOIN secstats ss"""
+    q2 = f"""
+  SELECT 2 AS qid, er.doc_id, er.b, er.e,
+         ({d_sec('spark')} + {d_sec('window')}) / 2 AS score
+  FROM erows er
+  JOIN {cand(['spark', 'window'])} c ON c.doc_id = er.doc_id
+  CROSS JOIN secstats ss"""
+    q3 = f"""
+  SELECT 3 AS qid, p.doc_id, p.s AS b, least(p.s + 12, p.dli) AS e,
+         (ln((p.c0 + 2500.0 * {cfx('cfreq', 'merge')} / s.total)
+             / (p.dlp + 2500.0))
+          + ln((p.c1 + 2500.0 * {cfx('cfreq', 'data')} / s.total)
+               / (p.dlp + 2500.0))) / 2 AS score
+  FROM (
+    SELECT doc_id, s, dli, least(s + 12, dli) - s AS dlp,
+           len(list_filter(T[s + 1 : least(s + 12, dli)],
+                           x -> x = 'merge'))::DOUBLE AS c0,
+           len(list_filter(T[s + 1 : least(s + 12, dli)],
+                           x -> x = 'data'))::DOUBLE AS c1
+    FROM (SELECT doc_id, T, CAST(len(T) AS BIGINT) AS dli,
+                 unnest(generate_series(0,
+                     CAST(floor((len(T) - 1) / 6.0) AS INT))) * 6 AS s
+          FROM docs
+          WHERE len(T) >= 1
+            AND doc_id IN {cand(['merge', 'data'])})
+  ) p CROSS JOIN stats s"""
+    return f"""
+WITH {_field_sql_common()},
+c0f AS (SELECT term, sum(tf)::DOUBLE AS cf FROM t0f GROUP BY term),
+secstats AS (SELECT sum(len(t0))::DOUBLE AS total FROM docs),
+erows AS (
+  SELECT doc_id, len(tt) AS b, len(tt) + (len(t0) + 1) // 2 AS e,
+         t0[1:(len(t0) + 1) // 2] AS toks FROM docs
+  UNION ALL
+  SELECT doc_id, len(tt) + (len(t0) + 1) // 2 AS b,
+         len(tt) + len(t0) AS e,
+         t0[(len(t0) + 1) // 2 + 1:len(t0)] AS toks FROM docs
+),
+scores AS ({q1} UNION ALL {q2} UNION ALL {q3})
+SELECT qid, rank, doc_id, "begin", "end" FROM (
+  SELECT qid, doc_id, CAST(b AS BIGINT) AS "begin", CAST(e AS BIGINT) AS "end",
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 9) DESC, doc_id DESC,
+                                     b DESC) AS rank
+  FROM scores)
+WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
 def _rm3_topk(sf_dir: str, k: int = 10):
     """(qid, rank, doc_id) RM3 pseudo-relevance-feedback retrieval, ranked
     by score rounded to 9 decimals (desc) then doc_id desc so the DuckDB
@@ -838,6 +981,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unchanged; union-find twin near_dedup_keep_first stays
         # in-window)
         "nexi_topk": _nexi_topk,
+        # NEW r5: element-level retrieval — every sec extent / passage
+        # window scored and ranked separately with begin/end surfaced
+        # (the ScoredExtentResult + INEX surface, pipelines/extents.py);
+        # displaces field_filter_topk (green r2-r4 unchanged; in-window
+        # twin date_topk exercises the same FieldLess/Greater/Between
+        # numeric-predicate kernel)
+        "extent_topk": _extent_topk,
         # --- event-stream operators + curation filters (unchecked in r3:
         # displaced past the driver window; now first so CORRECTNESS_r04
         # finally records them) ---
@@ -872,7 +1022,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "structured_topk": lambda sf: _structured_topk(sf, stem=False),
         "field_topk": _field_topk,
         "anno_field_topk": _anno_field_topk,
-        "field_filter_topk": _field_filter_topk,
         "path_topk": _path_topk,
         "structured2_topk": _structured2_topk,
         "date_topk": _date_topk,
@@ -915,6 +1064,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and ngram_jaccard_pairs (green r2-r4 unchanged; shingle-set twins
         # lsh_candidate_pairs/minhash_signatures/contamination_screen stay
         # in-window)
+        # rotated out r5 for extent_topk: field_filter_topk (green r2-r4
+        # unchanged; date_topk exercises the same numeric-predicate kernel)
+        "field_filter_topk": _field_filter_topk,
         "tfidf_topk": lambda sf: _bm25_topk(sf, stem=False, variant="tfidf"),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
@@ -2199,6 +2351,7 @@ def oracle_sql() -> dict[str, str]:
         "structured2_topk": _structured2_sql(),
         "date_topk": _date_sql(),
         "passage_topk": _passage_sql(),
+        "extent_topk": _extent_sql(),
         "token_counts": f"""
             SELECT doc_id, len({TOKEN_SQL}) AS n_tokens FROM documents ORDER BY doc_id""",
         "term_stats": f"""
