@@ -385,7 +385,8 @@ def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
         topics = []
         for qid, text in queries:
             if baseline == "indri":
-                ids, bs, es, sc = run_extents(reader, text, k=kk)
+                ids, bs, es, sc = run_extents(reader, text, k=kk,
+                                              strict=False)
             else:
                 ids, sc = score(text)
                 bs = es = np.zeros(len(ids), dtype=np.int64)

@@ -74,7 +74,7 @@ def _as_engine(reader_or_engine, method: str, mu: float, lam: float
 
 
 def run_extents(reader, query: str, k: int = 1000, method: str = "dirichlet",
-                mu: float = 2500.0, lam: float = 0.4
+                mu: float = 2500.0, lam: float = 0.4, strict: bool = True
                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Element-level retrieval: ``(doc_ids, begins, ends, scores)`` of the
     top-``k`` scored extents under ``query``.
@@ -84,13 +84,22 @@ def run_extents(reader, query: str, k: int = 1000, method: str = "dirichlet",
     query falls back to document scoring with ``begin = end = 0``
     (matching the reference's doc-level ScoredExtentResult).  ``reader``
     may be an :class:`IndexReader` or an already-constructed
-    :class:`StructuredQueryEngine` (statistics memos then carry over)."""
+    :class:`StructuredQueryEngine` (statistics memos then carry over).
+
+    ``strict=False`` downgrades an element-unsupported inner tree (see
+    module scope notes) to DOCUMENT results instead of raising — the
+    CLI's inex/plain output modes use this so every accepted query still
+    prints, just without element granularity."""
     eng = _as_engine(reader, method, mu, lam)
     root = parse_query(query)
-    if root.op == "ctx" and not root.term.startswith("."):
-        return _run_extent_root(eng, root.term, root.children[0], k)
-    if root.op == "passage":
-        return _run_extent_root(eng, None, root, k)
+    try:
+        if root.op == "ctx" and not root.term.startswith("."):
+            return _run_extent_root(eng, root.term, root.children[0], k)
+        if root.op == "passage":
+            return _run_extent_root(eng, None, root, k)
+    except ValueError:
+        if strict:
+            raise
     ids, scores = eng.run(query, k=k)
     zero = np.zeros(len(ids), dtype=np.int64)
     return ids, zero, zero.copy(), scores

@@ -552,3 +552,23 @@ def run_nexi(reader, text: str, shrinkage: bool = False,
     from .indriql import StructuredQueryEngine
 
     return StructuredQueryEngine(reader).run(to_indriql(ast), k=k)
+
+
+def run_nexi_extents(reader, text: str, k: int = 1000
+                     ) -> tuple:
+    """Parse and execute one NEXI query at ELEMENT granularity →
+    ``(doc_ids, begins, ends, scores)`` — the INEX CO/CAS result surface
+    (each target-element extent ranked separately,
+    ref:include/indri/ScoredExtentResult.hpp via
+    :func:`~.extents.run_extents`).
+
+    CAS targets whose translated inner tree the element evaluator cannot
+    score per-extent (e.g. ``about(.//title, ...)`` support paths) fall
+    back to document results with ``begin = end = 0`` — same ranking as
+    :func:`run_nexi`, documented at ``extents.run_extents(strict=False)``.
+    Shrinkage mode stays document-level (see :func:`run_nexi`)."""
+    from .extents import run_extents
+
+    return run_extents(
+        reader, to_indriql(NexiParser(shrinkage=False).parse(text)), k=k,
+        strict=False)

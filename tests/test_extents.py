@@ -243,6 +243,30 @@ def test_cli_runquery_inex_and_plain(ext_index, tmp_path, capsys):
     assert [int(rr[2]) for rr in rows] == [0, 0]  # top extents begin at 0
 
 
+def test_nexi_element_results(ext_index):
+    from indri_5_5_ray.pipelines.extents import run_extents
+    from indri_5_5_ray.pipelines.nexi import run_nexi, run_nexi_extents
+
+    r = _reader(ext_index)
+    ids, bs, es, sc = run_nexi_extents(r, "//sec[about(., alpha)]", k=100)
+    # NEXI CO/CAS target → per-sec-extent ranking, same as the dialect form
+    ids2, bs2, es2, sc2 = run_extents(r, "#combine[sec](#combine(alpha))",
+                                      k=100)
+    assert ids.tolist() == ids2.tolist()
+    assert bs.tolist() == bs2.tolist() and es.tolist() == es2.tolist()
+    assert sc.tolist() == sc2.tolist()
+    assert max(es.tolist()) > 0  # real element extents
+
+    # support-path CAS target: element evaluation unsupported → document
+    # fallback (begin = end = 0), ranking identical to run_nexi
+    q = "//sec[about(.//article, alpha)]"
+    ids3, bs3, es3, sc3 = run_nexi_extents(r, q, k=10)
+    idsd, scd = run_nexi(r, q, k=10)
+    assert ids3.tolist() == idsd.tolist()
+    assert sc3.tolist() == scd.tolist()
+    assert not bs3.any() and not es3.any()
+
+
 def test_multisec_corpus_builder(tmp_path):
     from indri_5_5_ray.sources.corpus import corpus_from_documents_multisec
 
