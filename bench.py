@@ -234,10 +234,25 @@ def run_bench() -> dict:
 
     _warc_files = _webarchive.ensure_warc_archive(SF_DIR)
 
-    from __ray_entry__ import _ensure_nested_index
+    from __ray_entry__ import _ensure_multisec_index, _ensure_nested_index
 
     # index build is fixture work, excluded from the xmlq_3fam timing
     _nested_index_dir = _ensure_nested_index(SF_DIR)
+    _multisec_index_dir = _ensure_multisec_index(SF_DIR)
+
+    def _inex_3q() -> int:
+        # element-level retrieval (every sec extent / passage window
+        # scored) + INEX path naming for the top 10 of each query
+        from __ray_entry__ import EXTENT_QUERIES
+        from indri_5_5_ray.pipelines.extents import element_paths, run_extents
+
+        ms_reader = IndexReader(_multisec_index_dir)
+        n = 0
+        for _, q in EXTENT_QUERIES:
+            ids, bs, es, _sc = run_extents(ms_reader, q, k=100)
+            n += sum(len(p) for p in element_paths(
+                ms_reader, ids[:10], bs[:10], es[:10]))
+        return n
 
     def _xmlq_3fam() -> int:
         from __ray_entry__ import (
@@ -299,6 +314,9 @@ def run_bench() -> dict:
         # NEW r5: query-biased snippets (20 queries × top-10, BM25 k=10
         # scoring included; the store_content index is fixture work)
         ("snippets_20q", _snippets_20q),
+        # NEW r5: element-level retrieval + INEX path naming over the
+        # multisec index (index pre-built above as fixture work)
+        ("inex_3q", _inex_3q),
     ]:
         t0 = time.perf_counter()
         fn()
