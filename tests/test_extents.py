@@ -243,6 +243,58 @@ def test_cli_runquery_inex_and_plain(ext_index, tmp_path, capsys):
     assert [int(rr[2]) for rr in rows] == [0, 0]  # top extents begin at 0
 
 
+def test_wildcard_syn_band_in_extents(ext_index):
+    from indri_5_5_ray.pipelines.extents import run_extents
+
+    r = _reader(ext_index)
+    sec_total = float(r.field_stats("sec")["total_len"])
+    # wildcard alp* → syn(alpha): identical to the plain-term query
+    w = _rows(run_extents(r, "#combine[sec](alp*)", k=100))
+    t = _rows(run_extents(r, "#combine[sec](alpha)", k=100))
+    assert w == t
+    # #syn(alpha gamma) in doc0: sec1 has alpha (1), sec2 alpha+gamma (2)
+    rows = _rows(run_extents(r, "#combine[sec](#syn(alpha gamma))", k=100))
+    by_ext = {(d, b, e): s for d, b, e, s in rows}
+    # cf = union occurrences within sec over union docs: doc0 3, doc1 1,
+    # doc3 1 → 5
+    assert by_ext[(0, 0, 2)] == pytest.approx(
+        _dir(1, 2, 5.0, sec_total), abs=1e-12)
+    assert by_ext[(0, 2, 5)] == pytest.approx(
+        _dir(2, 3, 5.0, sec_total), abs=1e-12)
+    # #band(alpha beta): 1 where both present in the extent, else 0
+    rows = _rows(run_extents(r, "#combine[sec](#band(alpha beta))", k=100))
+    by_ext = {(d, b, e): s for d, b, e, s in rows}
+    # FOREGROUND is per-extent (doc0 sec1 and doc1's extent contain
+    # both); the band STATISTIC is doc-level over the sec union (the
+    # engine's two-pass node statistics): docs 0, 1 AND 3 (alpha in
+    # sec[1], beta in sec[2]) → cf = 3
+    assert by_ext[(0, 0, 2)] == pytest.approx(
+        _dir(1, 2, 3.0, sec_total), abs=1e-12)
+    assert by_ext[(0, 2, 5)] == pytest.approx(
+        _dir(0, 3, 3.0, sec_total), abs=1e-12)
+    assert by_ext[(1, 0, 3)] == pytest.approx(
+        _dir(1, 3, 3.0, sec_total), abs=1e-12)
+    assert by_ext[(3, 0, 1)] == pytest.approx(
+        _dir(0, 1, 3.0, sec_total), abs=1e-12)
+
+
+def test_filreq_masks_whole_doc(ext_index):
+    from indri_5_5_ray.pipelines.extents import run_extents
+
+    r = _reader(ext_index)
+    # require gamma (only doc0 has it): other docs' extents are excluded,
+    # doc0 keeps BOTH extents (doc-level filter, FilterRequireNode wraps
+    # the scored node)
+    rows = _rows(run_extents(r, "#filreq(gamma #combine[sec](alpha))",
+                             k=100))
+    # filreq root is not a ctx root → doc-level fallback (begin=end=0)
+    assert all(b == 0 and e == 0 for _d, b, e, _s in rows)
+    rows2 = _rows(run_extents(r, "#combine[sec](#filreq(gamma alpha))",
+                              k=100))
+    assert {d for d, _b, _e, _s in rows2} == {0}
+    assert [(b, e) for _d, b, e, _s in rows2] == [(0, 2), (2, 5)]
+
+
 def test_nexi_element_results(ext_index):
     from indri_5_5_ray.pipelines.extents import run_extents
     from indri_5_5_ray.pipelines.nexi import run_nexi, run_nexi_extents
