@@ -282,7 +282,9 @@ def _passage_topk(sf_dir: str, k: int = 10):
 
 def _passage_sql() -> str:
     """DuckDB oracle for PASSAGE_QUERIES: max-over-passages of the mean
-    per-term dirichlet belief, counts from 1-indexed token-list slices."""
+    per-term dirichlet belief, counts from 1-indexed token-list slices;
+    windows with no term match are excluded (the FixedPassageNode hasMatch
+    gate), so docs whose matches all fall outside every window drop out."""
 
     def one(qid: int, terms: list[str], width: int, stride: int) -> str:
         n = len(terms)
@@ -298,6 +300,7 @@ def _passage_sql() -> str:
             for i in range(n)
         )
         inlist = ", ".join(f"'{t}'" for t in terms)
+        gate = " + ".join(f"p.c{i}" for i in range(n))
         return f"""
   SELECT {qid} AS qid, p.doc_id, max(({bel}) / {n}.0) AS score
   FROM (
@@ -310,6 +313,7 @@ def _passage_sql() -> str:
           WHERE dl >= 1 AND doc_id IN
                 (SELECT DISTINCT doc_id FROM tf WHERE term IN ({inlist})))
   ) p CROSS JOIN stats s
+  WHERE {gate} > 0
   GROUP BY p.doc_id"""
 
     q1 = one(1, ["merge", "join"], 20, 10)
@@ -420,18 +424,26 @@ def _extent_sql() -> str:
         return (f"(SELECT DISTINCT doc_id FROM tf"
                 f" WHERE term IN ({inlist}))")
 
+    def gate(terms: list[str]) -> str:
+        # the ExtentRestrictionNode hasMatch gate: extents with no term
+        # match are never scored (zero-length extents fall out with it)
+        return " + ".join(
+            f"len(list_filter(er.toks, x -> x = '{t}'))" for t in terms)
+
     q1 = f"""
   SELECT 1 AS qid, er.doc_id, er.b, er.e,
          ({d_sec('merge')} + {d_sec('data')}) / 2 AS score
   FROM erows er
   JOIN {cand(['merge', 'data'])} c ON c.doc_id = er.doc_id
-  CROSS JOIN secstats ss"""
+  CROSS JOIN secstats ss
+  WHERE {gate(['merge', 'data'])} > 0"""
     q2 = f"""
   SELECT 2 AS qid, er.doc_id, er.b, er.e,
          ({d_sec('spark')} + {d_sec('window')}) / 2 AS score
   FROM erows er
   JOIN {cand(['spark', 'window'])} c ON c.doc_id = er.doc_id
-  CROSS JOIN secstats ss"""
+  CROSS JOIN secstats ss
+  WHERE {gate(['spark', 'window'])} > 0"""
     q3 = f"""
   SELECT 3 AS qid, p.doc_id, p.s AS b, least(p.s + 12, p.dli) AS e,
          (ln((p.c0 + 2500.0 * {cfx('cfreq', 'merge')} / s.total)
@@ -450,7 +462,8 @@ def _extent_sql() -> str:
           FROM docs
           WHERE len(T) >= 1
             AND doc_id IN {cand(['merge', 'data'])})
-  ) p CROSS JOIN stats s"""
+  ) p CROSS JOIN stats s
+  WHERE p.c0 + p.c1 > 0"""
     return f"""
 WITH {_field_sql_common()},
 c0f AS (SELECT term, sum(tf)::DOUBLE AS cf FROM t0f GROUP BY term),

@@ -144,8 +144,15 @@ def _run_extent_root(eng: StructuredQueryEngine, field: str | None,
         fdata = eng._field_data(field)
         cand = np.asarray([d for d in cand.tolist() if d in fdata],
                           dtype=np.int64)
-        ext_bs = [fdata[d][0] for d in cand.tolist()]
-        ext_es = [fdata[d][1] for d in cand.tolist()]
+        # zero-length extents are skipped, never scored ("this field has
+        # no text in it", ref:src/ExtentRestrictionNode.cpp:73-74 and
+        # src/ExtentEnforcementNode.cpp:61-62)
+        ext_bs, ext_es = [], []
+        for d in cand.tolist():
+            fb, fe = fdata[d][0], fdata[d][1]
+            nz = fe > fb
+            ext_bs.append(fb[nz])
+            ext_es.append(fe[nz])
     else:
         dl = eng.r.doc_lens()[cand].astype(np.int64)
         ext_bs, ext_es = [], []
@@ -165,7 +172,11 @@ def _run_extent_root(eng: StructuredQueryEngine, field: str | None,
     edoc = np.repeat(cand, n_per)
     ev = _ExtentEval(eng, field, cand, ext_start, eb, ee)
     beliefs = ev.belief(inner)
-    keep = beliefs > -np.inf
+    # extents where the scored tree has NO match are skipped, not
+    # background-scored (ExtentRestrictionNode/FixedPassageNode gate every
+    # extent on _child->hasMatch, ref:src/ExtentRestrictionNode.cpp:58-69,
+    # ref:src/FixedPassageNode.cpp:52-59)
+    keep = ev.matches(inner) & (beliefs > -np.inf)
     edoc, eb, ee, beliefs = edoc[keep], eb[keep], ee[keep], beliefs[keep]
     # ScoredExtentResult::score_greater: score desc, doc desc, begin desc,
     # end desc (ref:include/indri/ScoredExtentResult.hpp:31-46)
@@ -197,10 +208,18 @@ class _ExtentEval:
             self.total = float(st["total_len"]) if st else 0.0
         else:
             self.total = None  # collection-global
+        self._count_memo: dict[int, np.ndarray] = {}
 
     # -- counts ------------------------------------------------------------
 
     def counts(self, node: Node) -> np.ndarray:
+        hit = self._count_memo.get(id(node))
+        if hit is None:
+            hit = self._counts_uncached(node)
+            self._count_memo[id(node)] = hit
+        return hit
+
+    def _counts_uncached(self, node: Node) -> np.ndarray:
         eng = self.eng
         if node.op in ("term", "wildcard", "syn"):
             return self._position_counts(eng._positions_map(node))
@@ -266,6 +285,27 @@ class _ExtentEval:
                 counts[j] = float(np.sum((wb >= self.eb[j])
                                          & (we <= self.ee[j])))
         return counts
+
+    # -- matches -----------------------------------------------------------
+
+    def matches(self, node: Node) -> np.ndarray:
+        """Per-extent hasMatch: OR over the scored tree's count leaves
+        (ref:src/WeightedAndNode.cpp:309-328 belief OR;
+        ref:src/ListBeliefNode.cpp:158-186 leaf containment; priors carry
+        no match list).  Counts are memoized, so the belief pass already
+        paid for them."""
+        if node.op in self._COUNT_OPS:
+            return self.counts(node) > 0
+        if node.op == "prior":
+            return np.zeros(self.n_ext, dtype=bool)
+        if node.op in ("filreq", "filrej"):
+            return self.matches(node.children[1])
+        if node.op == "not":
+            return self.matches(node.children[0])
+        kids = [self.matches(c) for c in node.children]
+        if not kids:
+            return np.zeros(self.n_ext, dtype=bool)
+        return np.any(kids, axis=0)
 
     # -- beliefs -----------------------------------------------------------
 

@@ -1262,9 +1262,17 @@ class StructuredQueryEngine:
                 try:
                     b = self._belief(node.children[0], cand,
                                      np.minimum(dl - start, float(width)))
+                    # windows where NO scored leaf matches are SKIPPED, not
+                    # background-scored (FixedPassageNode::score gates every
+                    # subextent on _child->hasMatch,
+                    # ref:src/FixedPassageNode.cpp:52-59) — without the gate
+                    # a short clipped no-match window can out-score matching
+                    # ones for common terms; docs with no matching window
+                    # stay at -inf and drop out entirely
+                    m = self._match_mask(node.children[0], cand)
                 finally:
                     self._passage = None
-                best = np.maximum(best, np.where(valid, b, -np.inf))
+                best = np.maximum(best, np.where(valid & m, b, -np.inf))
                 start += stride
             return best
         if node.op == "ctx":
@@ -1344,6 +1352,34 @@ class StructuredQueryEngine:
         if node.op == "not":
             return np.log1p(-np.minimum(np.exp(kids[0]), np.nextafter(1.0, 0.0)))
         raise ValueError(f"unknown op {node.op}")
+
+    def _match_mask(self, node: Node, cand: np.ndarray) -> np.ndarray:
+        """Per-candidate hasMatch of a scored subtree: OR over its count
+        leaves' occurrence counts under the ACTIVE restriction/passage
+        context (belief nodes OR their children's matches,
+        ref:src/WeightedAndNode.cpp:309-328; a leaf matches where one of
+        its raw extents is contained in the evaluation extent,
+        ref:src/ListBeliefNode.cpp:158-186; priors carry no match list)."""
+        if node.op in self._COUNT_OPS or node.op == "any" \
+                or node.op in _NUM_PREDS:
+            rfields = tuple(self._ctx_stack)
+            return self._node_counts(node, self._postings, cand, rfields) > 0
+        if node.op == "prior":
+            return np.zeros(len(cand), dtype=bool)
+        if node.op in ("filreq", "filrej"):
+            return self._match_mask(node.children[1], cand)
+        if node.op == "ctx":
+            self._ctx_stack.append(node.term)
+            try:
+                return self._match_mask(node.children[0], cand)
+            finally:
+                self._ctx_stack.pop()
+        if node.op == "not":
+            return self._match_mask(node.children[0], cand)
+        masks = [self._match_mask(c, cand) for c in node.children]
+        if not masks:
+            return np.zeros(len(cand), dtype=bool)
+        return np.any(masks, axis=0)
 
     def _term_cf(self, node: Node) -> float:
         term = self._node_term(node)

@@ -76,12 +76,13 @@ def test_field_extent_scores_hand_computed(ext_index):
     rows = _rows(run_extents(r, "#combine[sec](alpha)", k=100))
     # candidates: docs with alpha anywhere AND carrying sec → 0, 1, 3
     # cf(alpha within sec) = doc0: 2, doc1: 1, doc2 (no sec): 0, doc3: 1 → 4
+    # doc3's second extent has NO match → skipped (the hasMatch gate,
+    # ref:src/ExtentRestrictionNode.cpp:58-69)
     want = {
         (0, 0, 2): _dir(1, 2, 4.0, sec_total),
         (0, 2, 5): _dir(1, 3, 4.0, sec_total),
         (1, 0, 3): _dir(1, 3, 4.0, sec_total),
         (3, 0, 1): _dir(1, 1, 4.0, sec_total),
-        (3, 1, 2): _dir(0, 1, 4.0, sec_total),
     }
     assert {k: pytest.approx(v, abs=1e-12) for k, v in want.items()} == {
         (d, b, e): s for d, b, e, s in rows}
@@ -121,16 +122,12 @@ def test_window_node_inside_extent(ext_index):
     rows = _rows(run_extents(r, "#combine[sec](#1(alpha beta))", k=100))
     by_ext = {(d, b, e): s for d, b, e, s in rows}
     # ordered window alpha→beta: only doc0 (0,2); doc3's spans cross the
-    # two 1-token extents (not contained in either)
+    # two 1-token extents (not contained in either); extents without a
+    # window match are skipped entirely (hasMatch gate)
     sec_total = float(r.field_stats("sec")["total_len"])
+    assert set(by_ext) == {(0, 0, 2)}
     assert by_ext[(0, 0, 2)] == pytest.approx(
         _dir(1, 2, 1.0, sec_total), abs=1e-12)
-    assert by_ext[(0, 2, 5)] == pytest.approx(
-        _dir(0, 3, 1.0, sec_total), abs=1e-12)
-    assert by_ext[(3, 0, 1)] == pytest.approx(
-        _dir(0, 1, 1.0, sec_total), abs=1e-12)
-    top = rows[0]
-    assert (top[0], top[1], top[2]) == (0, 0, 2)
 
 
 def test_passage_extents_match_document_best_passage(ext_index):
@@ -149,9 +146,10 @@ def test_passage_extents_match_document_best_passage(ext_index):
     assert set(got_best) == set(doc_best)
     for d in doc_best:
         assert got_best[d] == pytest.approx(doc_best[d], abs=1e-12)
-    # window geometry: doc2 (len 2, width 2 stride 1) → (0,2), (1,2)
+    # window geometry: doc2 (len 2, width 2 stride 1) slides (0,2) and
+    # (1,2); only (0,2) contains a match ('alpha outside' has alpha at 0)
     d2 = sorted((b, e) for d, b, e, _s in rows if d == 2)
-    assert d2 == [(0, 2), (1, 2)]
+    assert d2 == [(0, 2)]
 
 
 def test_doc_level_fallback_zero_extents(ext_index):
@@ -264,18 +262,16 @@ def test_wildcard_syn_band_in_extents(ext_index):
     # #band(alpha beta): 1 where both present in the extent, else 0
     rows = _rows(run_extents(r, "#combine[sec](#band(alpha beta))", k=100))
     by_ext = {(d, b, e): s for d, b, e, s in rows}
-    # FOREGROUND is per-extent (doc0 sec1 and doc1's extent contain
-    # both); the band STATISTIC is doc-level over the sec union (the
-    # engine's two-pass node statistics): docs 0, 1 AND 3 (alpha in
-    # sec[1], beta in sec[2]) → cf = 3
+    # FOREGROUND is per-extent — only extents CONTAINING a band match
+    # survive the hasMatch gate (doc0 sec1 and doc1's extent); the band
+    # STATISTIC is doc-level over the sec union (the engine's two-pass
+    # node statistics): docs 0, 1 AND 3 (alpha in sec[1], beta in
+    # sec[2]) → cf = 3
+    assert set(by_ext) == {(0, 0, 2), (1, 0, 3)}
     assert by_ext[(0, 0, 2)] == pytest.approx(
         _dir(1, 2, 3.0, sec_total), abs=1e-12)
-    assert by_ext[(0, 2, 5)] == pytest.approx(
-        _dir(0, 3, 3.0, sec_total), abs=1e-12)
     assert by_ext[(1, 0, 3)] == pytest.approx(
         _dir(1, 3, 3.0, sec_total), abs=1e-12)
-    assert by_ext[(3, 0, 1)] == pytest.approx(
-        _dir(0, 1, 3.0, sec_total), abs=1e-12)
 
 
 def test_filreq_masks_whole_doc(ext_index):

@@ -246,7 +246,8 @@ def test_passage_retrieval(field_index):
         while start < DL[d]:
             c = sum(1 for p in pos[d] if start <= p < start + 3)
             dlp = min(DL[d] - start, 3)
-            best = max(best, _dir(c, dlp, cf, TOTAL))
+            if c > 0:  # no-match windows are skipped (hasMatch gate)
+                best = max(best, _dir(c, dlp, cf, TOTAL))
             start += 2
         want[d] = best
     assert set(got) == set(want)
@@ -268,7 +269,8 @@ def test_passage_multi_term(field_index):
             ca = sum(1 for p in posa[d] if start <= p < start + 2)
             cb = sum(1 for p in posb[d] if start <= p < start + 2)
             dlp = min(DL[d] - start, 2)
-            best = max(best, 0.5 * (_dir(ca, dlp, cfa, TOTAL) + _dir(cb, dlp, cfb, TOTAL)))
+            if ca + cb > 0:  # no-match windows are skipped (hasMatch gate)
+                best = max(best, 0.5 * (_dir(ca, dlp, cfa, TOTAL) + _dir(cb, dlp, cfb, TOTAL)))
             start += 1
         want[d] = best
     assert set(got) == set(want)
