@@ -62,7 +62,8 @@ from .indriql import (
     unordered_window_extents,
 )
 
-__all__ = ["run_extents", "element_paths", "format_inex"]
+__all__ = ["run_extents", "run_nested_extents", "element_paths",
+           "format_inex"]
 
 
 def _as_engine(reader_or_engine, method: str, mu: float, lam: float
@@ -363,6 +364,115 @@ class _ExtentEval:
             return np.log1p(-np.minimum(np.exp(kids[0]),
                                         np.nextafter(1.0, 0.0)))
         raise ValueError(f"unknown op {node.op}")
+
+
+def run_nested_extents(reader, a_field: str, c1_query: str, b_field: str,
+                       c2_query: str, k: int = 1000,
+                       method: str = "dirichlet", mu: float = 2500.0,
+                       lam: float = 0.4
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray]:
+    """The NEXI two-restriction form ``//a[c1]//b[c2]`` — the
+    ContextInclusionAnd + ExtentEnforcement pair the grammar builds
+    (ref:src/nexilang.g:195-203): for every NONZERO-length ``a`` extent
+    ``E`` of a candidate document, ``c1`` scores at ``E`` and the
+    enforced child scores every ``b`` extent inside ``E``; each
+    ``(E, b)`` pair yields one result with score ``score_c1(E) +
+    score_c2(b)`` (the inclusion node SUMS the non-preserve children's
+    log-beliefs onto each preserved result,
+    ref:src/ContextInclusionAndNode.cpp:223-254) and extent = the ``b``
+    extent (preserved through the enforcement,
+    ref:src/ExtentEnforcementNode.cpp:48-80).
+
+    The enforcement loop skips zero-length ``a`` extents but does NOT
+    hasMatch-gate ``c1``; the inner ExtentRestriction gates ``b`` extents
+    on ``c2``'s matches and skips zero-length ones
+    (ref:src/ExtentRestrictionNode.cpp:58-74).  A ``b`` extent inside two
+    nested ``a`` extents is scored once per enclosing ``E``, exactly like
+    the reference's per-extent child walk.  Statistics: ``c1`` draws
+    backgrounds from the ``a`` field context, ``c2`` from ``b``
+    (ExtentEnforcement subclasses ExtentRestriction, so the smoothing
+    annotation assigns each clause its restriction's field context)."""
+    eng = _as_engine(reader, method, mu, lam)
+    c1 = parse_query(c1_query)
+    c2 = parse_query(c2_query)
+    empties = (np.empty(0, np.int64), np.empty(0, np.int64),
+               np.empty(0, np.int64), np.empty(0, np.float64))
+    leafs: set[str] = set()
+    eng._leaf_terms(c1, leafs)
+    eng._leaf_terms(c2, leafs)
+    terms_key = tuple(sorted(leafs))
+    cached = eng._postings_memo.get((terms_key,) + (True,))
+    if cached is None:
+        if len(eng._postings_memo) > 8:
+            eng._postings_memo.clear()
+        cached = eng._fetch_postings(list(terms_key), None,
+                                     need_positions=True)
+        eng._postings_memo[(terms_key,) + (True,)] = cached
+    eng._postings = cached
+    parts: list[np.ndarray] = []
+    eng._cand_docs(c1, parts)
+    eng._cand_docs(c2, parts)
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return empties
+    cand = np.unique(np.concatenate(parts))
+    cand = cand[eng.r.keep_mask(cand)]
+    adata = eng._field_data(a_field)
+    bdata = eng._field_data(b_field)
+    cand = np.asarray(
+        [d for d in cand.tolist()
+         if d in adata and bool((adata[d][1] > adata[d][0]).any())
+         and d in bdata],
+        dtype=np.int64)
+    if not len(cand):
+        return empties
+    a_bs, a_es, b_bs, b_es = [], [], [], []
+    for d in cand.tolist():
+        ab, ae = adata[d][0], adata[d][1]
+        nz = ae > ab
+        a_bs.append(ab[nz])
+        a_es.append(ae[nz])
+        bb, be = bdata[d][0], bdata[d][1]
+        nz = be > bb
+        b_bs.append(bb[nz])
+        b_es.append(be[nz])
+
+    def flat(bs, es):
+        n_per = np.asarray([len(x) for x in bs], dtype=np.int64)
+        start = np.zeros(len(cand) + 1, dtype=np.int64)
+        np.cumsum(n_per, out=start[1:])
+        return (start, np.concatenate(bs).astype(np.int64),
+                np.concatenate(es).astype(np.int64))
+
+    a_start, ab, ae = flat(a_bs, a_es)
+    b_start, bb, be = flat(b_bs, b_es)
+    if not len(ab) or not len(bb):
+        return empties
+    s1 = _ExtentEval(eng, a_field, cand, a_start, ab, ae).belief(c1)
+    ev_b = _ExtentEval(eng, b_field, cand, b_start, bb, be)
+    s2 = ev_b.belief(c2)
+    m2 = ev_b.matches(c2)
+    out_d, out_b, out_e, out_s = [], [], [], []
+    for i, did in enumerate(cand.tolist()):
+        asl = slice(int(a_start[i]), int(a_start[i + 1]))
+        bsl = slice(int(b_start[i]), int(b_start[i + 1]))
+        for ai in range(asl.start, asl.stop):
+            inside = ((bb[bsl] >= ab[ai]) & (be[bsl] <= ae[ai])
+                      & m2[bsl])
+            for bj in np.nonzero(inside)[0] + bsl.start:
+                out_d.append(did)
+                out_b.append(int(bb[bj]))
+                out_e.append(int(be[bj]))
+                out_s.append(float(s1[ai]) + float(s2[bj]))
+    if not out_d:
+        return empties
+    edoc = np.asarray(out_d, dtype=np.int64)
+    eb = np.asarray(out_b, dtype=np.int64)
+    ee = np.asarray(out_e, dtype=np.int64)
+    sc = np.asarray(out_s, dtype=np.float64)
+    order = np.lexsort((-ee, -eb, -edoc, -sc))[:k]
+    return edoc[order], eb[order], ee[order], sc[order]
 
 
 # ---------------------------------------------------------------------------

@@ -266,8 +266,13 @@ class NexiParser:
                 r2 = ExtentRestriction(c2, p2)
             else:
                 r2 = ExtentRestriction(c2, f2)
-            combine = ContextInclusion([q], enforced=r2)
-            return ExtentEnforcement(combine, f2)
+            # the grammar action adds the RAW first clause (not its
+            # ExtentRestriction, which is built then dangles) and encloses
+            # with the FIRST field (ref:src/nexilang.g:195-203:
+            # combine->addChild(c); combine->addChild(r2, true);
+            # ExtentEnforcement(combine, f))
+            combine = ContextInclusion([c], enforced=r2)
+            return ExtentEnforcement(combine, f)
         return q
 
     @staticmethod
@@ -566,9 +571,26 @@ def run_nexi_extents(reader, text: str, k: int = 1000
     score per-extent (e.g. ``about(.//title, ...)`` support paths) fall
     back to document results with ``begin = end = 0`` — same ranking as
     :func:`run_nexi`, documented at ``extents.run_extents(strict=False)``.
-    Shrinkage mode stays document-level (see :func:`run_nexi`)."""
-    from .extents import run_extents
+    Shrinkage mode stays document-level (see :func:`run_nexi`).
 
-    return run_extents(
-        reader, to_indriql(NexiParser(shrinkage=False).parse(text)), k=k,
-        strict=False)
+    The two-restriction form ``//a[c1]//b[c2]`` — untranslatable to the
+    document dialect (``to_indriql`` raises) — executes HERE through
+    :func:`~.extents.run_nested_extents` (the ContextInclusionAnd +
+    ExtentEnforcement pair), provided both restrictions are plain fields;
+    paths/alternative lists in either restriction still raise."""
+    from .extents import run_extents, run_nested_extents
+
+    ast = NexiParser(shrinkage=False).parse(text)
+    inner = ast.child  # LengthPrior(0) is a score no-op
+    if isinstance(inner, ExtentEnforcement):
+        ci = inner.child
+        r2 = ci.enforced
+        if (isinstance(inner.extent, Field) and isinstance(r2.extent, Field)
+                and len(ci.children) == 1):
+            return run_nested_extents(
+                reader, inner.extent.name, to_indriql(ci.children[0]),
+                r2.extent.name, to_indriql(r2.child), k=k)
+        raise NexiTranslationError(
+            "two-restriction form with path or alternative-list "
+            "restrictions is not supported")
+    return run_extents(reader, to_indriql(ast), k=k, strict=False)

@@ -315,6 +315,29 @@ def test_nexi_element_results(ext_index):
     assert not bs3.any() and not es3.any()
 
 
+def test_two_restriction_form(ext_index):
+    from indri_5_5_ray.pipelines.extents import run_nested_extents
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+
+    r = _reader(ext_index)
+    # //article[about(., alpha)]//sec[about(., beta)]: doc3 is the only
+    # doc with both fields; article extent E=(0,2); sec extents inside:
+    # (0,1) has no beta (c2 hasMatch gate drops it), (1,2) has beta
+    ids, bs, es, sc = run_nexi_extents(
+        r, "//article[about(., alpha)]//sec[about(., beta)]", k=10)
+    assert (ids.tolist(), bs.tolist(), es.tolist()) == ([3], [1], [2])
+    art_total = float(r.field_stats("article")["total_len"])
+    sec_total = float(r.field_stats("sec")["total_len"])
+    # score = c1 belief at E (article-context stats: cf(alpha in article)
+    # = 1) + c2 belief at the sec extent (cf(beta in sec) = 4)
+    want = _dir(1, 2, 1.0, art_total) + _dir(1, 1, 4.0, sec_total)
+    assert sc[0] == pytest.approx(want, abs=1e-12)
+    # the direct API agrees with the NEXI routing
+    ids2, bs2, es2, sc2 = run_nested_extents(
+        r, "article", "#combine(alpha)", "sec", "#combine(beta)", k=10)
+    assert ids2.tolist() == ids.tolist() and sc2.tolist() == sc.tolist()
+
+
 def test_multisec_corpus_builder(tmp_path):
     from indri_5_5_ray.sources.corpus import corpus_from_documents_multisec
 
