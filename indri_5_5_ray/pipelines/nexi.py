@@ -37,8 +37,11 @@ Translation notes (documented divergences, each raises or is a no-op):
   field oracle), where the any-field restriction only changes the
   reported extent units, not the document ordering contract.
 - ContextInclusion/ExtentEnforcement (the two-restriction form) and
-  ExtentOr field lists ``(a|b)`` parse but do not translate — they
-  raise ``NexiTranslationError`` naming the construct.
+  ExtentOr field lists ``(a|b)`` parse but do not translate to the
+  DOCUMENT dialect — ``to_indriql`` raises ``NexiTranslationError``
+  naming the construct.  The two-restriction form EXECUTES at element
+  granularity through :func:`run_nexi_extents` →
+  :func:`~.extents.run_nested_extents` for plain-field restrictions.
 - ``shrinkage=True`` (the reference's default) wraps term scorers in
   ShrinkageScorerNode; execution for that mode goes through
   :class:`~.shrinkage.ShrinkageScorer` for BARE term lists and raises
