@@ -80,6 +80,7 @@ from dataclasses import dataclass, field
 from functools import lru_cache
 
 import numpy as np
+import pyarrow as pa
 
 from ..config import IndexConfig
 from ..stages.ingest import TermProcessor
@@ -617,7 +618,9 @@ class StructuredQueryEngine:
 
     def _fetch_postings(self, terms: list[str],
                         doc_range: tuple[int, int] | None = None,
-                        need_positions: bool = True) -> dict[str, tuple]:
+                        need_positions: bool = True,
+                        doc_set: list[int] | None = None
+                        ) -> dict[str, tuple]:
         """term → (doc_ids, tfs, flat positions | None, per-doc position
         start offsets | None).  Positions stay FLAT (block order = doc
         order) — no per-doc Python splitting; doc i's run is
@@ -626,8 +629,24 @@ class StructuredQueryEngine:
         ``need_positions=False`` (the query has no positional node) skips
         the positions stream entirely via the vectorized batch decoder —
         for common terms the positions are most of the payload and most of
-        the decode time."""
+        the decode time.
+
+        ``doc_set`` (a small explicit doc-id list, e.g. a result page the
+        snippet builder re-scores) drops every block whose
+        [first_doc, last_doc] contains none of the ids BEFORE decoding —
+        a range filter alone keeps nearly all blocks when the ids are
+        scattered, and positions decode is the dominant cost.  The
+        returned postings then cover ONLY those docs' blocks (fine for
+        per-doc extent lookups, WRONG for collection statistics)."""
         rows = self.r.term_rows(terms, doc_range)
+        if doc_set is not None and rows.num_rows:
+            ds_sorted = np.unique(np.asarray(list(doc_set), dtype=np.int64))
+            fd = rows.column("first_doc").to_numpy()
+            ld = rows.column("last_doc").to_numpy()
+            lo_i = np.searchsorted(ds_sorted, fd, side="left")
+            keep = (lo_i < len(ds_sorted)) & (
+                ds_sorted[np.minimum(lo_i, len(ds_sorted) - 1)] <= ld)
+            rows = rows.filter(pa.array(keep))
         has_pos = self.r.cfg.store_positions and need_positions
         out: dict[str, list] = {}
         row_terms = rows.column("term").to_pylist() if rows.num_rows else []

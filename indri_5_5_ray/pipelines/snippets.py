@@ -356,12 +356,10 @@ def _doc_texts(reader, doc_ids: list[int]) -> dict[int, str]:
     """doc_id → stored text, via a doc_id-pruned docstore read (only the k
     result rows are decoded; the docs dir is doc-range sharded so row-group
     pruning applies)."""
-    ds = pads.dataset(f"{reader.index_dir}/docs")
-    if "content" not in ds.schema.names:
+    if "content" not in reader._dset("docs").schema.names:
         raise ValueError("index built without store_content=True; "
                          "snippets need the docstore")
-    t = ds.to_table(columns=["doc_id", "content"],
-                    filter=pads.field("doc_id").isin(doc_ids))
+    t = reader._point_read("docs", doc_ids, ["doc_id", "content"])
     return dict(zip(t.column("doc_id").to_pylist(),
                     t.column("content").to_pylist()))
 
@@ -408,7 +406,8 @@ def build_snippets(reader, query: str, doc_ids: list[int],
     # web scale is GBs of positions for 10 needed docs)
     doc_range = ((min(doc_ids), max(doc_ids) + 1) if doc_ids else None)
     eng._postings = eng._fetch_postings(sorted(leafs), doc_range=doc_range,
-                                        need_positions=True)
+                                        need_positions=True,
+                                        doc_set=list(doc_ids))
     if texts is None:
         texts = _doc_texts(reader, list(doc_ids))
     builder = SnippetBuilder(html)
