@@ -44,8 +44,10 @@ Translation notes (documented divergences, each raises or is a no-op):
   :func:`~.extents.run_nested_extents` for plain-field restrictions.
 - ``shrinkage=True`` (the reference's default) wraps term scorers in
   ShrinkageScorerNode; execution for that mode goes through
-  :class:`~.shrinkage.ShrinkageScorer` for BARE term lists and raises
-  for restricted queries (extent-level shrinkage is not wired).
+  :class:`~.shrinkage.ShrinkageScorer` for BARE term lists
+  (document-level, :func:`run_nexi`) and through
+  ``ShrinkageScorer.score_extents`` for plain-field CAS targets
+  (element-level, :func:`run_nexi_extents`).
 """
 from __future__ import annotations
 
@@ -555,14 +557,16 @@ def run_nexi(reader, text: str, shrinkage: bool = False,
             return ShrinkageScorer(
                 reader, rules=shrinkage_rules).score(terms, k=k)
         raise NexiTranslationError(
-            "extent-restricted shrinkage queries are not wired; parse "
-            "with shrinkage=False for plain scoring")
+            "document-level shrinkage supports bare term lists only; "
+            "restricted shrinkage queries run at EXTENT granularity "
+            "through run_nexi_extents(shrinkage=True)")
     from .indriql import StructuredQueryEngine
 
     return StructuredQueryEngine(reader).run(to_indriql(ast), k=k)
 
 
-def run_nexi_extents(reader, text: str, k: int = 1000
+def run_nexi_extents(reader, text: str, k: int = 1000,
+                     shrinkage: bool = False, shrinkage_rules: tuple = ()
                      ) -> tuple:
     """Parse and execute one NEXI query at ELEMENT granularity →
     ``(doc_ids, begins, ends, scores)`` — the INEX CO/CAS result surface
@@ -580,11 +584,38 @@ def run_nexi_extents(reader, text: str, k: int = 1000
     document dialect (``to_indriql`` raises) — executes HERE through
     :func:`~.extents.run_nested_extents` (the ContextInclusionAnd +
     ExtentEnforcement pair), provided both restrictions are plain fields;
-    paths/alternative lists in either restriction still raise."""
+    paths/alternative lists in either restriction still raise.
+
+    ``shrinkage=True`` (the reference parser's default mode) executes a
+    plain-field CAS target over PLAIN TERM lists through
+    :meth:`~.shrinkage.ShrinkageScorer.score_extents` — each field extent
+    scored by its exact structure node's shrunk estimate — closing the
+    combination :func:`run_nexi` documents as document-level only."""
     from .extents import run_extents, run_nested_extents
 
-    ast = NexiParser(shrinkage=False).parse(text)
+    ast = NexiParser(shrinkage=shrinkage).parse(text)
     inner = ast.child  # LengthPrior(0) is a score no-op
+    if shrinkage:
+        if (isinstance(inner, ExtentRestriction)
+                and isinstance(inner.extent, Field)):
+            c = inner.child
+            kids = c.children if isinstance(c, CombineNode) else [c]
+            terms = []
+            for kid in kids:
+                if not (isinstance(kid, RawScorer)
+                        and isinstance(kid.raw, IndexTerm)):
+                    raise NexiTranslationError(
+                        "extent-level shrinkage supports plain term lists "
+                        "only (no phrases/negations)")
+                terms.append((kid.raw.text, 1))
+            from .shrinkage import ShrinkageScorer
+
+            return ShrinkageScorer(
+                reader, rules=shrinkage_rules).score_extents(
+                    terms, inner.extent.name, k=k)
+        raise NexiTranslationError(
+            "extent-level shrinkage needs a plain-field CAS target "
+            "(//field[about(., terms)])")
     if isinstance(inner, ExtentEnforcement):
         ci = inner.child
         r2 = ci.enforced

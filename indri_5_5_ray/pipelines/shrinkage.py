@@ -194,6 +194,29 @@ class ShrinkageScorer:
         """log belief of one term for one whole document — the reference's
         ``_buildScoreCache`` + ``score`` with extent = [0, doclen), ordinal
         0 (ref:ShrinkageBeliefNode.cpp:74-143,167-427)."""
+        down, default, n = self._doc_term_down(struct, positions, dl, p_c)
+        qlc = self.settings.query_level_combine
+        # whole-doc extent: no node spans [0, dl) exactly → approximate
+        # leafs = every node; unmatched trees' zeros are excluded
+        matched = 0
+        total = 0.0
+        for i in range(1, n + 1):
+            if down[i] != 0.0:
+                total += down[i]
+                matched += 1
+        if matched:
+            score = total / matched
+            return score if qlc else math.log(score)
+        return default if qlc else math.log(default)
+
+    def _doc_term_down(self, struct: dict | None, positions: np.ndarray,
+                       dl: int, p_c: float) -> tuple[np.ndarray, float, int]:
+        """The score cache of one (document, term) pair: ``(down, default,
+        n)`` where ``down[ordinal]`` is the fully-shrunk node estimate
+        (0 for nodes of unmatched trees, which the reference never walks)
+        and ``default`` the no-match fallback ``docWeight·base₀ +
+        (1−docWeight)·collection`` (ref:ShrinkageBeliefNode.cpp:167-427
+        ``_buildScoreCache``)."""
         s = self.settings
         qlc = s.query_level_combine
         tf = float(len(positions))
@@ -290,19 +313,7 @@ class ShrinkageScorer:
         if not qlc:
             for i in order:
                 down[i] = (1.0 - self.other_weight) * down[i] + other_score
-
-        # whole-doc extent: no node spans [0, dl) exactly → approximate
-        # leafs = every node; unmatched trees' zeros are excluded
-        matched = 0
-        total = 0.0
-        for i in range(1, n + 1):
-            if down[i] != 0.0:
-                total += down[i]
-                matched += 1
-        if matched:
-            score = total / matched
-            return score if qlc else math.log(score)
-        return default if qlc else math.log(default)
+        return down, default, n
 
     # -- query entry ----------------------------------------------------------
 
@@ -348,3 +359,98 @@ class ShrinkageScorer:
                 scores[ci] += qtf * sc
         scores /= qn
         return _topk(cand, scores, k)
+
+    def score_extents(self, terms_qtf: list[tuple[str, int]], field: str,
+                      k: int = 1000
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                 np.ndarray]:
+        """Extent-restricted shrinkage ``//field[about(., terms)]`` →
+        ``(doc_ids, begins, ends, scores)`` ranked per extent.
+
+        The restriction hands each field extent WITH ITS ORDINAL to every
+        term's shrinkage node, so the node scores exactly ``_down[ordinal]``
+        when nonzero, else the default score
+        (ref:ShrinkageBeliefNode.cpp:85-141, the ``extent.ordinal != 0``
+        branch); an extent is kept when ANY term's ``_down[ordinal]`` is
+        nonzero (the node's vector ``hasMatch``, ref :429-461, OR-ed by
+        the restriction's combiner gate); zero-length extents are skipped
+        (ref:src/ExtentRestrictionNode.cpp:73-74).  Terms combine exactly
+        like :meth:`score` (qtf-weighted mean of per-term scores, log
+        applied per queryLevelCombine).  Tie order is
+        ScoredExtentResult::score_greater."""
+        from .indriql import StructuredQueryEngine
+
+        eng = StructuredQueryEngine(self.r)
+        qlc = self.settings.query_level_combine
+        terms = sorted({t for t, _ in terms_qtf})
+        postings = eng._fetch_postings(terms)
+        stats = self.r.term_stats(terms)
+        empties = (np.empty(0, np.int64), np.empty(0, np.int64),
+                   np.empty(0, np.int64), np.empty(0, np.float64))
+        cand = np.unique(np.concatenate(
+            [postings[t][0] for t in terms if t in postings]
+            or [np.empty(0, np.int64)]))
+        if len(cand):
+            cand = cand[self.r.keep_mask(cand)]
+        fdata = eng._field_data(field)
+        cand = np.asarray([d for d in cand.tolist() if d in fdata],
+                          dtype=np.int64)
+        if not len(cand):
+            return empties
+        ext_bs, ext_es, ext_os = [], [], []
+        for d in cand.tolist():
+            fb, fe = fdata[d][0], fdata[d][1]
+            fo = fdata[d][4]
+            if fo is None:
+                raise ValueError("index lacks tag-tree ordinals")
+            nz = fe > fb
+            ext_bs.append(fb[nz])
+            ext_es.append(fe[nz])
+            ext_os.append(fo[nz])
+        n_per = np.asarray([len(b) for b in ext_bs], dtype=np.int64)
+        if not int(n_per.sum()):
+            return empties
+        ext_start = np.zeros(len(cand) + 1, dtype=np.int64)
+        np.cumsum(n_per, out=ext_start[1:])
+        eb = np.concatenate(ext_bs).astype(np.int64)
+        ee = np.concatenate(ext_es).astype(np.int64)
+        eo = np.concatenate(ext_os).astype(np.int64)
+        edoc = np.repeat(cand, n_per)
+        structs = self._structures_for(cand)
+        lo, hi = int(cand[0]), int(cand[-1]) + 1
+        dl_range = self.r.doc_lens_range(lo, hi)
+        qn = float(sum(q for _, q in terms_qtf))
+        scores = np.zeros(len(eb), np.float64)
+        matched_any = np.zeros(len(eb), dtype=bool)
+        for term, qtf in terms_qtf:
+            tp = postings.get(term)
+            cf = float(stats[term][0]) if term in stats else 0.0
+            p_c = cf / self._total if cf > 0 else 1.0 / (2.0 * self._total)
+            if tp is not None:
+                flat, doc_idx = eng._gather_flat(tp, cand)
+            else:
+                flat = np.empty(0, np.int64)
+                doc_idx = np.empty(0, np.int64)
+            splits = np.searchsorted(doc_idx, np.arange(len(cand) + 1))
+            for ci, d in enumerate(cand.tolist()):
+                sl = slice(int(ext_start[ci]), int(ext_start[ci + 1]))
+                if sl.start == sl.stop:
+                    continue
+                pos = flat[splits[ci]:splits[ci + 1]]
+                dl = int(dl_range[d - lo])
+                down, default, n = self._doc_term_down(
+                    structs.get(d), pos, dl, p_c)
+                for j in range(sl.start, sl.stop):
+                    o = int(eo[j])
+                    v = down[o] if o <= n else 0.0
+                    if v != 0.0:
+                        matched_any[j] = True
+                        sc = v if qlc else math.log(v)
+                    else:
+                        sc = default if qlc else math.log(default)
+                    scores[j] += qtf * sc
+        scores /= qn
+        keep = matched_any
+        edoc, eb, ee, scores = edoc[keep], eb[keep], ee[keep], scores[keep]
+        order = np.lexsort((-ee, -eb, -edoc, -scores))[:k]
+        return edoc[order], eb[order], ee[order], scores[order]

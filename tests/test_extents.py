@@ -338,6 +338,38 @@ def test_two_restriction_form(ext_index):
     assert ids2.tolist() == ids.tolist() and sc2.tolist() == sc.tolist()
 
 
+def test_shrinkage_extent_scores(ext_index):
+    # //sec[about(., alpha)] in shrinkage mode (no rules, pw=dw=0,
+    # linear lam=0.4): base recovers the node MLE, down = base, and the
+    # !queryLevelCombine transform gives score = log(0.6·MLE + 0.4·p_c).
+    # EVERY sec node of a tree containing alpha matches (down != 0 — the
+    # reference's "matches elsewhere in the document" comment), so doc3's
+    # alpha-free second sec is kept at the pure-background value.
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+
+    r = _reader(ext_index)
+    ids, bs, es, sc = run_nexi_extents(r, "//sec[about(., alpha)]",
+                                       shrinkage=True, k=100)
+    p_c = 5.0 / r.total_terms  # cf(alpha)=5, total=14
+    def s(mle):
+        return math.log(0.6 * mle + 0.4 * p_c)
+    want = {
+        (0, 0, 2): s(1 / 2),
+        (0, 2, 5): s(1 / 3),
+        (1, 0, 3): s(1 / 3),
+        (3, 0, 1): s(1.0),
+        (3, 1, 2): s(0.0),
+    }
+    got = {(d, b, e): v for d, b, e, v in
+           zip(ids.tolist(), bs.tolist(), es.tolist(), sc.tolist())}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=1e-12)
+    # ranking: MLE 1.0 first, background last
+    assert (ids[0], bs[0], es[0]) == (3, 0, 1)
+    assert (ids[-1], bs[-1], es[-1]) == (3, 1, 2)
+
+
 def test_multisec_corpus_builder(tmp_path):
     from indri_5_5_ray.sources.corpus import corpus_from_documents_multisec
 
