@@ -75,7 +75,8 @@ def _as_engine(reader_or_engine, method: str, mu: float, lam: float
 
 
 def run_extents(reader, query: str, k: int = 1000, method: str = "dirichlet",
-                mu: float = 2500.0, lam: float = 0.4, strict: bool = True
+                mu: float = 2500.0, lam: float = 0.4, strict: bool = True,
+                doc_range: tuple[int, int] | None = None
                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Element-level retrieval: ``(doc_ids, begins, ends, scores)`` of the
     top-``k`` scored extents under ``query``.
@@ -90,24 +91,32 @@ def run_extents(reader, query: str, k: int = 1000, method: str = "dirichlet",
     ``strict=False`` downgrades an element-unsupported inner tree (see
     module scope notes) to DOCUMENT results instead of raising — the
     CLI's inex/plain output modes use this so every accepted query still
-    prints, just without element granularity."""
+    prints, just without element granularity.
+
+    ``doc_range=(lo, hi)`` restricts CANDIDATES to a docID slice (the
+    doc-partitioned scatter, same contract as
+    ``StructuredQueryEngine.run``): statistics stay collection-global
+    (postings are fetched in full, like the structured shard default),
+    so a sharded merge is rank-identical to a global run."""
     eng = _as_engine(reader, method, mu, lam)
     root = parse_query(query)
     try:
         if root.op == "ctx" and not root.term.startswith("."):
-            return _run_extent_root(eng, root.term, root.children[0], k)
+            return _run_extent_root(eng, root.term, root.children[0], k,
+                                    doc_range)
         if root.op == "passage":
-            return _run_extent_root(eng, None, root, k)
+            return _run_extent_root(eng, None, root, k, doc_range)
     except ValueError:
         if strict:
             raise
-    ids, scores = eng.run(query, k=k)
+    ids, scores = eng.run(query, k=k, doc_range=doc_range)
     zero = np.zeros(len(ids), dtype=np.int64)
     return ids, zero, zero.copy(), scores
 
 
 def _run_extent_root(eng: StructuredQueryEngine, field: str | None,
-                     node: Node, k: int):
+                     node: Node, k: int,
+                     doc_range: tuple[int, int] | None = None):
     """Shared field-extent / passage-window evaluation.  ``field=None`` =
     passage mode (``node`` is the passage node, stats collection-global);
     else ``node`` is the inner scored tree and stats are field-context."""
@@ -137,6 +146,8 @@ def _run_extent_root(eng: StructuredQueryEngine, field: str | None,
     if not parts:
         return empties
     cand = np.unique(np.concatenate(parts))
+    if doc_range is not None:
+        cand = cand[(cand >= doc_range[0]) & (cand < doc_range[1])]
     cand = cand[eng.r.keep_mask(cand)]
     if not len(cand):
         return empties
@@ -155,7 +166,11 @@ def _run_extent_root(eng: StructuredQueryEngine, field: str | None,
             ext_bs.append(fb[nz])
             ext_es.append(fe[nz])
     else:
-        dl = eng.r.doc_lens()[cand].astype(np.int64)
+        if doc_range is not None:  # shard workers hold O(span) dls only
+            dl = eng.r.doc_lens_range(doc_range[0], doc_range[1])[
+                cand - doc_range[0]].astype(np.int64)
+        else:
+            dl = eng.r.doc_lens()[cand].astype(np.int64)
         ext_bs, ext_es = [], []
         for L in dl.tolist():
             # windows start strictly inside the doc — the document path's

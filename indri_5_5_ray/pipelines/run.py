@@ -464,6 +464,103 @@ def run_queries_sharded(
     )
 
 
+def run_extents_sharded(
+    index_dir: str,
+    queries: list[tuple[str, str]],
+    k: int = 1000,
+    n_shards: int = 4,
+    concurrency: tuple[int, int] | int = (1, 8),
+    method: str = "dirichlet",
+    mu: float = 2500.0,
+    lam: float = 0.4,
+) -> pa.Table:
+    """Distributed ELEMENT-level retrieval over doc-range shards — the
+    scatter/merge of :func:`run_queries_sharded` for
+    :func:`~.extents.run_extents` results: each (query × shard) item
+    scores its shard's extents with collection-global statistics, the
+    driver merges with the exact ScoredExtentResult tie order (score desc
+    → doc desc → begin desc → end desc).  Returns (qid, rank, doc_id,
+    begin, end, score); bit-identical to a single-process run_extents
+    (pytest-pinned)."""
+    import numpy as np
+    import ray as _ray
+
+    from .extents import run_extents
+
+    items = [(q, t, s) for q, t in queries for s in range(n_shards)]
+    snap = _reg_snapshot()
+    wkey = ("ext", index_dir, k, n_shards, method, mu, lam)
+
+    class _ExtentShardWorker:
+        def __init__(self):
+            if snap:
+                from .. import registry as _registry
+
+                _registry.restore(snap)
+            self.reader = IndexReader(index_dir)
+            from .indriql import StructuredQueryEngine
+
+            self.engine = StructuredQueryEngine(self.reader, method=method,
+                                                mu=mu, lam=lam)
+            span = (self.reader.manifest["max_doc_id"] + n_shards) // n_shards
+            self.ranges = [(s * span, (s + 1) * span) for s in range(n_shards)]
+
+    @ray.remote(num_cpus=1)
+    def _score_slice(sl: list[tuple[str, str, int]]) -> pa.Table:
+        w = _process_query_worker(wkey, _ExtentShardWorker)
+        out = {"qid": [], "doc_id": [], "begin": [], "end": [], "score": []}
+        for qid, text, shard in sl:
+            ids, bs, es, sc = run_extents(
+                w.engine, text, k=k, strict=False,
+                doc_range=w.ranges[shard])
+            out["qid"].extend([qid] * len(ids))
+            out["doc_id"].extend(ids.tolist())
+            out["begin"].extend(bs.tolist())
+            out["end"].extend(es.tolist())
+            out["score"].extend(sc.tolist())
+        return pa.table({
+            "qid": pa.array(out["qid"], pa.string()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "begin": pa.array(out["begin"], pa.int64()),
+            "end": pa.array(out["end"], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+        })
+
+    n_slices = max(1, min(len(items), 2 * _pool_width(concurrency)))
+    slices = [items[i::n_slices] for i in range(n_slices)]
+    tables = [t for t in _ray.get([_score_slice.remote(s)
+                                   for s in slices if s]) if t.num_rows]
+    out = {"qid": [], "rank": [], "doc_id": [], "begin": [], "end": [],
+           "score": []}
+    if tables:
+        allt = pa.concat_tables(tables)
+        qids = np.array(allt.column("qid").to_pylist())
+        dids = allt.column("doc_id").to_numpy()
+        bs = allt.column("begin").to_numpy()
+        es = allt.column("end").to_numpy()
+        scores = allt.column("score").to_numpy()
+        for qid, _text in queries:
+            m = qids == qid
+            d, b, e, s = dids[m], bs[m], es[m], scores[m]
+            order = np.lexsort((-e, -b, -d, -s))[:k]
+            out["qid"].extend([qid] * len(order))
+            out["rank"].extend(range(1, len(order) + 1))
+            out["doc_id"].extend(d[order].tolist())
+            out["begin"].extend(b[order].tolist())
+            out["end"].extend(e[order].tolist())
+            out["score"].extend(s[order].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], pa.string()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "begin": pa.array(out["begin"], pa.int64()),
+            "end": pa.array(out["end"], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+        }
+    )
+
+
 def run_queries(
     index_dir: str,
     queries: list[tuple[str, str]],

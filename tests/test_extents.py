@@ -370,6 +370,25 @@ def test_shrinkage_extent_scores(ext_index):
     assert (ids[-1], bs[-1], es[-1]) == (3, 1, 2)
 
 
+def test_sharded_extents_bit_identical(ext_index):
+    from indri_5_5_ray.pipelines.extents import run_extents
+    from indri_5_5_ray.pipelines.run import run_extents_sharded
+
+    r = _reader(ext_index)
+    queries = [("1", "#combine[sec](alpha)"),
+               ("2", "#combine[passage2:1](alpha beta)"),
+               ("3", "#combine(alpha beta)")]  # doc-level fallback
+    t = run_extents_sharded(ext_index, queries, k=50, n_shards=3,
+                            concurrency=(1, 2))
+    for qid, text in queries:
+        ids, bs, es, sc = run_extents(r, text, k=50, strict=False)
+        m = [i for i, q in enumerate(t.column("qid").to_pylist()) if q == qid]
+        assert [t.column("doc_id")[i].as_py() for i in m] == ids.tolist()
+        assert [t.column("begin")[i].as_py() for i in m] == bs.tolist()
+        assert [t.column("end")[i].as_py() for i in m] == es.tolist()
+        assert [t.column("score")[i].as_py() for i in m] == sc.tolist()
+
+
 def test_multisec_corpus_builder(tmp_path):
     from indri_5_5_ray.sources.corpus import corpus_from_documents_multisec
 
