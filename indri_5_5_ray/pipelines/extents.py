@@ -62,8 +62,8 @@ from .indriql import (
     unordered_window_extents,
 )
 
-__all__ = ["run_extents", "run_nested_extents", "element_paths",
-           "format_inex"]
+__all__ = ["run_extents", "run_extents_wildcard", "run_nested_extents",
+           "element_paths", "format_inex"]
 
 
 def _as_engine(reader_or_engine, method: str, mu: float, lam: float
@@ -208,7 +208,8 @@ class _ExtentEval:
 
     def __init__(self, eng: StructuredQueryEngine, field: str | None,
                  cand: np.ndarray, ext_start: np.ndarray,
-                 eb: np.ndarray, ee: np.ndarray):
+                 eb: np.ndarray, ee: np.ndarray,
+                 wild: tuple[dict[int, tuple], float] | None = None):
         self.eng = eng
         self.field = field
         self.cand = cand
@@ -219,7 +220,10 @@ class _ExtentEval:
         self.n_ext = len(eb)
         self.dl_ext = (ee - eb).astype(np.float64)
         self.rfields = (field,) if field is not None else ()
-        if field is not None:
+        self.wild = wild  # FieldWildcard ctx: (per-doc outermost, total)
+        if wild is not None:
+            self.total = wild[1]  # _belief_from_counts floors total ≤ 0
+        elif field is not None:
             st = eng.r.field_stats(field)
             self.total = float(st["total_len"]) if st else 0.0
         else:
@@ -302,6 +306,81 @@ class _ExtentEval:
                                          & (we <= self.ee[j])))
         return counts
 
+    # -- FieldWildcard-context statistics ----------------------------------
+
+    def _wild_positions_cf(self, pm: dict[int, np.ndarray]) -> float:
+        union = self.wild[0]
+        tot = 0.0
+        for did, pl in pm.items():
+            u = union.get(did)
+            if u is None:
+                continue
+            ub, ue = u
+            idx = np.searchsorted(ub, pl, side="right") - 1
+            ok = idx >= 0
+            ok[ok] = pl[ok] < ue[idx[ok]]
+            tot += float(ok.sum())
+        return tot
+
+    def _wild_cf(self, node: Node) -> float:
+        """Collection occurrence count of a node WITHIN the wildcard
+        context — positions (or windows) contained in an outermost field
+        extent, each counted once (ref:src/ContextCountAccumulator.cpp:
+        99-140), summed over every doc the node matches."""
+        eng = self.eng
+        union = self.wild[0]
+        if node.op in ("term", "syn", "wildcard"):
+            return self._wild_positions_cf(eng._positions_map(node))
+        if node.op == "wsyn":
+            w = np.asarray(node.weights, dtype=np.float64)
+            if w.sum() == 0:
+                raise ValueError("#wsyn weights sum to zero")
+            w = w / w.sum()
+            return float(sum(wi * self._wild_cf(c)
+                             for wi, c in zip(w, node.children)))
+        if node.op in ("od", "uw"):
+            pos_maps = [eng._positions_map(c) for c in node.children]
+            docs = set(pos_maps[0])
+            for pm in pos_maps[1:]:
+                docs &= set(pm)
+            tot = 0.0
+            for did in docs:
+                u = union.get(did)
+                if u is None:
+                    continue
+                pls = [pm[did] for pm in pos_maps]
+                if node.op == "od":
+                    begins, ends = ordered_window_extents(pls, node.n)
+                else:
+                    begins, ends = unordered_window_extents(pls, node.n)
+                ub, ue = u
+                for wb, we in zip(begins, ends):
+                    i = int(np.searchsorted(ub, wb, side="right")) - 1
+                    if i >= 0 and we <= ue[i]:
+                        tot += 1.0
+            return tot
+        if node.op == "band":
+            # 1 per doc where EVERY member occurs within the context
+            doc_sets = []
+            for c in node.children:
+                pm = eng._positions_map(c)
+                present = set()
+                for did, pl in pm.items():
+                    u = union.get(did)
+                    if u is None:
+                        continue
+                    ub, ue = u
+                    idx = np.searchsorted(ub, pl, side="right") - 1
+                    ok = idx >= 0
+                    ok[ok] = pl[ok] < ue[idx[ok]]
+                    if ok.any():
+                        present.add(did)
+                doc_sets.append(present)
+            return float(len(set.intersection(*doc_sets))) if doc_sets else 0.0
+        raise ValueError(
+            f"FieldWildcard-context statistics for #{node.op} are not "
+            f"supported")
+
     # -- matches -----------------------------------------------------------
 
     def matches(self, node: Node) -> np.ndarray:
@@ -334,8 +413,12 @@ class _ExtentEval:
             c = self.counts(node)
             # node statistics mirror the document path (indriql._belief):
             # a plain unrestricted term reads the dictionary, everything
-            # else (and any field restriction) sweeps its own candidates
-            if node.op == "term" and not self.rfields:
+            # else (and any field restriction) sweeps its own candidates;
+            # a FieldWildcard context counts within the outermost field
+            # extents (ContextCountAccumulator semantics)
+            if self.wild is not None:
+                cf = self._wild_cf(node)
+            elif node.op == "term" and not self.rfields:
                 cf = eng._term_cf(node)
             else:
                 cf = eng._node_global_cf(node, self.rfields)
@@ -379,6 +462,121 @@ class _ExtentEval:
             return np.log1p(-np.minimum(np.exp(kids[0]),
                                         np.nextafter(1.0, 0.0)))
         raise ValueError(f"unknown op {node.op}")
+
+
+def _build_wild_context(eng: StructuredQueryEngine
+                        ) -> tuple[dict[int, tuple], float]:
+    """The FieldWildcard context: per-doc OUTERMOST field extents (begin
+    asc; nested extents collapse into their outer per the reference's
+    no-overlap invariant — an occurrence counts ONCE when contained in
+    any context extent, ref:src/ContextCountAccumulator.cpp:99-140) and
+    the summed context size (every field extent's raw length, nested
+    double-counted — the contextSize accumulation, ref :120-131 =
+    Σ fieldTermCount)."""
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    total = 0.0
+    for fname in tuple(eng.r.cfg.fields or ()):
+        st = eng.r.field_stats(fname)
+        if st:
+            total += float(st["total_len"])
+        for did, ext in eng._field_data(fname).items():
+            acc = per_doc.setdefault(did, [])
+            acc.extend(zip(ext[0].tolist(), ext[1].tolist()))
+    union: dict[int, tuple] = {}
+    for did, pairs in per_doc.items():
+        pairs.sort(key=lambda x: (x[0], -x[1]))
+        ob, oe = [], []
+        last_end = 0
+        for b, e in pairs:
+            if e > b and b >= last_end:  # outermost, nonzero
+                ob.append(b)
+                oe.append(e)
+                last_end = e
+        if ob:
+            union[did] = (np.asarray(ob, dtype=np.int64),
+                          np.asarray(oe, dtype=np.int64))
+    return union, total
+
+
+def run_extents_wildcard(reader, query: str, k: int = 1000,
+                         method: str = "dirichlet", mu: float = 2500.0,
+                         lam: float = 0.4,
+                         doc_range: tuple[int, int] | None = None
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                    np.ndarray]:
+    """Element retrieval under the FieldWildcard restriction — the NEXI
+    bare-term-list (INEX CO) result surface: every extent of EVERY
+    indexed field is scored separately (the grammar wraps a bare term
+    list in ``ExtentRestriction(c, FieldWildcard)``,
+    ref:src/nexilang.g:214-222, and the annotator assigns the wildcard
+    node as each scorer's statistics context,
+    ref:include/indri/ExtentRestrictionModelAnnotatorCopier.hpp:70-76).
+    ``query`` is the INNER scored tree in this dialect (e.g.
+    ``#combine(a b)``).  Backgrounds draw from occurrences within ANY
+    field extent over the summed field context size; foregrounds and
+    smoothing lengths are per-extent; the hasMatch gate applies.  A doc
+    whose extents are all zero-length (or that carries no fields)
+    contributes nothing."""
+    eng = _as_engine(reader, method, mu, lam)
+    inner = parse_query(query)
+    empties = (np.empty(0, np.int64), np.empty(0, np.int64),
+               np.empty(0, np.int64), np.empty(0, np.float64))
+    leafs: set[str] = set()
+    eng._leaf_terms(inner, leafs)
+    terms_key = tuple(sorted(leafs))
+    cached = eng._postings_memo.get((terms_key,) + (True,))
+    if cached is None:
+        if len(eng._postings_memo) > 8:
+            eng._postings_memo.clear()
+        cached = eng._fetch_postings(list(terms_key), None,
+                                     need_positions=True)
+        eng._postings_memo[(terms_key,) + (True,)] = cached
+    eng._postings = cached
+    parts: list[np.ndarray] = []
+    eng._cand_docs(inner, parts)
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return empties
+    cand = np.unique(np.concatenate(parts))
+    if doc_range is not None:
+        cand = cand[(cand >= doc_range[0]) & (cand < doc_range[1])]
+    cand = cand[eng.r.keep_mask(cand)]
+    if not len(cand):
+        return empties
+    wild_union, wild_total = _build_wild_context(eng)
+    fields = tuple(eng.r.cfg.fields or ())
+    ext_bs, ext_es, keep_docs = [], [], []
+    for d in cand.tolist():
+        pairs: list[tuple[int, int]] = []
+        for fname in fields:
+            ext = eng._field_data(fname).get(d)
+            if ext is None:
+                continue
+            fb, fe = ext[0], ext[1]
+            nz = fe > fb  # zero-length skip (ExtentRestrictionNode:73-74)
+            pairs.extend(zip(fb[nz].tolist(), fe[nz].tolist()))
+        if not pairs:
+            continue
+        pairs.sort(key=lambda x: (x[0], -x[1]))
+        keep_docs.append(d)
+        ext_bs.append(np.asarray([p[0] for p in pairs], dtype=np.int64))
+        ext_es.append(np.asarray([p[1] for p in pairs], dtype=np.int64))
+    if not keep_docs:
+        return empties
+    cand = np.asarray(keep_docs, dtype=np.int64)
+    n_per = np.asarray([len(b) for b in ext_bs], dtype=np.int64)
+    ext_start = np.zeros(len(cand) + 1, dtype=np.int64)
+    np.cumsum(n_per, out=ext_start[1:])
+    eb = np.concatenate(ext_bs)
+    ee = np.concatenate(ext_es)
+    edoc = np.repeat(cand, n_per)
+    ev = _ExtentEval(eng, None, cand, ext_start, eb, ee,
+                     wild=(wild_union, wild_total))
+    beliefs = ev.belief(inner)
+    keep = ev.matches(inner) & (beliefs > -np.inf)
+    edoc, eb, ee, beliefs = edoc[keep], eb[keep], ee[keep], beliefs[keep]
+    order = np.lexsort((-ee, -eb, -edoc, -beliefs))[:k]
+    return edoc[order], eb[order], ee[order], beliefs[order]
 
 
 def run_nested_extents(reader, a_field: str, c1_query: str, b_field: str,

@@ -627,4 +627,17 @@ def run_nexi_extents(reader, text: str, k: int = 1000,
         raise NexiTranslationError(
             "two-restriction form with path or alternative-list "
             "restrictions is not supported")
+    if (isinstance(inner, ExtentRestriction)
+            and isinstance(inner.extent, FieldWildcard)):
+        # bare term list / //*[...] target: the INEX CO surface — every
+        # extent of every indexed field is a result element (the grammar's
+        # ExtentRestriction(c, FieldWildcard) wrap); statistics-unsupported
+        # inner shapes fall back to document results like run_extents
+        from .extents import run_extents_wildcard
+
+        try:
+            return run_extents_wildcard(reader, to_indriql(inner.child),
+                                        k=k)
+        except ValueError:
+            pass
     return run_extents(reader, to_indriql(ast), k=k, strict=False)

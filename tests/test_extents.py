@@ -370,6 +370,35 @@ def test_shrinkage_extent_scores(ext_index):
     assert (ids[-1], bs[-1], es[-1]) == (3, 1, 2)
 
 
+def test_wildcard_field_elements_co_query(ext_index):
+    # NEXI bare term list = INEX CO: ExtentRestriction(c, FieldWildcard)
+    # → every extent of every indexed field is a result element, term
+    # backgrounds drawn from occurrences inside the OUTERMOST field
+    # extents over the summed field context size
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+
+    r = _reader(ext_index)
+    ids, bs, es, sc = run_nexi_extents(r, "alpha beta", k=100)
+    total = (float(r.field_stats("article")["total_len"])
+             + float(r.field_stats("sec")["total_len"]))  # 2 + 12
+    # cf within context: alpha → doc0:2 doc1:1 doc3:1 = 4; beta → 4
+    def s(ca, cb, ln):
+        return (_dir(ca, ln, 4.0, total) + _dir(cb, ln, 4.0, total)) / 2
+    want = {
+        (0, 0, 2): s(1, 1, 2),
+        (0, 2, 5): s(1, 0, 3),
+        (1, 0, 3): s(1, 2, 3),
+        (3, 0, 2): s(1, 1, 2),  # the article element itself
+        (3, 0, 1): s(1, 0, 1),
+        (3, 1, 2): s(0, 1, 1),
+    }
+    got = {(d, b, e): v for d, b, e, v in
+           zip(ids.tolist(), bs.tolist(), es.tolist(), sc.tolist())}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=1e-12)
+
+
 def test_sharded_extents_bit_identical(ext_index):
     from indri_5_5_ray.pipelines.extents import run_extents
     from indri_5_5_ray.pipelines.run import run_extents_sharded
