@@ -464,7 +464,8 @@ class _ExtentEval:
         raise ValueError(f"unknown op {node.op}")
 
 
-def _build_wild_context(eng: StructuredQueryEngine
+def _build_wild_context(eng: StructuredQueryEngine,
+                        fields: tuple[str, ...] | None = None
                         ) -> tuple[dict[int, tuple], float]:
     """The FieldWildcard context: per-doc OUTERMOST field extents (begin
     asc; nested extents collapse into their outer per the reference's
@@ -475,7 +476,8 @@ def _build_wild_context(eng: StructuredQueryEngine
     Σ fieldTermCount)."""
     per_doc: dict[int, list[tuple[int, int]]] = {}
     total = 0.0
-    for fname in tuple(eng.r.cfg.fields or ()):
+    for fname in (fields if fields is not None
+                  else tuple(eng.r.cfg.fields or ())):
         st = eng.r.field_stats(fname)
         if st:
             total += float(st["total_len"])
@@ -501,7 +503,8 @@ def _build_wild_context(eng: StructuredQueryEngine
 def run_extents_wildcard(reader, query: str, k: int = 1000,
                          method: str = "dirichlet", mu: float = 2500.0,
                          lam: float = 0.4,
-                         doc_range: tuple[int, int] | None = None
+                         doc_range: tuple[int, int] | None = None,
+                         fields: tuple[str, ...] | None = None
                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                     np.ndarray]:
     """Element retrieval under the FieldWildcard restriction — the NEXI
@@ -516,7 +519,12 @@ def run_extents_wildcard(reader, query: str, k: int = 1000,
     field extent over the summed field context size; foregrounds and
     smoothing lengths are per-extent; the hasMatch gate applies.  A doc
     whose extents are all zero-length (or that carries no fields)
-    contributes nothing."""
+    contributes nothing.
+
+    ``fields`` restricts the element set to an explicit field list — the
+    NEXI alternative-list target ``//(a|b)[...]`` (ExtentOr restriction,
+    same ContextCountAccumulator statistics over only those fields);
+    None = every indexed field (FieldWildcard)."""
     eng = _as_engine(reader, method, mu, lam)
     inner = parse_query(query)
     empties = (np.empty(0, np.int64), np.empty(0, np.int64),
@@ -543,8 +551,9 @@ def run_extents_wildcard(reader, query: str, k: int = 1000,
     cand = cand[eng.r.keep_mask(cand)]
     if not len(cand):
         return empties
-    wild_union, wild_total = _build_wild_context(eng)
-    fields = tuple(eng.r.cfg.fields or ())
+    wild_union, wild_total = _build_wild_context(eng, fields)
+    fields = (fields if fields is not None
+              else tuple(eng.r.cfg.fields or ()))
     ext_bs, ext_es, keep_docs = [], [], []
     for d in cand.tolist():
         pairs: list[tuple[int, int]] = []

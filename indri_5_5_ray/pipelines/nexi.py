@@ -39,9 +39,11 @@ Translation notes (documented divergences, each raises or is a no-op):
 - ContextInclusion/ExtentEnforcement (the two-restriction form) and
   ExtentOr field lists ``(a|b)`` parse but do not translate to the
   DOCUMENT dialect — ``to_indriql`` raises ``NexiTranslationError``
-  naming the construct.  The two-restriction form EXECUTES at element
-  granularity through :func:`run_nexi_extents` →
-  :func:`~.extents.run_nested_extents` for plain-field restrictions.
+  naming the construct.  Both EXECUTE at element granularity through
+  :func:`run_nexi_extents`: the two-restriction form via
+  :func:`~.extents.run_nested_extents` (plain-field restrictions), the
+  alternative list via :func:`~.extents.run_extents_wildcard` over the
+  named fields.
 - ``shrinkage=True`` (the reference's default) wraps term scorers in
   ShrinkageScorerNode; execution for that mode goes through
   :class:`~.shrinkage.ShrinkageScorer` for BARE term lists
@@ -628,16 +630,20 @@ def run_nexi_extents(reader, text: str, k: int = 1000,
             "two-restriction form with path or alternative-list "
             "restrictions is not supported")
     if (isinstance(inner, ExtentRestriction)
-            and isinstance(inner.extent, FieldWildcard)):
+            and isinstance(inner.extent, (FieldWildcard, ExtentOr))):
         # bare term list / //*[...] target: the INEX CO surface — every
         # extent of every indexed field is a result element (the grammar's
-        # ExtentRestriction(c, FieldWildcard) wrap); statistics-unsupported
-        # inner shapes fall back to document results like run_extents
+        # ExtentRestriction(c, FieldWildcard) wrap); an alternative list
+        # //(a|b)[...] is the same machinery over only those fields;
+        # statistics-unsupported inner shapes fall back to document
+        # results like run_extents
         from .extents import run_extents_wildcard
 
+        flds = (tuple(f.name for f in inner.extent.fields)
+                if isinstance(inner.extent, ExtentOr) else None)
         try:
             return run_extents_wildcard(reader, to_indriql(inner.child),
-                                        k=k)
+                                        k=k, fields=flds)
         except ValueError:
             pass
     return run_extents(reader, to_indriql(ast), k=k, strict=False)

@@ -399,6 +399,29 @@ def test_wildcard_field_elements_co_query(ext_index):
         assert got[key] == pytest.approx(want[key], abs=1e-12)
 
 
+def test_alternative_field_list_elements(ext_index):
+    # //(article|sec)[about(., ...)] names every indexed field of this
+    # corpus, so its element results must equal the CO (FieldWildcard) run
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+
+    r = _reader(ext_index)
+    a = run_nexi_extents(r, "//(article|sec)[about(., alpha beta)]", k=100)
+    b = run_nexi_extents(r, "alpha beta", k=100)
+    for x, y in zip(a, b):
+        assert x.tolist() == y.tolist()
+    # restricting to sec only drops the article element and its length
+    # from the context statistics
+    s = run_nexi_extents(r, "//(sec)[about(., alpha beta)]", k=100)
+    sec_total = float(r.field_stats("sec")["total_len"])
+    got = {(d, bb, ee): v for d, bb, ee, v in
+           zip(s[0].tolist(), s[1].tolist(), s[2].tolist(), s[3].tolist())}
+    assert (3, 0, 2) not in got  # no article element
+    # cf within sec context: alpha 4, beta 4 (doc0 1, doc1 2, doc3 1)
+    assert got[(0, 0, 2)] == pytest.approx(
+        (_dir(1, 2, 4.0, sec_total) + _dir(1, 2, 4.0, sec_total)) / 2,
+        abs=1e-12)
+
+
 def test_sharded_extents_bit_identical(ext_index):
     from indri_5_5_ray.pipelines.extents import run_extents
     from indri_5_5_ray.pipelines.run import run_extents_sharded
