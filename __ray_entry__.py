@@ -371,27 +371,33 @@ EXTENT_QUERIES: list[tuple[str, str]] = [
     ("3", "#combine[passage12:6](merge data)"),
 ]
 
+# the INEX CO surface: a FieldWildcard restriction scores every extent of
+# EVERY indexed field (title + both sec halves per doc)
+EXTENT_WILD_QUERY = ("4", "#combine(merge data)")
+
 
 def _extent_topk(sf_dir: str, k: int = 10):
     """(qid, rank, doc_id, begin, end) ELEMENT-level retrieval: every sec
-    extent (qids 1-2) / every sliding passage window (qid 3) is scored
-    separately and ranked globally — the ScoredExtentResult surface
-    (ExtentRestriction / FixedPassage per-extent scoring,
-    ref:src/InferenceNetworkBuilder.cpp:152,170; pipelines/extents.py).
-    Ranked by score rounded to 9 decimals desc, then doc_id desc, then
-    begin desc (the score_greater tie order) so the DuckDB oracle ranks
-    identically."""
+    extent (qids 1-2) / every sliding passage window (qid 3) / every
+    extent of every field under the FieldWildcard CO restriction (qid 4)
+    is scored separately and ranked globally — the ScoredExtentResult
+    surface (ExtentRestriction / FixedPassage / FieldWildcard per-extent
+    scoring, ref:src/InferenceNetworkBuilder.cpp:152,170;
+    pipelines/extents.py).  Ranked by score rounded to 9 decimals desc,
+    then doc_id desc, then begin desc (the score_greater tie order) so
+    the DuckDB oracle ranks identically."""
     import numpy as np
     import pyarrow as pa
 
-    from indri_5_5_ray.pipelines.extents import run_extents
+    from indri_5_5_ray.pipelines.extents import run_extents, run_extents_wildcard
     from indri_5_5_ray.pipelines.query import IndexReader
 
     index_dir = _ensure_multisec_index(sf_dir)
     reader = IndexReader(index_dir)
     out = {"qid": [], "rank": [], "doc_id": [], "begin": [], "end": []}
-    for qid, text in EXTENT_QUERIES:
-        ids, bs, es, sc = run_extents(reader, text, k=k + 40)
+
+    def add(qid, res):
+        ids, bs, es, sc = res
         r9 = np.round(sc, 9)
         order = np.lexsort((-es, -bs, -ids, -r9))[:k]
         out["qid"].extend([int(qid)] * len(order))
@@ -399,6 +405,11 @@ def _extent_topk(sf_dir: str, k: int = 10):
         out["doc_id"].extend(ids[order].tolist())
         out["begin"].extend(bs[order].tolist())
         out["end"].extend(es[order].tolist())
+
+    for qid, text in EXTENT_QUERIES:
+        add(qid, run_extents(reader, text, k=k + 40))
+    add(EXTENT_WILD_QUERY[0],
+        run_extents_wildcard(reader, EXTENT_WILD_QUERY[1], k=k + 40))
     return pa.table({k2: pa.array(v, pa.int64()) for k2, v in out.items()})
 
 
@@ -444,6 +455,21 @@ def _extent_sql() -> str:
   JOIN {cand(['spark', 'window'])} c ON c.doc_id = er.doc_id
   CROSS JOIN secstats ss
   WHERE {gate(['spark', 'window'])} > 0"""
+    def d_wild(term: str) -> str:
+        # FieldWildcard context: cf = occurrences within title ∪ sec
+        # extents (= all tt + t0 tokens), context size = summed field
+        # lengths (ContextCountAccumulator semantics)
+        return (f"ln((len(list_filter(er.toks, x -> x = '{term}'))::DOUBLE"
+                f" + 2500.0 * {cfx('c4f', term)} / ws.total)"
+                f" / ((er.e - er.b) + 2500.0))")
+
+    q4 = f"""
+  SELECT 4 AS qid, er.doc_id, er.b, er.e,
+         ({d_wild('merge')} + {d_wild('data')}) / 2 AS score
+  FROM erows4 er
+  JOIN {cand(['merge', 'data'])} c ON c.doc_id = er.doc_id
+  CROSS JOIN wildstats ws
+  WHERE {gate(['merge', 'data'])} > 0"""
     q3 = f"""
   SELECT 3 AS qid, p.doc_id, p.s AS b, least(p.s + 12, p.dli) AS e,
          (ln((p.c0 + 2500.0 * {cfx('cfreq', 'merge')} / s.total)
@@ -476,7 +502,17 @@ erows AS (
          len(tt) + len(t0) AS e,
          t0[(len(t0) + 1) // 2 + 1:len(t0)] AS toks FROM docs
 ),
-scores AS ({q1} UNION ALL {q2} UNION ALL {q3})
+c4f AS (SELECT term, sum(tf)::DOUBLE AS cf FROM
+        (SELECT term, tf FROM ttf UNION ALL SELECT term, tf FROM t0f)
+        GROUP BY term),
+wildstats AS (SELECT (SELECT totalf FROM stats)
+                   + (SELECT total FROM secstats) AS total),
+erows4 AS (
+  SELECT doc_id, 0 AS b, len(tt) AS e, tt AS toks FROM docs
+  UNION ALL
+  SELECT doc_id, b, e, toks FROM erows
+),
+scores AS ({q1} UNION ALL {q2} UNION ALL {q3} UNION ALL {q4})
 SELECT qid, rank, doc_id, "begin", "end" FROM (
   SELECT qid, doc_id, CAST(b AS BIGINT) AS "begin", CAST(e AS BIGINT) AS "end",
          row_number() OVER (PARTITION BY qid
