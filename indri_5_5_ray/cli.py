@@ -319,8 +319,8 @@ def cmd_query(reader: IndexReader, text: str, k: str = "10") -> None:
 def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
                  baseline: str = "bm25", print_snippets: str = "false",
                  print_documents: str = "false", output: str = "trec",
-                 participant_id: str = "1", run_id: str = "indri55ray"
-                 ) -> None:
+                 participant_id: str = "1", run_id: str = "indri55ray",
+                 print_passages: str = "false") -> None:
     """Batch retrieval → TREC run lines (the IndriRunQuery analogue,
     ref:runquery/IndriRunQuery.cpp).  ``queries_path`` holds one query per
     line, ``qid<TAB>text`` or bare text (1-based qids); ``baseline``
@@ -334,14 +334,26 @@ def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
     ``output`` selects the reference's three result formats: ``trec``
     (``-trecFormat``), ``plain`` (the default ``score\\tdocno\\tbegin\\t
     end`` lines, ref :476-481) or ``inex`` (the ``<inex-submission>`` XML
-    with element paths, ref :467-474).  Under ``plain``/``inex`` the
-    ``indri`` baseline scores ELEMENT-level results for ``#op[f]``/
-    ``#op[passageN:M]`` roots (pipelines/extents.py); the bag-of-words
-    baselines report document results with begin = end = 0."""
+    with element paths, ref :467-474).  Under ``plain``/``inex`` (or with
+    ``print_passages``) the ``indri`` baseline scores ELEMENT-level
+    results for ``#op[f]``/``#op[passageN:M]`` roots
+    (pipelines/extents.py); the bag-of-words baselines report document
+    results with begin = end = 0.
+
+    ``print_passages=true`` prints each result EXTENT's byte slice of the
+    stored text (``-printPassages``, ref :487-492: token positions →
+    byte range); zero-length doc-level extents print nothing (the
+    reference reads out-of-bounds position memory there — skipping is our
+    defined behavior) and combining it with ``output=inex`` is refused to
+    keep the XML well-formed (the reference interleaves raw text)."""
     from pathlib import Path as _Path
 
     if output not in ("trec", "plain", "inex"):
         raise SystemExit(f"unknown output format {output!r}")
+    want_passages = print_passages.lower() in ("true", "1", "yes")
+    if want_passages and output == "inex":
+        raise SystemExit("print_passages interleaves raw text; "
+                         "use output=trec or plain")
     lines = [ln.strip() for ln in _Path(queries_path).read_text().splitlines()
              if ln.strip()]
     queries = []
@@ -377,50 +389,73 @@ def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
         raise SystemExit(f"unknown baseline {baseline!r}")
     want_snippets = print_snippets.lower() in ("true", "1", "yes")
     want_documents = print_documents.lower() in ("true", "1", "yes")
-    if output in ("plain", "inex"):
-        import numpy as np
+    import numpy as np
 
-        from .pipelines.extents import element_paths, format_inex, run_extents
+    from .pipelines.extents import element_paths, format_inex, run_extents
 
-        topics = []
-        for qid, text in queries:
-            if baseline == "indri":
-                ids, bs, es, sc = run_extents(reader, text, k=kk,
-                                              strict=False)
-            else:
-                ids, sc = score(text)
-                bs = es = np.zeros(len(ids), dtype=np.int64)
-            docnos = reader.docnos(ids.tolist())
-            if output == "plain":
-                for s, dn, b, e in zip(sc.tolist(), docnos,
-                                       bs.tolist(), es.tolist()):
-                    print(f"{s:g}\t{dn}\t{b}\t{e}")
-            else:
-                paths = element_paths(reader, ids, bs, es)
-                topics.append((qid, list(zip(docnos, paths, sc.tolist()))))
-        if output == "inex":
-            print(format_inex(topics, participant_id=participant_id,
-                              run_id=run_id), end="")
-        return
+    def score_ext(text):
+        if baseline == "indri" and (output != "trec" or want_passages):
+            return run_extents(reader, text, k=kk, strict=False)
+        ids, sc = score(text)
+        z = np.zeros(len(ids), dtype=np.int64)
+        return ids, z, z.copy(), sc
+
+    def passage_bytes(tb: bytes, positions, b: int, e: int) -> bytes:
+        # -printPassages byte range: positions[begin].begin ..
+        # positions[end-1].end (ref:runquery/IndriRunQuery.cpp:487-492)
+        if e <= b or e > len(positions):
+            return b""
+        return tb[positions[b][1]:positions[e - 1][2]]
+
+    topics = []
     for qid, text in queries:
-        ids, scores = score(text)
-        lines = format_trec(qid, ids, scores, reader.docnos(ids.tolist()))
-        if not want_snippets and not want_documents:
-            for line in lines:
-                print(line)
-            continue
-        from .pipelines.snippets import _doc_texts, build_snippets
+        ids, bs, es, sc = score_ext(text)
+        docnos = reader.docnos(ids.tolist())
+        need_texts = want_documents or want_passages or want_snippets
+        texts = {}
+        if need_texts:
+            from .pipelines.snippets import _doc_texts
 
-        texts = _doc_texts(reader, ids.tolist()) if want_documents else None
-        snips = (build_snippets(reader, text, ids.tolist(), texts=texts)
-                 if want_snippets else {})
-        texts = texts or {}
-        for did, line in zip(ids.tolist(), lines):
-            print(line)
+            texts = _doc_texts(reader, ids.tolist())
+        snips = {}
+        if want_snippets:
+            from .pipelines.snippets import build_snippets
+
+            snips = build_snippets(reader, text, ids.tolist(), texts=texts)
+        pos_cache: dict[int, list] = {}
+        if want_passages:
+            from .tokenizer import tokenize_with_offsets
+
+            mode = reader.cfg.tokenizer or "word"
+            for did in set(ids.tolist()):
+                tb = texts.get(did, "").encode("utf-8")
+                pos_cache[did] = [(None, bb, ee) for _t, bb, ee
+                                  in tokenize_with_offsets(tb, mode)]
+        trec_lines = (format_trec(qid, ids, sc, docnos)
+                      if output == "trec" else [""] * len(ids))
+        paths = (element_paths(reader, ids, bs, es)
+                 if output == "inex" else None)
+        if output == "inex":
+            topics.append((qid, list(zip(docnos, paths, sc.tolist()))))
+            continue
+        for i, did in enumerate(ids.tolist()):
+            if output == "trec":
+                print(trec_lines[i])
+            else:
+                print(f"{sc[i]:g}\t{docnos[i]}\t{int(bs[i])}\t{int(es[i])}")
             if want_documents:
                 print(texts.get(did, ""))
+            if want_passages:
+                tb = texts.get(did, "").encode("utf-8")
+                sl = passage_bytes(tb, pos_cache.get(did, []),
+                                   int(bs[i]), int(es[i]))
+                if sl:
+                    print(sl.decode("utf-8", errors="replace"))
             if want_snippets:
                 print(snips.get(did, ""))
+    if output == "inex":
+        print(format_inex(topics, participant_id=participant_id,
+                          run_id=run_id), end="")
 
 
 COMMANDS = {

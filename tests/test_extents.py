@@ -51,7 +51,8 @@ def ext_index(tmp_path_factory):
     pq.write_table(t, corpus / "corpus.parquet")
     out = str(d / "idx")
     cfg = IndexConfig(stemmer=None, dedup_key=None, n_buckets=4,
-                      max_chunk_docs=64, fields=("article", "sec"))
+                      max_chunk_docs=64, fields=("article", "sec"),
+                      store_content=True)
     build_index(str(corpus), out, cfg, resume=False)
     return out
 
@@ -439,6 +440,22 @@ def test_sharded_extents_bit_identical(ext_index):
         assert [t.column("begin")[i].as_py() for i in m] == bs.tolist()
         assert [t.column("end")[i].as_py() for i in m] == es.tolist()
         assert [t.column("score")[i].as_py() for i in m] == sc.tolist()
+
+
+def test_cli_runquery_print_passages(ext_index, tmp_path, capsys):
+    from indri_5_5_ray.cli import cmd_runquery
+
+    r = _reader(ext_index)
+    qf = tmp_path / "q.txt"
+    qf.write_text("1\t#combine[sec](gamma)\n")
+    cmd_runquery(r, str(qf), "3", "indri", "false", "false", "plain",
+                 "1", "indri55ray", "true")
+    out = capsys.readouterr().out.splitlines()
+    # only doc0's second sec extent (2,5) matches gamma; the passage line
+    # is the byte slice of token slots [2,5) = "alpha gamma delta"
+    assert len(out) == 2
+    assert out[0].endswith("\t2\t5")
+    assert out[1] == "alpha gamma delta"
 
 
 def test_multisec_corpus_builder(tmp_path):
