@@ -405,15 +405,23 @@ def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
         # positions[end-1].end (ref:runquery/IndriRunQuery.cpp:487-492)
         if e <= b or e > len(positions):
             return b""
-        return tb[positions[b][1]:positions[e - 1][2]]
+        return tb[positions[b][0]:positions[e - 1][1]]
 
+    mode = reader.cfg.tokenizer or "word"
+    if want_passages and mode not in ("word", "char"):
+        raise SystemExit(
+            f"print_passages needs a built-in tokenizer mode (word|char) "
+            f"to map index positions to bytes; index uses {mode!r}")
     topics = []
     for qid, text in queries:
         ids, bs, es, sc = score_ext(text)
         docnos = reader.docnos(ids.tolist())
-        need_texts = want_documents or want_passages or want_snippets
+        if output == "inex":
+            paths = element_paths(reader, ids, bs, es)
+            topics.append((qid, list(zip(docnos, paths, sc.tolist()))))
+            continue
         texts = {}
-        if need_texts:
+        if want_documents or want_passages or want_snippets:
             from .pipelines.snippets import _doc_texts
 
             texts = _doc_texts(reader, ids.tolist())
@@ -426,18 +434,12 @@ def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
         if want_passages:
             from .tokenizer import tokenize_with_offsets
 
-            mode = reader.cfg.tokenizer or "word"
             for did in set(ids.tolist()):
                 tb = texts.get(did, "").encode("utf-8")
-                pos_cache[did] = [(None, bb, ee) for _t, bb, ee
+                pos_cache[did] = [(bb, ee) for _t, bb, ee
                                   in tokenize_with_offsets(tb, mode)]
         trec_lines = (format_trec(qid, ids, sc, docnos)
                       if output == "trec" else [""] * len(ids))
-        paths = (element_paths(reader, ids, bs, es)
-                 if output == "inex" else None)
-        if output == "inex":
-            topics.append((qid, list(zip(docnos, paths, sc.tolist()))))
-            continue
         for i, did in enumerate(ids.tolist()):
             if output == "trec":
                 print(trec_lines[i])

@@ -74,6 +74,26 @@ def _as_engine(reader_or_engine, method: str, mu: float, lam: float
                                  lam=lam)
 
 
+def _ensure_full_postings(eng: StructuredQueryEngine, *nodes: Node) -> None:
+    """Fetch (or reuse the engine memo for) the FULL positional postings of
+    every leaf term under ``nodes`` and install them as ``eng._postings``
+    — the shared prelude of every element-retrieval entry point (same memo
+    key convention as ``StructuredQueryEngine.run``)."""
+    leafs: set[str] = set()
+    for node in nodes:
+        eng._leaf_terms(node, leafs)
+    terms_key = tuple(sorted(leafs))
+    cached = eng._postings_memo.get((terms_key,) + (True,))
+    if cached is None:
+        if len(eng._postings_memo) > 8:
+            eng._postings_memo.clear()
+        cached = eng._fetch_postings(list(terms_key), None,
+                                     need_positions=True)
+        eng._postings_memo[(terms_key,) + (True,)] = cached
+    eng._postings = cached
+
+
+
 def run_extents(reader, query: str, k: int = 1000, method: str = "dirichlet",
                 mu: float = 2500.0, lam: float = 0.4, strict: bool = True,
                 doc_range: tuple[int, int] | None = None
@@ -129,17 +149,7 @@ def _run_extent_root(eng: StructuredQueryEngine, field: str | None,
         inner = node.children[0]
     empties = (np.empty(0, np.int64), np.empty(0, np.int64),
                np.empty(0, np.int64), np.empty(0, np.float64))
-    leafs: set[str] = set()
-    eng._leaf_terms(inner, leafs)
-    terms_key = tuple(sorted(leafs))
-    cached = eng._postings_memo.get(((terms_key,) + (True,)))
-    if cached is None:
-        if len(eng._postings_memo) > 8:
-            eng._postings_memo.clear()
-        cached = eng._fetch_postings(list(terms_key), None,
-                                     need_positions=True)
-        eng._postings_memo[(terms_key,) + (True,)] = cached
-    eng._postings = cached
+    _ensure_full_postings(eng, inner)
     parts: list[np.ndarray] = []
     eng._cand_docs(inner, parts)
     parts = [p for p in parts if len(p)]
@@ -474,10 +484,14 @@ def _build_wild_context(eng: StructuredQueryEngine,
     the summed context size (every field extent's raw length, nested
     double-counted — the contextSize accumulation, ref :120-131 =
     Σ fieldTermCount)."""
+    key = (fields if fields is not None
+           else tuple(eng.r.cfg.fields or ()))
+    hit = eng._wild_ctx_memo.get(key)
+    if hit is not None:
+        return hit
     per_doc: dict[int, list[tuple[int, int]]] = {}
     total = 0.0
-    for fname in (fields if fields is not None
-                  else tuple(eng.r.cfg.fields or ())):
+    for fname in key:
         st = eng.r.field_stats(fname)
         if st:
             total += float(st["total_len"])
@@ -497,6 +511,7 @@ def _build_wild_context(eng: StructuredQueryEngine,
         if ob:
             union[did] = (np.asarray(ob, dtype=np.int64),
                           np.asarray(oe, dtype=np.int64))
+    eng._wild_ctx_memo[key] = (union, total)
     return union, total
 
 
@@ -529,17 +544,7 @@ def run_extents_wildcard(reader, query: str, k: int = 1000,
     inner = parse_query(query)
     empties = (np.empty(0, np.int64), np.empty(0, np.int64),
                np.empty(0, np.int64), np.empty(0, np.float64))
-    leafs: set[str] = set()
-    eng._leaf_terms(inner, leafs)
-    terms_key = tuple(sorted(leafs))
-    cached = eng._postings_memo.get((terms_key,) + (True,))
-    if cached is None:
-        if len(eng._postings_memo) > 8:
-            eng._postings_memo.clear()
-        cached = eng._fetch_postings(list(terms_key), None,
-                                     need_positions=True)
-        eng._postings_memo[(terms_key,) + (True,)] = cached
-    eng._postings = cached
+    _ensure_full_postings(eng, inner)
     parts: list[np.ndarray] = []
     eng._cand_docs(inner, parts)
     parts = [p for p in parts if len(p)]
@@ -620,18 +625,7 @@ def run_nested_extents(reader, a_field: str, c1_query: str, b_field: str,
     c2 = parse_query(c2_query)
     empties = (np.empty(0, np.int64), np.empty(0, np.int64),
                np.empty(0, np.int64), np.empty(0, np.float64))
-    leafs: set[str] = set()
-    eng._leaf_terms(c1, leafs)
-    eng._leaf_terms(c2, leafs)
-    terms_key = tuple(sorted(leafs))
-    cached = eng._postings_memo.get((terms_key,) + (True,))
-    if cached is None:
-        if len(eng._postings_memo) > 8:
-            eng._postings_memo.clear()
-        cached = eng._fetch_postings(list(terms_key), None,
-                                     need_positions=True)
-        eng._postings_memo[(terms_key,) + (True,)] = cached
-    eng._postings = cached
+    _ensure_full_postings(eng, c1, c2)
     parts: list[np.ndarray] = []
     eng._cand_docs(c1, parts)
     eng._cand_docs(c2, parts)

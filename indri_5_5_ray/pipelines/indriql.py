@@ -563,6 +563,7 @@ class StructuredQueryEngine:
             self._positions_ok = True
         self._ctx_stack: list[str] = []          # active #op[f] field contexts
         self._field_cache: dict[str, dict] = {}  # field → per-doc extents
+        self._wild_ctx_memo: dict = {}  # fields-tuple → wildcard context
         self._tree_cache: dict[int, dict] = {}   # doc → ordinal→parent map
         # cross-run memos for long-lived engines (sharded workers score the
         # SAME query once per doc-range shard; statistics and decoded
@@ -579,6 +580,10 @@ class StructuredQueryEngine:
         self._partial_const: dict[tuple, float] | None = None
         self._field_range: tuple[int, int] | None = None  # pruned run only
         self._passage: tuple[int, int] | None = None  # active passage window
+        # count tap: when set, every SCORED count node appends its
+        # per-candidate counts here during _belief (the passage hasMatch
+        # gate reads them — no recounting)
+        self._count_tap: list[np.ndarray] | None = None
         # block-max delegation for plain-term #combine/#weight roots (the
         # WeightedAndNode skip); lazily built LMScorer sharing this reader,
         # disable-able for exhaustive-vs-pruned identity tests
@@ -641,12 +646,15 @@ class StructuredQueryEngine:
         rows = self.r.term_rows(terms, doc_range)
         if doc_set is not None and rows.num_rows:
             ds_sorted = np.unique(np.asarray(list(doc_set), dtype=np.int64))
-            fd = rows.column("first_doc").to_numpy()
-            ld = rows.column("last_doc").to_numpy()
-            lo_i = np.searchsorted(ds_sorted, fd, side="left")
-            keep = (lo_i < len(ds_sorted)) & (
-                ds_sorted[np.minimum(lo_i, len(ds_sorted) - 1)] <= ld)
-            rows = rows.filter(pa.array(keep))
+            if not len(ds_sorted):
+                rows = rows.slice(0, 0)  # no result docs → no blocks
+            else:
+                fd = rows.column("first_doc").to_numpy()
+                ld = rows.column("last_doc").to_numpy()
+                lo_i = np.searchsorted(ds_sorted, fd, side="left")
+                keep = (lo_i < len(ds_sorted)) & (
+                    ds_sorted[np.minimum(lo_i, len(ds_sorted) - 1)] <= ld)
+                rows = rows.filter(pa.array(keep))
         has_pos = self.r.cfg.store_positions and need_positions
         out: dict[str, list] = {}
         row_terms = rows.column("term").to_pylist() if rows.num_rows else []
@@ -1278,19 +1286,27 @@ class StructuredQueryEngine:
             while start < max_dl:
                 valid = dl > start
                 self._passage = (start, start + width)
+                tap: list[np.ndarray] = []
+                self._count_tap = tap
                 try:
                     b = self._belief(node.children[0], cand,
                                      np.minimum(dl - start, float(width)))
-                    # windows where NO scored leaf matches are SKIPPED, not
-                    # background-scored (FixedPassageNode::score gates every
-                    # subextent on _child->hasMatch,
-                    # ref:src/FixedPassageNode.cpp:52-59) — without the gate
-                    # a short clipped no-match window can out-score matching
-                    # ones for common terms; docs with no matching window
-                    # stay at -inf and drop out entirely
-                    m = self._match_mask(node.children[0], cand)
                 finally:
+                    self._count_tap = None
                     self._passage = None
+                # windows where NO scored leaf matches are SKIPPED, not
+                # background-scored (FixedPassageNode::score gates every
+                # subextent on _child->hasMatch — OR over the scored count
+                # leaves' containment matches, ref:src/FixedPassageNode.cpp
+                # :52-59, ref:src/WeightedAndNode.cpp:309-328) — without the
+                # gate a short clipped no-match window can out-score
+                # matching ones for common terms; docs with no matching
+                # window stay at -inf and drop out entirely.  The mask
+                # reads the counts the belief walk just computed (the tap),
+                # never recounting.
+                m = np.zeros(len(cand), dtype=bool)
+                for c_arr in tap:
+                    m |= c_arr > 0
                 best = np.maximum(best, np.where(valid & m, b, -np.inf))
                 start += stride
             return best
@@ -1321,6 +1337,8 @@ class StructuredQueryEngine:
         if node.op in self._COUNT_OPS:
             rfields = tuple(self._ctx_stack)
             counts = self._node_counts(node, self._postings, cand, rfields)
+            if self._count_tap is not None:
+                self._count_tap.append(counts)
             # global node statistics: a term's cf comes from the dictionary;
             # a synthetic/restricted node's cf is its total match count across
             # the collection, computed exactly over the node's own candidate
@@ -1371,34 +1389,6 @@ class StructuredQueryEngine:
         if node.op == "not":
             return np.log1p(-np.minimum(np.exp(kids[0]), np.nextafter(1.0, 0.0)))
         raise ValueError(f"unknown op {node.op}")
-
-    def _match_mask(self, node: Node, cand: np.ndarray) -> np.ndarray:
-        """Per-candidate hasMatch of a scored subtree: OR over its count
-        leaves' occurrence counts under the ACTIVE restriction/passage
-        context (belief nodes OR their children's matches,
-        ref:src/WeightedAndNode.cpp:309-328; a leaf matches where one of
-        its raw extents is contained in the evaluation extent,
-        ref:src/ListBeliefNode.cpp:158-186; priors carry no match list)."""
-        if node.op in self._COUNT_OPS or node.op == "any" \
-                or node.op in _NUM_PREDS:
-            rfields = tuple(self._ctx_stack)
-            return self._node_counts(node, self._postings, cand, rfields) > 0
-        if node.op == "prior":
-            return np.zeros(len(cand), dtype=bool)
-        if node.op in ("filreq", "filrej"):
-            return self._match_mask(node.children[1], cand)
-        if node.op == "ctx":
-            self._ctx_stack.append(node.term)
-            try:
-                return self._match_mask(node.children[0], cand)
-            finally:
-                self._ctx_stack.pop()
-        if node.op == "not":
-            return self._match_mask(node.children[0], cand)
-        masks = [self._match_mask(c, cand) for c in node.children]
-        if not masks:
-            return np.zeros(len(cand), dtype=bool)
-        return np.any(masks, axis=0)
 
     def _term_cf(self, node: Node) -> float:
         term = self._node_term(node)

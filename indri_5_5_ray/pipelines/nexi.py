@@ -641,9 +641,13 @@ def run_nexi_extents(reader, text: str, k: int = 1000,
 
         flds = (tuple(f.name for f in inner.extent.fields)
                 if isinstance(inner.extent, ExtentOr) else None)
+        inner_ql = to_indriql(inner.child)
         try:
-            return run_extents_wildcard(reader, to_indriql(inner.child),
-                                        k=k, fields=flds)
+            return run_extents_wildcard(reader, inner_ql, k=k, fields=flds)
         except ValueError:
-            pass
+            # statistics-unsupported inner shape: document fallback over
+            # the bare clause (the restriction drops, the module's
+            # documented doc-ranking convention) — to_indriql(ast) itself
+            # would raise for an ExtentOr restriction
+            return run_extents(reader, inner_ql, k=k, strict=False)
     return run_extents(reader, to_indriql(ast), k=k, strict=False)

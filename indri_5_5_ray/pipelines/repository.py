@@ -69,6 +69,18 @@ class MultiIndexReader:
     def keep_mask(self, doc_ids: np.ndarray) -> np.ndarray:
         return deleted_keep_mask(self.deleted, doc_ids)
 
+    def _dset(self, sub: str):
+        """Schema probe (segment configs are identical, so any segment's
+        dataset schema stands for all)."""
+        return self.readers[0]._dset(sub)
+
+    def _point_read(self, sub: str, doc_ids: list[int], columns: list[str]):
+        """doc_id point read across segments (disjoint ranges: each
+        segment's fragment-pruned read returns only its own hits)."""
+        parts = [r._point_read(sub, doc_ids, columns) for r in self.readers]
+        hit = [p for p in parts if p.num_rows]
+        return pa.concat_tables(hit) if hit else parts[0]
+
     def doc_lens(self) -> np.ndarray:
         if self._doc_lens is None:
             arr = np.zeros(self.manifest["max_doc_id"] + 1, dtype=np.int32)

@@ -458,6 +458,18 @@ def test_cli_runquery_print_passages(ext_index, tmp_path, capsys):
     assert out[1] == "alpha gamma delta"
 
 
+def test_build_snippets_empty_results_and_doc_set_filter(ext_index):
+    # regression: _fetch_postings(doc_set=[]) crashed on the empty sorted
+    # id array (numpy & evaluates both operands eagerly)
+    from indri_5_5_ray.pipelines.snippets import build_snippets
+
+    r = _reader(ext_index)
+    assert build_snippets(r, "alpha", []) == {}
+    # and the block filter keeps results identical for non-empty lists
+    snips = build_snippets(r, "alpha", [0, 3])
+    assert "ALPHA" in snips[0].upper()
+
+
 def test_multisec_corpus_builder(tmp_path):
     from indri_5_5_ray.sources.corpus import corpus_from_documents_multisec
 

@@ -154,3 +154,19 @@ def test_term_payloads_row_aligned(built_index):
         pl = reader.term_payloads(terms)
         want = rows.column("postings").to_pylist()
         assert pl == want
+
+
+def test_point_read_multi_index_reader(built_index):
+    """Regression: _doc_texts moved onto reader._point_read, which
+    MultiIndexReader (documented IndexReader-compatible) lacked."""
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.pipelines.repository import MultiIndexReader
+
+    out, _ = built_index
+    single = IndexReader(out)
+    multi = MultiIndexReader([out])
+    ids = single.docnos([0, 5, 17])
+    t1 = single._point_read("docs", [0, 5, 17], ["doc_id", "dl"])
+    t2 = multi._point_read("docs", [0, 5, 17], ["doc_id", "dl"])
+    assert t1.sort_by("doc_id").equals(t2.sort_by("doc_id"))
+    assert len(ids) == 3
