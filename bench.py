@@ -240,16 +240,23 @@ def run_bench() -> dict:
     _nested_index_dir = _ensure_nested_index(SF_DIR)
     _multisec_index_dir = _ensure_multisec_index(SF_DIR)
 
-    def _inex_3q() -> int:
-        # element-level retrieval (every sec extent / passage window
-        # scored) + INEX path naming for the top 10 of each query
-        from __ray_entry__ import EXTENT_QUERIES
-        from indri_5_5_ray.pipelines.extents import element_paths, run_extents
+    def _inex_4q() -> int:
+        # element-level retrieval (every sec extent / passage window /
+        # FieldWildcard element scored) + INEX path naming for the top 10
+        from __ray_entry__ import EXTENT_QUERIES, EXTENT_WILD_QUERY
+        from indri_5_5_ray.pipelines.extents import (
+            element_paths,
+            run_extents,
+            run_extents_wildcard,
+        )
 
         ms_reader = IndexReader(_multisec_index_dir)
         n = 0
-        for _, q in EXTENT_QUERIES:
-            ids, bs, es, _sc = run_extents(ms_reader, q, k=100)
+        results = [run_extents(ms_reader, q, k=100)
+                   for _, q in EXTENT_QUERIES]
+        results.append(run_extents_wildcard(ms_reader,
+                                            EXTENT_WILD_QUERY[1], k=100))
+        for ids, bs, es, _sc in results:
             n += sum(len(p) for p in element_paths(
                 ms_reader, ids[:10], bs[:10], es[:10]))
         return n
@@ -315,8 +322,9 @@ def run_bench() -> dict:
         # scoring included; the store_content index is fixture work)
         ("snippets_20q", _snippets_20q),
         # NEW r5: element-level retrieval + INEX path naming over the
-        # multisec index (index pre-built above as fixture work)
-        ("inex_3q", _inex_3q),
+        # multisec index (index pre-built above as fixture work); grew
+        # from 3 to 4 queries late r5 (the FieldWildcard CO surface)
+        ("inex_4q", _inex_4q),
     ]:
         t0 = time.perf_counter()
         fn()
