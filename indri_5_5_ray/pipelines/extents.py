@@ -161,40 +161,64 @@ def _run_extent_root(eng: StructuredQueryEngine, field: str | None,
     cand = cand[eng.r.keep_mask(cand)]
     if not len(cand):
         return empties
-    # per-candidate extents → flat (edoc, eb, ee) with per-doc offsets
+    # per-candidate extents → flat (edoc, eb, ee) with per-doc offsets,
+    # gathered vectorized from the field CSR (no per-doc Python)
     if field is not None:
-        fdata = eng._field_data(field)
-        cand = np.asarray([d for d in cand.tolist() if d in fdata],
-                          dtype=np.int64)
+        fdocs, fstarts, fb_all, fe_all = eng._field_csr(field)
+        didx = np.searchsorted(fdocs, cand)
+        has = (didx < len(fdocs)) & (
+            fdocs[np.minimum(didx, len(fdocs) - 1)] == cand)
+        cand = cand[has]
+        didx = didx[has]
+        if not len(cand):
+            return empties
+        lens = fstarts[didx + 1] - fstarts[didx]
+        total = int(lens.sum())
+        out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gather = (np.arange(total, dtype=np.int64)
+                  - np.repeat(out_starts, lens)
+                  + np.repeat(fstarts[didx], lens))
+        eb_all = fb_all[gather]
+        ee_all = fe_all[gather]
         # zero-length extents are skipped, never scored ("this field has
         # no text in it", ref:src/ExtentRestrictionNode.cpp:73-74 and
         # src/ExtentEnforcementNode.cpp:61-62)
-        ext_bs, ext_es = [], []
-        for d in cand.tolist():
-            fb, fe = fdata[d][0], fdata[d][1]
-            nz = fe > fb
-            ext_bs.append(fb[nz])
-            ext_es.append(fe[nz])
+        nz = ee_all > eb_all
+        ecand = np.repeat(np.arange(len(cand), dtype=np.int64), lens)[nz]
+        eb = eb_all[nz]
+        ee = ee_all[nz]
+        n_per = np.bincount(ecand, minlength=len(cand)).astype(np.int64)
+        ext_start = np.zeros(len(cand) + 1, dtype=np.int64)
+        np.cumsum(n_per, out=ext_start[1:])
+        edoc = np.repeat(cand, n_per)
+        if not len(eb):
+            return empties
+        ev = _ExtentEval(eng, field, cand, ext_start, eb, ee)
+        beliefs = ev.belief(inner)
+        keep = ev.matches(inner) & (beliefs > -np.inf)
+        edoc, eb, ee, beliefs = (edoc[keep], eb[keep], ee[keep],
+                                 beliefs[keep])
+        order = np.lexsort((-ee, -eb, -edoc, -beliefs))[:k]
+        return edoc[order], eb[order], ee[order], beliefs[order]
+    # passage mode: sliding windows per doc, enumerated vectorized
+    if doc_range is not None:  # shard workers hold O(span) dls only
+        dl = eng.r.doc_lens_range(doc_range[0], doc_range[1])[
+            cand - doc_range[0]].astype(np.int64)
     else:
-        if doc_range is not None:  # shard workers hold O(span) dls only
-            dl = eng.r.doc_lens_range(doc_range[0], doc_range[1])[
-                cand - doc_range[0]].astype(np.int64)
-        else:
-            dl = eng.r.doc_lens()[cand].astype(np.int64)
-        ext_bs, ext_es = [], []
-        for L in dl.tolist():
-            # windows start strictly inside the doc — the document path's
-            # `valid = dl > start` guard (indriql._belief passage branch)
-            starts = np.arange(0, L, stride, dtype=np.int64)
-            ext_bs.append(starts)
-            ext_es.append(np.minimum(starts + width, L))
-    n_per = np.asarray([len(b) for b in ext_bs], dtype=np.int64)
+        dl = eng.r.doc_lens()[cand].astype(np.int64)
+    # windows start strictly inside the doc — the document path's
+    # `valid = dl > start` guard (indriql._belief passage branch):
+    # n_windows = ceil(dl / stride)
+    n_per = (dl + stride - 1) // stride
     if not int(n_per.sum()):
         return empties
     ext_start = np.zeros(len(cand) + 1, dtype=np.int64)
     np.cumsum(n_per, out=ext_start[1:])
-    eb = np.concatenate(ext_bs).astype(np.int64)
-    ee = np.concatenate(ext_es).astype(np.int64)
+    total = int(n_per.sum())
+    win_idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(ext_start[:-1], n_per))
+    eb = win_idx * stride
+    ee = np.minimum(eb + width, np.repeat(dl, n_per))
     edoc = np.repeat(cand, n_per)
     ev = _ExtentEval(eng, field, cand, ext_start, eb, ee)
     beliefs = ev.belief(inner)
@@ -228,11 +252,15 @@ class _ExtentEval:
         self.eb = eb
         self.ee = ee
         self.n_ext = len(eb)
+        self.eidx = np.repeat(np.arange(len(cand), dtype=np.int64),
+                              np.diff(ext_start))  # extent → cand index
         self.dl_ext = (ee - eb).astype(np.float64)
         self.rfields = (field,) if field is not None else ()
-        self.wild = wild  # FieldWildcard ctx: (per-doc outermost, total)
+        # FieldWildcard ctx: (docs, S, enc_ub, enc_ue, total) — encoded
+        # outermost extents of every context field
+        self.wild = wild
         if wild is not None:
-            self.total = wild[1]  # _belief_from_counts floors total ≤ 0
+            self.total = wild[4]  # _belief_from_counts floors total ≤ 0
         elif field is not None:
             st = eng.r.field_stats(field)
             self.total = float(st["total_len"]) if st else 0.0
@@ -251,7 +279,15 @@ class _ExtentEval:
 
     def _counts_uncached(self, node: Node) -> np.ndarray:
         eng = self.eng
-        if node.op in ("term", "wildcard", "syn"):
+        if node.op == "term":
+            term = eng._node_term(node)
+            tp = eng._postings.get(term) if term else None
+            if tp is None:
+                return np.zeros(self.n_ext, dtype=np.float64)
+            if tp[2] is not None:
+                return self._term_counts_from_postings(tp)
+            return self._position_counts(eng._positions_map(node))
+        if node.op in ("wildcard", "syn"):
             return self._position_counts(eng._positions_map(node))
         if node.op == "wsyn":
             w = np.asarray(node.weights, dtype=np.float64)
@@ -270,6 +306,24 @@ class _ExtentEval:
         raise ValueError(
             f"element-level retrieval does not support #{node.op} as a "
             f"count node (use the document-level engine)")
+
+    def _term_counts_from_postings(self, tp) -> np.ndarray:
+        """Vectorized per-extent occurrence counts of a plain term straight
+        from its flat positions stream (no per-doc Python): encode
+        positions and extent bounds by candidate index, then two
+        searchsorteds over the whole extent set."""
+        d, _tf, flat, starts = tp
+        cidx = np.searchsorted(self.cand, d)
+        valid = (cidx < len(self.cand)) & (
+            self.cand[np.minimum(cidx, len(self.cand) - 1)] == d)
+        max_pos = int(flat.max()) if len(flat) else 0
+        S = max(int(self.ee.max()) if self.n_ext else 0, max_pos) + 2
+        tfs = np.diff(starts)
+        pos_ok = np.repeat(valid, tfs)
+        encp = np.repeat(cidx, tfs)[pos_ok] * S + flat[pos_ok]
+        lo = np.searchsorted(encp, self.eidx * S + self.eb)
+        hi = np.searchsorted(encp, self.eidx * S + self.ee)
+        return (hi - lo).astype(np.float64)
 
     def _position_counts(self, pm: dict[int, np.ndarray]) -> np.ndarray:
         """Occurrences inside each extent: two searchsorteds per candidate
@@ -318,19 +372,51 @@ class _ExtentEval:
 
     # -- FieldWildcard-context statistics ----------------------------------
 
-    def _wild_positions_cf(self, pm: dict[int, np.ndarray]) -> float:
-        union = self.wild[0]
+    def _wild_doc_enc(self, did: int):
+        """(i·S base, S, ub, ue) for one doc, or None when it carries no
+        context extents."""
+        docs, S, ub, ue, _total = self.wild
+        i = int(np.searchsorted(docs, did))
+        if i >= len(docs) or int(docs[i]) != did:
+            return None
+        return i * S, S, ub, ue
+
+    def _wild_positions_cf(self, pm: dict[int, np.ndarray],
+                           count: bool = True):
+        """Occurrences of a position map inside the wildcard context
+        (count=True → total float; count=False → set of docs with ≥1)."""
         tot = 0.0
+        present: set[int] = set()
         for did, pl in pm.items():
-            u = union.get(did)
-            if u is None:
+            enc = self._wild_doc_enc(did)
+            if enc is None:
                 continue
-            ub, ue = u
-            idx = np.searchsorted(ub, pl, side="right") - 1
-            ok = idx >= 0
-            ok[ok] = pl[ok] < ue[idx[ok]]
-            tot += float(ok.sum())
-        return tot
+            base, S, ub, ue = enc
+            encp = base + pl[pl < S]
+            inside = (np.searchsorted(ub, encp, side="right")
+                      - np.searchsorted(ue, encp, side="right")) == 1
+            if count:
+                tot += float(inside.sum())
+            elif inside.any():
+                present.add(did)
+        return tot if count else present
+
+    def _wild_term_cf(self, tp) -> float:
+        """Vectorized term occurrences within the wildcard context (the
+        per-doc pm loop costs O(matching docs) Python at corpus scale)."""
+        d, _tf, flat, starts = tp
+        docs, S, ub, ue, _total = self.wild
+        if flat is None or not len(flat) or not len(docs):
+            return 0.0
+        didx = np.searchsorted(docs, d)
+        has = (didx < len(docs)) & (
+            docs[np.minimum(didx, len(docs) - 1)] == d)
+        tfs = np.diff(starts)
+        pos_ok = np.repeat(has, tfs) & (flat < S)
+        encp = np.repeat(didx, tfs)[pos_ok] * S + flat[pos_ok]
+        inside = (np.searchsorted(ub, encp, side="right")
+                  - np.searchsorted(ue, encp, side="right")) == 1
+        return float(inside.sum())
 
     def _wild_cf(self, node: Node) -> float:
         """Collection occurrence count of a node WITHIN the wildcard
@@ -338,8 +424,11 @@ class _ExtentEval:
         extent, each counted once (ref:src/ContextCountAccumulator.cpp:
         99-140), summed over every doc the node matches."""
         eng = self.eng
-        union = self.wild[0]
-        if node.op in ("term", "syn", "wildcard"):
+        if node.op == "term":
+            term = eng._node_term(node)
+            tp = eng._postings.get(term) if term else None
+            return self._wild_term_cf(tp) if tp is not None else 0.0
+        if node.op in ("syn", "wildcard"):
             return self._wild_positions_cf(eng._positions_map(node))
         if node.op == "wsyn":
             w = np.asarray(node.weights, dtype=np.float64)
@@ -350,42 +439,31 @@ class _ExtentEval:
                              for wi, c in zip(w, node.children)))
         if node.op in ("od", "uw"):
             pos_maps = [eng._positions_map(c) for c in node.children]
-            docs = set(pos_maps[0])
+            docs_common = set(pos_maps[0])
             for pm in pos_maps[1:]:
-                docs &= set(pm)
+                docs_common &= set(pm)
             tot = 0.0
-            for did in docs:
-                u = union.get(did)
-                if u is None:
+            for did in docs_common:
+                enc = self._wild_doc_enc(did)
+                if enc is None:
                     continue
+                base, S, ub, ue = enc
                 pls = [pm[did] for pm in pos_maps]
                 if node.op == "od":
                     begins, ends = ordered_window_extents(pls, node.n)
                 else:
                     begins, ends = unordered_window_extents(pls, node.n)
-                ub, ue = u
                 for wb, we in zip(begins, ends):
-                    i = int(np.searchsorted(ub, wb, side="right")) - 1
-                    if i >= 0 and we <= ue[i]:
+                    i = int(np.searchsorted(ub, base + wb,
+                                            side="right")) - 1
+                    if i >= 0 and base + we <= ue[i]:
                         tot += 1.0
             return tot
         if node.op == "band":
             # 1 per doc where EVERY member occurs within the context
-            doc_sets = []
-            for c in node.children:
-                pm = eng._positions_map(c)
-                present = set()
-                for did, pl in pm.items():
-                    u = union.get(did)
-                    if u is None:
-                        continue
-                    ub, ue = u
-                    idx = np.searchsorted(ub, pl, side="right") - 1
-                    ok = idx >= 0
-                    ok[ok] = pl[ok] < ue[idx[ok]]
-                    if ok.any():
-                        present.add(did)
-                doc_sets.append(present)
+            doc_sets = [self._wild_positions_cf(eng._positions_map(c),
+                                                count=False)
+                        for c in node.children]
             return float(len(set.intersection(*doc_sets))) if doc_sets else 0.0
         raise ValueError(
             f"FieldWildcard-context statistics for #{node.op} are not "
@@ -476,43 +554,63 @@ class _ExtentEval:
 
 def _build_wild_context(eng: StructuredQueryEngine,
                         fields: tuple[str, ...] | None = None
-                        ) -> tuple[dict[int, tuple], float]:
-    """The FieldWildcard context: per-doc OUTERMOST field extents (begin
-    asc; nested extents collapse into their outer per the reference's
-    no-overlap invariant — an occurrence counts ONCE when contained in
-    any context extent, ref:src/ContextCountAccumulator.cpp:99-140) and
-    the summed context size (every field extent's raw length, nested
-    double-counted — the contextSize accumulation, ref :120-131 =
-    Σ fieldTermCount)."""
+                        ) -> tuple:
+    """The FieldWildcard context, doc-index-ENCODED and memoized per
+    fields tuple: ``(docs, S, enc_ub, enc_ue, total)`` — the OUTERMOST
+    nonzero extents of every context field per doc (nested extents
+    collapse into their outer per the reference's no-overlap invariant;
+    an occurrence counts ONCE when contained in any context extent,
+    ref:src/ContextCountAccumulator.cpp:99-140) plus the summed context
+    size (every field extent's raw length, nested double-counted — the
+    contextSize accumulation, ref :120-131 = Σ fieldTermCount).  Doc
+    ``docs[i]``'s intervals occupy encoded values in ``[i·S, (i+1)·S)``;
+    built fully vectorized from the field CSRs."""
     key = (fields if fields is not None
            else tuple(eng.r.cfg.fields or ()))
     hit = eng._wild_ctx_memo.get(key)
     if hit is not None:
         return hit
-    per_doc: dict[int, list[tuple[int, int]]] = {}
     total = 0.0
+    doc_parts, b_parts, e_parts = [], [], []
     for fname in key:
         st = eng.r.field_stats(fname)
         if st:
             total += float(st["total_len"])
-        for did, ext in eng._field_data(fname).items():
-            acc = per_doc.setdefault(did, [])
-            acc.extend(zip(ext[0].tolist(), ext[1].tolist()))
-    union: dict[int, tuple] = {}
-    for did, pairs in per_doc.items():
-        pairs.sort(key=lambda x: (x[0], -x[1]))
-        ob, oe = [], []
-        last_end = 0
-        for b, e in pairs:
-            if e > b and b >= last_end:  # outermost, nonzero
-                ob.append(b)
-                oe.append(e)
-                last_end = e
-        if ob:
-            union[did] = (np.asarray(ob, dtype=np.int64),
-                          np.asarray(oe, dtype=np.int64))
-    eng._wild_ctx_memo[key] = (union, total)
-    return union, total
+        fdocs, fstarts, fb, fe = eng._field_csr(fname)
+        if len(fdocs):
+            doc_parts.append(np.repeat(fdocs, np.diff(fstarts)))
+            b_parts.append(fb)
+            e_parts.append(fe)
+    empty = (np.empty(0, np.int64), 1, np.empty(0, np.int64),
+             np.empty(0, np.int64), total)
+    if not doc_parts:
+        eng._wild_ctx_memo[key] = empty
+        return empty
+    all_doc = np.concatenate(doc_parts)
+    all_b = np.concatenate(b_parts)
+    all_e = np.concatenate(e_parts)
+    nz = all_e > all_b
+    all_doc, all_b, all_e = all_doc[nz], all_b[nz], all_e[nz]
+    if not len(all_doc):
+        eng._wild_ctx_memo[key] = empty
+        return empty
+    docs = np.unique(all_doc)
+    S = int(all_e.max()) + 2
+    didx = np.searchsorted(docs, all_doc)
+    enc_b = didx * S + all_b
+    enc_e = didx * S + all_e
+    # outermost filter: sort (begin asc, end desc); under the reference's
+    # nesting-only invariant an extent is nested iff some earlier extent's
+    # end reaches past it — the global cumulative max works because doc
+    # i's encodes are < (i+1)·S ≤ any encode of doc i+1
+    order = np.lexsort((-enc_e, enc_b))
+    enc_b, enc_e = enc_b[order], enc_e[order]
+    run = np.maximum.accumulate(enc_e)
+    keep = np.ones(len(enc_b), dtype=bool)
+    keep[1:] = enc_e[1:] > run[:-1]
+    out = (docs, S, enc_b[keep], enc_e[keep], total)
+    eng._wild_ctx_memo[key] = out
+    return out
 
 
 def run_extents_wildcard(reader, query: str, k: int = 1000,
@@ -556,36 +654,51 @@ def run_extents_wildcard(reader, query: str, k: int = 1000,
     cand = cand[eng.r.keep_mask(cand)]
     if not len(cand):
         return empties
-    wild_union, wild_total = _build_wild_context(eng, fields)
+    wild = _build_wild_context(eng, fields)
     fields = (fields if fields is not None
               else tuple(eng.r.cfg.fields or ()))
-    ext_bs, ext_es, keep_docs = [], [], []
-    for d in cand.tolist():
-        pairs: list[tuple[int, int]] = []
-        for fname in fields:
-            ext = eng._field_data(fname).get(d)
-            if ext is None:
-                continue
-            fb, fe = ext[0], ext[1]
-            nz = fe > fb  # zero-length skip (ExtentRestrictionNode:73-74)
-            pairs.extend(zip(fb[nz].tolist(), fe[nz].tolist()))
-        if not pairs:
+    # element enumeration, vectorized: gather every field's nonzero
+    # extents for the candidate docs from the field CSRs, then one
+    # lexsort groups them per doc in (begin asc, end desc) order
+    doc_parts, b_parts, e_parts = [], [], []
+    for fname in fields:
+        fdocs, fstarts, fb_all, fe_all = eng._field_csr(fname)
+        if not len(fdocs):
             continue
-        pairs.sort(key=lambda x: (x[0], -x[1]))
-        keep_docs.append(d)
-        ext_bs.append(np.asarray([p[0] for p in pairs], dtype=np.int64))
-        ext_es.append(np.asarray([p[1] for p in pairs], dtype=np.int64))
-    if not keep_docs:
+        didx = np.searchsorted(fdocs, cand)
+        has = (didx < len(fdocs)) & (
+            fdocs[np.minimum(didx, len(fdocs) - 1)] == cand)
+        di = didx[has]
+        if not len(di):
+            continue
+        lens = fstarts[di + 1] - fstarts[di]
+        total_f = int(lens.sum())
+        out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gather = (np.arange(total_f, dtype=np.int64)
+                  - np.repeat(out_starts, lens)
+                  + np.repeat(fstarts[di], lens))
+        fb = fb_all[gather]
+        fe = fe_all[gather]
+        nz = fe > fb  # zero-length skip (ExtentRestrictionNode:73-74)
+        doc_parts.append(np.repeat(cand[has], lens)[nz])
+        b_parts.append(fb[nz])
+        e_parts.append(fe[nz])
+    if not doc_parts:
         return empties
-    cand = np.asarray(keep_docs, dtype=np.int64)
-    n_per = np.asarray([len(b) for b in ext_bs], dtype=np.int64)
+    all_doc = np.concatenate(doc_parts)
+    all_b = np.concatenate(b_parts)
+    all_e = np.concatenate(e_parts)
+    if not len(all_doc):
+        return empties
+    order = np.lexsort((-all_e, all_b, all_doc))
+    all_doc, all_b, all_e = all_doc[order], all_b[order], all_e[order]
+    cand = np.unique(all_doc)
+    n_per = np.searchsorted(all_doc, cand, side="right") \
+        - np.searchsorted(all_doc, cand, side="left")
     ext_start = np.zeros(len(cand) + 1, dtype=np.int64)
     np.cumsum(n_per, out=ext_start[1:])
-    eb = np.concatenate(ext_bs)
-    ee = np.concatenate(ext_es)
-    edoc = np.repeat(cand, n_per)
-    ev = _ExtentEval(eng, None, cand, ext_start, eb, ee,
-                     wild=(wild_union, wild_total))
+    eb, ee, edoc = all_b, all_e, all_doc
+    ev = _ExtentEval(eng, None, cand, ext_start, eb, ee, wild=wild)
     beliefs = ev.belief(inner)
     keep = ev.matches(inner) & (beliefs > -np.inf)
     edoc, eb, ee, beliefs = edoc[keep], eb[keep], ee[keep], beliefs[keep]

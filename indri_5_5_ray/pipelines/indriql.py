@@ -762,6 +762,99 @@ class StructuredQueryEngine:
         self._field_cache[key] = data
         return data
 
+    def _field_csr(self, fname: str):
+        """Arrow-native flat view of one field's extents over the (possibly
+        range-pruned) collection: ``(docs, starts, fb, fe)`` with rows
+        sorted by doc_id and extents in stored (begin-asc) order — doc
+        ``docs[i]``'s extents are ``fb[starts[i]:starts[i+1]]``.  Built
+        once per engine WITHOUT the per-doc Python dict (the dict loader
+        `_field_data` costs seconds at 10⁵⁺ docs; window/path fallbacks
+        still use it, the vectorized kernels use this)."""
+        key = ("__csr__", fname, self._field_range)
+        hit = self._field_cache.get(key)
+        if hit is not None:
+            return hit
+        try:
+            t = self.r.field_extents(fname, doc_range=self._field_range)
+        except FileNotFoundError:
+            t = None
+        if t is None or not t.num_rows:
+            out = (np.empty(0, np.int64), np.zeros(1, np.int64),
+                   np.empty(0, np.int64), np.empty(0, np.int64))
+        else:
+            import pyarrow.compute as _pc
+
+            t = t.sort_by("doc_id")
+            docs = t.column("doc_id").to_numpy().astype(np.int64)
+            lens = _pc.list_value_length(
+                t.column("begins")).to_numpy().astype(np.int64)
+            fb = _pc.list_flatten(
+                t.column("begins")).to_numpy().astype(np.int64)
+            fe = _pc.list_flatten(
+                t.column("ends")).to_numpy().astype(np.int64)
+            starts = np.zeros(len(docs) + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            out = (docs, starts, fb, fe)
+        self._field_cache[key] = out
+        return out
+
+    def _field_union_enc(self, fname: str):
+        """Doc-index-ENCODED merged extent union of one field:
+        ``(docs, S, ub, ue)`` where doc ``docs[i]``'s merged union
+        intervals occupy encoded values in ``[i·S, (i+1)·S)``.  Built
+        fully vectorized (global cumulative-max merge works because
+        encoded bounds of doc ``i`` are < ``(i+1)·S`` ≤ any bound of doc
+        ``i+1``).  A position ``p`` of doc index ``i`` (with ``p < S``)
+        is inside the union iff ``#(ub ≤ i·S+p) − #(ue ≤ i·S+p) = 1``;
+        a position ``p ≥ S`` exceeds every extent end and is simply
+        dropped before encoding."""
+        key = ("__union__", fname, self._field_range)
+        hit = self._field_cache.get(key)
+        if hit is not None:
+            return hit
+        docs, starts, fb, fe = self._field_csr(fname)
+        if not len(docs):
+            out = (docs, 1, np.empty(0, np.int64), np.empty(0, np.int64))
+            self._field_cache[key] = out
+            return out
+        S = int(fe.max()) + 2
+        didx = np.repeat(np.arange(len(docs), dtype=np.int64),
+                         np.diff(starts))
+        enc_b = didx * S + fb
+        enc_e = didx * S + fe
+        run_max = np.maximum.accumulate(enc_e)
+        new_seg = np.ones(len(enc_b), dtype=bool)
+        new_seg[1:] = enc_b[1:] > run_max[:-1]
+        seg_starts = np.nonzero(new_seg)[0]
+        ub = enc_b[seg_starts]
+        ue = run_max[np.append(seg_starts[1:] - 1, len(enc_b) - 1)]
+        out = (docs, S, ub, ue)
+        self._field_cache[key] = out
+        return out
+
+    def _restricted_term_counts(self, tp, fname: str) -> np.ndarray:
+        """Per-posting-doc occurrence counts of one term WITHIN ``fname``'s
+        extent union — the vectorized twin of the per-doc
+        ``_count_positions_in`` loop (bit-identical: same union point
+        set), aligned with ``tp``'s doc array."""
+        d, _tf, flat, starts = tp
+        docs, S, ub, ue = self._field_union_enc(fname)
+        counts = np.zeros(len(d), dtype=np.float64)
+        if not len(docs) or flat is None or not len(flat):
+            return counts
+        didx = np.searchsorted(docs, d)
+        has_field = (didx < len(docs)) & (
+            docs[np.minimum(didx, len(docs) - 1)] == d)
+        tfs = np.diff(starts)
+        pos_ok = np.repeat(has_field, tfs) & (flat < S)
+        encp = np.repeat(didx, tfs)[pos_ok] * S + flat[pos_ok]
+        inside = (np.searchsorted(ub, encp, side="right")
+                  - np.searchsorted(ue, encp, side="right")) == 1
+        contrib = np.zeros(len(flat), dtype=np.float64)
+        contrib[pos_ok] = inside
+        csum = np.concatenate(([0.0], np.cumsum(contrib)))
+        return csum[starts[1:]] - csum[starts[:-1]]
+
     @staticmethod
     def _union_intervals(b: np.ndarray, e: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Begin-sorted (possibly nested) extents → merged disjoint union."""
@@ -996,6 +1089,20 @@ class StructuredQueryEngine:
                 pos = np.searchsorted(cand, d)
                 valid = (pos < len(cand)) & (cand[np.minimum(pos, len(cand) - 1)] == d)
                 counts[pos[valid]] = tf[valid].astype(np.float64)
+                return counts
+            if (self._passage is None and len(rfields) == 1
+                    and not rfields[0].startswith(".")
+                    and postings[term][2] is not None):
+                # single plain-field restriction: vectorized union stab
+                # (the per-doc loop below is O(docs) Python — at 10⁵⁺
+                # matching docs it dominated extent-restricted queries)
+                per_doc = self._restricted_term_counts(postings[term],
+                                                       rfields[0])
+                d = postings[term][0]
+                pos = np.searchsorted(cand, d)
+                valid = (pos < len(cand)) & (
+                    cand[np.minimum(pos, len(cand) - 1)] == d)
+                counts[pos[valid]] = per_doc[valid]
                 return counts
             pm = self._positions_map(node)
             for i, did in enumerate(cand.tolist()):
