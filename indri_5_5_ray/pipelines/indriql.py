@@ -1104,6 +1104,27 @@ class StructuredQueryEngine:
                     cand[np.minimum(pos, len(cand) - 1)] == d)
                 counts[pos[valid]] = per_doc[valid]
                 return counts
+            if (self._passage is not None and not rfields
+                    and postings[term][2] is not None):
+                # passage window, no field restriction: the window is the
+                # SAME [ps, pe) for every doc — two searchsorteds over the
+                # candidate-encoded position stream replace the per-doc
+                # loop (the passage evaluator calls this once per window)
+                ps, pe = self._passage
+                d, _tf, flat, starts = postings[term]
+                cidx = np.searchsorted(cand, d)
+                valid = (cidx < len(cand)) & (
+                    cand[np.minimum(cidx, len(cand) - 1)] == d)
+                S = (int(flat.max()) if len(flat) else 0) + 2
+                tfs = np.diff(starts)
+                pos_ok = np.repeat(valid, tfs)
+                encp = np.repeat(cidx, tfs)[pos_ok] * S + flat[pos_ok]
+                lo_b = min(int(ps), S - 1)
+                hi_b = min(int(pe), S - 1)
+                idx = np.arange(len(cand), dtype=np.int64) * S
+                per_cand = (np.searchsorted(encp, idx + hi_b)
+                            - np.searchsorted(encp, idx + lo_b))
+                return per_cand.astype(np.float64)
             pm = self._positions_map(node)
             for i, did in enumerate(cand.tolist()):
                 pl = pm.get(did)
