@@ -809,29 +809,6 @@ def run_nested_extents(reader, a_field: str, c1_query: str, b_field: str,
 # ---------------------------------------------------------------------------
 
 
-def _doc_structure(eng: StructuredQueryEngine, did: int):
-    """One document's tag tree over EVERY indexed field: ``(nodes,
-    children)`` where ``nodes[ordinal] = (field, begin, end, parent)`` and
-    ``children[parent]`` lists child ordinals ascending (the reference
-    inserts children in ordinal order, ref:src/DocumentStructure.cpp:85-102
-    — ordinals are assigned in begin/end-sorted open order, so this IS the
-    sibling order).  Returns ``None`` for a pre-ordinal index."""
-    nodes: dict[int, tuple[str, int, int, int]] = {}
-    for fname in eng.r.cfg.fields:
-        ext = eng._field_data(fname).get(did)
-        if ext is None:
-            continue
-        if ext[4] is None:
-            return None
-        for b, e, o, p in zip(ext[0].tolist(), ext[1].tolist(),
-                              ext[4].tolist(), ext[5].tolist()):
-            nodes[int(o)] = (fname, int(b), int(e), int(p))
-    children: dict[int, list[int]] = {}
-    for o in sorted(nodes):
-        children.setdefault(nodes[o][3], []).append(o)
-    return nodes, children
-
-
 def _find_leaf(nodes, children, b: int, e: int) -> int:
     """The reference's greedy containing-leaf descent
     (ref:src/DocumentStructure.cpp:261-286): start at the FIRST top-level
@@ -885,19 +862,54 @@ def element_paths(reader, doc_ids, begins, ends) -> list[str]:
     (ref:src/LocalQueryServer.cpp:443-488): per result, the deepest tag
     node containing the extent, printed as ``/tag[k]`` steps.  Documents
     without tag-tree data (or extents outside the first top-level tree)
-    yield ``""`` exactly like the reference's unloaded-structure branch."""
+    yield ``""`` exactly like the reference's unloaded-structure branch.
+
+    Tag trees are fetched with doc-PRUNED ``field_extents`` reads for the
+    result docs only — never the whole-corpus per-field dictionaries (a
+    result page touches k docs; the reference likewise loads one doc's
+    term-list fields at a time, ref:src/LocalQueryServer.cpp:460-468)."""
     eng = _as_engine(reader, "dirichlet", 2500.0, 0.4)
-    cache: dict[int, tuple | None] = {}
+    ids = np.asarray(doc_ids).tolist()
+    uniq = sorted(set(int(d) for d in ids))
+    if not uniq:
+        return []
+    structs: dict[int, tuple | None] = {d: None for d in uniq}
+    nodes_by_doc: dict[int, dict[int, tuple[str, int, int, int]]] = {
+        d: {} for d in uniq}
+    no_tree = False
+    for fname in tuple(eng.r.cfg.fields or ()):
+        try:
+            t = eng.r.field_extents(fname, doc_ids=uniq)
+        except FileNotFoundError:
+            t = None
+        if t is None or not t.num_rows:
+            continue
+        if "ordinals" not in t.column_names:
+            no_tree = True
+            break
+        for did, bs, es, os_, ps_ in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("begins").to_pylist(),
+                t.column("ends").to_pylist(),
+                t.column("ordinals").to_pylist(),
+                t.column("parent_ordinals").to_pylist()):
+            nd = nodes_by_doc.get(int(did))
+            if nd is None:
+                continue
+            for b, e, o, p in zip(bs, es, os_, ps_):
+                nd[int(o)] = (fname, int(b), int(e), int(p))
+    if not no_tree:
+        for d, nodes in nodes_by_doc.items():
+            if not nodes:
+                continue
+            children: dict[int, list[int]] = {}
+            for o in sorted(nodes):
+                children.setdefault(nodes[o][3], []).append(o)
+            structs[d] = (nodes, children)
     out = []
     for did, b, e in zip(
-            np.asarray(doc_ids).tolist(),
-            np.asarray(begins).tolist(), np.asarray(ends).tolist()):
-        if did not in cache:
-            try:
-                cache[did] = _doc_structure(eng, did)
-            except FileNotFoundError:
-                cache[did] = None
-        struct = cache[did]
+            ids, np.asarray(begins).tolist(), np.asarray(ends).tolist()):
+        struct = structs.get(int(did))
         if struct is None:
             out.append("")
             continue
