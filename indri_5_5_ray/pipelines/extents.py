@@ -44,10 +44,13 @@ by ``IndexReader.field_extents``).
 
 Scope: the inner tree may use terms, wildcards, ``#syn``/``#wsyn``,
 ``#band``, ``#odN``/``#N``/``#uwN``, ``#combine``/``#weight``/``#wsum``/
-``#max``/``#or``/``#not``, ``#prior`` and ``#filreq``/``#filrej``.
-Nested extent restrictions, paths, passages and field predicates inside
-an element-level root raise ``ValueError`` (the document-level engine
-covers those shapes).
+``#max``/``#or``/``#not``, ``#prior``, ``#filreq``/``#filrej``, and the
+support-path shape ``#max(#combine[.path](terms))`` (the NEXI
+``about(.//f, terms)`` clause — each outer extent scores as the best
+anchored path extent, MaxNode semantics).  Other nested extent
+restrictions, passages and field predicates inside an element-level
+root raise ``ValueError`` (the document-level engine covers those
+shapes).
 """
 from __future__ import annotations
 
@@ -469,6 +472,95 @@ class _ExtentEval:
             f"FieldWildcard-context statistics for #{node.op} are not "
             f"supported")
 
+    # -- path-restricted support clauses (#max over [.path]) ---------------
+
+    @staticmethod
+    def _is_max_path(node: Node) -> bool:
+        """``#max(#op[.path](...))`` — the translation of a NEXI support
+        path ``about(.//title, terms)``; every child a path-ctx node."""
+        return (node.op == "max" and bool(node.children)
+                and all(c.op == "ctx" and c.term.startswith(".")
+                        for c in node.children))
+
+    def _max_path_belief(self, node: Node) -> np.ndarray:
+        """Per-OUTER-extent MaxNode over path-restricted inner scores: for
+        each outer extent E, the inner ExtentRestriction scores the
+        subtree at every path-matching extent anchored at E (zero-length
+        and no-match path extents skipped, ref:src/ExtentRestrictionNode.
+        cpp:58-74) and MaxNode keeps the best — extents with NO surviving
+        inner result produce no result at all (-inf here; MaxNode returns
+        an empty list, ref:include/indri/MaxNode.hpp:75-98).  Statistics
+        reuse the document engine's memoized node counts (rfields =
+        (outer field, path)), so values match the doc path exactly."""
+        eng = self.eng
+        if self.field is None:
+            raise ValueError(
+                "path-restricted clauses need a field-restriction root")
+        out = np.full(self.n_ext, -np.inf)
+        fdata = eng._field_data(self.field)
+        for ctx_node in node.children:
+            spec = ctx_node.term
+            sub = ctx_node.children[0]
+            subs = sub.children if sub.op in ("combine", "weight") \
+                else [sub]
+            if sub.op == "weight" or not all(c.op == "term" for c in subs):
+                raise ValueError(
+                    "element-level path support clauses accept plain "
+                    "#combine term lists only")
+            terms = [eng._node_term(c) for c in subs]
+            rfields = (self.field, spec)
+            from .indriql import _ctx_field_name
+
+            ctx_field = _ctx_field_name(spec)
+            st = eng.r.field_stats(ctx_field)
+            total = float(st["total_len"]) if st else 0.0
+            cfs = [eng._node_global_cf(c, rfields) for c in subs]
+            for i, did in enumerate(self.cand_list):
+                ext = fdata.get(did)
+                if ext is None:
+                    continue
+                nz = np.nonzero(ext[1] > ext[0])[0]
+                sl0 = int(self.ext_start[i])
+                for jj, src in enumerate(nz.tolist()):
+                    outer = (ext[0][src:src + 1], ext[1][src:src + 1],
+                             None, 0,
+                             ext[4][src:src + 1] if ext[4] is not None
+                             else None,
+                             ext[5][src:src + 1] if ext[5] is not None
+                             else None)
+                    m = eng._eval_path(did, spec, outer)
+                    if m is None:
+                        continue
+                    pbs, pes = m[0], m[1]
+                    best = -np.inf
+                    for pb, pe in zip(pbs.tolist(), pes.tolist()):
+                        if pe <= pb:
+                            continue
+                        cs = []
+                        for t in terms:
+                            tp = eng._postings.get(t) if t else None
+                            c = 0.0
+                            if tp is not None:
+                                pos_d = np.searchsorted(tp[0], did)
+                                if (pos_d < len(tp[0])
+                                        and tp[0][pos_d] == did
+                                        and tp[2] is not None):
+                                    run = tp[2][tp[3][pos_d]:
+                                                tp[3][pos_d + 1]]
+                                    c = float(np.searchsorted(run, pe)
+                                              - np.searchsorted(run, pb))
+                            cs.append(c)
+                        if not any(c > 0 for c in cs):
+                            continue  # inner hasMatch gate
+                        kids = [eng._belief_from_counts(
+                            np.asarray([c]), np.asarray([float(pe - pb)]),
+                            cf, total)
+                            for c, cf in zip(cs, cfs)]
+                        best = max(best, float(np.mean(kids, axis=0)[0]))
+                    j = sl0 + jj
+                    out[j] = max(out[j], best)
+        return out
+
     # -- matches -----------------------------------------------------------
 
     def matches(self, node: Node) -> np.ndarray:
@@ -477,6 +569,10 @@ class _ExtentEval:
         ref:src/ListBeliefNode.cpp:158-186 leaf containment; priors carry
         no match list).  Counts are memoized, so the belief pass already
         paid for them."""
+        if self._is_max_path(node):
+            # the Max yields a result only where some anchored path extent
+            # survived — the belief pass computed exactly that
+            return self.belief(node) > -np.inf
         if node.op in self._COUNT_OPS:
             return self.counts(node) > 0
         if node.op == "prior":
@@ -497,6 +593,12 @@ class _ExtentEval:
 
     def belief(self, node: Node) -> np.ndarray:
         eng = self.eng
+        if self._is_max_path(node):
+            hit = self._count_memo.get(("maxpath", id(node)))
+            if hit is None:
+                hit = self._max_path_belief(node)
+                self._count_memo[("maxpath", id(node))] = hit
+            return hit
         if node.op in self._COUNT_OPS:
             c = self.counts(node)
             # node statistics mirror the document path (indriql._belief):

@@ -306,14 +306,22 @@ def test_nexi_element_results(ext_index):
     assert sc.tolist() == sc2.tolist()
     assert max(es.tolist()) > 0  # real element extents
 
-    # support-path CAS target: element evaluation unsupported → document
-    # fallback (begin = end = 0), ranking identical to run_nexi
+    # support-path CAS target now evaluates per extent: no sec extent has
+    # an article DESCENDANT, so every anchored path comes up empty and the
+    # MaxNode yields no results at all (ref:include/indri/MaxNode.hpp:
+    # 89-95 — empty child results → empty list)
     q = "//sec[about(.//article, alpha)]"
     ids3, bs3, es3, sc3 = run_nexi_extents(r, q, k=10)
-    idsd, scd = run_nexi(r, q, k=10)
-    assert ids3.tolist() == idsd.tolist()
-    assert sc3.tolist() == scd.tolist()
-    assert not bs3.any() and not es3.any()
+    assert len(ids3) == 0
+
+    # a genuinely element-unsupported clause (numeric predicate) still
+    # degrades to document results, ranking identical to run_nexi
+    q2 = "//sec[.//size < 5]"
+    ids4, bs4, es4, sc4 = run_nexi_extents(r, q2, k=10)
+    idsd, scd = run_nexi(r, q2, k=10)
+    assert ids4.tolist() == idsd.tolist()
+    assert sc4.tolist() == scd.tolist()
+    assert not bs4.any() and not es4.any()
 
 
 def test_two_restriction_form(ext_index):
@@ -468,6 +476,59 @@ def test_build_snippets_empty_results_and_doc_set_filter(ext_index):
     # and the block filter keeps results identical for non-empty lists
     snips = build_snippets(r, "alpha", [0, 3])
     assert "ALPHA" in snips[0].upper()
+
+
+PATH_DOCS = [
+    "<sec><title> alpha beta </title> gamma </sec>",
+    "<sec> alpha </sec> <title> alpha </title>",
+    "<sec><title> beta </title></sec> <sec><title> alpha gamma </title></sec>",
+]
+
+
+@pytest.fixture(scope="module")
+def path_ext_index(tmp_path_factory):
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+
+    d = tmp_path_factory.mktemp("pathextidx")
+    corpus = d / "corpus"
+    corpus.mkdir()
+    t = pa.table({
+        "repo": ["r"] * len(PATH_DOCS),
+        "path": [f"d{i}.txt" for i in range(len(PATH_DOCS))],
+        "commit": [f"c{i}" for i in range(len(PATH_DOCS))],
+        "lang": ["txt"] * len(PATH_DOCS),
+        "content": PATH_DOCS,
+    })
+    pq.write_table(t, corpus / "corpus.parquet")
+    out = str(d / "idx")
+    cfg = IndexConfig(stemmer=None, dedup_key=None, n_buckets=4,
+                      max_chunk_docs=64, fields=("sec", "title"))
+    build_index(str(corpus), out, cfg, resume=False)
+    return out
+
+
+def test_path_support_clause_elements(path_ext_index):
+    # //sec[about(.//title, alpha)] — the MaxNode over the path-restricted
+    # inner: each sec extent scores as the BEST title descendant with an
+    # alpha match; secs without one yield nothing
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    r = IndexReader(path_ext_index)
+    ids, bs, es, sc = run_nexi_extents(r, "//sec[about(.//title, alpha)]",
+                                       k=10)
+    # stats: cf(alpha in title-under-sec) = doc0 1 + doc2 1 = 2;
+    # total = title total_len = 2 + 1 + 1 + 2 = 6
+    title_total = float(r.field_stats("title")["total_len"])
+    assert title_total == 6.0
+    want = _dir(1, 2, 2.0, title_total)
+    got = list(zip(ids.tolist(), bs.tolist(), es.tolist()))
+    # doc1's title is OUTSIDE its sec; doc2's first sec's title has no
+    # alpha (inner hasMatch gate) — tie doc desc puts doc2 first
+    assert got == [(2, 1, 3), (0, 0, 3)]
+    assert sc[0] == pytest.approx(want, abs=1e-12)
+    assert sc[1] == pytest.approx(want, abs=1e-12)
 
 
 def test_multisec_corpus_builder(tmp_path):
