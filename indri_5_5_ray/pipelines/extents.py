@@ -630,6 +630,25 @@ class _ExtentEval:
                 f"element-level retrieval does not support nested "
                 f"#{node.op} (use the document-level engine)")
         kids = [self.belief(c) for c in node.children]
+        if node.op in ("combine", "weight") and any(
+                self._is_max_path(c) for c in node.children):
+            # a support-path child yields NO result for extents with no
+            # surviving anchored path — the reference combiner then
+            # normalizes over the children that DID score (sumWeight sums
+            # |w|·childResults.size(), ref:src/WeightedAndNode.cpp:
+            # 248-278); extents where no child scored yield nothing
+            wts = (node.weights if node.op == "weight"
+                   else [1.0] * len(kids))
+            pres = [(k > -np.inf) if self._is_max_path(c)
+                    else np.ones(self.n_ext, dtype=bool)
+                    for k, c in zip(kids, node.children)]
+            num = sum(w * np.where(p, k, 0.0)
+                      for w, k, p in zip(wts, kids, pres))
+            den = sum(abs(w) * p for w, p in zip(wts, pres))
+            safe = den > 0
+            out = np.full(self.n_ext, -np.inf)
+            out[safe] = num[safe] / den[safe]
+            return out
         if node.op == "combine":
             return np.mean(kids, axis=0)
         if node.op == "weight":

@@ -531,6 +531,32 @@ def test_path_support_clause_elements(path_ext_index):
     assert sc[1] == pytest.approx(want, abs=1e-12)
 
 
+def test_mixed_support_path_and_plain_clause(path_ext_index):
+    # //sec[about(.//title, alpha) AND about(., gamma)]: the combiner
+    # normalizes over children that produced results (WeightedAndNode
+    # sumWeight counts |w|·size), so a sec whose path side is empty
+    # scores on the plain side alone — and drops entirely only when NO
+    # child scored AND no leaf matched (the restriction gate)
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    r = IndexReader(path_ext_index)
+    ids, bs, es, sc = run_nexi_extents(
+        r, "//sec[about(.//title, alpha) AND about(., gamma)]", k=10)
+    got = {(d, b, e): v for d, b, e, v in
+           zip(ids.tolist(), bs.tolist(), es.tolist(), sc.tolist())}
+    title_total = 6.0
+    sec_total = float(r.field_stats("sec")["total_len"])  # 3+1+1+2 = 7
+    path_side = _dir(1, 2, 2.0, title_total)
+    # cf(gamma within sec) = doc0:1 + doc2:1 = 2
+    g0 = _dir(1, 3, 2.0, sec_total)   # doc0 sec (0,3)
+    g2 = _dir(1, 2, 2.0, sec_total)   # doc2 sec (1,3)
+    # doc1's sec and doc2's first sec: no gamma, no surviving path → gone
+    assert set(got) == {(0, 0, 3), (2, 1, 3)}
+    assert got[(0, 0, 3)] == pytest.approx((path_side + g0) / 2, abs=1e-12)
+    assert got[(2, 1, 3)] == pytest.approx((path_side + g2) / 2, abs=1e-12)
+
+
 def test_multisec_corpus_builder(tmp_path):
     from indri_5_5_ray.sources.corpus import corpus_from_documents_multisec
 
