@@ -576,11 +576,12 @@ def run_nexi_extents(reader, text: str, k: int = 1000,
     ref:include/indri/ScoredExtentResult.hpp via
     :func:`~.extents.run_extents`).
 
-    CAS targets whose translated inner tree the element evaluator cannot
-    score per-extent (e.g. ``about(.//title, ...)`` support paths) fall
+    Support-path clauses ``about(.//f, terms)`` evaluate per extent too
+    (the ``#max`` over the anchored path restriction — MaxNode semantics,
+    mixed clauses normalize over scoring children).  Only clauses the
+    element evaluator genuinely cannot score (numeric predicates) fall
     back to document results with ``begin = end = 0`` — same ranking as
     :func:`run_nexi`, documented at ``extents.run_extents(strict=False)``.
-    Shrinkage mode stays document-level (see :func:`run_nexi`).
 
     The two-restriction form ``//a[c1]//b[c2]`` — untranslatable to the
     document dialect (``to_indriql`` raises) — executes HERE through
