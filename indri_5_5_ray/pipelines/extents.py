@@ -97,6 +97,27 @@ def _ensure_full_postings(eng: StructuredQueryEngine, *nodes: Node) -> None:
 
 
 
+def _csr_gather(csr, cand: np.ndarray):
+    """Gather a field CSR's per-doc runs for the (sorted) candidate docs:
+    ``(kept_mask_over_cand, lens, flat_row_index)`` — ``None`` when the
+    field has no extents at all.  One helper so the empty-array guard and
+    the ragged-gather arithmetic exist exactly once."""
+    fdocs, fstarts = csr[0], csr[1]
+    if not len(fdocs):
+        return None
+    didx = np.searchsorted(fdocs, cand)
+    has = (didx < len(fdocs)) & (
+        fdocs[np.minimum(didx, len(fdocs) - 1)] == cand)
+    di = didx[has]
+    lens = fstarts[di + 1] - fstarts[di]
+    total = int(lens.sum())
+    out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    gather = (np.arange(total, dtype=np.int64)
+              - np.repeat(out_starts, lens)
+              + np.repeat(fstarts[di], lens))
+    return has, lens, gather
+
+
 def run_extents(reader, query: str, k: int = 1000, method: str = "dirichlet",
                 mu: float = 2500.0, lam: float = 0.4, strict: bool = True,
                 doc_range: tuple[int, int] | None = None
@@ -167,22 +188,16 @@ def _run_extent_root(eng: StructuredQueryEngine, field: str | None,
     # per-candidate extents → flat (edoc, eb, ee) with per-doc offsets,
     # gathered vectorized from the field CSR (no per-doc Python)
     if field is not None:
-        fdocs, fstarts, fb_all, fe_all = eng._field_csr(field)
-        didx = np.searchsorted(fdocs, cand)
-        has = (didx < len(fdocs)) & (
-            fdocs[np.minimum(didx, len(fdocs) - 1)] == cand)
+        csr = eng._field_csr(field)
+        g = _csr_gather(csr, cand)
+        if g is None:
+            return empties
+        has, lens, gather = g
         cand = cand[has]
-        didx = didx[has]
         if not len(cand):
             return empties
-        lens = fstarts[didx + 1] - fstarts[didx]
-        total = int(lens.sum())
-        out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        gather = (np.arange(total, dtype=np.int64)
-                  - np.repeat(out_starts, lens)
-                  + np.repeat(fstarts[didx], lens))
-        eb_all = fb_all[gather]
-        ee_all = fe_all[gather]
+        eb_all = csr[2][gather]
+        ee_all = csr[3][gather]
         # zero-length extents are skipped, never scored ("this field has
         # no text in it", ref:src/ExtentRestrictionNode.cpp:73-74 and
         # src/ExtentEnforcementNode.cpp:61-62)
@@ -246,7 +261,7 @@ class _ExtentEval:
     def __init__(self, eng: StructuredQueryEngine, field: str | None,
                  cand: np.ndarray, ext_start: np.ndarray,
                  eb: np.ndarray, ee: np.ndarray,
-                 wild: tuple[dict[int, tuple], float] | None = None):
+                 wild: tuple | None = None):
         self.eng = eng
         self.field = field
         self.cand = cand
@@ -457,6 +472,8 @@ class _ExtentEval:
                 else:
                     begins, ends = unordered_window_extents(pls, node.n)
                 for wb, we in zip(begins, ends):
+                    if wb >= S:  # past every extent end: outside, and an
+                        continue  # encode would bleed into the next doc
                     i = int(np.searchsorted(ub, base + wb,
                                             side="right")) - 1
                     if i >= 0 and base + we <= ue[i]:
@@ -497,7 +514,7 @@ class _ExtentEval:
             raise ValueError(
                 "path-restricted clauses need a field-restriction root")
         out = np.full(self.n_ext, -np.inf)
-        fdata = eng._field_data(self.field)
+        fdocs, fstarts, fb, fe, fo, fp = eng._field_csr(self.field)
         for ctx_node in node.children:
             spec = ctx_node.term
             sub = ctx_node.children[0]
@@ -516,17 +533,19 @@ class _ExtentEval:
             total = float(st["total_len"]) if st else 0.0
             cfs = [eng._node_global_cf(c, rfields) for c in subs]
             for i, did in enumerate(self.cand_list):
-                ext = fdata.get(did)
-                if ext is None:
+                ri = int(np.searchsorted(fdocs, did))
+                if ri >= len(fdocs) or int(fdocs[ri]) != did:
                     continue
-                nz = np.nonzero(ext[1] > ext[0])[0]
+                fsl = slice(int(fstarts[ri]), int(fstarts[ri + 1]))
+                b_doc, e_doc = fb[fsl], fe[fsl]
+                nz = np.nonzero(e_doc > b_doc)[0]
                 sl0 = int(self.ext_start[i])
                 for jj, src in enumerate(nz.tolist()):
-                    outer = (ext[0][src:src + 1], ext[1][src:src + 1],
+                    outer = (b_doc[src:src + 1], e_doc[src:src + 1],
                              None, 0,
-                             ext[4][src:src + 1] if ext[4] is not None
+                             fo[fsl][src:src + 1] if fo is not None
                              else None,
-                             ext[5][src:src + 1] if ext[5] is not None
+                             fp[fsl][src:src + 1] if fp is not None
                              else None)
                     m = eng._eval_path(did, spec, outer)
                     if m is None:
@@ -697,7 +716,7 @@ def _build_wild_context(eng: StructuredQueryEngine,
         st = eng.r.field_stats(fname)
         if st:
             total += float(st["total_len"])
-        fdocs, fstarts, fb, fe = eng._field_csr(fname)
+        fdocs, fstarts, fb, fe = eng._field_csr(fname)[:4]
         if len(fdocs):
             doc_parts.append(np.repeat(fdocs, np.diff(fstarts)))
             b_parts.append(fb)
@@ -783,23 +802,15 @@ def run_extents_wildcard(reader, query: str, k: int = 1000,
     # lexsort groups them per doc in (begin asc, end desc) order
     doc_parts, b_parts, e_parts = [], [], []
     for fname in fields:
-        fdocs, fstarts, fb_all, fe_all = eng._field_csr(fname)
-        if not len(fdocs):
+        csr = eng._field_csr(fname)
+        g = _csr_gather(csr, cand)
+        if g is None:
             continue
-        didx = np.searchsorted(fdocs, cand)
-        has = (didx < len(fdocs)) & (
-            fdocs[np.minimum(didx, len(fdocs) - 1)] == cand)
-        di = didx[has]
-        if not len(di):
+        has, lens, gather = g
+        if not len(gather):
             continue
-        lens = fstarts[di + 1] - fstarts[di]
-        total_f = int(lens.sum())
-        out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        gather = (np.arange(total_f, dtype=np.int64)
-                  - np.repeat(out_starts, lens)
-                  + np.repeat(fstarts[di], lens))
-        fb = fb_all[gather]
-        fe = fe_all[gather]
+        fb = csr[2][gather]
+        fe = csr[3][gather]
         nz = fe > fb  # zero-length skip (ExtentRestrictionNode:73-74)
         doc_parts.append(np.repeat(cand[has], lens)[nz])
         b_parts.append(fb[nz])
@@ -998,6 +1009,7 @@ def element_paths(reader, doc_ids, begins, ends) -> list[str]:
     nodes_by_doc: dict[int, dict[int, tuple[str, int, int, int]]] = {
         d: {} for d in uniq}
     no_tree = False
+    broken: set[int] = set()
     for fname in tuple(eng.r.cfg.fields or ()):
         try:
             t = eng.r.field_extents(fname, doc_ids=uniq)
@@ -1017,11 +1029,16 @@ def element_paths(reader, doc_ids, begins, ends) -> list[str]:
             nd = nodes_by_doc.get(int(did))
             if nd is None:
                 continue
+            if os_ is None or ps_ is None:
+                # pre-ordinal row (index extended across the ordinal
+                # boundary): this doc has no usable tree → path ""
+                broken.add(int(did))
+                continue
             for b, e, o, p in zip(bs, es, os_, ps_):
                 nd[int(o)] = (fname, int(b), int(e), int(p))
     if not no_tree:
         for d, nodes in nodes_by_doc.items():
-            if not nodes:
+            if not nodes or d in broken:
                 continue
             children: dict[int, list[int]] = {}
             for o in sorted(nodes):

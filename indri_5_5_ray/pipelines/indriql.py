@@ -764,12 +764,14 @@ class StructuredQueryEngine:
 
     def _field_csr(self, fname: str):
         """Arrow-native flat view of one field's extents over the (possibly
-        range-pruned) collection: ``(docs, starts, fb, fe)`` with rows
-        sorted by doc_id and extents in stored (begin-asc) order — doc
-        ``docs[i]``'s extents are ``fb[starts[i]:starts[i+1]]``.  Built
-        once per engine WITHOUT the per-doc Python dict (the dict loader
-        `_field_data` costs seconds at 10⁵⁺ docs; window/path fallbacks
-        still use it, the vectorized kernels use this)."""
+        range-pruned) collection: ``(docs, starts, fb, fe, fo, fp)`` with
+        rows sorted by doc_id and extents in stored (begin-asc) order —
+        doc ``docs[i]``'s extents are ``fb[starts[i]:starts[i+1]]``;
+        ``fo``/``fp`` are the tag-tree ordinals/parents (None on a
+        pre-ordinal index).  Built once per engine WITHOUT the per-doc
+        Python dict (the dict loader `_field_data` costs seconds at 10⁵⁺
+        docs; window fallbacks still use it, the vectorized kernels and
+        the path anchoring use this)."""
         key = ("__csr__", fname, self._field_range)
         hit = self._field_cache.get(key)
         if hit is not None:
@@ -780,7 +782,8 @@ class StructuredQueryEngine:
             t = None
         if t is None or not t.num_rows:
             out = (np.empty(0, np.int64), np.zeros(1, np.int64),
-                   np.empty(0, np.int64), np.empty(0, np.int64))
+                   np.empty(0, np.int64), np.empty(0, np.int64),
+                   None, None)
         else:
             import pyarrow.compute as _pc
 
@@ -792,9 +795,17 @@ class StructuredQueryEngine:
                 t.column("begins")).to_numpy().astype(np.int64)
             fe = _pc.list_flatten(
                 t.column("ends")).to_numpy().astype(np.int64)
+            fo = fp = None
+            if ("ordinals" in t.column_names
+                    and t.column("ordinals").null_count == 0
+                    and t.column("parent_ordinals").null_count == 0):
+                fo = _pc.list_flatten(
+                    t.column("ordinals")).to_numpy().astype(np.int64)
+                fp = _pc.list_flatten(
+                    t.column("parent_ordinals")).to_numpy().astype(np.int64)
             starts = np.zeros(len(docs) + 1, dtype=np.int64)
             np.cumsum(lens, out=starts[1:])
-            out = (docs, starts, fb, fe)
+            out = (docs, starts, fb, fe, fo, fp)
         self._field_cache[key] = out
         return out
 
@@ -812,7 +823,7 @@ class StructuredQueryEngine:
         hit = self._field_cache.get(key)
         if hit is not None:
             return hit
-        docs, starts, fb, fe = self._field_csr(fname)
+        docs, starts, fb, fe = self._field_csr(fname)[:4]
         if not len(docs):
             out = (docs, 1, np.empty(0, np.int64), np.empty(0, np.int64))
             self._field_cache[key] = out
