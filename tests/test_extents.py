@@ -557,6 +557,17 @@ def test_mixed_support_path_and_plain_clause(path_ext_index):
     assert got[(2, 1, 3)] == pytest.approx((path_side + g2) / 2, abs=1e-12)
 
 
+def test_extent_query_on_absent_field(ext_index):
+    # regression: a restriction on a field with no extents crashed with
+    # IndexError (empty CSR + non-short-circuiting numpy &) instead of
+    # returning empty results
+    from indri_5_5_ray.pipelines.extents import run_extents
+
+    r = _reader(ext_index)
+    ids, bs, es, sc = run_extents(r, "#combine[nosuchfield](alpha)", k=10)
+    assert len(ids) == 0
+
+
 def test_multisec_corpus_builder(tmp_path):
     from indri_5_5_ray.sources.corpus import corpus_from_documents_multisec
 
