@@ -47,10 +47,11 @@ Scope: the inner tree may use terms, wildcards, ``#syn``/``#wsyn``,
 ``#max``/``#or``/``#not``, ``#prior``, ``#filreq``/``#filrej``, and the
 support-path shape ``#max(#combine[.path](terms))`` (the NEXI
 ``about(.//f, terms)`` clause — each outer extent scores as the best
-anchored path extent, MaxNode semantics).  Other nested extent
-restrictions, passages and field predicates inside an element-level
-root raise ``ValueError`` (the document-level engine covers those
-shapes).
+anchored path extent, MaxNode semantics) and numeric/date predicates
+(the arithmetic clause — count = satisfying field extents contained in
+the evaluation extent).  Other nested extent restrictions and passages
+inside an element-level root raise ``ValueError`` (the document-level
+engine covers those shapes).
 """
 from __future__ import annotations
 
@@ -321,6 +322,28 @@ class _ExtentEval:
             return present.astype(np.float64)
         if node.op in ("od", "uw"):
             return self._window_counts(node)
+        if node.op in _NUM_PREDS:
+            # numeric/date predicate (the NEXI arithmetic clause,
+            # wrapped in #max by the grammar): count = satisfying field
+            # extents CONTAINED in the evaluation extent (the scored
+            # list node's contextual matches,
+            # ref:src/FieldBetweenNode.cpp:53-57 + ListBeliefNode
+            # containment)
+            data = eng._field_data(node.term)
+            counts = np.zeros(self.n_ext, dtype=np.float64)
+            for i, did in enumerate(self.cand_list):
+                ext = data.get(did)
+                if ext is None:
+                    continue
+                mask = eng._pred_mask(node, ext[2])
+                if not mask.any():
+                    continue
+                pb, pe = ext[0][mask], ext[1][mask]
+                for j in range(int(self.ext_start[i]),
+                               int(self.ext_start[i + 1])):
+                    counts[j] = float(np.sum((pb >= self.eb[j])
+                                             & (pe <= self.ee[j])))
+            return counts
         raise ValueError(
             f"element-level retrieval does not support #{node.op} as a "
             f"count node (use the document-level engine)")
@@ -592,7 +615,7 @@ class _ExtentEval:
             # the Max yields a result only where some anchored path extent
             # survived — the belief pass computed exactly that
             return self.belief(node) > -np.inf
-        if node.op in self._COUNT_OPS:
+        if node.op in self._COUNT_OPS or node.op in _NUM_PREDS:
             return self.counts(node) > 0
         if node.op == "prior":
             return np.zeros(self.n_ext, dtype=bool)
@@ -618,7 +641,7 @@ class _ExtentEval:
                 hit = self._max_path_belief(node)
                 self._count_memo[("maxpath", id(node))] = hit
             return hit
-        if node.op in self._COUNT_OPS:
+        if node.op in self._COUNT_OPS or node.op in _NUM_PREDS:
             c = self.counts(node)
             # node statistics mirror the document path (indriql._belief):
             # a plain unrestricted term reads the dictionary, everything
@@ -643,8 +666,7 @@ class _ExtentEval:
             mask = fcounts > 0 if node.op == "filreq" else fcounts == 0
             return np.where(np.repeat(mask, np.diff(self.ext_start)),
                             b, -np.inf)
-        if node.op in ("restrict", "ctx", "passage", "any") or \
-                node.op in _NUM_PREDS:
+        if node.op in ("restrict", "ctx", "passage", "any"):
             raise ValueError(
                 f"element-level retrieval does not support nested "
                 f"#{node.op} (use the document-level engine)")

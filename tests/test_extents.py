@@ -314,11 +314,14 @@ def test_nexi_element_results(ext_index):
     ids3, bs3, es3, sc3 = run_nexi_extents(r, q, k=10)
     assert len(ids3) == 0
 
-    # a genuinely element-unsupported clause (numeric predicate) still
-    # degrades to document results, ranking identical to run_nexi
-    q2 = "//sec[.//size < 5]"
-    ids4, bs4, es4, sc4 = run_nexi_extents(r, q2, k=10)
-    idsd, scd = run_nexi(r, q2, k=10)
+    # a genuinely element-unsupported inner shape (nested plain-field
+    # restriction, dialect-only) still degrades to document results
+    from indri_5_5_ray.pipelines.extents import run_extents
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+
+    q2 = "#combine[sec](#combine[article](alpha))"
+    ids4, bs4, es4, sc4 = run_extents(r, q2, k=10, strict=False)
+    idsd, scd = StructuredQueryEngine(r).run(q2, k=10)
     assert ids4.tolist() == idsd.tolist()
     assert sc4.tolist() == scd.tolist()
     assert not bs4.any() and not es4.any()
@@ -566,6 +569,47 @@ def test_extent_query_on_absent_field(ext_index):
     r = _reader(ext_index)
     ids, bs, es, sc = run_extents(r, "#combine[nosuchfield](alpha)", k=10)
     assert len(ids) == 0
+
+
+NUM_DOCS = [
+    "<sec> alpha <size> 3 </size> </sec>",
+    "<sec> alpha <size> 9 </size> </sec>",
+    "<sec> alpha </sec> <size> 2 </size>",
+]
+
+
+def test_numeric_predicate_elements(tmp_path_factory):
+    # //sec[.//size < 5] → #combine[sec](#max(#less(size 5))): per sec
+    # extent, count = satisfying size extents CONTAINED in it; doc2's
+    # satisfying size sits outside its sec (gate drops it), doc1's value
+    # fails the predicate
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    d = tmp_path_factory.mktemp("numextidx")
+    corpus = d / "corpus"
+    corpus.mkdir()
+    t = pa.table({
+        "repo": ["r"] * len(NUM_DOCS),
+        "path": [f"d{i}.txt" for i in range(len(NUM_DOCS))],
+        "commit": [f"c{i}" for i in range(len(NUM_DOCS))],
+        "lang": ["txt"] * len(NUM_DOCS),
+        "content": NUM_DOCS,
+    })
+    pq.write_table(t, corpus / "corpus.parquet")
+    out = str(d / "idx")
+    cfg = IndexConfig(stemmer=None, dedup_key=None, n_buckets=4,
+                      max_chunk_docs=64, fields=("sec", "size"),
+                      numeric_fields=("size",))
+    build_index(str(corpus), out, cfg, resume=False)
+    r = IndexReader(out)
+    ids, bs, es, sc = run_nexi_extents(r, "//sec[.//size < 5]", k=10)
+    assert list(zip(ids.tolist(), bs.tolist(), es.tolist())) == [(0, 0, 2)]
+    sec_total = float(r.field_stats("sec")["total_len"])  # 2 + 2 + 1
+    # cf = GLOBAL satisfying count (2: docs 0 and 2), total = sec context
+    assert sc[0] == pytest.approx(_dir(1, 2, 2.0, sec_total), abs=1e-12)
 
 
 def test_multisec_corpus_builder(tmp_path):
