@@ -727,9 +727,12 @@ def _build_wild_context(eng: StructuredQueryEngine,
     contextSize accumulation, ref :120-131 = Σ fieldTermCount).  Doc
     ``docs[i]``'s intervals occupy encoded values in ``[i·S, (i+1)·S)``;
     built fully vectorized from the field CSRs."""
+    # reader-level memo: the context is immutable per index and readers
+    # outlive per-query engines
+    memo = eng.r.__dict__.setdefault("_wild_ctx_cache", {})
     key = (fields if fields is not None
            else tuple(eng.r.cfg.fields or ()))
-    hit = eng._wild_ctx_memo.get(key)
+    hit = memo.get(key)
     if hit is not None:
         return hit
     total = 0.0
@@ -746,7 +749,7 @@ def _build_wild_context(eng: StructuredQueryEngine,
     empty = (np.empty(0, np.int64), 1, np.empty(0, np.int64),
              np.empty(0, np.int64), total)
     if not doc_parts:
-        eng._wild_ctx_memo[key] = empty
+        memo[key] = empty
         return empty
     all_doc = np.concatenate(doc_parts)
     all_b = np.concatenate(b_parts)
@@ -754,7 +757,7 @@ def _build_wild_context(eng: StructuredQueryEngine,
     nz = all_e > all_b
     all_doc, all_b, all_e = all_doc[nz], all_b[nz], all_e[nz]
     if not len(all_doc):
-        eng._wild_ctx_memo[key] = empty
+        memo[key] = empty
         return empty
     docs = np.unique(all_doc)
     S = int(all_e.max()) + 2
@@ -771,7 +774,7 @@ def _build_wild_context(eng: StructuredQueryEngine,
     keep = np.ones(len(enc_b), dtype=bool)
     keep[1:] = enc_e[1:] > run[:-1]
     out = (docs, S, enc_b[keep], enc_e[keep], total)
-    eng._wild_ctx_memo[key] = out
+    memo[key] = out
     return out
 
 

@@ -563,7 +563,6 @@ class StructuredQueryEngine:
             self._positions_ok = True
         self._ctx_stack: list[str] = []          # active #op[f] field contexts
         self._field_cache: dict[str, dict] = {}  # field → per-doc extents
-        self._wild_ctx_memo: dict = {}  # fields-tuple → wildcard context
         self._tree_cache: dict[int, dict] = {}   # doc → ordinal→parent map
         # cross-run memos for long-lived engines (sharded workers score the
         # SAME query once per doc-range shard; statistics and decoded
@@ -772,8 +771,12 @@ class StructuredQueryEngine:
         Python dict (the dict loader `_field_data` costs seconds at 10⁵⁺
         docs; window fallbacks still use it, the vectorized kernels and
         the path anchoring use this)."""
-        key = ("__csr__", fname, self._field_range)
-        hit = self._field_cache.get(key)
+        # cached on the READER: field extents are immutable per index and
+        # readers outlive the per-query engines (element retrieval builds
+        # one engine per query)
+        cache = self.r.__dict__.setdefault("_field_csr_cache", {})
+        key = (fname, self._field_range)
+        hit = cache.get(key)
         if hit is not None:
             return hit
         try:
@@ -806,7 +809,7 @@ class StructuredQueryEngine:
             starts = np.zeros(len(docs) + 1, dtype=np.int64)
             np.cumsum(lens, out=starts[1:])
             out = (docs, starts, fb, fe, fo, fp)
-        self._field_cache[key] = out
+        cache[key] = out
         return out
 
     def _field_union_enc(self, fname: str):
@@ -819,14 +822,15 @@ class StructuredQueryEngine:
         is inside the union iff ``#(ub ≤ i·S+p) − #(ue ≤ i·S+p) = 1``;
         a position ``p ≥ S`` exceeds every extent end and is simply
         dropped before encoding."""
-        key = ("__union__", fname, self._field_range)
-        hit = self._field_cache.get(key)
+        cache = self.r.__dict__.setdefault("_field_union_cache", {})
+        key = (fname, self._field_range)
+        hit = cache.get(key)
         if hit is not None:
             return hit
         docs, starts, fb, fe = self._field_csr(fname)[:4]
         if not len(docs):
             out = (docs, 1, np.empty(0, np.int64), np.empty(0, np.int64))
-            self._field_cache[key] = out
+            cache[key] = out
             return out
         S = int(fe.max()) + 2
         didx = np.repeat(np.arange(len(docs), dtype=np.int64),
@@ -840,7 +844,7 @@ class StructuredQueryEngine:
         ub = enc_b[seg_starts]
         ue = run_max[np.append(seg_starts[1:] - 1, len(enc_b) - 1)]
         out = (docs, S, ub, ue)
-        self._field_cache[key] = out
+        cache[key] = out
         return out
 
     def _restricted_term_counts(self, tp, fname: str) -> np.ndarray:
