@@ -66,8 +66,8 @@ from .indriql import (
     unordered_window_extents,
 )
 
-__all__ = ["run_extents", "run_extents_wildcard", "run_nested_extents",
-           "element_paths", "format_inex"]
+__all__ = ["run_extents", "run_extents_wildcard", "run_extents_path",
+           "run_nested_extents", "element_paths", "format_inex"]
 
 
 def _as_engine(reader_or_engine, method: str, mu: float, lam: float
@@ -863,7 +863,221 @@ def run_extents_wildcard(reader, query: str, k: int = 1000,
     return edoc[order], eb[order], ee[order], beliefs[order]
 
 
-def run_nested_extents(reader, a_field: str, c1_query: str, b_field: str,
+# ---------------------------------------------------------------------------
+# NEXI path targets — NestedExtentInsideNode chains
+# ---------------------------------------------------------------------------
+
+
+def _step_flat_extents(eng: StructuredQueryEngine,
+                       step: tuple[str, ...] | None
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Global flat ``(docs, begins, ends)`` of one path STEP — the extents
+    of every field the step names (``None`` = every indexed field, the
+    ``*`` wildcard step), doc-major, (begin asc, end desc) within a doc —
+    the begin-sorted order NestedExtentInsideNode's sweep expects
+    (ref:src/NestedExtentInsideNode.cpp:53-61).  Zero-length extents are
+    KEPT: the node emits a contained zero-length inner (its containment
+    test is weak, ref:include/indri/Extent.hpp ``contains``); scoring
+    skips them later (ref:src/ExtentRestrictionNode.cpp:73-74)."""
+    names = step if step is not None else tuple(eng.r.cfg.fields or ())
+    doc_parts, b_parts, e_parts = [], [], []
+    for fname in names:
+        fdocs, fstarts, fb, fe = eng._field_csr(fname)[:4]
+        if len(fdocs):
+            doc_parts.append(np.repeat(fdocs, np.diff(fstarts)))
+            b_parts.append(fb)
+            e_parts.append(fe)
+    if not doc_parts:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    d = np.concatenate(doc_parts)
+    b = np.concatenate(b_parts)
+    e = np.concatenate(e_parts)
+    order = np.lexsort((-e, b, d))
+    return d[order], b[order], e[order]
+
+
+def _contained_in_step(din: np.ndarray, bi: np.ndarray, ei: np.ndarray,
+                       dout: np.ndarray, bo: np.ndarray, eo: np.ndarray
+                       ) -> np.ndarray:
+    """Vectorized NestedExtentInsideNode sweep (ref:src/
+    NestedExtentInsideNode.cpp:47-103): an inner extent survives iff SOME
+    outer extent of the same doc has ``begin ≤ inner.begin`` and ``end ≥
+    inner.end`` (the node's active-set scan checks the max end among
+    begin-≤ outers).  That max is a cumulative max over the begin-sorted
+    outer list; doc-encoding makes the whole test one searchsorted.  A
+    previous doc's cumulative max is ≤ ``d'·S + (S−2) < d·S`` ≤ any inner
+    encode of doc ``d``, so cross-doc bleed can never satisfy the test."""
+    out = np.zeros(len(din), dtype=bool)
+    if not len(din) or not len(dout):
+        return out
+    S = int(max(ei.max(), eo.max())) + 2
+    enc_ob = dout * S + bo
+    cummax_e = np.maximum.accumulate(dout * S + eo)
+    pos = np.searchsorted(enc_ob, din * S + bi, side="right") - 1
+    ok = pos >= 0
+    out[ok] = cummax_e[pos[ok]] >= (din[ok] * S + ei[ok])
+    return out
+
+
+def _nested_chain_global(eng: StructuredQueryEngine, steps: tuple) -> tuple:
+    """INNERMOST extents of a NEXI path chain ``//s1//s2//…//sn`` plus
+    their statistics context, memoized on the reader per steps key.
+
+    Extents: the chain lowers to nested NestedExtentInsideNodes — the
+    top node pairs ``(…((sn in s(n-1)) in s(n-2))…) in s1`` (field-built
+    ExtentInsides take the nested node,
+    ref:src/InferenceNetworkBuilder.cpp:230-247) and every level keeps
+    an inner extent iff SOME extent of that step contains it.  Because
+    each level tests the same INNERMOST extent, the chain is a
+    conjunction of per-step containments: an ``sn`` extent survives iff
+    each of ``s1…s(n-1)`` has an extent containing it — the steps need
+    NOT nest among one another, a property of the nested lowering (NOT
+    XPath semantics; pinned by test).
+
+    Context: the annotator assigns the chain node itself as the scored
+    clause's statistics context (ref:include/indri/
+    ExtentRestrictionModelAnnotatorCopier.hpp:59-66), so backgrounds are
+    ContextCountAccumulator counts over the surviving extent LIST — an
+    occurrence counts once per position within any (outermost-collapsed)
+    surviving extent; context size = Σ raw extent lengths, nested
+    double-counted (ref:src/ContextCountAccumulator.cpp:99-143).
+
+    Returns ``(docs_flat, begins, ends, ctx)``; ``ctx`` has the
+    :func:`_build_wild_context` 5-tuple shape over the surviving set."""
+    memo = eng.r.__dict__.setdefault("_chain_ctx_cache", {})
+    hit = memo.get(steps)
+    if hit is not None:
+        return hit
+    d, b, e = _step_flat_extents(eng, steps[-1])
+    for step in steps[:-1]:
+        if not len(d):
+            break
+        do, bo, eo = _step_flat_extents(eng, step)
+        keep = _contained_in_step(d, b, e, do, bo, eo)
+        d, b, e = d[keep], b[keep], e[keep]
+    total = float((e - b).sum())
+    nz = e > b
+    dn, bn, en = d[nz], b[nz], e[nz]
+    if not len(dn):
+        ctx = (np.empty(0, np.int64), 1, np.empty(0, np.int64),
+               np.empty(0, np.int64), total)
+    else:
+        docs = np.unique(dn)
+        S = int(en.max()) + 2
+        didx = np.searchsorted(docs, dn)
+        enc_b = didx * S + bn
+        enc_e = didx * S + en
+        order = np.lexsort((-enc_e, enc_b))
+        enc_b, enc_e = enc_b[order], enc_e[order]
+        run = np.maximum.accumulate(enc_e)
+        keep = np.ones(len(enc_b), dtype=bool)
+        keep[1:] = enc_e[1:] > run[:-1]
+        ctx = (docs, S, enc_b[keep], enc_e[keep], total)
+    out = (d, b, e, ctx)
+    memo[steps] = out
+    return out
+
+
+def _flat_gather(cand: np.ndarray, d: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Doc-major flat extent docs → per-candidate gather: ``(ext_start
+    aligned to cand, flat_row_index)``; candidates without extents get
+    empty slices.  The flat-array sibling of :func:`_csr_gather`."""
+    lo = np.searchsorted(d, cand, side="left")
+    hi = np.searchsorted(d, cand, side="right")
+    lens = (hi - lo).astype(np.int64)
+    ext_start = np.zeros(len(cand) + 1, dtype=np.int64)
+    np.cumsum(lens, out=ext_start[1:])
+    total = int(ext_start[-1])
+    gather = (np.arange(total, dtype=np.int64)
+              - np.repeat(ext_start[:-1], lens)
+              + np.repeat(lo, lens))
+    return ext_start, gather
+
+
+def run_extents_path(reader, steps, query: str, k: int = 1000,
+                     method: str = "dirichlet", mu: float = 2500.0,
+                     lam: float = 0.4,
+                     doc_range: tuple[int, int] | None = None
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray]:
+    """Element retrieval under a NEXI PATH target ``//s1//…//sn[c]`` —
+    one result per surviving innermost extent (begin/end = that extent;
+    the root restriction emits the field extent,
+    ref:src/ExtentRestrictionNode.cpp:48-99), the clause scored per
+    extent with ContextCountAccumulator statistics over the chain's
+    surviving extent list (:func:`_nested_chain_global`).  ``steps`` is
+    one tuple of field names per path step, outermost first; ``None`` =
+    the ``*`` wildcard step.  Zero-length extents and extents where the
+    clause has no match are skipped (the hasMatch gate); ``doc_range``
+    restricts candidates only (statistics stay collection-global), so a
+    sharded merge is rank-identical to a global run."""
+    eng = _as_engine(reader, method, mu, lam)
+    inner = parse_query(query)
+    empties = (np.empty(0, np.int64), np.empty(0, np.int64),
+               np.empty(0, np.int64), np.empty(0, np.float64))
+    _ensure_full_postings(eng, inner)
+    parts: list[np.ndarray] = []
+    eng._cand_docs(inner, parts)
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return empties
+    cand = np.unique(np.concatenate(parts))
+    if doc_range is not None:
+        cand = cand[(cand >= doc_range[0]) & (cand < doc_range[1])]
+    cand = cand[eng.r.keep_mask(cand)]
+    if not len(cand):
+        return empties
+    d, b, e, ctx = _nested_chain_global(eng, tuple(steps))
+    nz = e > b
+    d, b, e = d[nz], b[nz], e[nz]
+    if not len(d):
+        return empties
+    ext_start, gather = _flat_gather(cand, d)
+    lens = np.diff(ext_start)
+    cand = cand[lens > 0]
+    if not len(cand):
+        return empties
+    eb, ee = b[gather], e[gather]
+    ext_start = np.zeros(len(cand) + 1, dtype=np.int64)
+    np.cumsum(lens[lens > 0], out=ext_start[1:])
+    edoc = np.repeat(cand, lens[lens > 0])
+    ev = _ExtentEval(eng, None, cand, ext_start, eb, ee, wild=ctx)
+    beliefs = ev.belief(inner)
+    keep = ev.matches(inner) & (beliefs > -np.inf)
+    edoc, eb, ee, beliefs = edoc[keep], eb[keep], ee[keep], beliefs[keep]
+    order = np.lexsort((-ee, -eb, -edoc, -beliefs))[:k]
+    return edoc[order], eb[order], ee[order], beliefs[order]
+
+
+def _spec_flat(eng: StructuredQueryEngine, spec) -> tuple:
+    """Two-restriction side spec → ``(flat (d, b, e) global extents,
+    _ExtentEval kwargs)``.  Specs: ``("field", name)`` (plain field —
+    field-context statistics), ``("ctx", names_or_None)`` (alternative
+    list / ``*`` wildcard — ContextCountAccumulator statistics over
+    those fields, :func:`_build_wild_context`), ``("path", steps)``
+    (NestedExtentInside chain — :func:`_nested_chain_global`).  A bare
+    string is ``("field", str)`` shorthand."""
+    if isinstance(spec, str):
+        spec = ("field", spec)
+    kind = spec[0]
+    if kind == "field":
+        fdocs, fstarts, fb, fe = eng._field_csr(spec[1])[:4]
+        d = (np.repeat(fdocs, np.diff(fstarts)) if len(fdocs)
+             else np.empty(0, np.int64))
+        return d, fb, fe, {"field": spec[1], "wild": None}
+    if kind == "ctx":
+        d, b, e = _step_flat_extents(eng, spec[1])
+        return d, b, e, {"field": None,
+                         "wild": _build_wild_context(eng, spec[1])}
+    if kind == "path":
+        d, b, e, ctx = _nested_chain_global(eng, tuple(spec[1]))
+        return d, b, e, {"field": None, "wild": ctx}
+    raise ValueError(f"unknown restriction spec {spec!r}")
+
+
+def run_nested_extents(reader, a_spec, c1_query: str, b_spec,
                        c2_query: str, k: int = 1000,
                        method: str = "dirichlet", mu: float = 2500.0,
                        lam: float = 0.4
@@ -886,10 +1100,19 @@ def run_nested_extents(reader, a_field: str, c1_query: str, b_field: str,
     on ``c2``'s matches and skips zero-length ones
     (ref:src/ExtentRestrictionNode.cpp:58-74).  A ``b`` extent inside two
     nested ``a`` extents is scored once per enclosing ``E``, exactly like
-    the reference's per-extent child walk.  Statistics: ``c1`` draws
-    backgrounds from the ``a`` field context, ``c2`` from ``b``
+    the reference's per-extent child walk.
+
+    ``a_spec`` / ``b_spec`` take any :func:`_spec_flat` form — a plain
+    field name, an alternative list / wildcard ``("ctx", names_or_None)``
+    or (``b`` side, from the grammar) a path ``("path", steps)``; the
+    enforcement side is always a bare field/wildcard/list because the
+    grammar encloses with the FIRST restriction's last FIELD (its path
+    prefix dangles, ref:src/nexilang.g:159-183).  Statistics: ``c1``
+    draws backgrounds from the ``a`` spec's context, ``c2`` from ``b``'s
     (ExtentEnforcement subclasses ExtentRestriction, so the smoothing
-    annotation assigns each clause its restriction's field context)."""
+    annotation assigns each clause its restriction's extent-source
+    context, ref:include/indri/ExtentRestrictionModelAnnotatorCopier.
+    hpp:59-66)."""
     eng = _as_engine(reader, method, mu, lam)
     c1 = parse_query(c1_query)
     c2 = parse_query(c2_query)
@@ -904,39 +1127,35 @@ def run_nested_extents(reader, a_field: str, c1_query: str, b_field: str,
         return empties
     cand = np.unique(np.concatenate(parts))
     cand = cand[eng.r.keep_mask(cand)]
-    adata = eng._field_data(a_field)
-    bdata = eng._field_data(b_field)
-    cand = np.asarray(
-        [d for d in cand.tolist()
-         if d in adata and bool((adata[d][1] > adata[d][0]).any())
-         and d in bdata],
-        dtype=np.int64)
     if not len(cand):
         return empties
-    a_bs, a_es, b_bs, b_es = [], [], [], []
-    for d in cand.tolist():
-        ab, ae = adata[d][0], adata[d][1]
-        nz = ae > ab
-        a_bs.append(ab[nz])
-        a_es.append(ae[nz])
-        bb, be = bdata[d][0], bdata[d][1]
-        nz = be > bb
-        b_bs.append(bb[nz])
-        b_es.append(be[nz])
-
-    def flat(bs, es):
-        n_per = np.asarray([len(x) for x in bs], dtype=np.int64)
-        start = np.zeros(len(cand) + 1, dtype=np.int64)
-        np.cumsum(n_per, out=start[1:])
-        return (start, np.concatenate(bs).astype(np.int64),
-                np.concatenate(es).astype(np.int64))
-
-    a_start, ab, ae = flat(a_bs, a_es)
-    b_start, bb, be = flat(b_bs, b_es)
+    ad, ab_g, ae_g, akw = _spec_flat(eng, a_spec)
+    bd, bb_g, be_g, bkw = _spec_flat(eng, b_spec)
+    # zero-length a extents are skipped by the enforcement loop; a
+    # zero-length b extent is skipped by the inner restriction — drop
+    # both up front (neither can produce a result)
+    nza = ae_g > ab_g
+    ad, ab_g, ae_g = ad[nza], ab_g[nza], ae_g[nza]
+    nzb = be_g > bb_g
+    bd, bb_g, be_g = bd[nzb], bb_g[nzb], be_g[nzb]
+    # candidates need ≥1 (nonzero) a extent and ≥1 b extent
+    has_a = (np.searchsorted(ad, cand, side="right")
+             > np.searchsorted(ad, cand, side="left"))
+    has_b = (np.searchsorted(bd, cand, side="right")
+             > np.searchsorted(bd, cand, side="left"))
+    cand = cand[has_a & has_b]
+    if not len(cand):
+        return empties
+    a_start, a_gather = _flat_gather(cand, ad)
+    b_start, b_gather = _flat_gather(cand, bd)
+    ab, ae = ab_g[a_gather], ae_g[a_gather]
+    bb, be = bb_g[b_gather], be_g[b_gather]
     if not len(ab) or not len(bb):
         return empties
-    s1 = _ExtentEval(eng, a_field, cand, a_start, ab, ae).belief(c1)
-    ev_b = _ExtentEval(eng, b_field, cand, b_start, bb, be)
+    s1 = _ExtentEval(eng, akw["field"], cand, a_start, ab, ae,
+                     wild=akw["wild"]).belief(c1)
+    ev_b = _ExtentEval(eng, bkw["field"], cand, b_start, bb, be,
+                       wild=bkw["wild"])
     s2 = ev_b.belief(c2)
     m2 = ev_b.matches(c2)
     out_d, out_b, out_e, out_s = [], [], [], []

@@ -41,9 +41,14 @@ Translation notes (documented divergences, each raises or is a no-op):
   DOCUMENT dialect — ``to_indriql`` raises ``NexiTranslationError``
   naming the construct.  Both EXECUTE at element granularity through
   :func:`run_nexi_extents`: the two-restriction form via
-  :func:`~.extents.run_nested_extents` (plain-field restrictions), the
+  :func:`~.extents.run_nested_extents` (every grammar shape — plain
+  fields, alternative lists, wildcards, second-restriction paths), the
   alternative list via :func:`~.extents.run_extents_wildcard` over the
-  named fields.
+  named fields, and PATH targets ``//a//b[c]`` via
+  :func:`~.extents.run_extents_path` (NestedExtentInsideNode chain
+  semantics with ContextCountAccumulator statistics over the chain's
+  extent list — the document dialect's nested ``[.//b]`` form instead
+  anchors through the tag tree, a documented difference in route).
 - ``shrinkage=True`` (the reference's default) wraps term scorers in
   ShrinkageScorerNode; execution for that mode goes through
   :class:`~.shrinkage.ShrinkageScorer` for BARE term lists
@@ -521,6 +526,47 @@ def to_indriql(node, _in_restriction: bool = False) -> str:
     raise NexiTranslationError(f"unhandled node {type(node).__name__}")
 
 
+def _step_spec(node) -> tuple[str, ...] | None:
+    """One path step → field-name tuple (``None`` = the ``*`` wildcard
+    step) for :func:`~.extents.run_extents_path` /
+    :func:`~.extents._spec_flat`."""
+    if isinstance(node, Field):
+        return (node.name,)
+    if isinstance(node, FieldWildcard):
+        return None
+    if isinstance(node, ExtentOr):
+        if all(isinstance(f, Field) for f in node.fields):
+            return tuple(f.name for f in node.fields)
+    raise NexiTranslationError(
+        f"path step {type(node).__name__} is not executable")
+
+
+def _chain_steps(p: NestedExtentInside) -> tuple:
+    """NEI chain → step tuples outermost first (the innermost slot holds
+    the final field after ``_set_innermost``)."""
+    steps = []
+    node = p
+    while isinstance(node, NestedExtentInside):
+        steps.append(_step_spec(node.outer))
+        node = node.inner
+    steps.append(_step_spec(node))
+    return tuple(steps)
+
+
+def _restriction_spec(ext):
+    """Restriction extent AST → a :func:`~.extents._spec_flat` spec."""
+    if isinstance(ext, Field):
+        return ("field", ext.name)
+    if isinstance(ext, FieldWildcard):
+        return ("ctx", None)
+    if isinstance(ext, ExtentOr):
+        return ("ctx", _step_spec(ext))
+    if isinstance(ext, NestedExtentInside):
+        return ("path", _chain_steps(ext))
+    raise NexiTranslationError(
+        f"restriction extent {type(ext).__name__} is not executable")
+
+
 def parse_nexi(text: str, shrinkage: bool = False) -> str:
     """NEXI text → IndriQL text (parse + translate).  ``shrinkage``
     mirrors the reference parser's flag; the reference DEFAULTS to true,
@@ -578,23 +624,31 @@ def run_nexi_extents(reader, text: str, k: int = 1000,
 
     Support-path clauses ``about(.//f, terms)`` evaluate per extent too
     (the ``#max`` over the anchored path restriction — MaxNode semantics,
-    mixed clauses normalize over scoring children).  Only clauses the
-    element evaluator genuinely cannot score (numeric predicates) fall
-    back to document results with ``begin = end = 0`` — same ranking as
+    mixed clauses normalize over scoring children), as do numeric/date
+    predicates (satisfying field extents contained per evaluation
+    extent).  PATH targets ``//a//b[c]`` execute at element granularity
+    through :func:`~.extents.run_extents_path` (NestedExtentInsideNode
+    chain semantics; wildcard / alternative-list steps included); only
+    clause shapes the element evaluator genuinely cannot score (e.g. a
+    support path anchored under a wildcard/path context) fall back to
+    document results with ``begin = end = 0`` — same ranking as
     :func:`run_nexi`, documented at ``extents.run_extents(strict=False)``.
 
     The two-restriction form ``//a[c1]//b[c2]`` — untranslatable to the
     document dialect (``to_indriql`` raises) — executes HERE through
     :func:`~.extents.run_nested_extents` (the ContextInclusionAnd +
-    ExtentEnforcement pair), provided both restrictions are plain fields;
-    paths/alternative lists in either restriction still raise.
+    ExtentEnforcement pair) for EVERY grammar shape of either
+    restriction: plain fields, alternative lists, wildcards, and (second
+    restriction) paths; no document fallback exists for it, so an
+    inner-clause shape the element evaluator cannot score raises
+    :class:`NexiTranslationError`.
 
     ``shrinkage=True`` (the reference parser's default mode) executes a
     plain-field CAS target over PLAIN TERM lists through
     :meth:`~.shrinkage.ShrinkageScorer.score_extents` — each field extent
     scored by its exact structure node's shrunk estimate — closing the
     combination :func:`run_nexi` documents as document-level only."""
-    from .extents import run_extents, run_nested_extents
+    from .extents import run_extents, run_extents_path, run_nested_extents
 
     ast = NexiParser(shrinkage=shrinkage).parse(text)
     inner = ast.child  # LengthPrior(0) is a score no-op
@@ -622,14 +676,37 @@ def run_nexi_extents(reader, text: str, k: int = 1000,
     if isinstance(inner, ExtentEnforcement):
         ci = inner.child
         r2 = ci.enforced
-        if (isinstance(inner.extent, Field) and isinstance(r2.extent, Field)
-                and len(ci.children) == 1):
+        if len(ci.children) != 1:
+            raise NexiTranslationError(
+                "two-restriction form needs exactly one enclosed clause")
+        a_spec = _restriction_spec(inner.extent)
+        b_spec = _restriction_spec(r2.extent)
+        try:
             return run_nested_extents(
-                reader, inner.extent.name, to_indriql(ci.children[0]),
-                r2.extent.name, to_indriql(r2.child), k=k)
-        raise NexiTranslationError(
-            "two-restriction form with path or alternative-list "
-            "restrictions is not supported")
+                reader, a_spec, to_indriql(ci.children[0]),
+                b_spec, to_indriql(r2.child), k=k)
+        except ValueError as exc:
+            # no document translation exists for this form — surface the
+            # unsupported clause shape instead of silently degrading
+            raise NexiTranslationError(
+                f"two-restriction clause not executable at element "
+                f"granularity: {exc}") from exc
+    if (isinstance(inner, ExtentRestriction)
+            and isinstance(inner.extent, NestedExtentInside)):
+        # PATH target //s1//…//sn[c]: element retrieval over the
+        # NestedExtentInside chain's innermost extents; clause shapes the
+        # chain-context evaluator cannot score degrade to document
+        # results exactly like the single-field route below
+        steps = _chain_steps(inner.extent)
+        try:
+            return run_extents_path(
+                reader, steps, to_indriql(inner.child, True), k=k)
+        except ValueError as exc:
+            try:
+                ql = to_indriql(ast)
+            except NexiTranslationError:
+                raise exc
+            return run_extents(reader, ql, k=k, strict=False)
     if (isinstance(inner, ExtentRestriction)
             and isinstance(inner.extent, (FieldWildcard, ExtentOr))):
         # bare term list / //*[...] target: the INEX CO surface — every

@@ -350,6 +350,187 @@ def test_two_restriction_form(ext_index):
     assert ids2.tolist() == ids.tolist() and sc2.tolist() == sc.tolist()
 
 
+def test_path_target_element_results(ext_index):
+    # //article//sec[c]: NestedExtentInsideNode chain — result elements
+    # are the INNERMOST (sec) extents contained in an article extent;
+    # clause statistics are ContextCountAccumulator counts over the
+    # surviving extent LIST (ref:include/indri/
+    # ExtentRestrictionModelAnnotatorCopier.hpp:59-66): context size =
+    # Σ surviving lengths, cf = occurrences within the collapsed list
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+
+    r = _reader(ext_index)
+    ids, bs, es, sc = run_nexi_extents(
+        r, "//article//sec[about(., alpha)]", k=10)
+    # survivors: doc3's sec (0,1) and (1,2) only; alpha within the list
+    # cf = 1, context size = 1 + 1 = 2; the hasMatch gate drops (1,2)
+    assert (ids.tolist(), bs.tolist(), es.tolist()) == ([3], [0], [1])
+    assert sc[0] == pytest.approx(_dir(1, 1, 1.0, 2.0), abs=1e-12)
+
+
+def test_path_self_containment_matches_single_restriction(ext_index):
+    # //sec//sec[c] ≡ //sec[c]: NestedExtentInsideNode containment is
+    # weak (Extent::contains uses ≤/≥), so every sec extent contains
+    # itself and the chain's surviving list IS the sec extent list —
+    # same extents, same statistics (Σ lengths = field total, collapsed
+    # occurrences = field-union occurrences), bitwise-equal scores
+    from indri_5_5_ray.pipelines.extents import run_extents
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+
+    r = _reader(ext_index)
+    a = run_nexi_extents(r, "//sec//sec[about(., alpha)]", k=100)
+    b = run_extents(r, "#combine[sec](alpha)", k=100)
+    for x, y in zip(a, b):
+        assert x.tolist() == y.tolist()
+
+
+def test_path_chain_steps_need_not_nest(ext_index):
+    # //sec//article//sec[c]: each chain level tests the same INNERMOST
+    # extent — doc3's sec extents are inside an article extent AND
+    # inside a sec extent (themselves), even though no article is inside
+    # any sec.  The nested lowering is a conjunction of per-step
+    # containments, NOT XPath ancestry (ref:src/NestedExtentInsideNode.
+    # cpp:47-103 pairs (…(sn in s(n-1))…) in s1 against sn's extents)
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+
+    r = _reader(ext_index)
+    ids, bs, es, sc = run_nexi_extents(
+        r, "//sec//article//sec[about(., beta)]", k=10)
+    assert (ids.tolist(), bs.tolist(), es.tolist()) == ([3], [1], [2])
+    assert sc[0] == pytest.approx(_dir(1, 1, 1.0, 2.0), abs=1e-12)
+
+
+def test_path_alternative_list_innermost_step(ext_index):
+    # //article//(sec|article)[c]: the innermost step is an alternative
+    # list; survivors in doc3 = article(0,2) (self-contained), sec(0,1),
+    # sec(1,2); context size = 2+1+1 = 4, collapsed outermost = (0,2) →
+    # cf(beta) = 1; hasMatch keeps article(0,2) and sec(1,2)
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+
+    r = _reader(ext_index)
+    ids, bs, es, sc = run_nexi_extents(
+        r, "//article//(sec|article)[about(., beta)]", k=10)
+    got = {(d, b, e): s for d, b, e, s in
+           zip(ids.tolist(), bs.tolist(), es.tolist(), sc.tolist())}
+    want = {
+        (3, 1, 2): _dir(1, 1, 1.0, 4.0),
+        (3, 0, 2): _dir(1, 2, 1.0, 4.0),
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=1e-12)
+    # the smaller element outranks the larger at equal counts
+    assert (ids[0], bs[0], es[0]) == (3, 1, 2)
+
+
+def test_path_target_absent_field_empty(ext_index):
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+
+    r = _reader(ext_index)
+    for q in ("//nosuch//sec[about(., alpha)]",
+              "//sec//nosuch[about(., alpha)]"):
+        ids, bs, es, sc = run_nexi_extents(r, q, k=10)
+        assert len(ids) == 0
+
+
+def test_path_target_support_clause_doc_fallback(ext_index):
+    # a support path anchored under the chain context cannot score at
+    # element granularity (the anchored walk needs a field-restriction
+    # root) — the route degrades to document results through the nested
+    # dialect translation, exactly like run_extents(strict=False)
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.nexi import parse_nexi, run_nexi_extents
+
+    r = _reader(ext_index)
+    q = "//article//sec[about(.//sec, alpha)]"
+    ids, bs, es, sc = run_nexi_extents(r, q, k=10)
+    assert not bs.any() and not es.any()
+    idsd, scd = StructuredQueryEngine(r).run(parse_nexi(q), k=10)
+    assert ids.tolist() == idsd.tolist()
+    assert sc.tolist() == scd.tolist()
+
+
+def test_path_target_sharded_bit_identity(ext_index):
+    from indri_5_5_ray.pipelines.extents import run_extents_path
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    r = IndexReader(ext_index)
+    steps = (("article",), ("sec", "article"))
+    full = run_extents_path(r, steps, "#combine(alpha beta)", k=100)
+    parts = [run_extents_path(r, steps, "#combine(alpha beta)", k=100,
+                              doc_range=dr)
+             for dr in ((0, 2), (2, 4), (4, 6))]
+    d = np.concatenate([p[0] for p in parts])
+    b = np.concatenate([p[1] for p in parts])
+    e = np.concatenate([p[2] for p in parts])
+    s = np.concatenate([p[3] for p in parts])
+    order = np.lexsort((-e, -b, -d, -s))[:100]
+    assert d[order].tolist() == full[0].tolist()
+    assert b[order].tolist() == full[1].tolist()
+    assert e[order].tolist() == full[2].tolist()
+    assert s[order].tolist() == full[3].tolist()
+
+
+def test_two_restriction_path_second_restriction(ext_index):
+    # //article[c1]//article//sec[c2]: the second restriction is a PATH
+    # — its extents are the chain survivors (doc3's secs), its clause
+    # statistics the chain-list context (size 2, cf(beta)=1); the first
+    # restriction keeps plain article field statistics
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+
+    r = _reader(ext_index)
+    ids, bs, es, sc = run_nexi_extents(
+        r, "//article[about(., alpha)]//article//sec[about(., beta)]",
+        k=10)
+    assert (ids.tolist(), bs.tolist(), es.tolist()) == ([3], [1], [2])
+    art_total = float(r.field_stats("article")["total_len"])
+    want = _dir(1, 2, 1.0, art_total) + _dir(1, 1, 1.0, 2.0)
+    assert sc[0] == pytest.approx(want, abs=1e-12)
+
+
+def test_two_restriction_extentor_first_restriction(ext_index):
+    # //(article|sec)[c1]//sec[c2]: the enforcement side is an
+    # alternative list — its extents are BOTH fields' extents and c1
+    # draws ContextCountAccumulator statistics over them (summed field
+    # sizes, outermost-collapsed occurrence counts).  c1 is NOT
+    # hasMatch-gated: doc3's alpha-free sec(1,2) still scores as an
+    # enclosing extent (background), and the same b extent inside two
+    # a extents yields one result PER enclosing extent
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+
+    r = _reader(ext_index)
+    ids, bs, es, sc = run_nexi_extents(
+        r, "//(article|sec)[about(., alpha)]//sec[about(., beta)]", k=10)
+    total_ctx = 14.0  # article 2 + sec 12
+    sec_total = float(r.field_stats("sec")["total_len"])
+    rows = sorted(zip(ids.tolist(), bs.tolist(), es.tolist(),
+                      sc.tolist()))
+    # doc0: E=sec(0,2) ⊇ b=(0,2); doc1: E=(0,3) ⊇ b=(0,3);
+    # doc3: b=(1,2) inside article(0,2) AND itself → two results
+    want = sorted([
+        (0, 0, 2, _dir(1, 2, 4.0, total_ctx) + _dir(1, 2, 4.0, sec_total)),
+        (1, 0, 3, _dir(1, 3, 4.0, total_ctx) + _dir(2, 3, 4.0, sec_total)),
+        (3, 1, 2, _dir(1, 2, 4.0, total_ctx) + _dir(1, 1, 4.0, sec_total)),
+        (3, 1, 2, _dir(0, 1, 4.0, total_ctx) + _dir(1, 1, 4.0, sec_total)),
+    ])
+    assert len(rows) == len(want)
+    for (d, b, e, s), (dw, bw, ew, sw) in zip(rows, want):
+        assert (d, b, e) == (dw, bw, ew)
+        assert s == pytest.approx(sw, abs=1e-12)
+
+
+def test_two_restriction_or_of_one_matches_plain_field(ext_index):
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+
+    r = _reader(ext_index)
+    a = run_nexi_extents(
+        r, "//(article)[about(., alpha)]//sec[about(., beta)]", k=10)
+    b = run_nexi_extents(
+        r, "//article[about(., alpha)]//sec[about(., beta)]", k=10)
+    for x, y in zip(a, b):
+        assert x.tolist() == y.tolist()
+
+
 def test_shrinkage_extent_scores(ext_index):
     # //sec[about(., alpha)] in shrinkage mode (no rules, pw=dw=0,
     # linear lam=0.4): base recovers the node MLE, down = base, and the
