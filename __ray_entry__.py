@@ -375,14 +375,23 @@ EXTENT_QUERIES: list[tuple[str, str]] = [
 # EVERY indexed field (title + both sec halves per doc)
 EXTENT_WILD_QUERY = ("4", "#combine(merge data)")
 
+# NEXI PATH target (r5): //sec//(sec|title)[c] — the NestedExtentInside
+# chain keeps only innermost extents CONTAINED in a sec extent, so the
+# title extents are filtered out (disjoint from sec) while the sec halves
+# survive by self-containment; clause statistics then come from the
+# surviving list (= the sec extents), pipelines/extents.run_extents_path
+EXTENT_PATH_QUERY = ("5", "//sec//(sec|title)[about(., spark data)]")
+
 
 def _extent_topk(sf_dir: str, k: int = 10):
     """(qid, rank, doc_id, begin, end) ELEMENT-level retrieval: every sec
     extent (qids 1-2) / every sliding passage window (qid 3) / every
     extent of every field under the FieldWildcard CO restriction (qid 4)
-    is scored separately and ranked globally — the ScoredExtentResult
-    surface (ExtentRestriction / FixedPassage / FieldWildcard per-extent
-    scoring, ref:src/InferenceNetworkBuilder.cpp:152,170;
+    / every chain-surviving extent of a NEXI PATH target (qid 5) is
+    scored separately and ranked globally — the ScoredExtentResult
+    surface (ExtentRestriction / FixedPassage / FieldWildcard /
+    NestedExtentInside per-extent scoring,
+    ref:src/InferenceNetworkBuilder.cpp:152,170,230-247;
     pipelines/extents.py).  Ranked by score rounded to 9 decimals desc,
     then doc_id desc, then begin desc (the score_greater tie order) so
     the DuckDB oracle ranks identically."""
@@ -390,6 +399,7 @@ def _extent_topk(sf_dir: str, k: int = 10):
     import pyarrow as pa
 
     from indri_5_5_ray.pipelines.extents import run_extents, run_extents_wildcard
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
     from indri_5_5_ray.pipelines.query import IndexReader
 
     index_dir = _ensure_multisec_index(sf_dir)
@@ -410,6 +420,8 @@ def _extent_topk(sf_dir: str, k: int = 10):
         add(qid, run_extents(reader, text, k=k + 40))
     add(EXTENT_WILD_QUERY[0],
         run_extents_wildcard(reader, EXTENT_WILD_QUERY[1], k=k + 40))
+    add(EXTENT_PATH_QUERY[0],
+        run_nexi_extents(reader, EXTENT_PATH_QUERY[1], k=k + 40))
     return pa.table({k2: pa.array(v, pa.int64()) for k2, v in out.items()})
 
 
@@ -455,6 +467,18 @@ def _extent_sql() -> str:
   JOIN {cand(['spark', 'window'])} c ON c.doc_id = er.doc_id
   CROSS JOIN secstats ss
   WHERE {gate(['spark', 'window'])} > 0"""
+    # qid 5: the NEXI path target //sec//(sec|title)[about(., spark data)]
+    # — the chain drops the (sec-disjoint) title extents, so the surviving
+    # element list IS the sec extents and the clause's list-context
+    # statistics coincide with the sec field statistics (same erows +
+    # secstats the plain-field oracles use)
+    q5 = f"""
+  SELECT 5 AS qid, er.doc_id, er.b, er.e,
+         ({d_sec('spark')} + {d_sec('data')}) / 2 AS score
+  FROM erows er
+  JOIN {cand(['spark', 'data'])} c ON c.doc_id = er.doc_id
+  CROSS JOIN secstats ss
+  WHERE {gate(['spark', 'data'])} > 0"""
     def d_wild(term: str) -> str:
         # FieldWildcard context: cf = occurrences within title ∪ sec
         # extents (= all tt + t0 tokens), context size = summed field
@@ -512,7 +536,8 @@ erows4 AS (
   UNION ALL
   SELECT doc_id, b, e, toks FROM erows
 ),
-scores AS ({q1} UNION ALL {q2} UNION ALL {q3} UNION ALL {q4})
+scores AS ({q1} UNION ALL {q2} UNION ALL {q3} UNION ALL {q4}
+           UNION ALL {q5})
 SELECT qid, rank, doc_id, "begin", "end" FROM (
   SELECT qid, doc_id, CAST(b AS BIGINT) AS "begin", CAST(e AS BIGINT) AS "end",
          row_number() OVER (PARTITION BY qid
