@@ -119,6 +119,27 @@ def _csr_gather(csr, cand: np.ndarray):
     return has, lens, gather
 
 
+def _gather_candidates(eng: StructuredQueryEngine, nodes,
+                       doc_range: tuple[int, int] | None = None
+                       ) -> np.ndarray:
+    """Shared candidate prelude of every element-retrieval entry point:
+    fetch full postings, union the nodes' candidate docs, slice to the
+    optional docID range (the doc-partitioned scatter; statistics stay
+    collection-global) and apply the deletion mask.  Empty result = no
+    candidates (callers return their empties tuple)."""
+    _ensure_full_postings(eng, *nodes)
+    parts: list[np.ndarray] = []
+    for n in nodes:
+        eng._cand_docs(n, parts)
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return np.empty(0, np.int64)
+    cand = np.unique(np.concatenate(parts))
+    if doc_range is not None:
+        cand = cand[(cand >= doc_range[0]) & (cand < doc_range[1])]
+    return cand[eng.r.keep_mask(cand)]
+
+
 def run_extents(reader, query: str, k: int = 1000, method: str = "dirichlet",
                 mu: float = 2500.0, lam: float = 0.4, strict: bool = True,
                 doc_range: tuple[int, int] | None = None
@@ -174,16 +195,7 @@ def _run_extent_root(eng: StructuredQueryEngine, field: str | None,
         inner = node.children[0]
     empties = (np.empty(0, np.int64), np.empty(0, np.int64),
                np.empty(0, np.int64), np.empty(0, np.float64))
-    _ensure_full_postings(eng, inner)
-    parts: list[np.ndarray] = []
-    eng._cand_docs(inner, parts)
-    parts = [p for p in parts if len(p)]
-    if not parts:
-        return empties
-    cand = np.unique(np.concatenate(parts))
-    if doc_range is not None:
-        cand = cand[(cand >= doc_range[0]) & (cand < doc_range[1])]
-    cand = cand[eng.r.keep_mask(cand)]
+    cand = _gather_candidates(eng, (inner,), doc_range)
     if not len(cand):
         return empties
     # per-candidate extents → flat (edoc, eb, ee) with per-doc offsets,
@@ -714,6 +726,30 @@ class _ExtentEval:
         raise ValueError(f"unknown op {node.op}")
 
 
+def _collapse_outermost(dn: np.ndarray, bn: np.ndarray, en: np.ndarray
+                        ) -> tuple[np.ndarray, int, np.ndarray, np.ndarray]:
+    """Doc-major nonzero extents → doc-index-ENCODED OUTERMOST extents
+    ``(docs, S, enc_ub, enc_ue)``: sort (begin asc, end desc); under the
+    reference's nesting-only invariant an extent is nested iff some
+    earlier extent's end reaches past it — the global cumulative max
+    works because doc ``i``'s encodes are < ``(i+1)·S`` ≤ any encode of
+    doc ``i+1``.  The ContextCountAccumulator occurrence walk counts a
+    position once iff it falls in one of these (ref:src/
+    ContextCountAccumulator.cpp:99-143); shared by the FieldWildcard and
+    path-chain contexts so the collapse invariant exists exactly once."""
+    docs = np.unique(dn)
+    S = int(en.max()) + 2
+    didx = np.searchsorted(docs, dn)
+    enc_b = didx * S + bn
+    enc_e = didx * S + en
+    order = np.lexsort((-enc_e, enc_b))
+    enc_b, enc_e = enc_b[order], enc_e[order]
+    run = np.maximum.accumulate(enc_e)
+    keep = np.ones(len(enc_b), dtype=bool)
+    keep[1:] = enc_e[1:] > run[:-1]
+    return docs, S, enc_b[keep], enc_e[keep]
+
+
 def _build_wild_context(eng: StructuredQueryEngine,
                         fields: tuple[str, ...] | None = None
                         ) -> tuple:
@@ -759,21 +795,7 @@ def _build_wild_context(eng: StructuredQueryEngine,
     if not len(all_doc):
         memo[key] = empty
         return empty
-    docs = np.unique(all_doc)
-    S = int(all_e.max()) + 2
-    didx = np.searchsorted(docs, all_doc)
-    enc_b = didx * S + all_b
-    enc_e = didx * S + all_e
-    # outermost filter: sort (begin asc, end desc); under the reference's
-    # nesting-only invariant an extent is nested iff some earlier extent's
-    # end reaches past it — the global cumulative max works because doc
-    # i's encodes are < (i+1)·S ≤ any encode of doc i+1
-    order = np.lexsort((-enc_e, enc_b))
-    enc_b, enc_e = enc_b[order], enc_e[order]
-    run = np.maximum.accumulate(enc_e)
-    keep = np.ones(len(enc_b), dtype=bool)
-    keep[1:] = enc_e[1:] > run[:-1]
-    out = (docs, S, enc_b[keep], enc_e[keep], total)
+    out = _collapse_outermost(all_doc, all_b, all_e) + (total,)
     memo[key] = out
     return out
 
@@ -807,16 +829,7 @@ def run_extents_wildcard(reader, query: str, k: int = 1000,
     inner = parse_query(query)
     empties = (np.empty(0, np.int64), np.empty(0, np.int64),
                np.empty(0, np.int64), np.empty(0, np.float64))
-    _ensure_full_postings(eng, inner)
-    parts: list[np.ndarray] = []
-    eng._cand_docs(inner, parts)
-    parts = [p for p in parts if len(p)]
-    if not parts:
-        return empties
-    cand = np.unique(np.concatenate(parts))
-    if doc_range is not None:
-        cand = cand[(cand >= doc_range[0]) & (cand < doc_range[1])]
-    cand = cand[eng.r.keep_mask(cand)]
+    cand = _gather_candidates(eng, (inner,), doc_range)
     if not len(cand):
         return empties
     wild = _build_wild_context(eng, fields)
@@ -878,8 +891,16 @@ def _step_flat_extents(eng: StructuredQueryEngine,
     (ref:src/NestedExtentInsideNode.cpp:53-61).  Zero-length extents are
     KEPT: the node emits a contained zero-length inner (its containment
     test is weak, ref:include/indri/Extent.hpp ``contains``); scoring
-    skips them later (ref:src/ExtentRestrictionNode.cpp:73-74)."""
+    skips them later (ref:src/ExtentRestrictionNode.cpp:73-74).
+    Memoized on the reader (immutable per index); the key carries the
+    engine's pruned doc range like ``_field_csr``'s does, so a
+    range-pruned build could never be served to a global query."""
     names = step if step is not None else tuple(eng.r.cfg.fields or ())
+    memo = eng.r.__dict__.setdefault("_step_flat_cache", {})
+    key = (names, eng._field_range)
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
     doc_parts, b_parts, e_parts = [], [], []
     for fname in names:
         fdocs, fstarts, fb, fe = eng._field_csr(fname)[:4]
@@ -889,12 +910,15 @@ def _step_flat_extents(eng: StructuredQueryEngine,
             e_parts.append(fe)
     if not doc_parts:
         z = np.empty(0, np.int64)
-        return z, z.copy(), z.copy()
-    d = np.concatenate(doc_parts)
-    b = np.concatenate(b_parts)
-    e = np.concatenate(e_parts)
-    order = np.lexsort((-e, b, d))
-    return d[order], b[order], e[order]
+        out = (z, z.copy(), z.copy())
+    else:
+        d = np.concatenate(doc_parts)
+        b = np.concatenate(b_parts)
+        e = np.concatenate(e_parts)
+        order = np.lexsort((-e, b, d))
+        out = (d[order], b[order], e[order])
+    memo[key] = out
+    return out
 
 
 def _contained_in_step(din: np.ndarray, bi: np.ndarray, ei: np.ndarray,
@@ -944,9 +968,13 @@ def _nested_chain_global(eng: StructuredQueryEngine, steps: tuple) -> tuple:
     double-counted (ref:src/ContextCountAccumulator.cpp:99-143).
 
     Returns ``(docs_flat, begins, ends, ctx)``; ``ctx`` has the
-    :func:`_build_wild_context` 5-tuple shape over the surviving set."""
+    :func:`_build_wild_context` 5-tuple shape over the surviving set.
+    The memo key carries the engine's pruned doc range (like
+    ``_field_csr``'s) so a range-pruned build could never be served to a
+    global query on the same reader."""
     memo = eng.r.__dict__.setdefault("_chain_ctx_cache", {})
-    hit = memo.get(steps)
+    key = (steps, eng._field_range)
+    hit = memo.get(key)
     if hit is not None:
         return hit
     d, b, e = _step_flat_extents(eng, steps[-1])
@@ -963,19 +991,9 @@ def _nested_chain_global(eng: StructuredQueryEngine, steps: tuple) -> tuple:
         ctx = (np.empty(0, np.int64), 1, np.empty(0, np.int64),
                np.empty(0, np.int64), total)
     else:
-        docs = np.unique(dn)
-        S = int(en.max()) + 2
-        didx = np.searchsorted(docs, dn)
-        enc_b = didx * S + bn
-        enc_e = didx * S + en
-        order = np.lexsort((-enc_e, enc_b))
-        enc_b, enc_e = enc_b[order], enc_e[order]
-        run = np.maximum.accumulate(enc_e)
-        keep = np.ones(len(enc_b), dtype=bool)
-        keep[1:] = enc_e[1:] > run[:-1]
-        ctx = (docs, S, enc_b[keep], enc_e[keep], total)
+        ctx = _collapse_outermost(dn, bn, en) + (total,)
     out = (d, b, e, ctx)
-    memo[steps] = out
+    memo[key] = out
     return out
 
 
@@ -1017,16 +1035,7 @@ def run_extents_path(reader, steps, query: str, k: int = 1000,
     inner = parse_query(query)
     empties = (np.empty(0, np.int64), np.empty(0, np.int64),
                np.empty(0, np.int64), np.empty(0, np.float64))
-    _ensure_full_postings(eng, inner)
-    parts: list[np.ndarray] = []
-    eng._cand_docs(inner, parts)
-    parts = [p for p in parts if len(p)]
-    if not parts:
-        return empties
-    cand = np.unique(np.concatenate(parts))
-    if doc_range is not None:
-        cand = cand[(cand >= doc_range[0]) & (cand < doc_range[1])]
-    cand = cand[eng.r.keep_mask(cand)]
+    cand = _gather_candidates(eng, (inner,), doc_range)
     if not len(cand):
         return empties
     d, b, e, ctx = _nested_chain_global(eng, tuple(steps))
@@ -1063,10 +1072,15 @@ def _spec_flat(eng: StructuredQueryEngine, spec) -> tuple:
         spec = ("field", spec)
     kind = spec[0]
     if kind == "field":
-        fdocs, fstarts, fb, fe = eng._field_csr(spec[1])[:4]
-        d = (np.repeat(fdocs, np.diff(fstarts)) if len(fdocs)
-             else np.empty(0, np.int64))
-        return d, fb, fe, {"field": spec[1], "wild": None}
+        memo = eng.r.__dict__.setdefault("_field_flat_cache", {})
+        key = (spec[1], eng._field_range)
+        hit = memo.get(key)
+        if hit is None:
+            fdocs, fstarts, fb, fe = eng._field_csr(spec[1])[:4]
+            d = (np.repeat(fdocs, np.diff(fstarts)) if len(fdocs)
+                 else np.empty(0, np.int64))
+            hit = memo[key] = (d, fb, fe)
+        return hit + ({"field": spec[1], "wild": None},)
     if kind == "ctx":
         d, b, e = _step_flat_extents(eng, spec[1])
         return d, b, e, {"field": None,
@@ -1118,15 +1132,7 @@ def run_nested_extents(reader, a_spec, c1_query: str, b_spec,
     c2 = parse_query(c2_query)
     empties = (np.empty(0, np.int64), np.empty(0, np.int64),
                np.empty(0, np.int64), np.empty(0, np.float64))
-    _ensure_full_postings(eng, c1, c2)
-    parts: list[np.ndarray] = []
-    eng._cand_docs(c1, parts)
-    eng._cand_docs(c2, parts)
-    parts = [p for p in parts if len(p)]
-    if not parts:
-        return empties
-    cand = np.unique(np.concatenate(parts))
-    cand = cand[eng.r.keep_mask(cand)]
+    cand = _gather_candidates(eng, (c1, c2))
     if not len(cand):
         return empties
     ad, ab_g, ae_g, akw = _spec_flat(eng, a_spec)

@@ -682,9 +682,12 @@ def run_nexi_extents(reader, text: str, k: int = 1000,
         a_spec = _restriction_spec(inner.extent)
         b_spec = _restriction_spec(r2.extent)
         try:
+            # _in_restriction=True: support paths inside either clause
+            # must keep their ``.//`` anchor lead so the element
+            # evaluator's #max-path route recognizes them
             return run_nested_extents(
-                reader, a_spec, to_indriql(ci.children[0]),
-                b_spec, to_indriql(r2.child), k=k)
+                reader, a_spec, to_indriql(ci.children[0], True),
+                b_spec, to_indriql(r2.child, True), k=k)
         except ValueError as exc:
             # no document translation exists for this form — surface the
             # unsupported clause shape instead of silently degrading

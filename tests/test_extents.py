@@ -519,6 +519,24 @@ def test_two_restriction_extentor_first_restriction(ext_index):
         assert s == pytest.approx(sw, abs=1e-12)
 
 
+def test_two_restriction_support_path_clause(ext_index):
+    # a support path INSIDE a two-restriction clause must keep its .//
+    # anchor lead through translation (review fix): c1 =
+    # about(.//sec, alpha) at E = article(0,2) walks the anchored path —
+    # best sec descendant with alpha is (0,1), scored with the path's
+    # last-step (sec) context; c2 = beta at the enclosed sec extent
+    from indri_5_5_ray.pipelines.nexi import run_nexi_extents
+
+    r = _reader(ext_index)
+    ids, bs, es, sc = run_nexi_extents(
+        r, "//article[about(.//sec, alpha)]//sec[about(., beta)]", k=10)
+    assert (ids.tolist(), bs.tolist(), es.tolist()) == ([3], [1], [2])
+    sec_total = float(r.field_stats("sec")["total_len"])
+    # cf(alpha within article→sec path extents) = 1 (doc3 only)
+    want = _dir(1, 1, 1.0, sec_total) + _dir(1, 1, 4.0, sec_total)
+    assert sc[0] == pytest.approx(want, abs=1e-12)
+
+
 def test_two_restriction_or_of_one_matches_plain_field(ext_index):
     from indri_5_5_ray.pipelines.nexi import run_nexi_extents
 
