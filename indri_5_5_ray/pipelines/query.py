@@ -128,6 +128,7 @@ class IndexReader:
         # listing, footers) are paid once per reader, not per point lookup
         self._dsets: dict[str, pads.Dataset] = {}
         self._frag_bounds: dict[str, list] = {}
+        self._pqfiles: dict[str, pq.ParquetFile] = {}
 
     def _dset(self, sub: str) -> pads.Dataset:
         ds = self._dsets.get(sub)
@@ -143,10 +144,11 @@ class IndexReader:
         pyarrow's ``isin`` filter does NOT prune row groups from
         statistics (measured: 0.6 s for 10 ids over a 120-fragment
         docstore, flat with the id count), so this keeps a per-reader
-        cache of each fragment's [min, max] doc_id footer stats and reads
-        ONLY fragments containing a requested id (~8× faster at k=10,
-        and the win grows with corpus size since it is O(hit fragments)
-        not O(all fragments))."""
+        cache of each fragment's per-ROW-GROUP [min, max] doc_id footer
+        stats and decompresses ONLY row groups containing a requested id
+        (content docstores are written with 256-row groups —
+        stages/ingest.py — so a k=10 snippet page touches ~10×256 rows,
+        not 10 whole chunks' content columns)."""
         dset = self._dset(sub)
         bounds = self._frag_bounds.get(sub)
         if bounds is None:
@@ -157,22 +159,28 @@ class IndexReader:
                 md = _pq.read_metadata(frag.path)
                 try:
                     ci = md.schema.to_arrow_schema().names.index("doc_id")
-                    stats = [md.row_group(i).column(ci).statistics
-                             for i in range(md.num_row_groups)]
-                    mn = min(s.min for s in stats)
-                    mx = max(s.max for s in stats)
+                    rgs = []
+                    for i in range(md.num_row_groups):
+                        s = md.row_group(i).column(ci).statistics
+                        rgs.append((int(s.min), int(s.max), i))
+                    mn = min(r[0] for r in rgs)
+                    mx = max(r[1] for r in rgs)
                 except (ValueError, AttributeError, TypeError):
-                    mn, mx = -1, 1 << 62  # no stats: always read
-                bounds.append((mn, mx, frag))
+                    # no stats: always read the whole fragment
+                    mn, mx = -1, 1 << 62
+                    rgs = None
+                bounds.append((mn, mx, frag, rgs))
             self._frag_bounds[sub] = bounds
         ids = sorted(set(int(d) for d in doc_ids))
         arr = np.asarray(ids, dtype=np.int64)
         flt = pads.field("doc_id").isin(ids)
-        hits = []
-        for mn, mx, frag in bounds:
+
+        def _overlaps(mn: int, mx: int) -> bool:
             i = int(np.searchsorted(arr, mn))
-            if i < len(arr) and int(arr[i]) <= mx:
-                hits.append(frag)
+            return i < len(arr) and int(arr[i]) <= mx
+
+        hits = [(frag, rgs) for mn, mx, frag, rgs in bounds
+                if _overlaps(mn, mx)]
         if not hits:
             empty = {c: pa.array([], dset.schema.field(c).type)
                      for c in columns}
@@ -182,8 +190,30 @@ class IndexReader:
         # 100 hit fragments, 10× faster at 10)
         if len(hits) > 32:
             return dset.to_table(columns=columns, filter=flt)
-        return pa.concat_tables(
-            [frag.to_table(columns=columns, filter=flt) for frag in hits])
+        need = columns if "doc_id" in columns else ["doc_id", *columns]
+        parts: list[pa.Table] = []
+        for frag, rgs in hits:
+            if rgs is None or len(rgs) == 1:
+                parts.append(frag.to_table(columns=columns, filter=flt))
+                continue
+            rg_hits = [i for mn, mx, i in rgs if _overlaps(mn, mx)]
+            pf = self._pqfile(frag.path)
+            t = pf.read_row_groups(rg_hits, columns=need)
+            t = t.filter(pc.is_in(t.column("doc_id"),
+                                  value_set=pa.array(ids, pa.int64())))
+            parts.append(t.select(columns))
+        return pa.concat_tables(parts)
+
+    def _pqfile(self, path: str):
+        """Bounded cache of open ParquetFile handles for row-group point
+        reads (footer parse is paid once per fragment, not per query)."""
+        pf = self._pqfiles.get(path)
+        if pf is None:
+            if len(self._pqfiles) >= 128:
+                self._pqfiles.pop(next(iter(self._pqfiles)))
+            pf = pq.ParquetFile(path)
+            self._pqfiles[path] = pf
+        return pf
 
     def keep_mask(self, doc_ids: np.ndarray) -> np.ndarray:
         """Boolean mask of NOT-deleted docs (True = keep)."""

@@ -653,7 +653,14 @@ class IngestWorker:
         partials_path = f"{self.out_dir}/partials/partials-{cid}.parquet"
         os.makedirs(f"{self.out_dir}/docs", exist_ok=True)
         os.makedirs(f"{self.out_dir}/partials", exist_ok=True)
-        pq.write_table(docs_tbl, docs_path)
+        # content docstores get SMALL row groups so snippet/doctext point
+        # reads (IndexReader._point_read) decompress ~256 rows per hit
+        # doc instead of a whole chunk's content column; metadata-only
+        # docstores stay single-group (doc_lens reads them in full anyway)
+        if self.cfg.store_content:
+            pq.write_table(docs_tbl, docs_path, row_group_size=256)
+        else:
+            pq.write_table(docs_tbl, docs_path)
         pq.write_table(partials_tbl, partials_path, row_group_size=rg_size)
         nbytes = docs_tbl.nbytes + partials_tbl.nbytes
         if store_direct:
