@@ -1062,6 +1062,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twin date_topk exercises the same FieldLess/Greater/Between
         # numeric-predicate kernel)
         "extent_topk": _extent_topk,
+        # NEW r5: duplicated-span statistics — the substring-level dedup
+        # measure (Lee et al. 2021) at word-3-gram granularity; linear
+        # groupby(gram) → groupby(doc) reducers, exact SQL oracle
+        # (displaces minhash_signatures — green r2-r4 unchanged; banding
+        # consumer lsh_candidate_pairs runs the same _minhash_wide /
+        # _doc_shingles kernel in-window)
+        "dup_span_stats": dedup.dup_span_stats,
         # --- event-stream operators + curation filters (unchecked in r3:
         # displaced past the driver window; now first so CORRECTNESS_r04
         # finally records them) ---
@@ -1111,7 +1118,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_screen": sampling.contamination_screen,
         # --- dedup family ---
         "exact_dup_groups": dedup.exact_dup_groups,
-        "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "near_dedup_keep_first": dedup.near_dedup_keep_first,
         "embedding_dedup_keep_first": dedup.embedding_dedup_keep_first,
@@ -1140,6 +1146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window)
         # rotated out r5 for extent_topk: field_filter_topk (green r2-r4
         # unchanged; date_topk exercises the same numeric-predicate kernel)
+        # rotated out r5 for dup_span_stats: minhash_signatures (green
+        # r2-r4 unchanged; lsh_candidate_pairs runs the same _minhash_wide
+        # / _doc_shingles kernel in-window)
+        "minhash_signatures": dedup.minhash_signatures,
         "field_filter_topk": _field_filter_topk,
         "tfidf_topk": lambda sf: _bm25_topk(sf, stem=False, variant="tfidf"),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -2237,6 +2247,37 @@ _LANG_COUNTS = {
 }
 
 
+def _dup_span_sql() -> str:
+    """Oracle for ``dup_span_stats`` (functions/dedup.py): per doc, the
+    count of n-gram start positions whose n-gram occurs in ≥ 2 distinct
+    documents and the distinct token slots those occurrences cover —
+    generated from the same NGRAM_N the Ray side uses, 1-based positions
+    (only counts are compared, so the position base cancels)."""
+    from indri_5_5_ray.functions.dedup import NGRAM_N as n
+
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
+fg AS (SELECT doc_id, i, {gram} AS gram
+       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+             FROM docs WHERE len(t) >= {n})),
+dup AS (SELECT gram FROM fg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+occ AS (SELECT f.doc_id, f.i FROM fg f JOIN dup USING (gram)),
+cv AS (SELECT doc_id, i, unnest(generate_series(0, {n - 1})) AS k FROM occ),
+cov AS (SELECT doc_id, count(DISTINCT i + k) AS covered_tokens FROM cv GROUP BY doc_id),
+dp AS (SELECT doc_id, count(*) AS dup_positions FROM occ GROUP BY doc_id),
+nt AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM docs)
+SELECT d.doc_id,
+       coalesce(nt.n_tokens, 0) AS n_tokens,
+       coalesce(dp.dup_positions, 0) AS dup_positions,
+       coalesce(cov.covered_tokens, 0) AS covered_tokens
+FROM documents d
+LEFT JOIN nt USING (doc_id)
+LEFT JOIN dp USING (doc_id)
+LEFT JOIN cov USING (doc_id)
+ORDER BY doc_id"""
+
+
 def _minhash_perms_sql() -> str:
     """VALUES table of the engine's affine minhash constants (see
     functions/dedup.py MINHASH_A/B — same integers, exact BIGINT math)."""
@@ -2497,6 +2538,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sh s JOIN bench b USING (shingle)
             WHERE s.doc_id % 97 <> 0
             GROUP BY s.doc_id ORDER BY s.doc_id""",
+        "dup_span_stats": _dup_span_sql(),
         "ngram_jaccard_pairs": f"""
             WITH {_SHINGLE_SQL},
             sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),

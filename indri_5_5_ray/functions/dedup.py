@@ -439,6 +439,116 @@ def doc_shingles(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# duplicated-span statistics (substring-level dedup measure)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
+    """(doc_id, n_tokens, dup_positions, covered_tokens) per document —
+    the substring-duplication measure behind span-level training-data
+    dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"), at word-``n``-gram granularity:
+
+    * ``dup_positions`` — n-gram start positions in this doc whose n-gram
+      occurs in ≥ 2 DISTINCT documents (each position has exactly one
+      n-gram, so positions are counted once);
+    * ``covered_tokens`` — token indices covered by at least one such
+      duplicated n-gram occurrence (union of the [pos, pos+n) intervals).
+
+    Every document appears in the output (zero stats when nothing is
+    duplicated or the doc has < n tokens).
+
+    Shuffle plan (all reducers LINEAR in their input, unlike the pair
+    generators above): n-gram occurrence rows (gram, doc_id, pos) →
+    groupby(gram) emits (doc_id, pos) only for grams spanning ≥ 2 distinct
+    docs → groupby(doc_id) merges intervals → union with the per-doc token
+    counts and a final Sum over O(#docs) rows.  Per-reducer memory is
+    O(occurrences of ONE n-gram); a boilerplate gram present in most of a
+    100 TB corpus makes one hot group — the scale path splits such grams
+    with the exact-dup pre-collapse (``_rep_docs``) first, like
+    ``ngram_jaccard_pairs``, at the cost of re-expanding stats to group
+    members; here plain occurrences keep the SQL oracle exact."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir)
+
+    def grams(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(tokens_expr().alias("toks"))
+        ex = df.select("doc_id", "toks").explode("toks").drop_nulls("toks")
+        ex = ex.with_columns(
+            pl.int_range(pl.len()).over("doc_id").cast(pl.Int64).alias("pos"))
+        ex = ex.with_columns(
+            *[pl.col("toks").shift(-i).over("doc_id").alias(f"t{i}")
+              for i in range(1, n)])
+        ex = ex.drop_nulls()
+        ex = ex.with_columns(
+            pl.concat_str(
+                [pl.col("toks")] + [pl.col(f"t{i}") for i in range(1, n)],
+                separator=" ",
+            ).alias("gram"))
+        return ex.select("doc_id", "pos", "gram").to_arrow()
+
+    _occ_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                           "pos": pa.array([], pa.int64())})
+
+    def dup_rows(group: pa.Table) -> pa.Table:
+        if "doc_id" not in group.column_names or group.num_rows < 2:
+            return _occ_empty
+        ids = group.column("doc_id").to_numpy()
+        if (ids == ids[0]).all():  # repeated within ONE doc only
+            return _occ_empty
+        return group.select(["doc_id", "pos"])
+
+    _stat_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                            "n_tokens": pa.array([], pa.int64()),
+                            "dup_positions": pa.array([], pa.int64()),
+                            "covered_tokens": pa.array([], pa.int64())})
+
+    def cover(group: pa.Table) -> pa.Table:
+        if "doc_id" not in group.column_names or group.num_rows == 0:
+            return _stat_empty
+        pos = np.sort(group.column("pos").to_numpy().astype(np.int64))
+        # union length of the [p, p+n) intervals: each sorted position
+        # contributes min(gap to next, n); the appended sentinel makes the
+        # last position contribute exactly n
+        covered = int(np.minimum(
+            np.diff(np.concatenate((pos, [pos[-1] + n]))), n).sum())
+        return pa.table({
+            "doc_id": pa.array([int(group.column("doc_id")[0].as_py())],
+                               pa.int64()),
+            "n_tokens": pa.array([0], pa.int64()),
+            "dup_positions": pa.array([len(pos)], pa.int64()),
+            "covered_tokens": pa.array([covered], pa.int64()),
+        })
+
+    per_doc = (
+        docs.map_batches(grams, batch_format="pyarrow")
+        .groupby("gram")
+        .map_groups(dup_rows, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(cover, batch_format="pyarrow")
+    )
+
+    def base(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            pl.col("doc_id"),
+            token_count_expr().cast(pl.Int64).alias("n_tokens"),
+            pl.lit(0, pl.Int64).alias("dup_positions"),
+            pl.lit(0, pl.Int64).alias("covered_tokens"),
+        ).to_arrow()
+
+    return (
+        docs.map_batches(base, batch_format="pyarrow")
+        .union(per_doc)
+        .groupby("doc_id")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                   Sum("dup_positions", alias_name="dup_positions"),
+                   Sum("covered_tokens", alias_name="covered_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
 

@@ -71,6 +71,47 @@ def test_ngram_jaccard(mini_sf):
     assert (0, 2) not in got
 
 
+def test_dup_span_stats(mini_sf):
+    from indri_5_5_ray.functions.dedup import dup_span_stats
+
+    t = dup_span_stats(mini_sf).sort("doc_id").to_pandas()
+    rows = {r.doc_id: (r.n_tokens, r.dup_positions, r.covered_tokens)
+            for r in t.itertuples(index=False)}
+    # docs 0 and 3 are identical (9 tokens, 7 trigram positions): every
+    # position is corpus-duplicated and every token covered
+    assert rows[0] == (9, 7, 9) and rows[3] == (9, 7, 9)
+    # doc 1 shares trigrams at positions 0-5 with docs 0/3 ("the lazy cat"
+    # at position 6 is unique): union of [0,3)..[5,8) covers tokens 0-7
+    assert rows[1] == (9, 6, 8)
+    # docs 2 and 4 share nothing; all docs present in the output
+    assert rows[2] == (6, 0, 0) and rows[4] == (5, 0, 0)
+    assert len(rows) == 5
+
+
+def test_dup_span_stats_oracle_parity(mini_sf):
+    """Ray output == the registered DuckDB oracle on the mini corpus."""
+    import importlib.util
+    import sys
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("__ray_entry__", mod)
+    spec.loader.exec_module(mod)
+    from indri_5_5_ray.functions.dedup import dup_span_stats
+
+    got = dup_span_stats(mini_sf).sort("doc_id").to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{mini_sf}/documents.parquet')")
+    want = con.execute(mod.oracle_sql()["dup_span_stats"]).fetch_df()
+    assert got.astype("int64").reset_index(drop=True).equals(
+        want.astype("int64").reset_index(drop=True))
+
+
 def test_minhash_lsh_finds_exact_dups(mini_sf):
     from indri_5_5_ray.functions.dedup import lsh_candidate_pairs
 
