@@ -1069,6 +1069,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # consumer lsh_candidate_pairs runs the same _minhash_wide /
         # _doc_shingles kernel in-window)
         "dup_span_stats": dedup.dup_span_stats,
+        # NEW r5: the span-REMOVAL transform over the same duplicated-
+        # occurrence exchange (covered-slot spill + range-pruned clean
+        # pass); displaces term_stats — green r1-r4 unchanged; in-window
+        # twin index_term_stats exercises the same map-side-partial +
+        # groupby-finalize shape over the same tokenizer
+        "remove_dup_spans": dedup.remove_dup_spans,
         # --- event-stream operators + curation filters (unchecked in r3:
         # displaced past the driver window; now first so CORRECTNESS_r04
         # finally records them) ---
@@ -1110,7 +1116,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_topk": _rm3_topk,
         # --- text statistics / analysis ---
         "token_counts_bpe": textstats.token_counts_bpe,
-        "term_stats": textstats.term_stats,
         "lang_id": textstats.lang_id,
         "gopher_filter": textstats.gopher_filter,
         # --- sampling / contamination (training-data curation) ---
@@ -1150,6 +1155,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r2-r4 unchanged; lsh_candidate_pairs runs the same _minhash_wide
         # / _doc_shingles kernel in-window)
         "minhash_signatures": dedup.minhash_signatures,
+        # rotated out r5 for remove_dup_spans: term_stats (green r1-r4
+        # unchanged; index_term_stats keeps the map-side-partial +
+        # groupby-finalize shape over the same tokenizer in-window)
+        "term_stats": textstats.term_stats,
         "field_filter_topk": _field_filter_topk,
         "tfidf_topk": lambda sf: _bm25_topk(sf, stem=False, variant="tfidf"),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -2278,6 +2287,42 @@ LEFT JOIN cov USING (doc_id)
 ORDER BY doc_id"""
 
 
+def _remove_spans_sql() -> str:
+    """Oracle for ``remove_dup_spans``: tokens NOT covered by any
+    duplicated n-gram occurrence, re-joined with single spaces (the Ray
+    side's tokenizer-normalized output), plus the removed-token count."""
+    from indri_5_5_ray.functions.dedup import NGRAM_N as n
+
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
+fg AS (SELECT doc_id, i, {gram} AS gram
+       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+             FROM docs WHERE len(t) >= {n})),
+dup AS (SELECT gram FROM fg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+occ AS (SELECT f.doc_id, f.i FROM fg f JOIN dup USING (gram)),
+covs AS (SELECT DISTINCT doc_id, i + k AS slot
+         FROM (SELECT doc_id, i, unnest(generate_series(0, {n - 1})) AS k
+               FROM occ)),
+toku AS (SELECT doc_id, i, t[i] AS tok
+         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+               FROM docs WHERE len(t) >= 1)),
+kept AS (SELECT tk.doc_id, tk.i, tk.tok
+         FROM toku tk LEFT JOIN covs c
+           ON c.doc_id = tk.doc_id AND c.slot = tk.i
+         WHERE c.slot IS NULL),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+        FROM kept GROUP BY doc_id),
+rm AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM covs GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(agg.clean_text, '') AS clean_text,
+       coalesce(rm.n_removed, 0) AS n_removed
+FROM documents d
+LEFT JOIN agg USING (doc_id)
+LEFT JOIN rm USING (doc_id)
+ORDER BY doc_id"""
+
+
 def _minhash_perms_sql() -> str:
     """VALUES table of the engine's affine minhash constants (see
     functions/dedup.py MINHASH_A/B — same integers, exact BIGINT math)."""
@@ -2539,6 +2584,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.doc_id % 97 <> 0
             GROUP BY s.doc_id ORDER BY s.doc_id""",
         "dup_span_stats": _dup_span_sql(),
+        "remove_dup_spans": _remove_spans_sql(),
         "ngram_jaccard_pairs": f"""
             WITH {_SHINGLE_SQL},
             sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),

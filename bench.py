@@ -298,6 +298,9 @@ def run_bench() -> dict:
     for name, fn in [
         ("term_stats", lambda: textstats.term_stats(SF_DIR).count()),
         ("minhash_lsh", lambda: dedup.lsh_candidate_pairs(SF_DIR).count()),
+        # NEW r5: substring-level dedup measure — full gram-occurrence
+        # shuffle + per-doc interval merge (linear reducers)
+        ("dup_spans", lambda: dedup.dup_span_stats(SF_DIR).count()),
         ("knn", lambda: simsearch.knn_bruteforce(SF_DIR).num_rows),
         ("doc_fingerprints", lambda: textstats.doc_fingerprints(SF_DIR).count()),
         ("lm_20q", lambda: [lm.score(process_query_lm(t, reader.cfg), k=100)

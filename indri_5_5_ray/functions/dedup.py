@@ -443,33 +443,12 @@ def doc_shingles(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def dup_span_stats(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
-    """(doc_id, n_tokens, dup_positions, covered_tokens) per document —
-    the substring-duplication measure behind span-level training-data
-    dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
-    Models Better"), at word-``n``-gram granularity:
-
-    * ``dup_positions`` — n-gram start positions in this doc whose n-gram
-      occurs in ≥ 2 DISTINCT documents (each position has exactly one
-      n-gram, so positions are counted once);
-    * ``covered_tokens`` — token indices covered by at least one such
-      duplicated n-gram occurrence (union of the [pos, pos+n) intervals).
-
-    Every document appears in the output (zero stats when nothing is
-    duplicated or the doc has < n tokens).
-
-    Shuffle plan (all reducers LINEAR in their input, unlike the pair
-    generators above): n-gram occurrence rows (gram, doc_id, pos) →
-    groupby(gram) emits (doc_id, pos) only for grams spanning ≥ 2 distinct
-    docs → groupby(doc_id) merges intervals → union with the per-doc token
-    counts and a final Sum over O(#docs) rows.  Per-reducer memory is
-    O(occurrences of ONE n-gram); a boilerplate gram present in most of a
-    100 TB corpus makes one hot group — the scale path splits such grams
-    with the exact-dup pre-collapse (``_rep_docs``) first, like
-    ``ngram_jaccard_pairs``, at the cost of re-expanding stats to group
-    members; here plain occurrences keep the SQL oracle exact."""
-    from ray.data.aggregate import Sum
-
+def _dup_occurrences(sf_dir: str, n: int) -> ray.data.Dataset:
+    """(doc_id, pos) rows — every n-gram start position whose n-gram occurs
+    in ≥ 2 DISTINCT documents (0-based token positions).  Shared by
+    :func:`dup_span_stats` (counts) and :func:`remove_dup_spans` (the
+    transform).  Reducers are linear: groupby(gram) re-emits a group's own
+    rows or nothing."""
     docs = _docs(sf_dir)
 
     def grams(batch: pa.Table) -> pa.Table:
@@ -499,6 +478,40 @@ def dup_span_stats(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
             return _occ_empty
         return group.select(["doc_id", "pos"])
 
+    return (docs.map_batches(grams, batch_format="pyarrow")
+            .groupby("gram")
+            .map_groups(dup_rows, batch_format="pyarrow"))
+
+
+def dup_span_stats(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
+    """(doc_id, n_tokens, dup_positions, covered_tokens) per document —
+    the substring-duplication measure behind span-level training-data
+    dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"), at word-``n``-gram granularity:
+
+    * ``dup_positions`` — n-gram start positions in this doc whose n-gram
+      occurs in ≥ 2 DISTINCT documents (each position has exactly one
+      n-gram, so positions are counted once);
+    * ``covered_tokens`` — token indices covered by at least one such
+      duplicated n-gram occurrence (union of the [pos, pos+n) intervals).
+
+    Every document appears in the output (zero stats when nothing is
+    duplicated or the doc has < n tokens).
+
+    Shuffle plan (all reducers LINEAR in their input, unlike the pair
+    generators above): n-gram occurrence rows (gram, doc_id, pos) →
+    groupby(gram) emits (doc_id, pos) only for grams spanning ≥ 2 distinct
+    docs → groupby(doc_id) merges intervals → union with the per-doc token
+    counts and a final Sum over O(#docs) rows.  Per-reducer memory is
+    O(occurrences of ONE n-gram); a boilerplate gram present in most of a
+    100 TB corpus makes one hot group — the scale path splits such grams
+    with the exact-dup pre-collapse (``_rep_docs``) first, like
+    ``ngram_jaccard_pairs``, at the cost of re-expanding stats to group
+    members; here plain occurrences keep the SQL oracle exact."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir)
+
     _stat_empty = pa.table({"doc_id": pa.array([], pa.int64()),
                             "n_tokens": pa.array([], pa.int64()),
                             "dup_positions": pa.array([], pa.int64()),
@@ -522,9 +535,7 @@ def dup_span_stats(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
         })
 
     per_doc = (
-        docs.map_batches(grams, batch_format="pyarrow")
-        .groupby("gram")
-        .map_groups(dup_rows, batch_format="pyarrow")
+        _dup_occurrences(sf_dir, n)
         .groupby("doc_id")
         .map_groups(cover, batch_format="pyarrow")
     )
@@ -546,6 +557,114 @@ def dup_span_stats(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
                    Sum("dup_positions", alias_name="dup_positions"),
                    Sum("covered_tokens", alias_name="covered_tokens"))
     )
+
+
+_SPAN_SPILL_VERSION = "v1"
+
+
+def remove_dup_spans(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
+    """(doc_id, clean_text, n_removed) — the span-removal transform of
+    Lee et al. 2021 at word-``n``-gram granularity: every token covered by
+    a corpus-duplicated n-gram (one occurring in ≥ 2 distinct documents)
+    is dropped; ``clean_text`` is the surviving tokens joined by single
+    spaces (tokenizer-normalized output, like the reference's stopper —
+    original whitespace is not preserved) and ``n_removed`` counts the
+    dropped tokens.  Every document appears in the output.
+
+    Shuffle plan: the shared :func:`_dup_occurrences` exchange → a
+    groupby(doc_id) that writes COVERED-SLOT shards directly to a
+    content-keyed spill dir (doc-range sharded, never driver-resident —
+    the same filesystem-broadcast pattern as :func:`_dup_groups`) → a
+    map-only pass over the corpus that range-prunes the spill per batch,
+    anti-joins covered slots and reassembles the text.  Spill size is
+    O(covered positions of duplicated docs); each clean task reads only
+    the shards overlapping its batch's doc range."""
+    import json
+
+    from ..cachedir import ensure_cached_dir, source_key
+
+    def build(tmp: str) -> None:
+        cov_dir = f"{tmp}/cov"
+        os.makedirs(cov_dir)
+        _slots_empty = pa.table({"rows": pa.array([], pa.int64())})
+
+        def slots_of_doc(group: pa.Table) -> pa.Table:
+            if "doc_id" not in group.column_names or group.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "slot": pa.array([], pa.int64())})
+            pos = group.column("pos").to_numpy().astype(np.int64)
+            slots = np.unique((pos[:, None] + np.arange(n)).ravel())
+            did = int(group.column("doc_id")[0].as_py())
+            return pa.table({
+                "doc_id": pa.array(np.full(len(slots), did), pa.int64()),
+                "slot": pa.array(slots, pa.int64()),
+            })
+
+        def write_shard(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            if batch.num_rows == 0:
+                return _slots_empty
+            lo = int(batch.column("doc_id").to_numpy().min())
+            pq.write_table(batch, f"{cov_dir}/cov-{lo:012d}.parquet",
+                           row_group_size=16384)
+            return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+        (_dup_occurrences(sf_dir, n)
+         .groupby("doc_id")
+         .map_groups(slots_of_doc, batch_format="pyarrow")
+         .map_batches(write_shard, batch_format="pyarrow")
+         .materialize())
+        if not os.listdir(cov_dir):  # keep the dataset readable when empty
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table({"doc_id": pa.array([], pa.int64()),
+                          "slot": pa.array([], pa.int64())}),
+                f"{cov_dir}/cov-empty.parquet")
+        with open(f"{tmp}/meta.json", "w") as f:
+            json.dump({"n": n}, f)
+
+    spill = ensure_cached_dir(
+        "/tmp/indri55_dupspans",
+        source_key(f"{sf_dir}/documents.parquet",
+                   f"{_SPAN_SPILL_VERSION}-n{n}"),
+        build, marker="meta.json")
+    cov_path = f"{spill}/cov"
+
+    def clean(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "clean_text": pa.array([], pa.string()),
+                          "n_removed": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        ids = batch.column("doc_id").to_numpy()
+        lo, hi = int(ids.min()), int(ids.max())
+        cov = pl.from_arrow(
+            pads.dataset(cov_path, format="parquet").to_table(
+                filter=(pads.field("doc_id") >= lo)
+                & (pads.field("doc_id") <= hi)))
+        ex = (pl.from_arrow(batch)
+              .select("doc_id", tokens_expr().alias("toks"))
+              .explode("toks").drop_nulls("toks")
+              .with_columns(pl.int_range(pl.len()).over("doc_id")
+                            .cast(pl.Int64).alias("slot")))
+        kept = (ex.join(cov, on=["doc_id", "slot"], how="anti")
+                .sort("doc_id", "slot")
+                .group_by("doc_id", maintain_order=True)
+                .agg(pl.col("toks").str.join(" ").alias("clean_text")))
+        removed = cov.group_by("doc_id").agg(
+            pl.len().cast(pl.Int64).alias("n_removed"))
+        out = (pl.from_arrow(batch).select("doc_id")
+               .join(kept, on="doc_id", how="left")
+               .join(removed, on="doc_id", how="left")
+               .with_columns(pl.col("clean_text").fill_null(""),
+                             pl.col("n_removed").fill_null(0)))
+        return out.to_arrow()
+
+    return _docs(sf_dir).map_batches(clean, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -88,8 +88,23 @@ def test_dup_span_stats(mini_sf):
     assert len(rows) == 5
 
 
-def test_dup_span_stats_oracle_parity(mini_sf):
-    """Ray output == the registered DuckDB oracle on the mini corpus."""
+def test_remove_dup_spans(mini_sf):
+    from indri_5_5_ray.functions.dedup import remove_dup_spans
+
+    t = remove_dup_spans(mini_sf).sort("doc_id").to_pandas()
+    rows = {r.doc_id: (r.clean_text, r.n_removed)
+            for r in t.itertuples(index=False)}
+    # identical docs 0/3: every token covered → everything removed
+    assert rows[0] == ("", 9) and rows[3] == ("", 9)
+    # doc 1: only the final token survives the covered [0,8) prefix
+    assert rows[1] == ("cat", 8)
+    # non-duplicated docs come back tokenizer-normalized, nothing removed
+    assert rows[2] == ("completely different words entirely here now", 0)
+    assert rows[4] == ("another unrelated document about databases", 0)
+
+
+def test_dup_span_oracle_parity(mini_sf):
+    """Ray output == the registered DuckDB oracles on the mini corpus."""
     import importlib.util
     import sys
 
@@ -100,16 +115,21 @@ def test_dup_span_stats_oracle_parity(mini_sf):
     mod = importlib.util.module_from_spec(spec)
     sys.modules.setdefault("__ray_entry__", mod)
     spec.loader.exec_module(mod)
-    from indri_5_5_ray.functions.dedup import dup_span_stats
+    from indri_5_5_ray.functions.dedup import dup_span_stats, remove_dup_spans
 
-    got = dup_span_stats(mini_sf).sort("doc_id").to_pandas()
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{mini_sf}/documents.parquet')")
+
+    got = dup_span_stats(mini_sf).sort("doc_id").to_pandas()
     want = con.execute(mod.oracle_sql()["dup_span_stats"]).fetch_df()
     assert got.astype("int64").reset_index(drop=True).equals(
         want.astype("int64").reset_index(drop=True))
+
+    got2 = remove_dup_spans(mini_sf).sort("doc_id").to_pandas()
+    want2 = con.execute(mod.oracle_sql()["remove_dup_spans"]).fetch_df()
+    assert got2.reset_index(drop=True).equals(want2.reset_index(drop=True))
 
 
 def test_minhash_lsh_finds_exact_dups(mini_sf):
