@@ -1075,6 +1075,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twin index_term_stats exercises the same map-side-partial +
         # groupby-finalize shape over the same tokenizer
         "remove_dup_spans": dedup.remove_dup_spans,
+        # NEW r5: CCNet-style unigram-LM cross-entropy (the quality signal
+        # behind LM-score-and-bucket filtering); one vocab exchange +
+        # filesystem-broadcast join, exact SQL oracle (displaces
+        # lsh_ann_full_probe — green r3-r4 unchanged; in-window twins
+        # ivf_ann_full_probe [same full-probe≡brute-force contract +
+        # distributed partial top-k merge] and knn_bruteforce [same
+        # normalized-cosine kernel] stay)
+        "unigram_logprob": textstats.unigram_logprob,
         # --- event-stream operators + curation filters (unchecked in r3:
         # displaced past the driver window; now first so CORRECTNESS_r04
         # finally records them) ---
@@ -1134,8 +1142,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # selectivity is pytest-verified (rows-only entries in the tail)
         "ivf_ann_full_probe": lambda sf: simsearch.ivf_ann_topk(
             sf, n_centroids=8, nprobe=8),
-        "lsh_ann_full_probe": lambda sf: simsearch.lsh_ann_topk(
-            sf, probe_bits=12),  # all 2^12 buckets probed ≡ brute force
         # ---------------- position 51+: outside the driver window ----------
         # rotated out r5 (each hash-green 2+ rounds on an unchanged path
         # with an in-window kernel twin): tumbling_counts↔hopping_counts,
@@ -1159,6 +1165,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unchanged; index_term_stats keeps the map-side-partial +
         # groupby-finalize shape over the same tokenizer in-window)
         "term_stats": textstats.term_stats,
+        # rotated out r5 for unigram_logprob: lsh_ann_full_probe (green
+        # r3-r4 unchanged; in-window twins ivf_ann_full_probe + knn_
+        # bruteforce cover the full-probe contract and the cosine kernel)
+        "lsh_ann_full_probe": lambda sf: simsearch.lsh_ann_topk(
+            sf, probe_bits=12),  # all 2^12 buckets probed ≡ brute force
         "field_filter_topk": _field_filter_topk,
         "tfidf_topk": lambda sf: _bm25_topk(sf, stem=False, variant="tfidf"),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -2585,6 +2596,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.doc_id ORDER BY s.doc_id""",
         "dup_span_stats": _dup_span_sql(),
         "remove_dup_spans": _remove_spans_sql(),
+        "unigram_logprob": f"""
+WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM docs),
+cf AS (SELECT term, count(*)::DOUBLE AS cf FROM tok GROUP BY term),
+tot AS (SELECT sum(cf) AS total FROM cf),
+lp AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens, sum(ln(c.cf)) AS s
+       FROM tok t JOIN cf c USING (term) GROUP BY t.doc_id)
+SELECT d.doc_id,
+       coalesce(lp.n_tokens, 0) AS n_tokens,
+       CASE WHEN lp.n_tokens > 0
+            THEN ln((SELECT total FROM tot)) - lp.s / lp.n_tokens
+            ELSE 0.0 END AS cross_entropy
+FROM documents d LEFT JOIN lp USING (doc_id)
+ORDER BY d.doc_id""",
         "ngram_jaccard_pairs": f"""
             WITH {_SHINGLE_SQL},
             sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),

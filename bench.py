@@ -226,6 +226,12 @@ def run_bench() -> dict:
         _sh.rmtree("/tmp/indri55_pagerank", ignore_errors=True)
         return linkgraph.pagerank_scores(SF_DIR).count()
 
+    def _unigram_fresh() -> int:
+        import shutil as _sh
+
+        _sh.rmtree("/tmp/indri55_uniglm", ignore_errors=True)
+        return textstats.unigram_logprob(SF_DIR).count()
+
     def _warc_parse() -> int:
         from indri_5_5_ray.sources import webarchive
         return webarchive.read_warc(_warc_files).count()
@@ -301,6 +307,10 @@ def run_bench() -> dict:
         # NEW r5: substring-level dedup measure — full gram-occurrence
         # shuffle + per-doc interval merge (linear reducers)
         ("dup_spans", lambda: dedup.dup_span_stats(SF_DIR).count()),
+        # NEW r5: CCNet-style unigram-LM cross-entropy — vocab exchange +
+        # spill + broadcast-join map pass (spill cache cleared first so the
+        # row times the whole pipeline, not a warm reuse)
+        ("unigram_logprob", _unigram_fresh),
         ("knn", lambda: simsearch.knn_bruteforce(SF_DIR).num_rows),
         ("doc_fingerprints", lambda: textstats.doc_fingerprints(SF_DIR).count()),
         ("lm_20q", lambda: [lm.score(process_query_lm(t, reader.cfg), k=100)

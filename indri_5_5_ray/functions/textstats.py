@@ -13,6 +13,9 @@ exercised by the index pipelines (see pipelines/build.py).
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import numpy as np
 import polars as pl
 import pyarrow as pa
@@ -433,3 +436,110 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
         return out.to_arrow().cast(empty.schema)
 
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram LM scoring
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_VERSION = "v1"
+_UNIGRAM_MEMO: dict[str, pl.DataFrame] = {}
+
+
+def unigram_logprob(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens, cross_entropy) — per-document cross-entropy in
+    nats under the corpus' OWN maximum-likelihood unigram LM: the quality
+    signal behind CCNet's LM-score-and-bucket filtering (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data"; there the LM is external — using the corpus MLE keeps
+    the DuckDB oracle exact and needs no model file).
+
+    ``cross_entropy = ln(total) - (Σ_t ln cf(t)) / n`` over the doc's
+    ``n`` tokens; every token's cf ≥ 1 by construction (its own
+    occurrence), so no OOV smoothing arises.  Zero-token docs score 0.0.
+    Low values = repetitive / high-frequency text, high values = rare-
+    token soup; CCNet buckets docs by this into head/middle/tail.
+
+    Shuffle plan: ONE vocab-sized exchange (the ``term_stats``
+    map-side-partial + groupby finalize), spilled once to a content-keyed
+    parquet dir and memoized per worker as a polars frame (the same
+    filesystem-broadcast pattern as the dedup group spill) — the corpus
+    pass is then map-only: explode, join, per-doc sum.  Per-worker memory
+    is O(vocab); for a corpus whose vocab outgrows a worker, swap the
+    broadcast join for a groupby(term) co-group of (doc_id, term, tf)
+    rows with the cf table (two shuffles over O(doc-term pairs))."""
+    import json
+
+    from ..cachedir import ensure_cached_dir, source_key
+
+    def build(tmp: str) -> None:
+        import pyarrow.parquet as pq
+
+        vocab_dir = f"{tmp}/vocab"
+        os.makedirs(vocab_dir)
+        _done = pa.table({"rows": pa.array([], pa.int64())})
+
+        def shard(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _done
+            tag = hashlib.md5(batch.column("term")[0].as_py().encode()
+                              ).hexdigest()[:12]
+            pq.write_table(batch.select(["term", "cf"]),
+                           f"{vocab_dir}/vocab-{tag}.parquet")
+            return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+        (term_stats(sf_dir)
+         .map_batches(shard, batch_format="pyarrow")
+         .materialize())
+        if not os.listdir(vocab_dir):  # all-empty corpus stays readable
+            pq.write_table(pa.table({"term": pa.array([], pa.string()),
+                                     "cf": pa.array([], pa.int64())}),
+                           f"{vocab_dir}/vocab-empty.parquet")
+        import pyarrow.dataset as pads
+
+        cf = pads.dataset(vocab_dir, format="parquet").to_table(
+            columns=["cf"])
+        total = int(pl.from_arrow(cf)["cf"].sum() or 0)
+        with open(f"{tmp}/meta.json", "w") as f:
+            json.dump({"total": total}, f)
+
+    spill = ensure_cached_dir(
+        "/tmp/indri55_uniglm",
+        source_key(f"{sf_dir}/documents.parquet", _UNIGRAM_VERSION),
+        build, marker="meta.json")
+    with open(f"{spill}/meta.json") as f:
+        total = json.load(f)["total"]
+    vocab_dir = f"{spill}/vocab"
+    ln_total = float(np.log(total)) if total else 0.0
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = _UNIGRAM_MEMO.get(vocab_dir)
+        if vocab is None:
+            import pyarrow.dataset as pads
+
+            while len(_UNIGRAM_MEMO) >= 2:  # bounded across interleaved sf
+                _UNIGRAM_MEMO.pop(next(iter(_UNIGRAM_MEMO)))
+            t = pads.dataset(vocab_dir, format="parquet").to_table()
+            vocab = (pl.from_arrow(t)
+                     .with_columns(pl.col("cf").cast(pl.Float64).log()
+                                   .alias("lncf"))
+                     .select("term", "lncf"))
+            _UNIGRAM_MEMO[vocab_dir] = vocab
+        df = pl.from_arrow(batch)
+        per = (df.select("doc_id", tokens_expr().alias("term"))
+               .explode("term").drop_nulls("term")
+               .join(vocab, on="term", how="left")
+               .group_by("doc_id")
+               .agg(pl.len().cast(pl.Int64).alias("n_tokens"),
+                    pl.col("lncf").sum().alias("s")))
+        out = (df.select("doc_id")
+               .join(per, on="doc_id", how="left")
+               .with_columns(pl.col("n_tokens").fill_null(0))
+               .with_columns(
+                   pl.when(pl.col("n_tokens") > 0)
+                   .then(ln_total - pl.col("s") / pl.col("n_tokens"))
+                   .otherwise(0.0).alias("cross_entropy"))
+               .select("doc_id", "n_tokens", "cross_entropy"))
+        return out.to_arrow()
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")

@@ -534,3 +534,45 @@ def test_fingerprint_dup_pairs_brute_force():
            for r in fingerprint_dup_pairs(sf).take_all()}
     assert got == want
     assert want  # the fixture corpus actually produces shared-span pairs
+
+
+def test_unigram_logprob(mini_sf):
+    """Hand-computed cross-entropy on the mini corpus + oracle parity."""
+    import duckdb
+    import importlib.util
+    import sys
+    from collections import Counter
+
+    from indri_5_5_ray.functions.textstats import unigram_logprob
+
+    got = unigram_logprob(mini_sf).sort("doc_id").to_pandas()
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different words entirely here now",
+        "the quick brown fox jumps over the lazy dog",
+        "another unrelated document about databases",
+    ]
+    cf = Counter(t for s in texts for t in s.split())
+    total = sum(cf.values())
+    for i, s in enumerate(texts):
+        toks = s.split()
+        want = np.log(total) - sum(np.log(cf[t]) for t in toks) / len(toks)
+        assert got.n_tokens[i] == len(toks)
+        assert abs(got.cross_entropy[i] - want) < 1e-9
+    # the shared 8-token prefix makes the dup docs lower-entropy than the
+    # all-unique-token docs (the CCNet head/tail ordering)
+    assert got.cross_entropy[0] < got.cross_entropy[2]
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("__ray_entry__", mod)
+    spec.loader.exec_module(mod)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{mini_sf}/documents.parquet')")
+    want_df = con.execute(mod.oracle_sql()["unigram_logprob"]).fetch_df()
+    assert (got.doc_id.values == want_df.doc_id.values).all()
+    assert (got.n_tokens.values == want_df.n_tokens.values).all()
+    assert np.allclose(got.cross_entropy, want_df.cross_entropy, atol=1e-9)
