@@ -543,3 +543,72 @@ def unigram_logprob(sf_dir: str) -> ray.data.Dataset:
         return out.to_arrow()
 
     return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def ccnet_buckets(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """(doc_id, n_tokens, cross_entropy, bucket) — CCNet's head/middle/tail
+    split (Wenzek et al. 2020 §4.4): documents ranked by LM cross-entropy
+    (ascending — fluent text first) and cut into ``k`` equal-rank buckets,
+    bucket 1 = head.  Assignment is EXACT ntile semantics (the first
+    ``n mod k`` buckets take one extra row), tie-broken by doc_id, so the
+    DuckDB ``ntile(k) OVER (ORDER BY cross_entropy, doc_id)`` oracle
+    matches row for row.
+
+    Shape: :func:`unigram_logprob` (one vocab exchange + map-only scoring)
+    → ONE sort of the per-doc stats table (4 narrow columns, O(#docs) —
+    tiny next to the corpus) → the ``pack_shards`` prefix-sum: per-block
+    (key range, count) triples to the driver, blocks ordered by their
+    disjoint (cross_entropy, doc_id) ranges, an exclusive scan gives each
+    block's global start rank, and buckets are assigned per block from
+    rank arithmetic.  No driver-resident rows, no second shuffle."""
+    per = (unigram_logprob(sf_dir)
+           .sort(["cross_entropy", "doc_id"])
+           .materialize())
+    refs = per.to_arrow_refs()
+
+    @ray.remote
+    def block_stats(t: pa.Table):
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return None
+        ce = t.column("cross_entropy").to_numpy()
+        did = t.column("doc_id").to_numpy()
+        keys = list(zip(ce.tolist(), did.tolist()))
+        if any(b <= a for a, b in zip(keys, keys[1:])):
+            return "unsorted"
+        return (keys[0], keys[-1], t.num_rows)
+
+    stats = ray.get([block_stats.remote(r) for r in refs])
+    if any(s == "unsorted" for s in stats):
+        raise ValueError("ccnet_buckets: a sorted block is internally "
+                         "unsorted (duplicate doc_id?)")
+    nonempty = [i for i, s in enumerate(stats) if s is not None]
+    order = sorted(nonempty, key=lambda i: stats[i][0])
+    prev = None
+    for i in order:
+        lo, hi, _ = stats[i]
+        if prev is not None and lo <= prev:
+            raise ValueError("ccnet_buckets: block key ranges overlap "
+                             "(duplicate doc_id?)")
+        prev = hi
+    counts = [stats[i][2] for i in order]
+    n = int(sum(counts))
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    q, rem = divmod(n, k)
+
+    @ray.remote
+    def assign(t: pa.Table, start: int) -> pa.Table:
+        r = start + np.arange(t.num_rows, dtype=np.int64)
+        big = rem * (q + 1)  # ranks below this sit in the q+1-sized buckets
+        b = np.where(r < big, r // max(q + 1, 1),
+                     rem + (r - big) // max(q, 1))
+        return t.append_column("bucket", pa.array(b + 1, pa.int64()))
+
+    out_refs = [assign.remote(refs[i], int(s))
+                for i, s in zip(order, starts)]
+    if not out_refs:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cross_entropy": pa.array([], pa.float64()),
+            "bucket": pa.array([], pa.int64())}))
+    return ray.data.from_arrow_refs(out_refs)

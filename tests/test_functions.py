@@ -576,3 +576,48 @@ def test_unigram_logprob(mini_sf):
     assert (got.doc_id.values == want_df.doc_id.values).all()
     assert (got.n_tokens.values == want_df.n_tokens.values).all()
     assert np.allclose(got.cross_entropy, want_df.cross_entropy, atol=1e-9)
+
+
+def test_ccnet_buckets(mini_sf):
+    """Exact ntile semantics vs DuckDB on the mini corpus (n=5, k=3 →
+    sizes 2/2/1) and identical-text docs ranked adjacently by doc_id."""
+    import duckdb
+    import importlib.util
+    import sys
+
+    from indri_5_5_ray.functions.textstats import ccnet_buckets
+
+    got = ccnet_buckets(mini_sf).sort("doc_id").to_pandas()
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("__ray_entry__", mod)
+    spec.loader.exec_module(mod)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{mini_sf}/documents.parquet')")
+    want = con.execute(mod.oracle_sql()["ccnet_buckets"]).fetch_df()
+    assert (got.doc_id.values == want.doc_id.values).all()
+    assert (got.bucket.values == want.bucket.values).all()
+    assert sorted(got.bucket.value_counts().values, reverse=True) == [2, 2, 1]
+    # exact dups 0/3 have identical cross_entropy; doc_id breaks the tie
+    ce = got.set_index("doc_id").cross_entropy
+    assert ce[0] == ce[3]
+
+
+def test_ccnet_buckets_fewer_docs_than_buckets(tmp_path):
+    """n < k: ntile gives the first n buckets one row each."""
+    import pyarrow.parquet as pq
+
+    from indri_5_5_ray.functions.textstats import ccnet_buckets
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["alpha beta", "alpha alpha alpha"]),
+    }), d / "documents.parquet")
+    t = ccnet_buckets(str(d), k=3).sort("doc_id").to_pandas()
+    # doc 1 is all high-cf tokens → lower cross-entropy → bucket 1 (head)
+    by_doc = t.set_index("doc_id").bucket
+    assert by_doc[1] == 1 and by_doc[0] == 2
