@@ -443,13 +443,39 @@ def doc_shingles(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
+# docs per doc-range bucket in the span pipelines: bounds one reduce
+# group's rows (≤ 64k docs' duplicated positions) at ANY corpus size and
+# makes spill shards contiguous doc ranges (perfect min/max pruning)
+_SPAN_DOC_RANGE = 1 << 16
+
+
+def _span_gram_buckets(sf_dir: str) -> int:
+    """Gram-hash bucket count for the span exchange, sized by input bytes
+    (~32 MB of compressed corpus per bucket, floor 256): one reduce GROUP
+    is one bucket, so bucket count — not gram count — bounds both the
+    per-group materialization and the per-group Python dispatch cost (the
+    same coarse-group trick as the LSH bprefix)."""
+    try:
+        size = os.path.getsize(f"{sf_dir}/documents.parquet")
+    except OSError:
+        return 256
+    return max(256, int(size // (32 << 20)))
+
+
 def _dup_occurrences(sf_dir: str, n: int) -> ray.data.Dataset:
     """(doc_id, pos) rows — every n-gram start position whose n-gram occurs
     in ≥ 2 DISTINCT documents (0-based token positions).  Shared by
     :func:`dup_span_stats` (counts) and :func:`remove_dup_spans` (the
-    transform).  Reducers are linear: groupby(gram) re-emits a group's own
-    rows or nothing."""
+    transform).
+
+    The exchange groups by a HASH BUCKET of the gram (``gb``), not the
+    gram itself: all occurrences of one gram land in one bucket (the
+    polars hash is deterministic within a cluster's polars version), the
+    per-bucket kernel is one vectorized group_by/semi-join, and Python
+    group dispatch costs one call per bucket instead of one per distinct
+    gram — at 50k docs that was the difference between 16 s and 1 s."""
     docs = _docs(sf_dir)
+    n_buckets = _span_gram_buckets(sf_dir)
 
     def grams(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch).with_columns(tokens_expr().alias("toks"))
@@ -465,21 +491,28 @@ def _dup_occurrences(sf_dir: str, n: int) -> ray.data.Dataset:
                 [pl.col("toks")] + [pl.col(f"t{i}") for i in range(1, n)],
                 separator=" ",
             ).alias("gram"))
-        return ex.select("doc_id", "pos", "gram").to_arrow()
+        ex = ex.with_columns(
+            (pl.col("gram").hash(seed=0) % n_buckets)
+            .cast(pl.Int32).alias("gb"))
+        return ex.select("doc_id", "pos", "gram", "gb").to_arrow()
 
     _occ_empty = pa.table({"doc_id": pa.array([], pa.int64()),
                            "pos": pa.array([], pa.int64())})
 
     def dup_rows(group: pa.Table) -> pa.Table:
+        # one hash bucket of grams: vectorized distinct-doc filter
         if "doc_id" not in group.column_names or group.num_rows < 2:
             return _occ_empty
-        ids = group.column("doc_id").to_numpy()
-        if (ids == ids[0]).all():  # repeated within ONE doc only
-            return _occ_empty
-        return group.select(["doc_id", "pos"])
+        df = pl.from_arrow(group)
+        keep = (df.group_by("gram")
+                .agg(pl.col("doc_id").n_unique().alias("nd"))
+                .filter(pl.col("nd") >= 2)
+                .select("gram"))
+        return (df.join(keep, on="gram", how="semi")
+                .select("doc_id", "pos").to_arrow())
 
     return (docs.map_batches(grams, batch_format="pyarrow")
-            .groupby("gram")
+            .groupby("gb")
             .map_groups(dup_rows, batch_format="pyarrow"))
 
 
@@ -499,17 +532,21 @@ def dup_span_stats(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
     duplicated or the doc has < n tokens).
 
     Shuffle plan (all reducers LINEAR in their input, unlike the pair
-    generators above): n-gram occurrence rows (gram, doc_id, pos) →
-    groupby(gram) emits (doc_id, pos) only for grams spanning ≥ 2 distinct
-    docs → groupby(doc_id) merges intervals → union with the per-doc token
-    counts and a final Sum over O(#docs) rows.  Per-reducer memory is
-    O(occurrences of ONE n-gram); a boilerplate gram present in most of a
-    100 TB corpus makes one hot group — the scale path splits such grams
-    with the exact-dup pre-collapse (``_rep_docs``) first, like
-    ``ngram_jaccard_pairs``, at the cost of re-expanding stats to group
-    members; here plain occurrences keep the SQL oracle exact."""
-    from ray.data.aggregate import Sum
-
+    generators above): n-gram occurrence rows (gram, doc_id, pos, gb) →
+    groupby(gram bucket) emits (doc_id, pos) only for grams spanning ≥ 2
+    distinct docs → groupby(doc-RANGE bucket) merges intervals per doc
+    (vectorized polars agg over ≤ 64k docs per group) → union with the
+    per-doc token counts and a final doc-range-bucketed vectorized sum
+    (Ray's generic Sum aggregate dispatches per group — 50k doc groups
+    cost seconds; one polars group_by per 64k-doc bucket costs ms) over
+    O(#docs) rows.  Per-reducer
+    memory is one bucket's rows (bytes-scaled gram buckets / fixed 64k-doc
+    ranges), never the corpus; a boilerplate gram present in most of a
+    100 TB corpus still concentrates its occurrence rows in one bucket —
+    the scale path splits such grams with the exact-dup pre-collapse
+    (``_rep_docs``) first, like ``ngram_jaccard_pairs``, at the cost of
+    re-expanding stats to group members; here plain occurrences keep the
+    SQL oracle exact."""
     docs = _docs(sf_dir)
 
     _stat_empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -518,25 +555,31 @@ def dup_span_stats(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
                             "covered_tokens": pa.array([], pa.int64())})
 
     def cover(group: pa.Table) -> pa.Table:
+        # one 64k-doc range: per-doc interval union, fully vectorized —
+        # each sorted position contributes min(gap to next, n); the last
+        # one contributes exactly n (fill_null after shift)
         if "doc_id" not in group.column_names or group.num_rows == 0:
             return _stat_empty
-        pos = np.sort(group.column("pos").to_numpy().astype(np.int64))
-        # union length of the [p, p+n) intervals: each sorted position
-        # contributes min(gap to next, n); the appended sentinel makes the
-        # last position contribute exactly n
-        covered = int(np.minimum(
-            np.diff(np.concatenate((pos, [pos[-1] + n]))), n).sum())
-        return pa.table({
-            "doc_id": pa.array([int(group.column("doc_id")[0].as_py())],
-                               pa.int64()),
-            "n_tokens": pa.array([0], pa.int64()),
-            "dup_positions": pa.array([len(pos)], pa.int64()),
-            "covered_tokens": pa.array([covered], pa.int64()),
-        })
+        out = (pl.from_arrow(group)
+               .group_by("doc_id")
+               .agg(pl.lit(0, pl.Int64).alias("n_tokens"),
+                    pl.len().cast(pl.Int64).alias("dup_positions"),
+                    pl.col("pos").sort().diff().shift(-1).fill_null(n)
+                    .clip(upper_bound=n).sum().cast(pl.Int64)
+                    .alias("covered_tokens")))
+        return out.select("doc_id", "n_tokens", "dup_positions",
+                          "covered_tokens").to_arrow()
+
+    def range_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("db", pa.array([], pa.int64()))
+        db = batch.column("doc_id").to_numpy() // _SPAN_DOC_RANGE
+        return batch.append_column("db", pa.array(db, pa.int64()))
 
     per_doc = (
         _dup_occurrences(sf_dir, n)
-        .groupby("doc_id")
+        .map_batches(range_bucket, batch_format="pyarrow")
+        .groupby("db")
         .map_groups(cover, batch_format="pyarrow")
     )
 
@@ -549,13 +592,25 @@ def dup_span_stats(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
             pl.lit(0, pl.Int64).alias("covered_tokens"),
         ).to_arrow()
 
+    def final_sum(group: pa.Table) -> pa.Table:
+        # one 64k-doc range: merge the zero-stat base row with the cover
+        # row (when present) in a single vectorized group_by
+        if "doc_id" not in group.column_names or group.num_rows == 0:
+            return _stat_empty
+        out = (pl.from_arrow(group.drop_columns(["db"]))
+               .group_by("doc_id")
+               .agg(pl.col("n_tokens").sum(),
+                    pl.col("dup_positions").sum(),
+                    pl.col("covered_tokens").sum()))
+        return out.select("doc_id", "n_tokens", "dup_positions",
+                          "covered_tokens").to_arrow()
+
     return (
         docs.map_batches(base, batch_format="pyarrow")
         .union(per_doc)
-        .groupby("doc_id")
-        .aggregate(Sum("n_tokens", alias_name="n_tokens"),
-                   Sum("dup_positions", alias_name="dup_positions"),
-                   Sum("covered_tokens", alias_name="covered_tokens"))
+        .map_batches(range_bucket, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(final_sum, batch_format="pyarrow")
     )
 
 
@@ -572,13 +627,15 @@ def remove_dup_spans(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
     dropped tokens.  Every document appears in the output.
 
     Shuffle plan: the shared :func:`_dup_occurrences` exchange → a
-    groupby(doc_id) that writes COVERED-SLOT shards directly to a
-    content-keyed spill dir (doc-range sharded, never driver-resident —
-    the same filesystem-broadcast pattern as :func:`_dup_groups`) → a
-    map-only pass over the corpus that range-prunes the spill per batch,
-    anti-joins covered slots and reassembles the text.  Spill size is
-    O(covered positions of duplicated docs); each clean task reads only
-    the shards overlapping its batch's doc range."""
+    groupby(doc-RANGE bucket) whose group fn computes each doc's covered
+    slots VECTORIZED over its ≤ 64k-doc range and writes the shard
+    directly to a content-keyed spill dir (doc-range sharded, never
+    driver-resident — the same filesystem-broadcast pattern as
+    :func:`_dup_groups`) → a map-only pass over the corpus that
+    range-prunes the spill per batch, anti-joins covered slots and
+    reassembles the text.  Spill size is O(covered positions of
+    duplicated docs); each clean task reads only the shards overlapping
+    its batch's doc range."""
     import json
 
     from ..cachedir import ensure_cached_dir, source_key
@@ -588,32 +645,37 @@ def remove_dup_spans(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
         os.makedirs(cov_dir)
         _slots_empty = pa.table({"rows": pa.array([], pa.int64())})
 
-        def slots_of_doc(group: pa.Table) -> pa.Table:
-            if "doc_id" not in group.column_names or group.num_rows == 0:
-                return pa.table({"doc_id": pa.array([], pa.int64()),
-                                 "slot": pa.array([], pa.int64())})
-            pos = group.column("pos").to_numpy().astype(np.int64)
-            slots = np.unique((pos[:, None] + np.arange(n)).ravel())
-            did = int(group.column("doc_id")[0].as_py())
-            return pa.table({
-                "doc_id": pa.array(np.full(len(slots), did), pa.int64()),
-                "slot": pa.array(slots, pa.int64()),
-            })
-
-        def write_shard(batch: pa.Table) -> pa.Table:
+        def write_range_shard(group: pa.Table) -> pa.Table:
+            # one 64k-doc range: expand [pos, pos+n) per occurrence, then
+            # one unique over (local doc, slot) packed into int64 — local
+            # ids fit 16 bits, slots (token offsets in one doc) fit 32
             import pyarrow.parquet as pq
 
-            if batch.num_rows == 0:
+            if "doc_id" not in group.column_names or group.num_rows == 0:
                 return _slots_empty
-            lo = int(batch.column("doc_id").to_numpy().min())
-            pq.write_table(batch, f"{cov_dir}/cov-{lo:012d}.parquet",
+            ids = group.column("doc_id").to_numpy().astype(np.int64)
+            pos = group.column("pos").to_numpy().astype(np.int64)
+            lo = (int(ids.min()) // _SPAN_DOC_RANGE) * _SPAN_DOC_RANGE
+            key = ((ids - lo) << 40)[:, None] + pos[:, None] + np.arange(n)
+            uk = np.unique(key.ravel())
+            out = pa.table({
+                "doc_id": pa.array((uk >> 40) + lo, pa.int64()),
+                "slot": pa.array(uk & ((1 << 40) - 1), pa.int64()),
+            })
+            pq.write_table(out, f"{cov_dir}/cov-{lo:012d}.parquet",
                            row_group_size=16384)
-            return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+            return pa.table({"rows": pa.array([out.num_rows], pa.int64())})
+
+        def range_bucket(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("db", pa.array([], pa.int64()))
+            db = batch.column("doc_id").to_numpy() // _SPAN_DOC_RANGE
+            return batch.append_column("db", pa.array(db, pa.int64()))
 
         (_dup_occurrences(sf_dir, n)
-         .groupby("doc_id")
-         .map_groups(slots_of_doc, batch_format="pyarrow")
-         .map_batches(write_shard, batch_format="pyarrow")
+         .map_batches(range_bucket, batch_format="pyarrow")
+         .groupby("db")
+         .map_groups(write_range_shard, batch_format="pyarrow")
          .materialize())
         if not os.listdir(cov_dir):  # keep the dataset readable when empty
             import pyarrow.parquet as pq
