@@ -443,10 +443,21 @@ def doc_shingles(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-# docs per doc-range bucket in the span pipelines: bounds one reduce
-# group's rows (≤ 64k docs' duplicated positions) at ANY corpus size and
-# makes spill shards contiguous doc ranges (perfect min/max pruning)
-_SPAN_DOC_RANGE = 1 << 16
+# docs per doc-range bucket in the span pipelines: one reduce group holds
+# one range's duplicated POSITIONS — independent of corpus size, but
+# proportional to per-doc duplication; shrink it (env) for corpora of
+# long, heavily-duplicated docs.  Contiguous ranges also make the spill
+# shards perfectly min/max-prunable.
+_SPAN_DOC_RANGE = int(os.environ.get("INDRI55_SPAN_DOC_RANGE", str(1 << 16)))
+
+
+def _range_bucket(batch: pa.Table) -> pa.Table:
+    """Append the doc-range bucket column ``db`` (shared by the span
+    pipelines' doc-keyed exchanges — stats and transform must agree)."""
+    if batch.num_rows == 0:
+        return batch.append_column("db", pa.array([], pa.int64()))
+    db = batch.column("doc_id").to_numpy() // _SPAN_DOC_RANGE
+    return batch.append_column("db", pa.array(db, pa.int64()))
 
 
 def _span_gram_buckets(sf_dir: str) -> int:
@@ -570,15 +581,9 @@ def dup_span_stats(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
         return out.select("doc_id", "n_tokens", "dup_positions",
                           "covered_tokens").to_arrow()
 
-    def range_bucket(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("db", pa.array([], pa.int64()))
-        db = batch.column("doc_id").to_numpy() // _SPAN_DOC_RANGE
-        return batch.append_column("db", pa.array(db, pa.int64()))
-
     per_doc = (
         _dup_occurrences(sf_dir, n)
-        .map_batches(range_bucket, batch_format="pyarrow")
+        .map_batches(_range_bucket, batch_format="pyarrow")
         .groupby("db")
         .map_groups(cover, batch_format="pyarrow")
     )
@@ -608,7 +613,7 @@ def dup_span_stats(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
     return (
         docs.map_batches(base, batch_format="pyarrow")
         .union(per_doc)
-        .map_batches(range_bucket, batch_format="pyarrow")
+        .map_batches(_range_bucket, batch_format="pyarrow")
         .groupby("db")
         .map_groups(final_sum, batch_format="pyarrow")
     )
@@ -646,9 +651,13 @@ def remove_dup_spans(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
         _slots_empty = pa.table({"rows": pa.array([], pa.int64())})
 
         def write_range_shard(group: pa.Table) -> pa.Table:
-            # one 64k-doc range: expand [pos, pos+n) per occurrence, then
-            # one unique over (local doc, slot) packed into int64 — local
-            # ids fit 16 bits, slots (token offsets in one doc) fit 32
+            # one doc range: expand [pos, pos+n) per occurrence, unique
+            # over (local doc, slot) packed into int64 — local ids fit 16
+            # bits, slots (token offsets in one doc) fit 40.  The ×n
+            # expansion runs in fixed-size chunks so task memory is
+            # bounded by CHUNK×n plus the deduped output, not by the
+            # range's occurrence count (a range of long heavily-dup'd
+            # docs can hold 10⁸ occurrence rows).
             import pyarrow.parquet as pq
 
             if "doc_id" not in group.column_names or group.num_rows == 0:
@@ -656,8 +665,14 @@ def remove_dup_spans(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
             ids = group.column("doc_id").to_numpy().astype(np.int64)
             pos = group.column("pos").to_numpy().astype(np.int64)
             lo = (int(ids.min()) // _SPAN_DOC_RANGE) * _SPAN_DOC_RANGE
-            key = ((ids - lo) << 40)[:, None] + pos[:, None] + np.arange(n)
-            uk = np.unique(key.ravel())
+            base = ((ids - lo) << 40) + pos
+            chunk = 8 << 20
+            parts = [
+                np.unique((base[s:s + chunk, None] + np.arange(n)).ravel())
+                for s in range(0, len(base), chunk)
+            ]
+            uk = parts[0] if len(parts) == 1 else np.unique(
+                np.concatenate(parts))
             out = pa.table({
                 "doc_id": pa.array((uk >> 40) + lo, pa.int64()),
                 "slot": pa.array(uk & ((1 << 40) - 1), pa.int64()),
@@ -666,14 +681,8 @@ def remove_dup_spans(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
                            row_group_size=16384)
             return pa.table({"rows": pa.array([out.num_rows], pa.int64())})
 
-        def range_bucket(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch.append_column("db", pa.array([], pa.int64()))
-            db = batch.column("doc_id").to_numpy() // _SPAN_DOC_RANGE
-            return batch.append_column("db", pa.array(db, pa.int64()))
-
         (_dup_occurrences(sf_dir, n)
-         .map_batches(range_bucket, batch_format="pyarrow")
+         .map_batches(_range_bucket, batch_format="pyarrow")
          .groupby("db")
          .map_groups(write_range_shard, batch_format="pyarrow")
          .materialize())

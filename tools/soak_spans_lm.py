@@ -40,19 +40,21 @@ BOILER = ("subscribe to our newsletter for updates and follow us on "
 
 def make_documents(out_dir: str, n_docs: int, dup_frac: float,
                    rows_per_batch: int = 250_000) -> None:
-    """doc i: 12 unique-ish tokens; every ``i % stride == 0`` doc appends
-    the shared boilerplate span (so ~dup_frac of docs carry a duplicated
-    ~20-token region; the unique parts stay unduplicated).  One streamed
-    parquet file with 25k-row row groups, so Ray's read splits it into
-    real blocks without a repartition."""
+    """doc i: 10 per-doc-unique tokens (each embeds ``i``, so NO n-gram of
+    the unique part ever recurs across docs); every ``i % stride == 0``
+    doc appends the shared 20-token boilerplate span.  Duplication is
+    therefore EXACTLY the boilerplate: expected covered_tokens =
+    n_dup_docs × 20 and dup_positions = n_dup_docs × (20 - n + 1) — the
+    soak asserts both in closed form.  One streamed parquet file with
+    25k-row row groups, so Ray's read splits it into real blocks without
+    a repartition."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     stride = max(1, round(1.0 / dup_frac))
     words = ("merge buffer token stream index shard batch actor queue "
-             "block vector column row group scan probe hash sort spill "
-             "lineage commit").split()
+             "block").split()
     schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
     with pq.ParquetWriter(f"{out_dir}/documents.parquet", schema) as w:
         start = 0
@@ -60,14 +62,22 @@ def make_documents(out_dir: str, n_docs: int, dup_frac: float,
             n = min(rows_per_batch, n_docs - start)
             texts = []
             for i in range(start, start + n):
-                ws = [words[(i * 7 + k * 13) % len(words)] for k in range(8)]
-                base = f"unit {i} " + " ".join(ws) + f" value {i % 8923}"
+                ws = [f"{words[k]}{i}" for k in range(8)]
+                base = f"unit{i} " + " ".join(ws) + f" value{i}"
                 texts.append(base + " " + BOILER if i % stride == 0 else base)
             w.write_table(pa.table({
                 "doc_id": pa.array(range(start, start + n), pa.int64()),
                 "text": pa.array(texts),
             }, schema=schema), row_group_size=25_000)
             start += n
+
+
+def expected_span_stats(n_docs: int, dup_frac: float, n: int) -> tuple[int, int]:
+    """Closed-form (covered_tokens, dup_positions) for make_documents."""
+    stride = max(1, round(1.0 / dup_frac))
+    n_dup_docs = (n_docs + stride - 1) // stride
+    n_boiler = len(BOILER.split())
+    return n_dup_docs * n_boiler, n_dup_docs * (n_boiler - n + 1)
 
 
 def main() -> None:
@@ -97,9 +107,13 @@ def main() -> None:
     make_documents(f"{wd}/sf", args.docs, args.dup)
     res["gen_s"] = round(time.perf_counter() - t0, 1)
 
+    from indri_5_5_ray.functions.dedup import NGRAM_N
+
+    exp_cov, exp_pos = expected_span_stats(args.docs, args.dup, NGRAM_N)
+
     t0 = time.perf_counter()
     with RssSampler() as s1:
-        stats = dup_span_stats(f"{wd}/sf")
+        stats = dup_span_stats(f"{wd}/sf").materialize()  # ONE execution
         agg = stats.aggregate(Sum("covered_tokens", alias_name="cov"),
                               Sum("dup_positions", alias_name="pos"))
         n_stats = stats.count()
@@ -110,10 +124,12 @@ def main() -> None:
     res["rss_stats_mb"] = {"start": round(s1.samples[0], 1),
                            "peak": round(max(s1.samples), 1),
                            "end": round(s1.samples[-1], 1)}
+    assert res["covered_tokens"] == exp_cov, (res["covered_tokens"], exp_cov)
+    assert res["dup_positions"] == exp_pos, (res["dup_positions"], exp_pos)
 
     t0 = time.perf_counter()
     with RssSampler() as s2:
-        cleaned = remove_dup_spans(f"{wd}/sf")
+        cleaned = remove_dup_spans(f"{wd}/sf").materialize()  # ONE execution
         agg2 = cleaned.aggregate(Sum("n_removed", alias_name="rm"))
         n_clean = cleaned.count()
     res["remove_dup_spans_s"] = round(time.perf_counter() - t0, 1)
@@ -130,6 +146,9 @@ def main() -> None:
         lp = unigram_logprob(f"{wd}/sf")
         n_lp = lp.count()
     res["unigram_logprob_s"] = round(time.perf_counter() - t0, 1)
+    res["rss_unigram_mb"] = {"start": round(s3.samples[0], 1),
+                             "peak": round(max(s3.samples), 1),
+                             "end": round(s3.samples[-1], 1)}
     assert n_lp == args.docs
 
     t0 = time.perf_counter()
@@ -139,9 +158,9 @@ def main() -> None:
                  buckets.groupby("bucket").count().take_all()}
     res["ccnet_buckets_s"] = round(time.perf_counter() - t0, 1)
     res["bucket_sizes"] = sizes
-    res["rss_lm_mb"] = {"start": round(s3.samples[0], 1),
-                        "peak": round(max(s4.samples), 1),
-                        "end": round(s4.samples[-1], 1)}
+    res["rss_ccnet_mb"] = {"start": round(s4.samples[0], 1),
+                           "peak": round(max(s4.samples), 1),
+                           "end": round(s4.samples[-1], 1)}
     assert sum(sizes.values()) == args.docs
     assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
 
