@@ -445,8 +445,112 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
 _UNIGRAM_VERSION = "v1"
 _UNIGRAM_MEMO: dict[str, pl.DataFrame] = {}
 
+# auto mode switches unigram_logprob to the co-group path above this many
+# input bytes: past it the vocab is assumed too large to broadcast-join
+# per worker (CCNet-scale web corpora reach 10⁸+ terms)
+_UNIGRAM_COGROUP_BYTES = int(os.environ.get(
+    "INDRI55_UNIGRAM_COGROUP_BYTES", str(4 << 30)))
 
-def unigram_logprob(sf_dir: str) -> ray.data.Dataset:
+_LM_DOC_RANGE = 1 << 16  # docs per final-merge reduce group
+
+
+def _unigram_cogroup(sf_dir: str) -> ray.data.Dataset:
+    """Vocab-scale path for :func:`unigram_logprob` — NO vocab table is
+    ever built, spilled, or broadcast.  (doc_id, term, tf) partial rows
+    (per-batch combined) are exchanged once by a term-hash bucket; since
+    every occurrence of a term lands in its term's bucket, cf(term) is
+    the in-bucket sum of tf, so one vectorized per-bucket kernel computes
+    per-doc partials (Σ tf, Σ tf·ln cf); a doc-range-bucketed exchange
+    then merges partials per doc.  Two exchanges over O(doc-term pairs);
+    per-task memory is one bucket (bytes-scaled count), never the vocab.
+    The corpus total (for ln(total)) is a scalar column-pruned pre-pass.
+
+    Float caveat: per-doc sums accumulate in a different order than the
+    broadcast path (per-term tf·ln cf vs per-token ln cf), so results
+    agree to ~1e-12 relative, not bit-exactly."""
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = 0
+    n_tb = max(64, int(size // (32 << 20)))
+
+    docs = _docs(sf_dir)
+
+    total = token_counts(sf_dir).sum("n_tokens") or 0
+    ln_total = float(np.log(total)) if total else 0.0
+
+    def rows(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(tokens_expr().alias("toks"))
+        ex = (df.select("doc_id", "toks").explode("toks").drop_nulls()
+              .rename({"toks": "term"}))
+        out = (ex.group_by("doc_id", "term")
+               .agg(pl.len().cast(pl.Int64).alias("tf"))
+               .with_columns((pl.col("term").hash(seed=0) % n_tb)
+                             .cast(pl.Int32).alias("tb")))
+        return out.to_arrow()
+
+    _part_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                            "n_p": pa.array([], pa.int64()),
+                            "s_p": pa.array([], pa.float64())})
+
+    def bucket(group: pa.Table) -> pa.Table:
+        # one term-hash bucket: cf = global count (in-bucket sum), then
+        # per-doc partial entropy contributions
+        if "doc_id" not in group.column_names or group.num_rows == 0:
+            return _part_empty
+        df = pl.from_arrow(group)
+        cf = df.group_by("term").agg(pl.col("tf").sum().alias("cf"))
+        out = (df.join(cf, on="term")
+               .with_columns((pl.col("tf").cast(pl.Float64)
+                              * pl.col("cf").cast(pl.Float64).log())
+                             .alias("s"))
+               .group_by("doc_id")
+               .agg(pl.col("tf").sum().alias("n_p"),
+                    pl.col("s").sum().alias("s_p")))
+        return out.select("doc_id", "n_p", "s_p").to_arrow()
+
+    partials = (docs.map_batches(rows, batch_format="pyarrow")
+                .groupby("tb")
+                .map_groups(bucket, batch_format="pyarrow"))
+
+    def base(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(pl.col("doc_id"),
+                         pl.lit(0, pl.Int64).alias("n_p"),
+                         pl.lit(0.0, pl.Float64).alias("s_p")).to_arrow()
+
+    def dbucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("db", pa.array([], pa.int64()))
+        db = batch.column("doc_id").to_numpy() // _LM_DOC_RANGE
+        return batch.append_column("db", pa.array(db, pa.int64()))
+
+    _out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                           "n_tokens": pa.array([], pa.int64()),
+                           "cross_entropy": pa.array([], pa.float64())})
+
+    def final(group: pa.Table) -> pa.Table:
+        if "doc_id" not in group.column_names or group.num_rows == 0:
+            return _out_empty
+        out = (pl.from_arrow(group.drop_columns(["db"]))
+               .group_by("doc_id")
+               .agg(pl.col("n_p").sum().alias("n_tokens"),
+                    pl.col("s_p").sum().alias("s"))
+               .with_columns(
+                   pl.when(pl.col("n_tokens") > 0)
+                   .then(ln_total - pl.col("s") / pl.col("n_tokens"))
+                   .otherwise(0.0).alias("cross_entropy")))
+        return out.select("doc_id", "n_tokens", "cross_entropy").to_arrow()
+
+    return (docs.map_batches(base, batch_format="pyarrow")
+            .union(partials)
+            .map_batches(dbucket, batch_format="pyarrow")
+            .groupby("db")
+            .map_groups(final, batch_format="pyarrow"))
+
+
+def unigram_logprob(sf_dir: str, mode: str = "auto") -> ray.data.Dataset:
     """(doc_id, n_tokens, cross_entropy) — per-document cross-entropy in
     nats under the corpus' OWN maximum-likelihood unigram LM: the quality
     signal behind CCNet's LM-score-and-bucket filtering (Wenzek et al.
@@ -460,17 +564,32 @@ def unigram_logprob(sf_dir: str) -> ray.data.Dataset:
     Low values = repetitive / high-frequency text, high values = rare-
     token soup; CCNet buckets docs by this into head/middle/tail.
 
-    Shuffle plan: ONE vocab-sized exchange (the ``term_stats``
-    map-side-partial + groupby finalize), spilled once to a content-keyed
-    parquet dir and memoized per worker as a polars frame (the same
-    filesystem-broadcast pattern as the dedup group spill) — the corpus
-    pass is then map-only: explode, join, per-doc sum.  Per-worker memory
-    is O(vocab); for a corpus whose vocab outgrows a worker, swap the
-    broadcast join for a groupby(term) co-group of (doc_id, term, tf)
-    rows with the cf table (two shuffles over O(doc-term pairs))."""
+    Shuffle plan (``mode="broadcast"``, the default below the auto gate):
+    ONE vocab-sized exchange (the ``term_stats`` map-side-partial +
+    groupby finalize), spilled once to a content-keyed parquet dir and
+    memoized per worker as a polars frame (the same filesystem-broadcast
+    pattern as the dedup group spill) — the corpus pass is then map-only:
+    explode, join, per-doc sum.  Per-worker memory is O(vocab); when the
+    vocab outgrows a worker (CCNet-scale web corpora), ``mode="cogroup"``
+    — chosen automatically past ``INDRI55_UNIGRAM_COGROUP_BYTES`` input
+    bytes — switches to :func:`_unigram_cogroup`, which never
+    materializes the vocab anywhere (see its docstring).  The two modes
+    agree to ~1e-12 relative (float summation order), pinned by pytest;
+    the driver's exact SQL oracle runs against the broadcast mode."""
     import json
 
     from ..cachedir import ensure_cached_dir, source_key
+
+    if mode not in ("auto", "broadcast", "cogroup"):
+        raise ValueError(f"unigram_logprob mode {mode!r}")
+    if mode == "auto":
+        try:
+            size = os.path.getsize(f"{sf_dir}/documents.parquet")
+        except OSError:
+            size = 0
+        mode = "cogroup" if size >= _UNIGRAM_COGROUP_BYTES else "broadcast"
+    if mode == "cogroup":
+        return _unigram_cogroup(sf_dir)
 
     def build(tmp: str) -> None:
         import pyarrow.parquet as pq
@@ -545,7 +664,8 @@ def unigram_logprob(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
 
 
-def ccnet_buckets(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+def ccnet_buckets(sf_dir: str, k: int = 3,
+                  mode: str = "auto") -> ray.data.Dataset:
     """(doc_id, n_tokens, cross_entropy, bucket) — CCNet's head/middle/tail
     split (Wenzek et al. 2020 §4.4): documents ranked by LM cross-entropy
     (ascending — fluent text first) and cut into ``k`` equal-rank buckets,
@@ -561,7 +681,7 @@ def ccnet_buckets(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     disjoint (cross_entropy, doc_id) ranges, an exclusive scan gives each
     block's global start rank, and buckets are assigned per block from
     rank arithmetic.  No driver-resident rows, no second shuffle."""
-    per = (unigram_logprob(sf_dir)
+    per = (unigram_logprob(sf_dir, mode=mode)
            .sort(["cross_entropy", "doc_id"])
            .materialize())
     refs = per.to_arrow_refs()

@@ -578,6 +578,34 @@ def test_unigram_logprob(mini_sf):
     assert np.allclose(got.cross_entropy, want_df.cross_entropy, atol=1e-9)
 
 
+def test_unigram_cogroup_parity(mini_sf, tmp_path):
+    """The vocab-scale cogroup path matches broadcast on the mini corpus
+    and on sf0.001 (n_tokens exact, entropy to float-sum tolerance);
+    zero-token docs score 0.0; bad mode raises."""
+    from indri_5_5_ray.functions.textstats import unigram_logprob
+
+    for sf in (mini_sf, "/root/testdata/sf0.001"):
+        a = unigram_logprob(sf, mode="broadcast").sort("doc_id").to_pandas()
+        b = unigram_logprob(sf, mode="cogroup").sort("doc_id").to_pandas()
+        assert (a.doc_id.values == b.doc_id.values).all()
+        assert (a.n_tokens.values == b.n_tokens.values).all()
+        assert np.allclose(a.cross_entropy, b.cross_entropy, rtol=1e-9)
+
+    d = tmp_path / "zt"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                             "text": pa.array(["", "alpha beta alpha"])}),
+                   d / "documents.parquet")
+    z = unigram_logprob(str(d), mode="cogroup").sort("doc_id").to_pandas()
+    assert z.n_tokens.tolist() == [0, 3]
+    assert z.cross_entropy[0] == 0.0
+    want1 = np.log(3) - (2 * np.log(2) + np.log(1)) / 3
+    assert abs(z.cross_entropy[1] - want1) < 1e-12
+
+    with pytest.raises(ValueError):
+        unigram_logprob(str(d), mode="bogus")
+
+
 def test_ccnet_buckets(mini_sf):
     """Exact ntile semantics vs DuckDB on the mini corpus (n=5, k=3 →
     sizes 2/2/1) and identical-text docs ranked adjacently by doc_id."""

@@ -40,21 +40,24 @@ BOILER = ("subscribe to our newsletter for updates and follow us on "
 
 def make_documents(out_dir: str, n_docs: int, dup_frac: float,
                    rows_per_batch: int = 250_000) -> None:
-    """doc i: 10 per-doc-unique tokens (each embeds ``i``, so NO n-gram of
-    the unique part ever recurs across docs); every ``i % stride == 0``
-    doc appends the shared 20-token boilerplate span.  Duplication is
-    therefore EXACTLY the boilerplate: expected covered_tokens =
-    n_dup_docs × 20 and dup_positions = n_dup_docs × (20 - n + 1) — the
-    soak asserts both in closed form.  One streamed parquet file with
-    25k-row row groups, so Ray's read splits it into real blocks without
-    a repartition."""
+    """doc i: 8 filler tokens WOVEN with doc-unique tokens so that every
+    3-gram of the non-boilerplate part contains a token embedding ``i``
+    (positions 2, 5, 7 — no 3 consecutive positions, including the
+    boilerplate boundary, miss one), so NO filler 3-gram ever recurs
+    across docs; every ``i % stride == 0`` doc appends the shared
+    19-token boilerplate span.  Duplication is therefore EXACTLY the
+    boilerplate: expected covered_tokens = n_dup_docs × 19 and
+    dup_positions = n_dup_docs × (19 - n + 1) — the soak asserts both in
+    closed form.  Three doc-unique tokens per doc (not 8) keep the
+    unigram vocab at 3×docs — still a deliberate O(corpus)-vocab stress
+    of the LM join's per-worker memo bound.  One streamed parquet file
+    with 25k-row row groups, so Ray's read splits it into real blocks
+    without a repartition."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     stride = max(1, round(1.0 / dup_frac))
-    words = ("merge buffer token stream index shard batch actor queue "
-             "block").split()
     schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
     with pq.ParquetWriter(f"{out_dir}/documents.parquet", schema) as w:
         start = 0
@@ -62,8 +65,8 @@ def make_documents(out_dir: str, n_docs: int, dup_frac: float,
             n = min(rows_per_batch, n_docs - start)
             texts = []
             for i in range(start, start + n):
-                ws = [f"{words[k]}{i}" for k in range(8)]
-                base = f"unit{i} " + " ".join(ws) + f" value{i}"
+                base = (f"merge buffer u{i}a token stream u{i}b "
+                        f"index u{i}c")
                 texts.append(base + " " + BOILER if i % stride == 0 else base)
             w.write_table(pa.table({
                 "doc_id": pa.array(range(start, start + n), pa.int64()),
@@ -143,13 +146,18 @@ def main() -> None:
 
     t0 = time.perf_counter()
     with RssSampler() as s3:
-        lp = unigram_logprob(f"{wd}/sf")
+        lp = unigram_logprob(f"{wd}/sf", mode="broadcast")
         n_lp = lp.count()
-    res["unigram_logprob_s"] = round(time.perf_counter() - t0, 1)
+    res["unigram_broadcast_s"] = round(time.perf_counter() - t0, 1)
     res["rss_unigram_mb"] = {"start": round(s3.samples[0], 1),
                              "peak": round(max(s3.samples), 1),
                              "end": round(s3.samples[-1], 1)}
     assert n_lp == args.docs
+
+    t0 = time.perf_counter()
+    n_cg = unigram_logprob(f"{wd}/sf", mode="cogroup").count()
+    res["unigram_cogroup_s"] = round(time.perf_counter() - t0, 1)
+    assert n_cg == args.docs
 
     t0 = time.perf_counter()
     with RssSampler() as s4:
