@@ -2630,7 +2630,7 @@ SELECT doc_id, n_tokens, cross_entropy FROM stats ORDER BY doc_id""",
         "ccnet_buckets": f"""
 WITH {_UNIGRAM_CTE}
 SELECT doc_id, n_tokens, cross_entropy,
-       ntile(3) OVER (ORDER BY cross_entropy, doc_id)::BIGINT AS bucket
+       ntile(3) OVER (ORDER BY round(cross_entropy, 9), doc_id)::BIGINT AS bucket
 FROM stats ORDER BY doc_id""",
         "ngram_jaccard_pairs": f"""
             WITH {_SHINGLE_SQL},

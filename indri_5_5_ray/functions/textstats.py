@@ -445,6 +445,31 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
 _UNIGRAM_VERSION = "v1"
 _UNIGRAM_MEMO: dict[str, pl.DataFrame] = {}
 
+
+def _load_vocab(vocab_dir: str) -> pl.DataFrame:
+    """Worker-side memoized load of the unigram vocab spill as a
+    (term, lncf) frame.  MODULE-LEVEL on purpose: cloudpickle serializes
+    nested closures with a PRIVATE copy of their globals, so a memo dict
+    touched only from inside ``score`` would be per-closure, not
+    per-worker; referencing this importable function makes every task in
+    a worker process share one memo through the imported module (the
+    same pattern as dedup._load_dup_spill).  Bounded to 2 entries across
+    interleaved sf dirs."""
+    vocab = _UNIGRAM_MEMO.get(vocab_dir)
+    if vocab is not None:
+        return vocab
+    import pyarrow.dataset as pads
+
+    while len(_UNIGRAM_MEMO) >= 2:
+        _UNIGRAM_MEMO.pop(next(iter(_UNIGRAM_MEMO)))
+    t = pads.dataset(vocab_dir, format="parquet").to_table()
+    vocab = (pl.from_arrow(t)
+             .with_columns(pl.col("cf").cast(pl.Float64).log()
+                           .alias("lncf"))
+             .select("term", "lncf"))
+    _UNIGRAM_MEMO[vocab_dir] = vocab
+    return vocab
+
 # auto mode switches unigram_logprob to the co-group path above this many
 # input bytes: past it the vocab is assumed too large to broadcast-join
 # per worker (CCNet-scale web corpora reach 10⁸+ terms)
@@ -632,18 +657,7 @@ def unigram_logprob(sf_dir: str, mode: str = "auto") -> ray.data.Dataset:
     ln_total = float(np.log(total)) if total else 0.0
 
     def score(batch: pa.Table) -> pa.Table:
-        vocab = _UNIGRAM_MEMO.get(vocab_dir)
-        if vocab is None:
-            import pyarrow.dataset as pads
-
-            while len(_UNIGRAM_MEMO) >= 2:  # bounded across interleaved sf
-                _UNIGRAM_MEMO.pop(next(iter(_UNIGRAM_MEMO)))
-            t = pads.dataset(vocab_dir, format="parquet").to_table()
-            vocab = (pl.from_arrow(t)
-                     .with_columns(pl.col("cf").cast(pl.Float64).log()
-                                   .alias("lncf"))
-                     .select("term", "lncf"))
-            _UNIGRAM_MEMO[vocab_dir] = vocab
+        vocab = _load_vocab(vocab_dir)
         df = pl.from_arrow(batch)
         per = (df.select("doc_id", tokens_expr().alias("term"))
                .explode("term").drop_nulls("term")
@@ -670,9 +684,12 @@ def ccnet_buckets(sf_dir: str, k: int = 3,
     split (Wenzek et al. 2020 §4.4): documents ranked by LM cross-entropy
     (ascending — fluent text first) and cut into ``k`` equal-rank buckets,
     bucket 1 = head.  Assignment is EXACT ntile semantics (the first
-    ``n mod k`` buckets take one extra row), tie-broken by doc_id, so the
-    DuckDB ``ntile(k) OVER (ORDER BY cross_entropy, doc_id)`` oracle
-    matches row for row.
+    ``n mod k`` buckets take one extra row).  The rank key is
+    ``round(cross_entropy, 9)`` tie-broken by doc_id — ranking the RAW
+    float would make the bucket of two near-equal docs depend on which
+    engine's last-ulp summation order wins (polars vs the DuckDB oracle's
+    ``ntile``); rounding both sides to 9 decimals makes the order (and so
+    the integer bucket column) deterministic across engines.
 
     Shape: :func:`unigram_logprob` (one vocab exchange + map-only scoring)
     → ONE sort of the per-doc stats table (4 narrow columns, O(#docs) —
@@ -681,8 +698,15 @@ def ccnet_buckets(sf_dir: str, k: int = 3,
     disjoint (cross_entropy, doc_id) ranges, an exclusive scan gives each
     block's global start rank, and buckets are assigned per block from
     rank arithmetic.  No driver-resident rows, no second shuffle."""
+    def rank_key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("ce_r", pa.array([], pa.float64()))
+        ce_r = np.round(batch.column("cross_entropy").to_numpy(), 9)
+        return batch.append_column("ce_r", pa.array(ce_r, pa.float64()))
+
     per = (unigram_logprob(sf_dir, mode=mode)
-           .sort(["cross_entropy", "doc_id"])
+           .map_batches(rank_key, batch_format="pyarrow")
+           .sort(["ce_r", "doc_id"])
            .materialize())
     refs = per.to_arrow_refs()
 
@@ -690,12 +714,16 @@ def ccnet_buckets(sf_dir: str, k: int = 3,
     def block_stats(t: pa.Table):
         if t.num_rows == 0 or "doc_id" not in t.column_names:
             return None
-        ce = t.column("cross_entropy").to_numpy()
+        ce = t.column("ce_r").to_numpy()
         did = t.column("doc_id").to_numpy()
-        keys = list(zip(ce.tolist(), did.tolist()))
-        if any(b <= a for a, b in zip(keys, keys[1:])):
-            return "unsorted"
-        return (keys[0], keys[-1], t.num_rows)
+        # strict (ce, doc_id) ascending, allocation-free (no per-row
+        # Python tuples — a sorted stats block can hold millions of rows)
+        if len(ce) > 1:
+            d = np.diff(ce)
+            if (d < 0).any() or ((d == 0) & (np.diff(did) <= 0)).any():
+                return "unsorted"
+        return ((float(ce[0]), int(did[0])),
+                (float(ce[-1]), int(did[-1])), t.num_rows)
 
     stats = ray.get([block_stats.remote(r) for r in refs])
     if any(s == "unsorted" for s in stats):
@@ -721,7 +749,8 @@ def ccnet_buckets(sf_dir: str, k: int = 3,
         big = rem * (q + 1)  # ranks below this sit in the q+1-sized buckets
         b = np.where(r < big, r // max(q + 1, 1),
                      rem + (r - big) // max(q, 1))
-        return t.append_column("bucket", pa.array(b + 1, pa.int64()))
+        return t.drop_columns(["ce_r"]).append_column(
+            "bucket", pa.array(b + 1, pa.int64()))
 
     out_refs = [assign.remote(refs[i], int(s))
                 for i, s in zip(order, starts)]

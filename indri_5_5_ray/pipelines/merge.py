@@ -63,7 +63,12 @@ def _rebase_docs_file(src: str, dst: str, offset: int) -> int:
             t.schema.get_field_index("doc_id"), "doc_id",
             pa.array(t.column("doc_id").to_numpy() + offset, pa.int64()),
         )
-    pq.write_table(t, dst)
+    if "content" in t.column_names:
+        # keep the content docstore's point-read layout (256-row groups,
+        # stages/ingest.py) through index merges
+        pq.write_table(t, dst, row_group_size=256)
+    else:
+        pq.write_table(t, dst)
     return t.num_rows
 
 

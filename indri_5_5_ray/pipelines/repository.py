@@ -384,7 +384,12 @@ def _build_merged(seg_dirs: list[str], out_tmp: Path, cfg: IndexConfig,
             ids = t.column("doc_id").to_numpy()
             keep = ~np.isin(ids, dele)
             t = t.filter(pa.array(keep))
-        pq.write_table(t, dst)
+        if kind == "docs" and "content" in t.column_names:
+            # keep the content docstore's point-read layout (256-row
+            # groups, stages/ingest.py) through trim/compact rewrites
+            pq.write_table(t, dst, row_group_size=256)
+        else:
+            pq.write_table(t, dst)
         return t.num_rows
 
     tasks = []

@@ -16,6 +16,22 @@ def ray_session():
 
 
 @pytest.fixture(scope="session")
+def ray_entry_mod():
+    """The repo-root ``__ray_entry__`` module, loaded once per session
+    from a path relative to this file (no hardcoded checkout location)."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[1] / "__ray_entry__.py"
+    spec = importlib.util.spec_from_file_location("__ray_entry__", str(path))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("__ray_entry__", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="session")
 def small_corpus_dir(tmp_path_factory):
     """Deterministic 300-row synthetic corpus, 3 files."""
     from indri_5_5_ray.sources.corpus import write_synthetic_corpus

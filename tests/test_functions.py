@@ -103,18 +103,11 @@ def test_remove_dup_spans(mini_sf):
     assert rows[4] == ("another unrelated document about databases", 0)
 
 
-def test_dup_span_oracle_parity(mini_sf):
+def test_dup_span_oracle_parity(mini_sf, ray_entry_mod):
     """Ray output == the registered DuckDB oracles on the mini corpus."""
-    import importlib.util
-    import sys
-
     import duckdb
 
-    spec = importlib.util.spec_from_file_location(
-        "__ray_entry__", "/root/repo/__ray_entry__.py")
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules.setdefault("__ray_entry__", mod)
-    spec.loader.exec_module(mod)
+    mod = ray_entry_mod
     from indri_5_5_ray.functions.dedup import dup_span_stats, remove_dup_spans
 
     con = duckdb.connect()
@@ -536,11 +529,9 @@ def test_fingerprint_dup_pairs_brute_force():
     assert want  # the fixture corpus actually produces shared-span pairs
 
 
-def test_unigram_logprob(mini_sf):
+def test_unigram_logprob(mini_sf, ray_entry_mod):
     """Hand-computed cross-entropy on the mini corpus + oracle parity."""
     import duckdb
-    import importlib.util
-    import sys
     from collections import Counter
 
     from indri_5_5_ray.functions.textstats import unigram_logprob
@@ -564,11 +555,7 @@ def test_unigram_logprob(mini_sf):
     # all-unique-token docs (the CCNet head/tail ordering)
     assert got.cross_entropy[0] < got.cross_entropy[2]
 
-    spec = importlib.util.spec_from_file_location(
-        "__ray_entry__", "/root/repo/__ray_entry__.py")
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules.setdefault("__ray_entry__", mod)
-    spec.loader.exec_module(mod)
+    mod = ray_entry_mod
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{mini_sf}/documents.parquet')")
@@ -606,21 +593,15 @@ def test_unigram_cogroup_parity(mini_sf, tmp_path):
         unigram_logprob(str(d), mode="bogus")
 
 
-def test_ccnet_buckets(mini_sf):
+def test_ccnet_buckets(mini_sf, ray_entry_mod):
     """Exact ntile semantics vs DuckDB on the mini corpus (n=5, k=3 →
     sizes 2/2/1) and identical-text docs ranked adjacently by doc_id."""
     import duckdb
-    import importlib.util
-    import sys
 
     from indri_5_5_ray.functions.textstats import ccnet_buckets
 
     got = ccnet_buckets(mini_sf).sort("doc_id").to_pandas()
-    spec = importlib.util.spec_from_file_location(
-        "__ray_entry__", "/root/repo/__ray_entry__.py")
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules.setdefault("__ray_entry__", mod)
-    spec.loader.exec_module(mod)
+    mod = ray_entry_mod
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{mini_sf}/documents.parquet')")

@@ -390,3 +390,57 @@ def test_filter_partials_vectorized():
             tb.column("pos_bytes").to_pylist(),
             [tuple(x) for x in tb.column("pos_byte_lens").to_pylist()])))
         assert key(got) == key(want), f"mismatch for deleted={deleted[:5]}..."
+
+
+def test_compact_and_merge_keep_docstore_row_groups(corpora, tmp_path):
+    """Compaction and index merge preserve the content docstore's 256-row
+    point-read layout (stages/ingest.py writes it; repository.filter_copy
+    and merge._rebase_docs_file must not silently revert it)."""
+    import pyarrow.parquet as pq
+
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.merge import merge_indexes
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.repository import Repository
+    from pathlib import Path
+
+    a, b, _ = corpora
+    cfg = IndexConfig(store_content=True, **CFG_KW)
+
+    def max_rows_per_group(index_dir: str) -> int:
+        worst = 0
+        for f in sorted(Path(index_dir).glob("docs/*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            if md.num_rows > 256:  # tiny fragments may be one group
+                worst = max(worst, max(
+                    md.row_group(i).num_rows
+                    for i in range(md.num_row_groups)))
+        return worst
+
+    repo = Repository.create(str(tmp_path / "repo_rg"), cfg)
+    repo.add(a)
+    repo.add(b)
+    repo.delete(list(range(3)))
+    repo.compact()
+    segs = sorted(str(p) for p in Path(tmp_path / "repo_rg").glob("seg*"))
+    assert segs, "no compacted segment found"
+    for s in segs:
+        assert max_rows_per_group(s) <= 256
+
+    # merge two standalone store_content indexes
+    ia = str(tmp_path / "ia"); ib = str(tmp_path / "ib")
+    build_index(a, ia, cfg, resume=False)
+    build_index(b, ib, cfg, resume=False)
+    out = str(tmp_path / "merged_rg")
+    merge_indexes([ia, ib], out, resume=False)
+    assert max_rows_per_group(out) <= 256
+
+    # and point reads still return the right text
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    r = IndexReader(out)
+    t = r._point_read("docs", [5, 150], ["doc_id", "content"])
+    vals = dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("content").to_pylist()))
+    assert set(vals) == {5, 150}
+    assert all(isinstance(x, str) and x for x in vals.values())
