@@ -144,24 +144,31 @@ def main() -> None:
     assert res["n_removed"] == res["covered_tokens"], (
         res["n_removed"], res["covered_tokens"])
 
-    t0 = time.perf_counter()
-    with RssSampler() as s3:
-        lp = unigram_logprob(f"{wd}/sf", mode="broadcast")
-        n_lp = lp.count()
-    res["unigram_broadcast_s"] = round(time.perf_counter() - t0, 1)
-    res["rss_unigram_mb"] = {"start": round(s3.samples[0], 1),
-                             "peak": round(max(s3.samples), 1),
-                             "end": round(s3.samples[-1], 1)}
-    assert n_lp == args.docs
+    if args.docs <= 4_000_000:
+        t0 = time.perf_counter()
+        with RssSampler() as s3:
+            lp = unigram_logprob(f"{wd}/sf", mode="broadcast")
+            n_lp = lp.count()
+        res["unigram_broadcast_s"] = round(time.perf_counter() - t0, 1)
+        res["rss_unigram_mb"] = {"start": round(s3.samples[0], 1),
+                                 "peak": round(max(s3.samples), 1),
+                                 "end": round(s3.samples[-1], 1)}
+        assert n_lp == args.docs
+    else:
+        # the fixture's vocab is O(corpus) BY DESIGN; past ~4M docs the
+        # broadcast mode's per-worker vocab frame is exactly the bound
+        # the cogroup mode exists to avoid — skip it, run cogroup only
+        res["unigram_broadcast_s"] = None
 
     t0 = time.perf_counter()
     n_cg = unigram_logprob(f"{wd}/sf", mode="cogroup").count()
     res["unigram_cogroup_s"] = round(time.perf_counter() - t0, 1)
     assert n_cg == args.docs
 
+    lm_mode = "broadcast" if args.docs <= 4_000_000 else "cogroup"
     t0 = time.perf_counter()
     with RssSampler() as s4:
-        buckets = ccnet_buckets(f"{wd}/sf")
+        buckets = ccnet_buckets(f"{wd}/sf", mode=lm_mode)
         sizes = {r["bucket"]: r["count()"] for r in
                  buckets.groupby("bucket").count().take_all()}
     res["ccnet_buckets_s"] = round(time.perf_counter() - t0, 1)
