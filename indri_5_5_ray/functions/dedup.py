@@ -450,6 +450,12 @@ def doc_shingles(sf_dir: str) -> ray.data.Dataset:
 # shards perfectly min/max-prunable.
 _SPAN_DOC_RANGE = int(os.environ.get("INDRI55_SPAN_DOC_RANGE", str(1 << 16)))
 
+# occurrence rows expanded to covered slots per fixed-size chunk in the
+# span-removal spill build — bounds that task's transient memory at
+# chunk × n regardless of a range's occupancy (env-tunable for tests)
+_SPAN_EXPAND_CHUNK = int(os.environ.get(
+    "INDRI55_SPAN_EXPAND_CHUNK", str(8 << 20)))
+
 
 def _range_bucket(batch: pa.Table) -> pa.Table:
     """Append the doc-range bucket column ``db`` (shared by the span
@@ -666,7 +672,7 @@ def remove_dup_spans(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
             pos = group.column("pos").to_numpy().astype(np.int64)
             lo = (int(ids.min()) // _SPAN_DOC_RANGE) * _SPAN_DOC_RANGE
             base = ((ids - lo) << 40) + pos
-            chunk = 8 << 20
+            chunk = _SPAN_EXPAND_CHUNK
             parts = [
                 np.unique((base[s:s + chunk, None] + np.arange(n)).ravel())
                 for s in range(0, len(base), chunk)
