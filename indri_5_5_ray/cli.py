@@ -460,6 +460,27 @@ def cmd_runquery(reader: IndexReader, queries_path: str, k: str = "10",
                           run_id=run_id), end="")
 
 
+def cmd_modifyfields(reader: IndexReader, out_dir: str, *opts: str) -> None:
+    """modifyfields <out_dir> [addField=a,b] [removeField=x,y]
+    [annotations=path] [numericField=a] [dateField=b] — add/remove indexed
+    fields without re-indexing (the ModifyFields app,
+    ref:modifyfields/ModifyFields.cpp)."""
+    from .pipelines.modify import modify_fields
+
+    names = {"addField": "add_fields", "removeField": "remove_fields",
+             "annotations": "annotations", "numericField": "numeric_fields",
+             "dateField": "date_fields"}
+    kw: dict = {}
+    for o in opts:
+        k, _, v = o.partition("=")
+        if k not in names or not v:
+            raise SystemExit(f"modifyfields: unknown option {o!r}")
+        kw[names[k]] = v if k == "annotations" else tuple(v.split(","))
+    m = modify_fields(reader.index_dir, out_dir, **kw)
+    print(json.dumps({"fields": m["config"]["fields"],
+                      "field_stats": m["field_stats"]}))
+
+
 COMMANDS = {
     "stats": cmd_stats,
     "term": cmd_term,
@@ -475,6 +496,7 @@ COMMANDS = {
     "delete": cmd_delete,
     "compact": cmd_compact,
     "merge": cmd_merge,
+    "modifyfields": cmd_modifyfields,
     "validate": cmd_validate,
     "query": cmd_query,
     "runquery": cmd_runquery,
