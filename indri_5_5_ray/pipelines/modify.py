@@ -144,9 +144,9 @@ def _remove_task(src: str, dst: str, keep: tuple[str, ...]) -> dict:
                          [r[0] for r in fr], [r[1] for r in fr],
                          [r[2] for r in fr], [r[3] for r in fr],
                          [r[4] for r in fr]))
-    out = _rows_to_table(rows)
-    if out.num_rows:
-        pq.write_table(out, dst)
+    # written even when empty: every chunk keeps a fields shard, like
+    # ingest, so dataset opens on the directory never see zero files
+    pq.write_table(_rows_to_table(rows), dst)
     return _stats_of(rows)
 
 
@@ -188,9 +188,7 @@ def _derive_task(src: str, dst: str, cfg_dict: dict,
                          [num for _b, _e, num, *_ in exts],
                          [o for *_, o, _p in exts],
                          [p for *_, p in exts]))
-    out = _rows_to_table(rows)
-    if out.num_rows:
-        pq.write_table(out, dst)
+    pq.write_table(_rows_to_table(rows), dst)
     return _stats_of(rows)
 
 
