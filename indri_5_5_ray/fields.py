@@ -176,6 +176,23 @@ def date_to_days(text: str) -> int | None:
     return None
 
 
+def load_annotation_table(path: str) -> dict[str, list[tuple[str, int, int]]]:
+    """Offset-annotation side table → docno-keyed (field, begin, end) rows
+    in TOKEN positions — the load shared by build-time ingest
+    (stages/ingest.py IngestWorker) and modify-time field addition
+    (pipelines/modify.py)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["docno", "field", "begin", "end"])
+    anns: dict[str, list[tuple[str, int, int]]] = {}
+    for dn, f, b, e in zip(t.column("docno").to_pylist(),
+                           t.column("field").to_pylist(),
+                           t.column("begin").to_pylist(),
+                           t.column("end").to_pylist()):
+        anns.setdefault(dn, []).append((f, int(b), int(e)))
+    return anns
+
+
 def merge_annotation_events(
     events: list[tuple[str, bool, int]],
     annotations: list[tuple[str, int, int]],

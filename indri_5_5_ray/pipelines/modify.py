@@ -15,21 +15,26 @@ spec (pinned by pytest):
   extents, so the kept extents' original-ordinal order IS the open-order
   subsequence a smaller-spec build would see; ranks are reassigned 1..k
   and parents recomputed with the containment chain
-  (ref:src/MemoryIndex.cpp:341-358 numbering).
+  (ref:src/MemoryIndex.cpp:341-358 numbering).  Per-field row order
+  matches ingest's stable (begin, end) sort over CLOSE order — for
+  equal-span nested same-field tags close order is reverse open order,
+  so descending new-ordinal is the tie-break.
 * **add** (optionally with removals) — re-derives the full tag tree per
   document from the content docstore (``store_content`` required, like
   the reference needing the compressed collection) via the SAME
   ``tokenize_bytes_events`` → ``merge_annotation_events`` →
   ``extract_extents_tree`` chain ingest uses, with the new field spec.
-  A per-document guard asserts the re-tokenized slot count equals the
-  stored ``dl`` — positional consistency with the existing postings is
-  checked, not assumed.
+  The source index's build-time ``cfg.offset_annotations`` table is
+  re-applied (annotation-derived fields survive the rewrite) alongside
+  any NEW ``annotations`` side table.  A per-document guard asserts the
+  re-tokenized slot count equals the stored ``dl`` — positional
+  consistency with the existing postings is checked, not assumed.
 
-Scale shape: one map task per existing chunk file (``fields-{cid}`` /
-``docs-{cid}`` — documents never span chunk files), each writing its
-output shard directly; the driver holds only per-field stat partials
-(O(#fields × #chunks) tiny rows).  The annotation side table is loaded
-once per worker through a module-level memo (filesystem broadcast).
+Scale shape: one map task per existing chunk file (documents never span
+chunk files), each writing its output shard directly; the driver holds
+only per-field stat partials (O(#fields × #chunks) tiny rows).  The
+annotation side tables are loaded once per worker through a
+module-level memo (filesystem broadcast).
 """
 
 from __future__ import annotations
@@ -39,69 +44,61 @@ import os
 import shutil
 from pathlib import Path
 
-import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
 from ..config import IndexConfig
-from ..stages.ingest import FIELDS_SCHEMA
+from ..stages.ingest import fields_rows_to_table
 
-# per-worker memoized offset-annotation table (path -> docno -> rows),
-# module-level so every task in a worker shares one copy (cloudpickle
-# gives nested closures private globals — see textstats._load_vocab)
-_ANN_MEMO: dict[str, dict[str, list[tuple[str, int, int]]]] = {}
+# per-worker memoized offset-annotation tables (paths key -> docno ->
+# rows), module-level so every task in a worker shares one copy
+# (cloudpickle gives nested closures private globals — see
+# textstats._load_vocab)
+_ANN_MEMO: dict[tuple[str, ...], dict[str, list[tuple[str, int, int]]]] = {}
 
 
-def _load_annotations(path: str) -> dict[str, list[tuple[str, int, int]]]:
-    hit = _ANN_MEMO.get(path)
+def _load_annotations(paths: tuple[str, ...]
+                      ) -> dict[str, list[tuple[str, int, int]]]:
+    hit = _ANN_MEMO.get(paths)
     if hit is not None:
         return hit
-    t = pq.read_table(path, columns=["docno", "field", "begin", "end"])
+    from ..fields import load_annotation_table
+
     anns: dict[str, list[tuple[str, int, int]]] = {}
-    for dn, f, b, e in zip(t.column("docno").to_pylist(),
-                           t.column("field").to_pylist(),
-                           t.column("begin").to_pylist(),
-                           t.column("end").to_pylist()):
-        anns.setdefault(dn, []).append((f, int(b), int(e)))
+    for path in paths:
+        for dn, rows in load_annotation_table(path).items():
+            anns.setdefault(dn, []).extend(rows)
     if len(_ANN_MEMO) > 2:
         _ANN_MEMO.clear()
-    _ANN_MEMO[path] = anns
+    _ANN_MEMO[paths] = anns
     return anns
 
 
-def _link_or_copy(src: str, dst: str) -> None:
-    try:
-        os.link(src, dst)
-    except OSError:
-        shutil.copy2(src, dst)
+def _link_tree(src: Path, dst: Path) -> None:
+    """Recursive hard-link (copy fallback) — handles nested dirs like
+    ``priors/<name>/``."""
+    dst.mkdir()
+    for entry in sorted(os.listdir(src)):
+        sp, dp = src / entry, dst / entry
+        if sp.is_dir():
+            _link_tree(sp, dp)
+        else:
+            try:
+                os.link(sp, dp)
+            except OSError:
+                shutil.copy2(sp, dp)
 
 
-def _stats_of(extmap_rows: list[tuple]) -> dict[str, list[int]]:
+def _stats_of(rows: list[tuple]) -> dict[str, list[int]]:
     """Per-field [total_len, extent_count, doc_count] from emitted rows
     ((doc_id, field, begins, ends, ...))."""
     st: dict[str, list[int]] = {}
-    for _did, fname, begins, ends, *_ in extmap_rows:
+    for _did, fname, begins, ends, *_ in rows:
         s = st.setdefault(fname, [0, 0, 0])
         s[0] += int(sum(e - b for b, e in zip(begins, ends)))
         s[1] += len(begins)
         s[2] += 1
     return st
-
-
-def _rows_to_table(rows: list[tuple]) -> pa.Table:
-    return pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "field": pa.array([r[1] for r in rows], pa.string()),
-            "begins": pa.array([r[2] for r in rows], pa.list_(pa.int32())),
-            "ends": pa.array([r[3] for r in rows], pa.list_(pa.int32())),
-            "numbers": pa.array([r[4] for r in rows], pa.list_(pa.int64())),
-            "ordinals": pa.array([r[5] for r in rows], pa.list_(pa.int32())),
-            "parent_ordinals": pa.array([r[6] for r in rows],
-                                        pa.list_(pa.int32())),
-        },
-        schema=FIELDS_SCHEMA,
-    )
 
 
 @ray.remote(num_cpus=1)
@@ -139,21 +136,25 @@ def _remove_task(src: str, dst: str, keep: tuple[str, ...]) -> dict:
             per_field.setdefault(fname, []).append(
                 (b, e, num, new_ord[o], parent[o]))
         for fname in sorted(per_field):
-            fr = sorted(per_field[fname], key=lambda r: (r[0], r[1]))
+            # ingest emits per-field rows in stable (begin, end) order over
+            # CLOSE order; equal-span nested tags close LIFO, so descending
+            # ordinal is the exact tie-break
+            fr = sorted(per_field[fname], key=lambda r: (r[0], r[1], -r[3]))
             rows.append((did, fname,
                          [r[0] for r in fr], [r[1] for r in fr],
                          [r[2] for r in fr], [r[3] for r in fr],
                          [r[4] for r in fr]))
     # written even when empty: every chunk keeps a fields shard, like
     # ingest, so dataset opens on the directory never see zero files
-    pq.write_table(_rows_to_table(rows), dst)
+    pq.write_table(fields_rows_to_table(rows), dst)
     return _stats_of(rows)
 
 
 @ray.remote(num_cpus=1)
-def _derive_task(src: str, dst: str, cfg_dict: dict,
+def _derive_task(src: str, dst: str,
                  spec: tuple[str, ...], numeric: tuple[str, ...],
-                 dates: tuple[str, ...], annotations: str | None) -> dict:
+                 dates: tuple[str, ...],
+                 annotations: tuple[str, ...]) -> dict:
     """Add-path rewrite: re-derive one docstore chunk's tag tree from
     content with the NEW field spec (ingest's exact chain)."""
     from ..fields import (extract_extents_tree, merge_annotation_events,
@@ -188,7 +189,7 @@ def _derive_task(src: str, dst: str, cfg_dict: dict,
                          [num for _b, _e, num, *_ in exts],
                          [o for *_, o, _p in exts],
                          [p for *_, p in exts]))
-    pq.write_table(_rows_to_table(rows), dst)
+    pq.write_table(fields_rows_to_table(rows), dst)
     return _stats_of(rows)
 
 
@@ -201,12 +202,18 @@ def modify_fields(index_dir: str, out_dir: str,
     """Write a field-modified copy of ``index_dir`` to ``out_dir``.
 
     ``add_fields`` appends to the indexed field set (tag-parsed from the
-    content docstore; ``annotations`` optionally supplies offset
-    annotations exactly like build-time ``cfg.offset_annotations``);
-    ``remove_fields`` drops fields.  ``numeric_fields``/``date_fields``
-    extend the respective typed sets for ADDED fields (a removed field
-    leaves them automatically).  Returns the new manifest."""
-    src = Path(index_dir)
+    content docstore; ``annotations`` optionally supplies NEW offset
+    annotations exactly like build-time ``cfg.offset_annotations``,
+    which is re-applied automatically); ``remove_fields`` drops fields.
+    ``numeric_fields``/``date_fields`` extend the respective typed sets
+    for ADDED fields (a removed field leaves them automatically).
+    Returns the new manifest."""
+    src = Path(index_dir).resolve()
+    out = Path(out_dir).resolve()
+    if src == out or src in out.parents or out in src.parents:
+        raise ValueError(
+            f"modify_fields: out_dir {out} must be disjoint from the "
+            f"source index {src}")
     manifest = json.loads((src / "manifest.json").read_text())
     cfg = IndexConfig.from_dict(manifest["config"])
     rm = set(remove_fields)
@@ -225,8 +232,8 @@ def modify_fields(index_dir: str, out_dir: str,
         raise ValueError("modify_fields: adding fields requires a "
                          "store_content index (the reference needs the "
                          "compressed collection the same way)")
+    ann_paths = tuple(p for p in (cfg.offset_annotations, annotations) if p)
 
-    out = Path(out_dir)
     if out.exists():
         shutil.rmtree(out)
     out.mkdir(parents=True)
@@ -235,27 +242,27 @@ def modify_fields(index_dir: str, out_dir: str,
             continue
         sp = src / sub
         if sp.is_dir():
-            (out / sub).mkdir()
-            for f in sorted(os.listdir(sp)):
-                _link_or_copy(str(sp / f), str(out / sub / f))
+            _link_tree(sp, out / sub)
         else:
-            _link_or_copy(str(sp), str(out / sub))
+            try:
+                os.link(sp, out / sub)
+            except OSError:
+                shutil.copy2(sp, out / sub)
 
     field_stats: dict[str, dict[str, int]] = {}
     if new_spec:
         (out / "fields").mkdir()
         if added:
-            srcs = sorted((src / "docs").glob("docs-*.parquet"))
+            srcs = sorted((src / "docs").glob("*.parquet"))
             refs = [
                 _derive_task.remote(
                     str(p), str(out / "fields" /
                                 p.name.replace("docs-", "fields-")),
-                    cfg.to_dict(), new_spec, new_numeric, new_dates,
-                    annotations)
+                    new_spec, new_numeric, new_dates, ann_paths)
                 for p in srcs
             ]
         else:
-            srcs = sorted((src / "fields").glob("fields-*.parquet"))
+            srcs = sorted((src / "fields").glob("*.parquet"))
             refs = [
                 _remove_task.remote(str(p), str(out / "fields" / p.name),
                                     kept)
@@ -275,7 +282,8 @@ def modify_fields(index_dir: str, out_dir: str,
         "fields": list(new_spec),
         "numeric_fields": list(new_numeric),
         "date_fields": list(new_dates),
-        "offset_annotations": annotations if added else None,
+        "offset_annotations": (annotations or cfg.offset_annotations)
+        if new_spec else None,
     })
     manifest = dict(manifest)
     manifest["config"] = new_cfg.to_dict()

@@ -90,6 +90,25 @@ FIELDS_SCHEMA = pa.schema(
 )
 
 
+def fields_rows_to_table(rows: list[tuple]) -> pa.Table:
+    """(doc_id, field, begins, ends, numbers, ordinals, parent_ordinals)
+    tuples → FIELDS_SCHEMA table — shared by ingest and
+    pipelines/modify.py so the extent-table layout has one definition."""
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "field": pa.array([r[1] for r in rows], pa.string()),
+            "begins": pa.array([r[2] for r in rows], pa.list_(pa.int32())),
+            "ends": pa.array([r[3] for r in rows], pa.list_(pa.int32())),
+            "numbers": pa.array([r[4] for r in rows], pa.list_(pa.int64())),
+            "ordinals": pa.array([r[5] for r in rows], pa.list_(pa.int32())),
+            "parent_ordinals": pa.array([r[6] for r in rows],
+                                        pa.list_(pa.int32())),
+        },
+        schema=FIELDS_SCHEMA,
+    )
+
+
 class TermProcessor:
     """normalize→stop→stem memo shared by build and query sides
     (query terms go through the same chain: ``Repository::processTerm``
@@ -363,15 +382,10 @@ class IngestWorker:
         # a docno-partitioned read is the seam if the table outgrows memory
         self._annotations: dict[str, list[tuple[str, int, int]]] | None = None
         if self.cfg.offset_annotations:
-            t = pq.read_table(self.cfg.offset_annotations,
-                              columns=["docno", "field", "begin", "end"])
-            anns: dict[str, list[tuple[str, int, int]]] = {}
-            for dn, f, b, e in zip(t.column("docno").to_pylist(),
-                                   t.column("field").to_pylist(),
-                                   t.column("begin").to_pylist(),
-                                   t.column("end").to_pylist()):
-                anns.setdefault(dn, []).append((f, int(b), int(e)))
-            self._annotations = anns
+            from ..fields import load_annotation_table
+
+            self._annotations = load_annotation_table(
+                self.cfg.offset_annotations)
 
     def _losers_in_range(self, lo: int, hi: int) -> np.ndarray:
         """Dedup losers (doc_ids to drop) intersecting [lo, hi) — row-group
@@ -709,18 +723,7 @@ class IngestWorker:
             pq.write_table(direct_tbl, f"{self.out_dir}/direct/direct-{cid}.parquet")
             nbytes += direct_tbl.nbytes
         if field_spec:
-            fields_tbl = pa.table(
-                {
-                    "doc_id": pa.array([r[0] for r in f_rows], pa.int64()),
-                    "field": pa.array([r[1] for r in f_rows], pa.string()),
-                    "begins": pa.array([r[2] for r in f_rows], pa.list_(pa.int32())),
-                    "ends": pa.array([r[3] for r in f_rows], pa.list_(pa.int32())),
-                    "numbers": pa.array([r[4] for r in f_rows], pa.list_(pa.int64())),
-                    "ordinals": pa.array([r[5] for r in f_rows], pa.list_(pa.int32())),
-                    "parent_ordinals": pa.array([r[6] for r in f_rows], pa.list_(pa.int32())),
-                },
-                schema=FIELDS_SCHEMA,
-            )
+            fields_tbl = fields_rows_to_table(f_rows)
             os.makedirs(f"{self.out_dir}/fields", exist_ok=True)
             pq.write_table(fields_tbl, f"{self.out_dir}/fields/fields-{cid}.parquet")
             nbytes += fields_tbl.nbytes

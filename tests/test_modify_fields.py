@@ -20,6 +20,11 @@ DOCS = [
     "<sec><title>alpha alpha</title> epsilon "
     "<date> 15 January 2004 </date></sec> <size> 15 </size>",
     "gamma delta <sec>inner words</sec> <size> 5 </size>",
+    # nested same-field tags with DISTINCT spans
+    "<sec>outer <sec>alpha beta</sec> tail</sec> <size> 7 </size>",
+    # nested same-field tags with the SAME span (close order is reverse
+    # open order — exercises the remove path's ordinal tie-break)
+    "<sec><sec>alpha beta</sec></sec> <size> 8 </size>",
 ]
 
 SMALL = ("title", "size")
@@ -185,3 +190,95 @@ def test_cli_modifyfields(built, capsys):
     got = json.loads(capsys.readouterr().out.strip())
     assert tuple(got["fields"]) == FULL
     assert _fields_rows(out) == _fields_rows(full)
+
+
+def test_modify_same_dir_refused(built, tmp_path):
+    from indri_5_5_ray.pipelines.modify import modify_fields
+
+    _d, _corpus, small, _full = built
+    with pytest.raises(ValueError, match="disjoint"):
+        modify_fields(small, small, remove_fields=("size",))
+    with pytest.raises(ValueError, match="disjoint"):
+        modify_fields(small, str(Path(small) / "nested"),
+                      remove_fields=("size",))
+
+
+def test_modify_preserves_annotation_fields_and_nested_dirs(built):
+    """Adding a tag field keeps annotation-derived extents from the
+    SOURCE's build-time offset_annotations, and nested aux dirs (priors)
+    survive the hard-link copy."""
+    import shutil
+
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.modify import modify_fields
+
+    d, corpus, _small, _full = built
+    ann_path = str(d / "ann2.parquet")
+    pq.write_table(pa.table({
+        "docno": ["r/d1.txt@c1"], "field": ["mark"],
+        "begin": [1], "end": [3],
+    }), ann_path)
+
+    base = str(d / "ann_base")
+    build_index(corpus, base, IndexConfig(
+        stemmer=None, dedup_key=None, n_buckets=4, max_chunk_docs=2,
+        store_content=True, fields=("title", "mark"),
+        offset_annotations=ann_path), resume=False)
+    # fake nested aux dir (the priors/<name>/ shape)
+    (Path(base) / "priors" / "length").mkdir(parents=True)
+    (Path(base) / "priors" / "length" / "p.parquet").write_bytes(b"x")
+
+    fresh = str(d / "ann_fresh")
+    build_index(corpus, fresh, IndexConfig(
+        stemmer=None, dedup_key=None, n_buckets=4, max_chunk_docs=2,
+        store_content=True, fields=("title", "mark", "sec"),
+        offset_annotations=ann_path), resume=False)
+
+    out = str(d / "ann_mod")
+    m = modify_fields(base, out, add_fields=("sec",))  # no annotations arg
+    assert _fields_rows(out) == _fields_rows(fresh)
+    assert m["field_stats"]["mark"]["extent_count"] == 1
+    assert (Path(out) / "priors" / "length" / "p.parquet").exists()
+
+
+def test_modify_merged_index(built):
+    """modify_fields works on merged indexes (src{i}- shard names)."""
+    from indri_5_5_ray.pipelines.merge import merge_indexes
+    from indri_5_5_ray.pipelines.modify import modify_fields
+
+    d, corpus, small, full = built
+    fa = str(d / "m_full_a"); fb = str(d / "m_full_b")
+    _build(corpus, fa, FULL)
+    _build(corpus, fb, FULL)
+    merged = str(d / "m_full")
+    merge_indexes([fa, fb], merged, resume=False)
+
+    sa = str(d / "m_small_a"); sb = str(d / "m_small_b")
+    _build(corpus, sa, SMALL)
+    _build(corpus, sb, SMALL)
+    merged_small = str(d / "m_small")
+    merge_indexes([sa, sb], merged_small, resume=False)
+
+    out = str(d / "m_mod")
+    m = modify_fields(merged, out, remove_fields=("sec", "date"))
+    assert _fields_rows(out) == _fields_rows(merged_small)
+    assert m["field_stats"], "merged shards must be rewritten, not skipped"
+
+    out2 = str(d / "m_mod_add")
+    modify_fields(merged_small, out2, add_fields=("sec", "date"),
+                  date_fields=("date",))
+    assert _fields_rows(out2) == _fields_rows(merged)
+
+
+def test_remove_keeps_nested_same_field(built):
+    """Removing an unrelated field renumbers KEPT equal-span nested
+    same-field extents in fresh-build order (the close-order tie-break)."""
+    from indri_5_5_ray.pipelines.modify import modify_fields
+
+    d, corpus, _small, full = built
+    fresh = str(d / "no_date")
+    _build(corpus, fresh, ("title", "size", "sec"))
+    out = str(d / "full_minus_date")
+    modify_fields(full, out, remove_fields=("date",))
+    assert _fields_rows(out) == _fields_rows(fresh)
