@@ -11,6 +11,9 @@ Commands:
     python -m indri_5_5_ray.cli <index_dir> documenttext <doc_id> # docstore builds
     python -m indri_5_5_ray.cli <index_dir> documentid <docno>
     python -m indri_5_5_ray.cli <index_dir> validate             # invariants walk
+    python -m indri_5_5_ray.cli <index_dir> modifyfields <out_dir> \\
+        [addField=a,b] [removeField=x] [annotations=path] \\
+        [numericField=a] [dateField=b]   # ModifyFields app analogue
     python -m indri_5_5_ray.cli <index_dir> query "<text>" [k]   # BM25 top-k
     python -m indri_5_5_ray.cli <index_dir> runquery <file> [k] [baseline]
         # batch TREC run (IndriRunQuery analogue); file = qid<TAB>text or
