@@ -1339,9 +1339,10 @@ _LINK_EDGES_SQL = """
 
 def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
     """Unrolled damped power iteration matching functions/linkgraph.py:
-    identical synthetic edge set, identical per-iteration round(…, 12) pin
-    (contribution fan-in is small, so the pin absorbs summation-order
-    ulps), no dangling nodes in this graph (outdeg ≥ 1 by construction —
+    identical synthetic edge set, identical per-iteration scale-invariant
+    round(score·n, 12)/n pin (absorbs summation-order ulps while keeping
+    ~12 significant digits at any n — raw-score rounding leaks mass at
+    scale), no dangling nodes in this graph (outdeg ≥ 1 by construction —
     the engine's dangling redistribution is pytest-covered instead)."""
     parts = [
         "WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),",
@@ -1358,8 +1359,10 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
         parts.append(f""",
         s{t} AS (
           SELECT d.doc_id,
-                 round((1 - {damping})/(SELECT n FROM nn)
-                       + {damping} * coalesce(c.contrib, 0), 12) AS score
+                 round(((1 - {damping})/(SELECT n FROM nn)
+                        + {damping} * coalesce(c.contrib, 0))
+                       * (SELECT n FROM nn), 12)
+                 / (SELECT n FROM nn) AS score
           FROM documents d LEFT JOIN (
             SELECT e.dst AS doc_id, sum(e.w * s.score) AS contrib
             FROM edges e JOIN s{t - 1} s ON s.doc_id = e.src

@@ -195,8 +195,15 @@ def _apply_task(doclist_file: str, contrib_dir: str, bucket: int, t: int,
             pl.col("c").fill_null(0.0))
     else:
         out = docs.with_columns(pl.lit(0.0).alias("c"))
+    # SCALE-INVARIANT 12-decimal pin (absorbs cross-engine summation-order
+    # ulps for the SQL oracle): scores are ~1/n, so rounding the RAW score
+    # to 12 decimals loses 12 - log10(n) significant digits and leaks
+    # O(n · 5e-13) probability mass per iteration; pinning score·n (~1)
+    # keeps ~12 significant digits and conserves Σ score == 1 to ~5e-13
+    # per iteration at ANY corpus size (soak-asserted at 10M docs)
     out = out.with_columns(
-        (base + damping * pl.col("c")).round(12).alias("score")
+        ((base + damping * pl.col("c")) * float(n_docs)).round(12)
+        .truediv(float(n_docs)).alias("score")
     ).sort("doc_id").select("doc_id", "score")
     pq.write_table(out.to_arrow(),
                    f"{scores_dir}/s-{t}-b{bucket:02d}.parquet")
@@ -351,7 +358,7 @@ def pagerank_scores(sf_dir: str, iters: int = ITERS,
     final = ensure_cached_dir(
         "/tmp/indri55_pagerank",
         source_key(f"{sf_dir}/documents.parquet",
-                   f"i{iters}-d{damping}-v1"), build)
+                   f"i{iters}-d{damping}-v2"), build)
     return ray.data.read_parquet(f"{final}/final")
 
 

@@ -105,7 +105,8 @@ def test_pagerank_dangling_mass_conserved(ray_session, tmp_path):
         for a, b, w in edges:
             nxt[b] += w * s[a]
         dangling = s[2]  # the only dangling node
-        s = np.round((1 - DAMPING) / n + DAMPING * (nxt + dangling / n), 12)
+        s = np.round(((1 - DAMPING) / n
+                      + DAMPING * (nxt + dangling / n)) * n, 12) / n
     np.testing.assert_array_equal(got, s)
     assert abs(got.sum() - 1.0) < 1e-9  # mass conserved
 
