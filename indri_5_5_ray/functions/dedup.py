@@ -753,56 +753,85 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.2) -> ray.data.Dataset:
     """(doc_a, doc_b, jaccard) for pairs with 3-gram Jaccard ≥ tau.  Exact.
 
     Shuffle plan: exact-dup pre-collapse → shingles over representatives →
-    groupby(shingle) emits co-occurrence pairs (per-doc shingle counts carried
-    on the rows, so the union term needs no size lookup) → groupby(pair)
-    counts intersections → member expansion (broadcast lookup of the
-    dup-bounded group table) + within-group pairs at jaccard 1.0.  The
-    collapse bounds the per-shingle reducer: a group of n identical docs
-    costs one row, not O(n²) pairs; remaining super-frequent shingles
-    (templated boilerplate across distinct docs) are capped at
+    groupby(SHINGLE-HASH BUCKET) emits co-occurrence pairs via one
+    vectorized per-bucket self-join (per-doc shingle counts carried on the
+    rows, so the union term needs no size lookup; grouping by the raw
+    shingle costs one Python dispatch per distinct shingle — measured
+    15 s at 100k mostly-unique docs) → groupby(PAIR-HASH BUCKET) counts
+    intersections with one polars group_by per bucket (Ray's generic
+    aggregate dispatches per pair) → member expansion (broadcast lookup
+    of the dup-bounded group table) + within-group pairs at jaccard 1.0.
+    The collapse bounds the per-shingle fan-out: a group of n identical
+    docs costs one row, not O(n²) pairs; remaining super-frequent
+    shingles (templated boilerplate across distinct docs) are capped at
     MAX_PAIR_GROUP docs with a logged warning."""
     dg = _dup_groups(sf_dir)
     reps = _rep_docs(sf_dir, dg)
+    n_sb = _span_gram_buckets(sf_dir)
 
-    sh = reps.map_batches(
-        lambda b: _doc_shingles(b).to_arrow(), batch_format="pyarrow"
-    )
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        return (_doc_shingles(b)
+                .with_columns((pl.col("shingle").hash(seed=0) % n_sb)
+                              .cast(pl.Int32).alias("sb"))
+                .to_arrow())
 
-    def pairs_of_group(group: pa.Table) -> pa.Table:
-        empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                          "doc_b": pa.array([], pa.int64()),
-                          "n_a": pa.array([], pa.int64()),
-                          "n_b": pa.array([], pa.int64())})
+    sh = reps.map_batches(shingle_rows, batch_format="pyarrow")
+
+    _pairs_empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n_a": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64()),
+                             "pb": pa.array([], pa.int32())})
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        # one shingle-hash bucket: cap, then one self-join for all pairs
         if "doc_id" not in group.column_names or group.num_rows < 2:
-            return empty
-        order = np.argsort(group.column("doc_id").to_numpy())
-        ids = group.column("doc_id").to_numpy()[order]
-        sizes = group.column("n_shingles").to_numpy()[order]
-        n = len(ids)
-        if n > MAX_PAIR_GROUP:
+            return _pairs_empty
+        df = (pl.from_arrow(group).sort(["shingle", "doc_id"])
+              .with_columns(pl.int_range(pl.len()).over("shingle")
+                            .alias("rk")))
+        if int(df["rk"].max()) >= MAX_PAIR_GROUP:
+            worst = (df.group_by("shingle").agg(pl.len().alias("n"))
+                     .filter(pl.col("n") > MAX_PAIR_GROUP))
             logger.warning(
-                "per-shingle pair cap: %d docs share shingle %r; truncated to %d",
-                n, group.column("shingle")[0].as_py(), MAX_PAIR_GROUP)
-            ids, sizes, n = ids[:MAX_PAIR_GROUP], sizes[:MAX_PAIR_GROUP], MAX_PAIR_GROUP
-        ia, ib = np.triu_indices(n, k=1)
-        return pa.table({
-            "doc_a": pa.array(ids[ia], pa.int64()),
-            "doc_b": pa.array(ids[ib], pa.int64()),
-            "n_a": pa.array(sizes[ia].astype(np.int64), pa.int64()),
-            "n_b": pa.array(sizes[ib].astype(np.int64), pa.int64()),
-        })
+                "per-shingle pair cap: %d shingles exceed %d docs "
+                "(largest %d); pairs truncated",
+                worst.height, MAX_PAIR_GROUP, int(worst["n"].max()))
+            df = df.filter(pl.col("rk") < MAX_PAIR_GROUP)
+        a = df.select("shingle", pl.col("doc_id").alias("doc_a"),
+                      pl.col("n_shingles").alias("n_a"))
+        b = df.select("shingle", pl.col("doc_id").alias("doc_b"),
+                      pl.col("n_shingles").alias("n_b"))
+        out = (a.join(b, on="shingle")
+               .filter(pl.col("doc_a") < pl.col("doc_b"))
+               .with_columns(((pl.col("doc_a") * 1000003 + pl.col("doc_b"))
+                              % n_sb).cast(pl.Int32).alias("pb"))
+               .select("doc_a", "doc_b", "n_a", "n_b", "pb"))
+        return out.to_arrow().cast(_pairs_empty.schema)
 
-    from ray.data.aggregate import Count, Max
+    _counts_empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                              "doc_b": pa.array([], pa.int64()),
+                              "inter": pa.array([], pa.int64()),
+                              "n_a": pa.array([], pa.int64()),
+                              "n_b": pa.array([], pa.int64())})
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        # one pair-hash bucket: intersection counts, vectorized
+        if "doc_a" not in group.column_names or group.num_rows == 0:
+            return _counts_empty
+        out = (pl.from_arrow(group)
+               .group_by("doc_a", "doc_b")
+               .agg(pl.len().cast(pl.Int64).alias("inter"),
+                    pl.col("n_a").max(),  # constant per doc_a
+                    pl.col("n_b").max()))
+        return (out.select("doc_a", "doc_b", "inter", "n_a", "n_b")
+                .to_arrow().cast(_counts_empty.schema))
 
     pair_counts = (
-        sh.groupby("shingle")
-        .map_groups(pairs_of_group, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(
-            Count(alias_name="inter"),
-            Max("n_a", alias_name="n_a"),  # constant per doc_a
-            Max("n_b", alias_name="n_b"),
-        )
+        sh.groupby("sb")
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(count_bucket, batch_format="pyarrow")
     )
 
     def jaccard(batch: pa.Table) -> pa.Table:
@@ -1161,41 +1190,76 @@ def fingerprint_dup_pairs(sf_dir: str, min_shared: int = 2) -> ray.data.Dataset:
     Jaccard misses and exact dedup never sees.
 
     Shuffle plan: the per-batch winnowing pass (:func:`~indri_5_5_ray.
-    functions.textstats.doc_fingerprints`, no shuffle) → groupby(fp) emits
-    co-occurrence pairs (a hot boilerplate fingerprint group is capped at
-    MAX_PAIR_GROUP docs with a logged warning, the same bound as the
+    functions.textstats.doc_fingerprints`, no shuffle) → groupby(FP-HASH
+    BUCKET) emits co-occurrence pairs via one vectorized per-bucket
+    self-join (grouping by the raw fp costs one Python dispatch per
+    distinct fingerprint; a hot boilerplate fingerprint group is capped
+    at MAX_PAIR_GROUP docs with a logged warning, the same bound as the
     shingle pair generator — past the cap, pairs are DROPPED and surviving
     pairs' n_shared undercounts fps routed through truncated groups, so a
     corpus that trips the warning diverges from the exact SQL oracle;
-    raise INDRI55_MAX_PAIR_GROUP for exactness there) → groupby(pair)
-    counts shared fingerprints — both exchanges move pair rows, never
-    documents."""
-    from ray.data.aggregate import Count
-
+    raise INDRI55_MAX_PAIR_GROUP for exactness there) → groupby(PAIR-HASH
+    BUCKET) counts shared fingerprints with one polars group_by per
+    bucket — both exchanges move pair rows, never documents."""
     from .textstats import doc_fingerprints
 
-    def pairs_of_group(group: pa.Table) -> pa.Table:
-        empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                          "doc_b": pa.array([], pa.int64())})
+    n_fb = _span_gram_buckets(sf_dir)
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("fb", pa.array([], pa.int32()))
+        return (pl.from_arrow(batch)
+                .with_columns((pl.col("fp").hash(seed=0) % n_fb)
+                              .cast(pl.Int32).alias("fb"))
+                .to_arrow())
+
+    _fp_pairs_empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                                "doc_b": pa.array([], pa.int64()),
+                                "pb": pa.array([], pa.int32())})
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        # one fp-hash bucket: cap, then one self-join for all pairs
         if "doc_id" not in group.column_names or group.num_rows < 2:
-            return empty
-        ids = np.sort(group.column("doc_id").to_numpy())
-        n = len(ids)
-        if n > MAX_PAIR_GROUP:
+            return _fp_pairs_empty
+        df = (pl.from_arrow(group).sort(["fp", "doc_id"])
+              .with_columns(pl.int_range(pl.len()).over("fp").alias("rk")))
+        if int(df["rk"].max()) >= MAX_PAIR_GROUP:
+            worst = (df.group_by("fp").agg(pl.len().alias("n"))
+                     .filter(pl.col("n") > MAX_PAIR_GROUP))
             logger.warning(
-                "per-fingerprint pair cap: %d docs share fp %r; truncated to %d",
-                n, group.column("fp")[0].as_py(), MAX_PAIR_GROUP)
-            ids, n = ids[:MAX_PAIR_GROUP], MAX_PAIR_GROUP
-        ia, ib = np.triu_indices(n, k=1)
-        return pa.table({"doc_a": pa.array(ids[ia], pa.int64()),
-                         "doc_b": pa.array(ids[ib], pa.int64())})
+                "per-fingerprint pair cap: %d fps exceed %d docs "
+                "(largest %d); pairs truncated",
+                worst.height, MAX_PAIR_GROUP, int(worst["n"].max()))
+            df = df.filter(pl.col("rk") < MAX_PAIR_GROUP)
+        a = df.select("fp", pl.col("doc_id").alias("doc_a"))
+        b = df.select("fp", pl.col("doc_id").alias("doc_b"))
+        out = (a.join(b, on="fp")
+               .filter(pl.col("doc_a") < pl.col("doc_b"))
+               .with_columns(((pl.col("doc_a") * 1000003 + pl.col("doc_b"))
+                              % n_fb).cast(pl.Int32).alias("pb"))
+               .select("doc_a", "doc_b", "pb"))
+        return out.to_arrow().cast(_fp_pairs_empty.schema)
+
+    _fp_counts_empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                                 "doc_b": pa.array([], pa.int64()),
+                                 "n_shared": pa.array([], pa.int64())})
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        if "doc_a" not in group.column_names or group.num_rows == 0:
+            return _fp_counts_empty
+        out = (pl.from_arrow(group)
+               .group_by("doc_a", "doc_b")
+               .agg(pl.len().cast(pl.Int64).alias("n_shared")))
+        return (out.select("doc_a", "doc_b", "n_shared")
+                .to_arrow().cast(_fp_counts_empty.schema))
 
     pairs = (
         doc_fingerprints(sf_dir)
-        .groupby("fp")
-        .map_groups(pairs_of_group, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_shared"))
+        .map_batches(fp_rows, batch_format="pyarrow")
+        .groupby("fb")
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(count_bucket, batch_format="pyarrow")
     )
 
     def finish(batch: pa.Table) -> pa.Table:
