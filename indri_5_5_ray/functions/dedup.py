@@ -1069,8 +1069,14 @@ def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
+# edge-count bound for the driver union-find; past it, components run
+# distributed (functions/components.py).  At web-scale duplication rates
+# the verified edge list is O(corpus), so the driver path must be gated.
+_CC_DRIVER_EDGES = int(os.environ.get("INDRI55_CC_DRIVER_EDGES", "2000000"))
+
+
 def _components_assign(
-    pt: pa.Table | None,
+    pt: "pa.Table | ray.data.Dataset | None",
     a_col: str,
     b_col: str,
     ids_ds: ray.data.Dataset,
@@ -1080,11 +1086,32 @@ def _components_assign(
     for every row of ``ids_ds`` (rep = component min; rows in no edge are
     singletons, rep = self).
 
-    The edge list is the OUTPUT of candidate verification, orders of
-    magnitude smaller than the corpus, so union-find runs on the collected
-    pairs at the driver — the standard dedup-cluster shape; the per-row
-    assignment is a broadcast lookup inside ``map_batches`` over the
-    streaming ids dataset."""
+    Routing: the edge list is the OUTPUT of candidate verification —
+    usually orders of magnitude smaller than the corpus — so up to
+    ``INDRI55_CC_DRIVER_EDGES`` edges, union-find runs on the collected
+    pairs at the driver and the per-row assignment is a broadcast
+    searchsorted inside ``map_batches``.  PAST the bound (web-scale
+    duplication makes #edges O(corpus)), the edge tables stay in the
+    object store and components run as the bucketed filesystem exchange
+    in :mod:`.components` (hash-to-min label propagation, range-sharded
+    label output, range-pruned assignment) — the driver then holds only
+    counts and a spill path."""
+    if isinstance(pt, ray.data.Dataset):
+        mat = pt.materialize()
+        if mat.count() > _CC_DRIVER_EDGES:
+            from .components import assign_from_labels_dir, connected_components_dist
+
+            final_dir, _ = connected_components_dist(
+                mat.to_arrow_refs(), a_col, b_col)
+            return assign_from_labels_dir(final_dir, ids_ds, id_col)
+        tables = [t for t in (ray.get(r) for r in mat.to_arrow_refs())
+                  if t.num_rows]
+        pt = pa.concat_tables(tables) if tables else None
+    elif pt is not None and pt.num_rows > _CC_DRIVER_EDGES:
+        from .components import assign_from_labels_dir, connected_components_dist
+
+        final_dir, _ = connected_components_dist([ray.put(pt)], a_col, b_col)
+        return assign_from_labels_dir(final_dir, ids_ds, id_col)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -1139,12 +1166,9 @@ def near_dup_clusters(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
     pairs (3-gram Jaccard ≥ tau); cluster_rep = min doc_id in the component.
     Docs in no pair form singleton clusters (rep = self)."""
     pairs = ngram_jaccard_pairs(sf_dir, tau=tau)
-    tables = [t for t in (ray.get(r) for r in pairs.materialize().to_arrow_refs())
-              if t.num_rows]
-    pt = pa.concat_tables(tables) if tables else None
     ids = read_spread(f"{sf_dir}/documents.parquet",
                       columns=["doc_id"])  # assignment needs no text
-    return _components_assign(pt, "doc_a", "doc_b", ids, "doc_id")
+    return _components_assign(pairs, "doc_a", "doc_b", ids, "doc_id")
 
 
 def near_dedup_keep_first(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
