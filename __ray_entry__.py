@@ -40,6 +40,14 @@ BM25_QUERIES: list[tuple[str, str]] = [
 TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
+def _mixture_values() -> str:
+    """The engine's mixture-weight table as a SQL VALUES list (single
+    source: sampling.MIXTURE_WEIGHTS)."""
+    from indri_5_5_ray.functions.sampling import MIXTURE_WEIGHTS
+
+    return ", ".join(f"('{k}', {v})" for k, v in MIXTURE_WEIGHTS.items())
+
+
 # ---------------------------------------------------------------------------
 # index build/cache helpers
 # ---------------------------------------------------------------------------
@@ -1012,6 +1020,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from indri_5_5_ray.functions import linkgraph
 
     return {
+        # --- NEW r5 (late): domain-mixture token-budget sampling — exact
+        # integer rates, one clamped language; displaces knn_bruteforce
+        # (green r3-r4, broadcast-matmul partial-top-k kernel twinned by
+        # in-window ivf_ann_full_probe's re-rank stage) ---
+        "mixture_sample": sampling.mixture_sample,
         # --- NEW r5: the streaming WARC reader, driver-checked end to end
         # over a deterministic synthetic archive set (VERDICT r4 item 7;
         # displaces tumbling_counts — green r2-r4, hopping_counts is its
@@ -1141,7 +1154,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep_first": dedup.near_dedup_keep_first,
         "embedding_dedup_keep_first": dedup.embedding_dedup_keep_first,
         # --- similarity search ---
-        "knn_bruteforce": simsearch.knn_bruteforce,
         # full-probe IVF: every list probed → must equal brute force, so the
         # whole IVF machinery (assignment, probe mask, distributed partial
         # top-k, merge) gets an exact SQL oracle; the pruned path's
@@ -1149,6 +1161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_full_probe": lambda sf: simsearch.ivf_ann_topk(
             sf, n_centroids=8, nprobe=8),
         # ---------------- position 51+: outside the driver window ----------
+        # rotated out r5 (late) for mixture_sample: knn_bruteforce (green
+        # r3-r4 unchanged; ivf_ann_full_probe runs the same broadcast-query
+        # matmul partial-top-k kernel in-window)
+        "knn_bruteforce": simsearch.knn_bruteforce,
         # rotated out r5 (each hash-green 2+ rounds on an unchanged path
         # with an in-window kernel twin): tumbling_counts↔hopping_counts,
         # doc_fingerprints↔fingerprint_dup_pairs (same winnowing kernel),
@@ -2610,6 +2626,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 < 10
             ORDER BY doc_id""",
+        # mixture_sample: the per-language rates are EXACT integer
+        # arithmetic (ppm = min(1e6, 1e6·budget·w // (100·tokens))), so the
+        # engine and this SQL agree bit-for-bit — no float rate crosses the
+        # comparison.  Weights come from the same table the engine uses.
+        "mixture_sample": f"""
+            WITH tot AS (
+              SELECT lang, SUM(len({TOKEN_SQL})) AS tok
+              FROM documents GROUP BY lang),
+            rates AS (
+              SELECT t.lang,
+                     LEAST(1000000,
+                           (1000000::BIGINT * 8000 * w.wt) // (100 * t.tok))
+                       AS ppm
+              FROM tot t
+              JOIN (VALUES {_mixture_values()}) AS w(lang, wt)
+                ON t.lang = w.lang)
+            SELECT d.doc_id, d.lang, len({TOKEN_SQL}) AS n_tokens
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE ('0x' || substring(md5(d.text), 1, 8))::BIGINT
+                  % 1000000 < r.ppm
+            ORDER BY d.doc_id""",
         "quota_sample": """
             SELECT lang, doc_id, rk FROM (
               SELECT lang, doc_id,

@@ -79,6 +79,81 @@ def sample_hash(sf_dir: str, rate_pct: int = 10) -> ray.data.Dataset:
         f, batch_format="pyarrow")
 
 
+# default mixture for the driver entry: zh is deliberately over-weighted so
+# its rate CLAMPS at 1.0 (the "not enough data in this domain" branch)
+MIXTURE_WEIGHTS: dict[str, int] = {"en": 10, "zh": 60, "fr": 15, "de": 10,
+                                   "es": 5}
+
+
+def mixture_sample(sf_dir: str, budget_tokens: int = 8000,
+                   weights: dict[str, int] | None = None) -> ray.data.Dataset:
+    """(doc_id, lang, n_tokens) — deterministic domain-mixture sample: each
+    language is down-sampled so its expected OUTPUT token mass approaches
+    ``budget_tokens × weight%`` (the static domain-reweighting step of a
+    training-data pipeline, à la The Pile / CCNet mixture tables; rates
+    clamp at 1.0 — no upsampling/repetition).
+
+    Two streaming passes: (1) per-language token totals via map-side
+    partial sums — the driver combines only ``#langs × #batches`` tiny
+    rows; (2) a map-only filter keeping a doc iff
+    ``md5(text) mod 1e6 < rate_ppm[lang]``.  Rates are computed in EXACT
+    integer arithmetic (``min(1e6, 1e6·budget·w // (100·tokens))``) so the
+    DuckDB oracle reproduces them bit-for-bit; the content-hash keep
+    decision makes the sample stable across reruns, resume, and cluster
+    sizes, like :func:`sample_hash`.  Languages without a weight are
+    dropped (weight 0)."""
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    src = read_spread(f"{sf_dir}/documents.parquet",
+                      ["doc_id", "lang", "text"])
+
+    def partial_tokens(batch: pa.Table) -> pa.Table:
+        from .textstats import token_count_expr
+
+        if batch.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.int64())})
+        return (pl.from_arrow(batch)
+                .with_columns(token_count_expr().cast(pl.Int64).alias("n"))
+                .group_by("lang").agg(pl.col("n").sum().alias("tok"))
+                .to_arrow())
+
+    totals: dict[str, int] = {}
+    for row in src.map_batches(partial_tokens,
+                               batch_format="pyarrow").take_all():
+        totals[row["lang"]] = totals.get(row["lang"], 0) + int(row["tok"])
+    rate_ppm = {
+        lang: min(1_000_000,
+                  (1_000_000 * budget_tokens * w) // (100 * totals[lang]))
+        for lang, w in weights.items() if totals.get(lang)
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from .textstats import token_count_expr
+
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "lang": pa.array([], pa.string()),
+                          "n_tokens": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        u = np.array([int(hashlib.md5(t).hexdigest()[:8], 16)
+                      for t in _text_bytes(batch)],
+                     dtype=np.int64) % 1_000_000
+        ppm = np.array([rate_ppm.get(l, 0)
+                        for l in batch.column("lang").to_pylist()],
+                       dtype=np.int64)
+        mask = u < ppm
+        if not mask.any():
+            return empty
+        return (pl.from_arrow(batch)
+                .with_columns(token_count_expr().cast(pl.Int64)
+                              .alias("n_tokens"))
+                .filter(pl.Series(mask))
+                .select("doc_id", "lang", "n_tokens")
+                .to_arrow())
+
+    return src.map_batches(keep, batch_format="pyarrow")
+
+
 def quota_sample(sf_dir: str, per_key: int = 50, combine_batch: int = 4096,
                  partial_batch: int | None = None) -> ray.data.Dataset:
     """(lang, doc_id, rk) — the first ``per_key`` docs per language in

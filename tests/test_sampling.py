@@ -41,6 +41,38 @@ def test_sample_hash_rate_monotone():
     assert 0.05 * total < n20 < 0.45 * total
 
 
+def test_mixture_sample_rates_exact_and_clamped():
+    """Brute-force the integer rate table and the md5 keep rule; a weight
+    large enough to clamp must keep EVERY doc of that language."""
+    import re
+
+    budget, weights = 8000, {"en": 10, "zh": 60, "fr": 15, "de": 10, "es": 5}
+    t = _docs_table()
+    tok = {}
+    for lg, x in zip(t.column("lang").to_pylist(),
+                     t.column("text").to_pylist()):
+        tok[lg] = tok.get(lg, 0) + len(re.findall(r"[a-z0-9]+", x.lower()))
+    ppm = {lg: min(1_000_000, (1_000_000 * budget * w) // (100 * tok[lg]))
+           for lg, w in weights.items() if tok.get(lg)}
+    assert ppm["zh"] == 1_000_000  # the over-weighted domain clamps
+    want = {
+        int(d)
+        for d, lg, x in zip(t.column("doc_id").to_pylist(),
+                            t.column("lang").to_pylist(),
+                            t.column("text").to_pylist())
+        if int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % 1_000_000
+        < ppm.get(lg, 0)
+    }
+    out = sampling.mixture_sample(SF, budget, weights).take_all()
+    assert {r["doc_id"] for r in out} == want
+    # clamped language: every zh doc survives
+    zh_all = sum(lg == "zh" for lg in t.column("lang").to_pylist())
+    assert sum(r["lang"] == "zh" for r in out) == zh_all
+    # unweighted languages are dropped entirely
+    none = sampling.mixture_sample(SF, budget, {"en": 100}).take_all()
+    assert {r["lang"] for r in none} == {"en"}
+
+
 def test_quota_sample_bounds_and_order():
     rows = sampling.quota_sample(SF, per_key=7).take_all()
     by_lang: dict[str, list[dict]] = {}
