@@ -1025,6 +1025,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (green r3-r4, broadcast-matmul partial-top-k kernel twinned by
         # in-window ivf_ann_full_probe's re-rank stage) ---
         "mixture_sample": sampling.mixture_sample,
+        # --- NEW r5 (late): pruned word-bigram statistics (corpus-LM /
+        # contamination building block); displaces exact_dup_groups (green
+        # r2-r4, its _dup_groups spill kernel runs in-window inside
+        # lsh_candidate_pairs and near_dedup_keep_first) ---
+        "ngram_counts": textstats.ngram_counts,
         # --- NEW r5: the streaming WARC reader, driver-checked end to end
         # over a deterministic synthetic archive set (VERDICT r4 item 7;
         # displaces tumbling_counts — green r2-r4, hopping_counts is its
@@ -1149,7 +1154,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample": sampling.quota_sample,
         "contamination_screen": sampling.contamination_screen,
         # --- dedup family ---
-        "exact_dup_groups": dedup.exact_dup_groups,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "near_dedup_keep_first": dedup.near_dedup_keep_first,
         "embedding_dedup_keep_first": dedup.embedding_dedup_keep_first,
@@ -1165,6 +1169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r3-r4 unchanged; ivf_ann_full_probe runs the same broadcast-query
         # matmul partial-top-k kernel in-window)
         "knn_bruteforce": simsearch.knn_bruteforce,
+        # rotated out r5 (late) for ngram_counts: exact_dup_groups (green
+        # r2-r4 unchanged; the _dup_groups spill kernel stays in-window via
+        # lsh_candidate_pairs / near_dedup_keep_first)
+        "exact_dup_groups": dedup.exact_dup_groups,
         # rotated out r5 (each hash-green 2+ rounds on an unchanged path
         # with an in-window kernel twin): tumbling_counts↔hopping_counts,
         # doc_fingerprints↔fingerprint_dup_pairs (same winnowing kernel),
@@ -2576,6 +2584,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT t AS term, count(*) AS cf, count(DISTINCT doc_id) AS df
             FROM (SELECT doc_id, unnest({TOKEN_SQL}) AS t FROM documents)
             GROUP BY t ORDER BY term""",
+        "ngram_counts": f"""
+            WITH tk AS (
+              SELECT doc_id, unnest({TOKEN_SQL}) AS t,
+                     generate_subscripts({TOKEN_SQL}, 1) AS pos
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     t || ' ' || lead(t) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS gram
+              FROM tk)
+            SELECT gram, count(*) AS cf, count(DISTINCT doc_id) AS df
+            FROM grams WHERE gram IS NOT NULL
+            GROUP BY gram HAVING count(*) >= 3 ORDER BY gram""",
         "top_terms": f"""
             SELECT t AS term, count(*) AS cf, count(DISTINCT doc_id) AS df
             FROM (SELECT doc_id, unnest({TOKEN_SQL}) AS t FROM documents)

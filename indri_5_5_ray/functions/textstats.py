@@ -147,6 +147,50 @@ def term_stats(sf_dir: str) -> ray.data.Dataset:
     return agg
 
 
+def ngram_counts(sf_dir: str, n: int = 2,
+                 min_count: int = 3) -> ray.data.Dataset:
+    """(gram, cf, df) global word n-gram statistics with min-count pruning
+    — the corpus-LM / contamination-screen building block (space-joined
+    grams, cf = occurrences, df = documents, pruned to cf ≥ min_count).
+
+    Same shuffle shape as :func:`term_stats`: per-batch partial counts
+    collapse the gram space map-side (a batch's repeated grams cost one
+    row), then one groupby finalize sums partials and applies the prune —
+    exact, because pruning happens strictly AFTER the global sum.  The
+    gram construction is one vectorized shift-over-doc per extra gram
+    position, never a Python loop over tokens."""
+    if n < 2:
+        raise ValueError("use term_stats for unigrams")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = (pl.from_arrow(batch)
+              .with_columns(tokens_expr().alias("toks"))
+              .select("doc_id", "toks").explode("toks")
+              .drop_nulls().rename({"toks": "t0"}))
+        ex = ex.with_columns([
+            pl.col("t0").shift(-i).over("doc_id").alias(f"t{i}")
+            for i in range(1, n)
+        ]).drop_nulls()  # trailing positions with no full gram
+        ex = ex.with_columns(
+            pl.concat_str([pl.col(f"t{i}") for i in range(n)],
+                          separator=" ").alias("gram"))
+        cf = ex.group_by("gram").agg(pl.len().alias("cf"))
+        dfc = (ex.unique(["doc_id", "gram"])
+               .group_by("gram").agg(pl.len().alias("df")))
+        return cf.join(dfc, on="gram").to_arrow()
+
+    partials = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("gram").aggregate(
+        Sum("cf", alias_name="cf"), Sum("df", alias_name="df"))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("cf"), min_count))
+
+    return agg.map_batches(prune, batch_format="pyarrow")
+
+
 def top_terms(sf_dir: str, n: int = 20) -> ray.data.Dataset:
     """Top-n terms by cf (tie → term ascending) — global sort + limit."""
     stats = term_stats(sf_dir)

@@ -236,6 +236,33 @@ def test_textstats_term_stats(mini_sf):
     assert counts.loc[0, "n_tokens"] == 9
 
 
+@pytest.mark.parametrize("n", [2, 3])
+def test_ngram_counts_brute_force(mini_sf, n):
+    """Pruned n-gram stats equal a per-doc Python sliding window (gram
+    construction crosses no doc boundary; prune is post-global-sum)."""
+    import re
+    from collections import Counter
+
+    from indri_5_5_ray.functions.textstats import ngram_counts
+
+    t = pq.read_table(f"{mini_sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    cf: Counter = Counter()
+    df: Counter = Counter()
+    for d, x in zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()):
+        toks = re.findall(r"[a-z0-9]+", x.lower())
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        cf.update(grams)
+        df.update(set(grams))
+    got = ngram_counts(mini_sf, n=n, min_count=2).to_pandas()
+    want = {g: (c, df[g]) for g, c in cf.items() if c >= 2}
+    assert {(r.gram, r.cf, r.df) for r in got.itertuples()} \
+        == {(g, c, d) for g, (c, d) in want.items()}
+    with pytest.raises(ValueError):
+        ngram_counts(mini_sf, n=1)
+
+
 def test_ivf_ann(mini_sf, tmp_path):
     from indri_5_5_ray.functions.simsearch import (
         ivf_ann_topk, ivf_partition, knn_bruteforce)
