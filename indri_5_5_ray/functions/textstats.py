@@ -153,14 +153,21 @@ def ngram_counts(sf_dir: str, n: int = 2,
     — the corpus-LM / contamination-screen building block (space-joined
     grams, cf = occurrences, df = documents, pruned to cf ≥ min_count).
 
-    Same shuffle shape as :func:`term_stats`: per-batch partial counts
-    collapse the gram space map-side (a batch's repeated grams cost one
-    row), then one groupby finalize sums partials and applies the prune —
-    exact, because pruning happens strictly AFTER the global sum.  The
+    Shuffle plan: per-batch PARTIAL counts collapse the gram space
+    map-side (a batch's repeated grams cost one row), keyed by a COARSE
+    gram-hash bucket — the ``dup_span_stats`` shape: bucket count, not
+    the O(corpus-tokens) distinct-gram count, bounds the per-group
+    materialization and the per-group Python dispatch, and the min-count
+    prune runs INSIDE the per-bucket reduce (strictly after that gram's
+    global sum — a gram's rows always land in one bucket — so results
+    stay exact while only the pruned survivors leave the reducers).  The
     gram construction is one vectorized shift-over-doc per extra gram
     position, never a Python loop over tokens."""
     if n < 2:
         raise ValueError("use term_stats for unigrams")
+    from .dedup import _span_gram_buckets
+
+    n_gb = _span_gram_buckets(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
         ex = (pl.from_arrow(batch)
@@ -177,18 +184,27 @@ def ngram_counts(sf_dir: str, n: int = 2,
         cf = ex.group_by("gram").agg(pl.len().alias("cf"))
         dfc = (ex.unique(["doc_id", "gram"])
                .group_by("gram").agg(pl.len().alias("df")))
-        return cf.join(dfc, on="gram").to_arrow()
+        return (cf.join(dfc, on="gram")
+                .with_columns((pl.col("gram").hash(seed=0) % n_gb)
+                              .cast(pl.Int32).alias("gb"))
+                .to_arrow())
 
-    partials = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby("gram").aggregate(
-        Sum("cf", alias_name="cf"), Sum("df", alias_name="df"))
+    _empty = pa.table({"gram": pa.array([], pa.string()),
+                       "cf": pa.array([], pa.int64()),
+                       "df": pa.array([], pa.int64())})
 
-    def prune(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def finalize(group: pa.Table) -> pa.Table:
+        if "gram" not in group.column_names or group.num_rows == 0:
+            return _empty
+        return (pl.from_arrow(group)
+                .group_by("gram")
+                .agg(pl.col("cf").sum(), pl.col("df").sum())
+                .filter(pl.col("cf") >= min_count)
+                .cast({"cf": pl.Int64, "df": pl.Int64})
+                .to_arrow())
 
-        return batch.filter(pc.greater_equal(batch.column("cf"), min_count))
-
-    return agg.map_batches(prune, batch_format="pyarrow")
+    return (_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+            .groupby("gb").map_groups(finalize, batch_format="pyarrow"))
 
 
 def top_terms(sf_dir: str, n: int = 20) -> ray.data.Dataset:
