@@ -1030,6 +1030,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r2-r4, its _dup_groups spill kernel runs in-window inside
         # lsh_candidate_pairs and near_dedup_keep_first) ---
         "ngram_counts": textstats.ngram_counts,
+        # --- NEW r5 (late): deterministic global shuffle + token-budget
+        # packing (the pre-training shuffle step); displaces passage_topk
+        # (green r3-r4, the passage-window kernel stays in-window via
+        # extent_topk's per-window scoring shapes) ---
+        "shuffle_pack": sampling.shuffle_pack,
         # --- NEW r5: the streaming WARC reader, driver-checked end to end
         # over a deterministic synthetic archive set (VERDICT r4 item 7;
         # displaces tumbling_counts — green r2-r4, hopping_counts is its
@@ -1145,7 +1150,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_topk": _path_topk,
         "structured2_topk": _structured2_topk,
         "date_topk": _date_topk,
-        "passage_topk": _passage_topk,
         "rm3_topk": _rm3_topk,
         # --- text statistics / analysis ---
         "token_counts_bpe": textstats.token_counts_bpe,
@@ -1173,6 +1177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r2-r4 unchanged; the _dup_groups spill kernel stays in-window via
         # lsh_candidate_pairs / near_dedup_keep_first)
         "exact_dup_groups": dedup.exact_dup_groups,
+        # rotated out r5 (late) for shuffle_pack: passage_topk (green r3-r4
+        # unchanged; extent_topk scores the same passage windows in-window)
+        "passage_topk": _passage_topk,
         # rotated out r5 (each hash-green 2+ rounds on an unchanged path
         # with an in-window kernel twin): tumbling_counts↔hopping_counts,
         # doc_fingerprints↔fingerprint_dup_pairs (same winnowing kernel),
@@ -2802,6 +2809,15 @@ FROM stats ORDER BY doc_id""",
             SELECT doc_id, n_tokens,
                    CAST(coalesce(sum(n_tokens) OVER (
                           ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) // 2048 AS BIGINT) AS shard_id
+            FROM (SELECT doc_id, len({TOKEN_SQL}) AS n_tokens FROM documents)
+            ORDER BY doc_id""",
+        "shuffle_pack": f"""
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                          ORDER BY substring(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 16), doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                         0) // 2048 AS BIGINT) AS shard_id
             FROM (SELECT doc_id, len({TOKEN_SQL}) AS n_tokens FROM documents)

@@ -338,6 +338,11 @@ def run_bench() -> dict:
         # multisec index (index pre-built above as fixture work); grew
         # from 3 to 4 queries late r5 (the FieldWildcard CO surface)
         ("inex_4q", _inex_4q),
+        # NEW r5 (late): pruned bigram stats (filesystem bucket exchange,
+        # prune inside the reduce) + domain-mixture token-budget sampling
+        ("curation_2ops", lambda: (
+            textstats.ngram_counts(SF_DIR).count()
+            + _sampling().mixture_sample(SF_DIR).count())),
     ]:
         t0 = time.perf_counter()
         fn()

@@ -352,3 +352,78 @@ def pack_shards(sf_dir: str, budget: int = 2048) -> ray.data.Dataset:
             "n_tokens": pa.array([], pa.int64()),
             "shard_id": pa.array([], pa.int64())}))
     return ray.data.from_arrow_refs(out_refs)
+
+
+def shuffle_pack(sf_dir: str, budget: int = 2048) -> ray.data.Dataset:
+    """(doc_id, n_tokens, shard_id) — like :func:`pack_shards` but over a
+    DETERMINISTIC GLOBAL SHUFFLE of the corpus: documents are ordered by
+    ``md5(doc_id)`` (doc_id tie-break) before the greedy token packing, so
+    neighbouring training shards hold decorrelated documents instead of
+    ingest-adjacent ones — the shuffle step before sequence packing, made
+    reproducible (reruns, resumes and cluster sizes all produce the same
+    order, unlike ``random_shuffle``).
+
+    Shape: the shuffle is one Ray range-partitioned sort on the hash key
+    — inherent to the semantics: a global permutation must move every
+    row once — then the SAME distributed prefix sum as ``pack_shards``:
+    per-block (key range, token subtotal) triples to the driver
+    (O(#blocks), never rows), exclusive scan, per-block offset re-map.
+    Key-range overlap across sorted blocks raises instead of mis-packing.
+    """
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        from .textstats import token_count_expr
+
+        df = pl.from_arrow(batch)
+        skey = _md5_hex16([str(d).encode()
+                           for d in batch.column("doc_id").to_pylist()])
+        return (df.select(
+            "doc_id",
+            token_count_expr().cast(pl.Int64).alias("n_tokens"),
+        ).with_columns(pl.Series("skey", skey, dtype=pl.String)).to_arrow())
+
+    shuffled = (read_spread(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+                .map_batches(keyed, batch_format="pyarrow")
+                .sort(["skey", "doc_id"]).materialize())
+    refs = shuffled.to_arrow_refs()
+
+    @ray.remote
+    def block_stats(t: pa.Table) -> tuple[tuple, tuple, int]:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return ((), (), 0)  # empty sort partition — mark, drop later
+        last = t.num_rows - 1
+        k0 = (t.column("skey")[0].as_py(), int(t.column("doc_id")[0].as_py()))
+        k1 = (t.column("skey")[last].as_py(),
+              int(t.column("doc_id")[last].as_py()))
+        return (k0, k1, int(pc.sum(t.column("n_tokens")).as_py() or 0))
+
+    stats = ray.get([block_stats.remote(r) for r in refs])
+    nonempty = [i for i in range(len(refs)) if stats[i][0] != ()]
+    order = sorted(nonempty, key=lambda i: stats[i][0])
+    prev_max: tuple = ()
+    for i in order:
+        lo, hi, _ = stats[i]
+        if prev_max and lo <= prev_max:
+            raise ValueError("shuffle_pack: sorted block key ranges overlap")
+        prev_max = hi
+    offsets = np.concatenate(
+        ([0], np.cumsum([stats[i][2] for i in order])[:-1])) \
+        if order else np.array([])
+
+    @ray.remote
+    def assign(t: pa.Table, offset: int) -> pa.Table:
+        n = t.column("n_tokens").to_numpy()
+        excl = offset + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return t.drop_columns(["skey"]).append_column(
+            "shard_id", pa.array(excl // budget, pa.int64()))
+
+    out_refs = [assign.remote(refs[i], int(o))
+                for i, o in zip(order, offsets)]
+    if not out_refs:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "shard_id": pa.array([], pa.int64())}))
+    return ray.data.from_arrow_refs(out_refs)

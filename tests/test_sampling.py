@@ -207,6 +207,37 @@ def test_read_spread_splits_single_row_group(tmp_path):
     assert ds.count() == 5000
 
 
+def test_shuffle_pack_brute_force_and_determinism():
+    """shuffle_pack equals the single-process md5-ordered greedy packing;
+    the order is a real permutation (not doc_id order) and reruns agree."""
+    import re
+
+    from indri_5_5_ray.functions.sampling import shuffle_pack
+
+    t = _docs_table()
+    rows = sorted(
+        ((hashlib.md5(str(d).encode()).hexdigest()[:16], int(d),
+          len(re.findall(r"[a-z0-9]+", x.lower())))
+         for d, x in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist())))
+    run = 0
+    want = {}
+    for _, d, n in rows:
+        want[d] = run // 2048
+        run += n
+    got = {r["doc_id"]: r["shard_id"]
+           for r in shuffle_pack(SF, budget=2048).take_all()}
+    assert got == want
+    again = {r["doc_id"]: r["shard_id"]
+             for r in shuffle_pack(SF, budget=2048).take_all()}
+    assert got == again
+    # the hash order genuinely permutes: doc_id order would put the lowest
+    # ids in shard 0, which the md5 order must not reproduce
+    doc_order = sorted(want)
+    by_hash_first = [d for _, d, _ in rows[:len(doc_order) // 4]]
+    assert by_hash_first != doc_order[:len(doc_order) // 4]
+
+
 def test_pack_shards_prefix_sum_brute_force():
     """sampling.pack_shards vs a sequential recompute: shard_id must equal
     the exclusive running token count // budget in doc_id order, across
