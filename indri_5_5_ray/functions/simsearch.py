@@ -197,6 +197,126 @@ def cosine_pairs(sf_dir: str, tau: float = 0.4,
     return pa.concat_tables(tables).sort_by([("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
 
 
+def embedding_lsh_pairs(sf_dir: str, tau: float = 0.4, n_tables: int = 8,
+                        planes: int = 4) -> ray.data.Dataset:
+    """(vec_id_a, vec_id_b, cosine) near-dup candidate pairs from banded
+    hyperplane LSH, exact-cosine VERIFIED in-bucket — the sub-quadratic
+    edge generator :func:`~..dedup.embedding_dup_clusters`'s docstring
+    routes 100 TB corpora to (its exact block-matmul twin is
+    :func:`cosine_pairs`).
+
+    ``n_tables`` independent hyperplane tables of ``planes`` planes each
+    bucket the vectors (banding, exactly like MinHash-LSH: per-table
+    collision probability (1 - θ/π)^planes, union over tables); within a
+    bucket one vectorized matmul emits only the pairs whose EXACT rounded
+    cosine ≥ tau, so every output pair is true — the approximation is
+    RECALL only (pairs whose vectors collide in no table are missed;
+    measured against :func:`cosine_pairs` in tests/bench).  Pairs found
+    by several tables are deduplicated by a pair-key groupby.  Hot
+    buckets (mass-identical embeddings) are capped at MAX_PAIR_GROUP
+    vectors with a logged warning, the shingle-pair bound.
+
+    ``n_tables=1, planes=0`` puts everything in ONE bucket → exactly the
+    ``cosine_pairs`` output (pytest-pinned twin) — the exactness
+    configuration, quadratic by construction, for verification only.
+
+    Shuffle plan: one map pass emits (table, code) keys per vector;
+    ``groupby(coarse code prefix)`` runs one kernel per group; the
+    pair-dedup groupby moves pair ROWS only.  Edges feed
+    ``_components_assign`` / ``connected_components_dist`` unchanged."""
+    import logging
+
+    import polars as pl
+
+    from .dedup import MAX_PAIR_GROUP
+
+    logger = logging.getLogger(__name__)
+    rng = np.random.default_rng(LSH_SEED)
+    planes = max(0, planes)
+
+    # per-table plane matrices, derived from one stream; dim from the schema
+    first = _first_n_by_vec_id(f"{sf_dir}/embeddings.parquet", 1)
+    _, m0 = _batch_matrix(first)
+    dim = m0.shape[1] if m0.size else 0
+    H = [rng.standard_normal((planes, dim)) for _ in range(n_tables)]
+    h_ref = ray.put(H)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        H_ = ray.get(h_ref)
+        ids, M = _batch_matrix(batch)
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": batch.column("embedding"),
+                             "tcode": pa.array([], pa.int64()),
+                             "cprefix": pa.array([], pa.int32())})
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        out = []
+        for t, Ht in enumerate(H_):
+            if planes:
+                sig = (Mn @ Ht.T > 0).astype(np.int64)
+                code = (sig << np.arange(planes, dtype=np.int64)).sum(axis=1)
+            else:
+                code = np.zeros(len(ids), np.int64)
+            # table id in the high bits → (table, code) is one int key
+            out.append(pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": batch.column("embedding"),
+                "tcode": pa.array((np.int64(t) << 32) | code, pa.int64()),
+            }))
+        t_all = pa.concat_tables(out)
+        # coarse prefix: ≤ 256 groups per table → one kernel per group
+        pref = (t_all.column("tcode").to_numpy()
+                % np.int64(max(1, min(256, n_tables * (1 << planes)))))
+        return t_all.append_column("cprefix", pa.array(
+            pref.astype(np.int32), pa.int32()))
+
+    _pairs_empty = pa.table({"vec_id_a": pa.array([], pa.int64()),
+                             "vec_id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+
+    def pairs_of_group(group: pa.Table) -> pa.Table:
+        if "vec_id" not in group.column_names or group.num_rows < 2:
+            return _pairs_empty
+        ids, M = _batch_matrix(group)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        codes = group.column("tcode").to_numpy()
+        o_a, o_b, o_c = [], [], []
+        for c in np.unique(codes):
+            idx = np.nonzero(codes == c)[0]
+            if len(idx) < 2:
+                continue
+            if len(idx) > MAX_PAIR_GROUP:
+                logger.warning(
+                    "embedding LSH bucket cap: %d vectors in one bucket; "
+                    "truncated to %d", len(idx), MAX_PAIR_GROUP)
+                idx = idx[:MAX_PAIR_GROUP]
+            A = Mn[idx]
+            S = np.round(A @ A.T, 6)  # same rounding rule as cosine_pairs
+            I, J = np.nonzero(S >= tau)
+            keep = ids[idx[I]] < ids[idx[J]]
+            I, J = I[keep], J[keep]
+            if len(I):
+                o_a.append(ids[idx[I]])
+                o_b.append(ids[idx[J]])
+                o_c.append(S[I, J])
+        if not o_a:
+            return _pairs_empty
+        return pa.table({
+            "vec_id_a": pa.array(np.concatenate(o_a), pa.int64()),
+            "vec_id_b": pa.array(np.concatenate(o_b), pa.int64()),
+            "cosine": pa.array(np.concatenate(o_c), pa.float64()),
+        })
+
+    from ray.data.aggregate import Max
+
+    cand = (_emb(sf_dir).map_batches(bucketize, batch_format="pyarrow")
+            .groupby("cprefix").map_groups(pairs_of_group,
+                                           batch_format="pyarrow"))
+    # a pair found by several tables carries the same cosine; Max dedups
+    return (cand.groupby(["vec_id_a", "vec_id_b"])
+            .aggregate(Max("cosine", alias_name="cosine")))
+
+
 # ---------------------------------------------------------------------------
 # LSH ANN (scale path)
 # ---------------------------------------------------------------------------

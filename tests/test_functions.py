@@ -263,6 +263,31 @@ def test_ngram_counts_brute_force(mini_sf, n):
         ngram_counts(mini_sf, n=1)
 
 
+def test_embedding_lsh_pairs_exactness_twin_and_recall(mini_sf):
+    """n_tables=1, planes=0 → one bucket → exactly cosine_pairs; banded
+    defaults emit only TRUE pairs (precision 1.0) with nonzero recall."""
+    from indri_5_5_ray.functions.simsearch import (
+        cosine_pairs,
+        embedding_lsh_pairs,
+    )
+
+    exact = cosine_pairs(mini_sf, tau=0.3)
+    key = lambda t: {  # noqa: E731
+        (a, b): c for a, b, c in zip(
+            t["vec_id_a"], t["vec_id_b"], t["cosine"])}
+    exact_d = key(exact.to_pydict())
+    twin = embedding_lsh_pairs(mini_sf, tau=0.3, n_tables=1,
+                               planes=0).to_pandas()
+    assert key(twin.to_dict("list")) == exact_d
+    banded = embedding_lsh_pairs(mini_sf, tau=0.3).to_pandas()
+    banded_d = key(banded.to_dict("list"))
+    assert set(banded_d) <= set(exact_d)  # every emitted pair is true
+    for p, c in banded_d.items():
+        assert c == exact_d[p]
+    if exact_d:
+        assert len(banded_d) / len(exact_d) > 0.2  # banding finds a chunk
+
+
 def test_ivf_ann(mini_sf, tmp_path):
     from indri_5_5_ray.functions.simsearch import (
         ivf_ann_topk, ivf_partition, knn_bruteforce)
