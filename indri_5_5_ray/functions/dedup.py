@@ -1180,29 +1180,45 @@ def near_dedup_keep_first(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
     return _keep_reps(near_dup_clusters(sf_dir, tau=tau), "doc_id")
 
 
-def embedding_dup_clusters(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
+def embedding_dup_clusters(sf_dir: str, tau: float = 0.4,
+                           method: str = "exact") -> ray.data.Dataset:
     """(vec_id, cluster_rep) embedding-cosine near-dup clusters: connected
-    components over exact cosine ≥ tau pairs, rep = component min; vectors
+    components over cosine ≥ tau pairs, rep = component min; vectors
     in no pair are singletons (rep = self).
 
-    Pair generation is ``simsearch.cosine_pairs`` (block-pair exact — each
-    task holds two normalized blocks; nothing materializes the full matrix).
-    The O(N²) pair step is exact by design here; at 100 TB generate the
-    edge list from the hyperplane-LSH buckets instead (``lsh_ann_topk``'s
-    machinery) and feed it to the same components/assignment stages, which
-    scale with the EDGE count, not the corpus."""
-    from .simsearch import cosine_pairs
+    ``method`` picks the edge generator; BOTH feed the same
+    components/assignment stages, which scale with the EDGE count:
 
-    pt = cosine_pairs(sf_dir, tau=tau)
+    - ``"exact"`` (default, the oracle-checked entry):
+      ``simsearch.cosine_pairs`` — block-pair exact, O(N²) compute by
+      design (each task holds two normalized blocks; nothing materializes
+      the full matrix).
+    - ``"lsh"`` (the 100 TB route): ``simsearch.embedding_lsh_pairs`` —
+      banded hyperplane buckets, exact-cosine verified in-bucket, so every
+      edge is TRUE and the approximation is edge RECALL only (a missed
+      edge can split a cluster, never merge two; measured recall/precision
+      in tests + bench).  Sub-quadratic: pair work is per-bucket, the
+      exchange moves (vector, bucket-code) rows once."""
+    from .simsearch import cosine_pairs, embedding_lsh_pairs
+
+    if method == "lsh":
+        pt = embedding_lsh_pairs(sf_dir, tau=tau)
+    elif method == "exact":
+        pt = cosine_pairs(sf_dir, tau=tau)
+    else:
+        raise ValueError(f"unknown method {method!r} (exact|lsh)")
     ids = read_spread(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
     return _components_assign(pt, "vec_id_a", "vec_id_b", ids, "vec_id")
 
 
-def embedding_dedup_keep_first(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
+def embedding_dedup_keep_first(sf_dir: str, tau: float = 0.4,
+                               method: str = "exact") -> ray.data.Dataset:
     """(vec_id) one representative (min vec_id) per embedding-cosine
     near-dup cluster — the embedding-space analogue of
-    ``near_dedup_keep_first``."""
-    return _keep_reps(embedding_dup_clusters(sf_dir, tau=tau), "vec_id")
+    ``near_dedup_keep_first``.  ``method`` as in
+    :func:`embedding_dup_clusters` (``"lsh"`` = the sub-quadratic route)."""
+    return _keep_reps(embedding_dup_clusters(sf_dir, tau=tau, method=method),
+                      "vec_id")
 
 
 def fingerprint_dup_pairs(sf_dir: str, min_shared: int = 2) -> ray.data.Dataset:

@@ -405,6 +405,37 @@ def test_embedding_dup_clusters(mini_sf):
     assert (cl2.cluster_rep == 0).all()
 
 
+def test_embedding_dup_clusters_lsh_route(mini_sf):
+    """method='lsh' is a REFINEMENT of the exact clustering (in-bucket
+    edges are exact-verified, so a missed edge can split a cluster but
+    never merge two) and catches the near-identical pair at high tau."""
+    from indri_5_5_ray.functions.dedup import (
+        embedding_dedup_keep_first, embedding_dup_clusters)
+
+    exact = (embedding_dup_clusters(mini_sf, tau=0.3)
+             .to_pandas().set_index("vec_id").cluster_rep)
+    lsh = (embedding_dup_clusters(mini_sf, tau=0.3, method="lsh")
+           .to_pandas().set_index("vec_id").cluster_rep)
+    assert sorted(lsh.index) == sorted(exact.index)  # every vector assigned
+    # refinement: co-clustered under lsh ⇒ co-clustered under exact
+    for a in lsh.index:
+        for b in lsh.index:
+            if a < b and lsh[a] == lsh[b]:
+                assert exact[a] == exact[b]
+    # vec 5 ≈ vec 0 (cosine ≈ 1): identical signs in every table ⇒ the
+    # lsh route always finds this edge
+    cl = (embedding_dup_clusters(mini_sf, tau=0.99, method="lsh")
+          .to_pandas().set_index("vec_id").cluster_rep)
+    assert cl[0] == 0 and cl[5] == 0
+    kept = sorted(embedding_dedup_keep_first(
+        mini_sf, tau=0.99, method="lsh").to_pandas().vec_id)
+    assert kept == [0, 1, 2, 3, 4]
+    import pytest
+
+    with pytest.raises(ValueError):
+        embedding_dup_clusters(mini_sf, method="nope")
+
+
 def _events_fixture(tmp_path):
     import pyarrow as pa, pyarrow.parquet as pq
     rows = [
