@@ -65,6 +65,47 @@ def _to_bool(v: str) -> bool:
     return v.lower() in ("1", "true", "yes", "on")
 
 
+def _convert_corpus(corpus_paths: list[str], file_class: str,
+                    index_dir: str) -> str:
+    """Idempotent file-class conversion: raw archives → the standard corpus
+    parquet shape under ``<index>/converted``.  A marker records the input
+    fingerprint (class + paths + sizes + mtimes); a rerun with unchanged
+    inputs SKIPS conversion — a resumed build then reuses byte-identical
+    corpus files, keeping the per-chunk lineage fingerprints stable — and
+    any other state wipes the directory first (``write_parquet`` APPENDS
+    into an existing dir, which would silently double every document)."""
+    import hashlib
+    import os
+    import shutil
+    from pathlib import Path
+
+    from .sources.trectext import dataset_to_corpus, read_tagged
+
+    conv = Path(index_dir) / "converted"
+    marker = conv / "_converted.json"  # corpus_files only globs *.parquet
+    files: list[str] = []
+    for p in corpus_paths:
+        pp = Path(p)
+        files.extend(sorted(str(f) for f in pp.rglob("*") if f.is_file())
+                     if pp.is_dir() else [str(pp)])
+    fp = hashlib.md5("\n".join(
+        f"{f}:{os.path.getsize(f)}:{os.stat(f).st_mtime_ns}" for f in files
+    ).encode()).hexdigest()
+    sig = {"file_class": file_class, "fingerprint": fp}
+    if marker.exists():
+        try:
+            if json.loads(marker.read_text()) == sig:
+                return str(conv)
+        except (ValueError, OSError):
+            pass
+    shutil.rmtree(conv, ignore_errors=True)
+    ds = read_tagged(corpus_paths if len(corpus_paths) > 1
+                     else corpus_paths[0], file_class=file_class)
+    out = dataset_to_corpus(ds, file_class, str(conv))
+    marker.write_text(json.dumps(sig))
+    return out
+
+
 def run(args: dict) -> dict:
     from .config import IndexConfig
     from .pipelines.build import build_index
@@ -72,13 +113,15 @@ def run(args: dict) -> dict:
     index_dir = args["index"]
     corpus_paths: list[str] = list(args["corpus.path"])
     file_class = args.get("corpus.class", "parquet")
-    if file_class != "parquet":
-        from .sources.trectext import dataset_to_corpus, read_tagged
+    if args.get("norestart"):
+        # wipe BEFORE any conversion lands under <index>/converted —
+        # build_index(resume=False) rmtree's the whole index dir when a
+        # manifest exists, which used to delete the just-converted corpus
+        import shutil
 
-        ds = read_tagged(corpus_paths if len(corpus_paths) > 1
-                         else corpus_paths[0], file_class=file_class)
-        corpus_paths = [dataset_to_corpus(ds, file_class,
-                                          f"{index_dir}/converted")]
+        shutil.rmtree(index_dir, ignore_errors=True)
+    if file_class != "parquet":
+        corpus_paths = [_convert_corpus(corpus_paths, file_class, index_dir)]
 
     stemmer = args.get("stemmer.name", "krovetz")
     cfg = IndexConfig(

@@ -45,6 +45,7 @@ shape as the build's loser shards (stages/ingest.py).
 
 from __future__ import annotations
 
+import atexit
 import json
 import logging
 import os
@@ -230,8 +231,41 @@ def connected_components_dist(
     min; only nodes that appear in ≥1 edge are present — callers treat
     absent nodes as singletons) and ``meta`` records node/edge/round
     counts.  Driver state: per-task counts and the work-dir path — never
-    an edge or label row."""
+    an edge or label row.
+
+    Work-dir lifetime: ``final_dir`` must outlive the caller's (lazy)
+    assignment Dataset, so it is NOT deleted here.  Auto-created dirs are
+    registered for atexit removal (a long-lived driver never strands
+    label shards in /tmp past its own exit) and removed immediately when
+    the run fails; pass ``work_dir`` to manage the lifetime explicitly."""
+    auto_dir = work_dir is None
     work = work_dir or tempfile.mkdtemp(prefix="indri55-cc-")
+    if auto_dir:
+        _WORK_DIRS.append(work)
+    try:
+        return _cc_dist_run(work, edge_refs, a_col, b_col, n_buckets,
+                            n_ranges, max_rounds)
+    except BaseException:
+        if auto_dir:
+            shutil.rmtree(work, ignore_errors=True)
+            _WORK_DIRS.remove(work)
+        raise
+
+
+_WORK_DIRS: list[str] = []
+
+
+def _cleanup_work_dirs() -> None:
+    for d in _WORK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_work_dirs)
+
+
+def _cc_dist_run(work: str, edge_refs: list["ray.ObjectRef"], a_col: str,
+                 b_col: str, n_buckets: int, n_ranges: int,
+                 max_rounds: int) -> tuple[str, dict]:
     for sub in ("edges_in", "edges", "labels0", "msg0", "ptr1", "final"):
         os.makedirs(f"{work}/{sub}", exist_ok=True)
 

@@ -1197,8 +1197,9 @@ def embedding_dup_clusters(sf_dir: str, tau: float = 0.4,
       banded hyperplane buckets, exact-cosine verified in-bucket, so every
       edge is TRUE and the approximation is edge RECALL only (a missed
       edge can split a cluster, never merge two; measured recall/precision
-      in tests + bench).  Sub-quadratic: pair work is per-bucket, the
-      exchange moves (vector, bucket-code) rows once."""
+      in tests + bench).  Sub-quadratic: pair work is per-bucket; the
+      exchange replicates each vector n_tables times (8× by default —
+      banding's price for in-bucket verification), never all-pairs."""
     from .simsearch import cosine_pairs, embedding_lsh_pairs
 
     if method == "lsh":

@@ -306,47 +306,66 @@ def pack_shards(sf_dir: str, budget: int = 2048) -> ray.data.Dataset:
     counted = read_spread(f"{sf_dir}/documents.parquet",
                           ["doc_id", "text"]).map_batches(
         counts, batch_format="pyarrow").materialize()
-    refs = counted.to_arrow_refs()
 
-    @ray.remote
-    def block_stats(t: pa.Table) -> tuple[int, int, int, bool]:
-        import pyarrow.compute as pc
-
-        # repartitioning a tiny corpus wider than its row count yields
-        # EMPTY blocks (without even the mapped schema) — mark, drop later
-        if t.num_rows == 0 or "doc_id" not in t.column_names:
-            return (1 << 62, 1 << 62, 0, True)
+    def docid_key(t: pa.Table) -> tuple[int, int, bool]:
         d = t.column("doc_id").to_numpy()
         is_sorted = bool(np.all(np.diff(d) > 0)) if len(d) > 1 else True
-        return (int(d.min()), int(d.max()),
-                int(pc.sum(t.column("n_tokens")).as_py() or 0), is_sorted)
+        return int(d.min()), int(d.max()), is_sorted
+
+    return _prefix_sum_pack(
+        counted.to_arrow_refs(), budget, docid_key, (),
+        "pack_shards requires a doc_id-sorted input (ranges overlap "
+        "or a block is internally unsorted)")
+
+
+def _prefix_sum_pack(refs: list, budget: int, block_key, drop_cols: tuple,
+                     err: str) -> ray.data.Dataset:
+    """Shared distributed-prefix-sum packer behind :func:`pack_shards` and
+    :func:`shuffle_pack`: per-block (key range, token subtotal) triples to
+    the driver (O(#blocks), never rows), blocks put in global order by
+    their DISJOINT key ranges, exclusive scan, per-block offset re-map.
+
+    ``block_key(t) -> (lo_key, hi_key, is_sorted)`` extracts one block's
+    key range and whether the block is internally key-sorted; overlap OR
+    intra-block disorder raises ``ValueError(err)`` — the running offset
+    is undefined either way.  Empty blocks (a corpus narrower than the
+    spread width, or an empty sort partition — they may lack even the
+    mapped schema) are dropped."""
+
+    @ray.remote
+    def block_stats(t: pa.Table):
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return None
+        lo, hi, is_sorted = block_key(t)
+        return (lo, hi, int(pc.sum(t.column("n_tokens")).as_py() or 0),
+                is_sorted)
 
     stats = ray.get([block_stats.remote(r) for r in refs])
-    nonempty = [i for i in range(len(refs)) if stats[i][0] != (1 << 62)]
-    order = sorted(nonempty, key=lambda i: stats[i][0])
-    prev_max = -1
+    order = sorted((i for i in range(len(refs)) if stats[i] is not None),
+                   key=lambda i: stats[i][0])
+    prev_max = None
     for i in order:
         lo, hi, _, is_sorted = stats[i]
-        if lo <= prev_max or not is_sorted:
-            # cross-block range overlap OR disorder inside a block — either
-            # way the running offset is undefined
-            raise ValueError(
-                "pack_shards requires a doc_id-sorted input (ranges overlap "
-                "or a block is internally unsorted)")
+        if (prev_max is not None and lo <= prev_max) or not is_sorted:
+            raise ValueError(err)
         prev_max = hi
-    sums = [stats[i][2] for i in order]
-    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    offsets = np.concatenate(
+        ([0], np.cumsum([stats[i][2] for i in order])[:-1])) \
+        if order else np.array([])
 
     @ray.remote
     def assign(t: pa.Table, offset: int) -> pa.Table:
         n = t.column("n_tokens").to_numpy()
         excl = offset + np.concatenate(([0], np.cumsum(n)[:-1]))
-        return t.append_column(
+        out = t.drop_columns(list(drop_cols)) if drop_cols else t
+        return out.append_column(
             "shard_id", pa.array(excl // budget, pa.int64()))
 
     out_refs = [assign.remote(refs[i], int(o))
                 for i, o in zip(order, offsets)]
-    if not out_refs:  # corpus smaller than the spread width → no real blocks
+    if not out_refs:  # no real blocks at all
         return ray.data.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "n_tokens": pa.array([], pa.int64()),
@@ -385,45 +404,23 @@ def shuffle_pack(sf_dir: str, budget: int = 2048) -> ray.data.Dataset:
     shuffled = (read_spread(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
                 .map_batches(keyed, batch_format="pyarrow")
                 .sort(["skey", "doc_id"]).materialize())
-    refs = shuffled.to_arrow_refs()
 
-    @ray.remote
-    def block_stats(t: pa.Table) -> tuple[tuple, tuple, int]:
-        import pyarrow.compute as pc
-
-        if t.num_rows == 0 or "doc_id" not in t.column_names:
-            return ((), (), 0)  # empty sort partition — mark, drop later
+    def shuffle_key(t: pa.Table) -> tuple[tuple, tuple, bool]:
         last = t.num_rows - 1
         k0 = (t.column("skey")[0].as_py(), int(t.column("doc_id")[0].as_py()))
         k1 = (t.column("skey")[last].as_py(),
               int(t.column("doc_id")[last].as_py()))
-        return (k0, k1, int(pc.sum(t.column("n_tokens")).as_py() or 0))
+        # Ray's sort emits sorted blocks; assert the invariant anyway —
+        # a silently unsorted block would mis-pack every later shard
+        df = pl.from_arrow(t.select(["skey", "doc_id"]))
+        ok = bool(df.select(
+            ((pl.col("skey") > pl.col("skey").shift(1))
+             | ((pl.col("skey") == pl.col("skey").shift(1))
+                & (pl.col("doc_id") > pl.col("doc_id").shift(1))))
+            .fill_null(True).all()).item())
+        return k0, k1, ok
 
-    stats = ray.get([block_stats.remote(r) for r in refs])
-    nonempty = [i for i in range(len(refs)) if stats[i][0] != ()]
-    order = sorted(nonempty, key=lambda i: stats[i][0])
-    prev_max: tuple = ()
-    for i in order:
-        lo, hi, _ = stats[i]
-        if prev_max and lo <= prev_max:
-            raise ValueError("shuffle_pack: sorted block key ranges overlap")
-        prev_max = hi
-    offsets = np.concatenate(
-        ([0], np.cumsum([stats[i][2] for i in order])[:-1])) \
-        if order else np.array([])
-
-    @ray.remote
-    def assign(t: pa.Table, offset: int) -> pa.Table:
-        n = t.column("n_tokens").to_numpy()
-        excl = offset + np.concatenate(([0], np.cumsum(n)[:-1]))
-        return t.drop_columns(["skey"]).append_column(
-            "shard_id", pa.array(excl // budget, pa.int64()))
-
-    out_refs = [assign.remote(refs[i], int(o))
-                for i, o in zip(order, offsets)]
-    if not out_refs:
-        return ray.data.from_arrow(pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "n_tokens": pa.array([], pa.int64()),
-            "shard_id": pa.array([], pa.int64())}))
-    return ray.data.from_arrow_refs(out_refs)
+    return _prefix_sum_pack(
+        shuffled.to_arrow_refs(), budget, shuffle_key, ("skey",),
+        "shuffle_pack: sorted block key ranges overlap or a block is "
+        "internally unsorted")

@@ -220,10 +220,20 @@ def embedding_lsh_pairs(sf_dir: str, tau: float = 0.4, n_tables: int = 8,
     ``cosine_pairs`` output (pytest-pinned twin) — the exactness
     configuration, quadratic by construction, for verification only.
 
-    Shuffle plan: one map pass emits (table, code) keys per vector;
-    ``groupby(coarse code prefix)`` runs one kernel per group; the
-    pair-dedup groupby moves pair ROWS only.  Edges feed
-    ``_components_assign`` / ``connected_components_dist`` unchanged."""
+    Shuffle plan: one map pass emits (table, code) keyed rows per vector —
+    the exchange replicates each embedding ``n_tables`` times by
+    construction (banding needs the vector co-located in EVERY table's
+    bucket to verify cosines in-bucket; that factor is the price of
+    precision 1.0 and bounds total shuffled bytes at n_tables × corpus).
+    ``groupby(mixed (table, code) hash)`` runs one kernel per group —
+    the splitmix mix spreads DIFFERENT tables' buckets across groups, so
+    a group holds ~(distinct codes / groups) buckets, not one aligned
+    bucket from every table.  Pair dedup (a pair found by several tables)
+    is a groupby(PAIR-HASH BUCKET) with one polars group_by per bucket —
+    pair rows only; Ray's generic per-pair aggregate dispatches once per
+    pair (the measured bottleneck ``ngram_jaccard_pairs`` moved off).
+    Edges feed ``_components_assign`` / ``connected_components_dist``
+    unchanged."""
     import logging
 
     import polars as pl
@@ -264,19 +274,33 @@ def embedding_lsh_pairs(sf_dir: str, tau: float = 0.4, n_tables: int = 8,
                 "tcode": pa.array((np.int64(t) << 32) | code, pa.int64()),
             }))
         t_all = pa.concat_tables(out)
-        # coarse prefix: ≤ 256 groups per table → one kernel per group
-        pref = (t_all.column("tcode").to_numpy()
-                % np.int64(max(1, min(256, n_tables * (1 << planes)))))
+        # coarse group code: splitmix64-mix the full (table, code) key
+        # before the modulus — the raw low bits are the CODE bits, which
+        # would collapse every table's equal-code bucket into one group
+        # (per-task memory n_tables × the per-bucket bound)
+        n_groups = np.uint64(max(1, min(4096, n_tables * (1 << planes))))
+        x = t_all.column("tcode").to_numpy().astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
         return t_all.append_column("cprefix", pa.array(
-            pref.astype(np.int32), pa.int32()))
+            (x % n_groups).astype(np.int32), pa.int32()))
 
     _pairs_empty = pa.table({"vec_id_a": pa.array([], pa.int64()),
                              "vec_id_b": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
+    _pairs_pb_empty = _pairs_empty.append_column(
+        "pb", pa.array([], pa.int32()))
+    # pair-hash bucket count, scaled by the embeddings table's bytes
+    import os as _os
+
+    n_pb = int(max(16, min(2048,
+                           _os.stat(f"{sf_dir}/embeddings.parquet").st_size
+                           // (4 << 20) + 16)))
 
     def pairs_of_group(group: pa.Table) -> pa.Table:
         if "vec_id" not in group.column_names or group.num_rows < 2:
-            return _pairs_empty
+            return _pairs_pb_empty
         ids, M = _batch_matrix(group)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         codes = group.column("tcode").to_numpy()
@@ -300,21 +324,33 @@ def embedding_lsh_pairs(sf_dir: str, tau: float = 0.4, n_tables: int = 8,
                 o_b.append(ids[idx[J]])
                 o_c.append(S[I, J])
         if not o_a:
-            return _pairs_empty
+            return _pairs_pb_empty
+        aa = np.concatenate(o_a)
+        bb = np.concatenate(o_b)
         return pa.table({
-            "vec_id_a": pa.array(np.concatenate(o_a), pa.int64()),
-            "vec_id_b": pa.array(np.concatenate(o_b), pa.int64()),
+            "vec_id_a": pa.array(aa, pa.int64()),
+            "vec_id_b": pa.array(bb, pa.int64()),
             "cosine": pa.array(np.concatenate(o_c), pa.float64()),
+            "pb": pa.array(((aa * 1000003 + bb) % n_pb).astype(np.int32),
+                           pa.int32()),
         })
 
-    from ray.data.aggregate import Max
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        # one pair-hash bucket: a pair found by several tables carries the
+        # same rounded cosine; one vectorized group_by per bucket dedups
+        if "vec_id_a" not in group.column_names or group.num_rows == 0:
+            return _pairs_empty
+        out = (pl.from_arrow(group)
+               .group_by("vec_id_a", "vec_id_b")
+               .agg(pl.col("cosine").max()))
+        return (out.select("vec_id_a", "vec_id_b", "cosine")
+                .to_arrow().cast(_pairs_empty.schema))
 
-    cand = (_emb(sf_dir).map_batches(bucketize, batch_format="pyarrow")
+    return (_emb(sf_dir).map_batches(bucketize, batch_format="pyarrow")
             .groupby("cprefix").map_groups(pairs_of_group,
-                                           batch_format="pyarrow"))
-    # a pair found by several tables carries the same cosine; Max dedups
-    return (cand.groupby(["vec_id_a", "vec_id_b"])
-            .aggregate(Max("cosine", alias_name="cosine")))
+                                           batch_format="pyarrow")
+            .groupby("pb").map_groups(dedup_bucket,
+                                      batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------

@@ -147,6 +147,12 @@ def term_stats(sf_dir: str) -> ray.data.Dataset:
     return agg
 
 
+_NGRAM_VERSION = "v2"
+
+_NGRAM_SCHEMA = pa.schema([("gram", pa.string()), ("cf", pa.int64()),
+                           ("df", pa.int64())])
+
+
 def ngram_counts(sf_dir: str, n: int = 2,
                  min_count: int = 3) -> ray.data.Dataset:
     """(gram, cf, df) global word n-gram statistics with min-count pruning
@@ -160,76 +166,116 @@ def ngram_counts(sf_dir: str, n: int = 2,
     reads its slice by predicate pushdown, sums, and applies the
     min-count prune INSIDE the reduce (strictly after that gram's global
     sum — a gram's rows always land in one bucket — so results stay
-    exact while only the pruned survivors leave the reducers as object
-    refs).  A ``Dataset.groupby`` here costs the driver
+    exact).  A ``Dataset.groupby`` here costs the driver
     O(mappers × reducers) shuffle-lineage metadata — measured 4.7 GB
     driver RSS at a 10M-doc / ~70M-distinct-gram soak vs FLAT with the
     exchange (BASELINE r5) — while the exchange's driver state is
     per-task counts plus a spill path.  The gram construction is one
     vectorized shift-over-doc per extra gram position, never a Python
-    loop over tokens."""
+    loop over tokens.
+
+    The pruned survivors are WRITTEN by the reducers into a content-keyed
+    cached directory (``/tmp/indri55_ngrams``, keyed by corpus identity +
+    n + min_count) and returned as ``read_parquet`` over it: the result
+    Dataset depends only on durable files — Ray lineage reconstruction of
+    a lost block re-reads them (returning reduce OUTPUT object refs and
+    deleting the exchange would instead re-run the reduce against a
+    deleted directory) — the intermediate exchange is deleted once the
+    survivors are on disk, and a rerun with unchanged inputs is free."""
     if n < 2:
         raise ValueError("use term_stats for unigrams")
+    import json as _json
     import shutil
-    import tempfile
+    from pathlib import Path
 
+    from ..cachedir import ensure_cached_dir, source_key
     from .dedup import _span_gram_buckets
 
     n_gb = _span_gram_buckets(sf_dir)
-    spill = tempfile.mkdtemp(prefix="indri55-ngrams-")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
+    def build(tmp: str) -> None:
+        keys_dir = f"{tmp}/keys"
+        grams_dir = f"{tmp}/grams"
+        os.makedirs(keys_dir)
+        os.makedirs(grams_dir)
 
-        if batch.num_rows == 0:
-            return pa.table({"rows": pa.array([], pa.int64())})
-        ex = (pl.from_arrow(batch)
-              .with_columns(tokens_expr().alias("toks"))
-              .select("doc_id", "toks").explode("toks")
-              .drop_nulls().rename({"toks": "t0"}))
-        ex = ex.with_columns([
-            pl.col("t0").shift(-i).over("doc_id").alias(f"t{i}")
-            for i in range(1, n)
-        ]).drop_nulls()  # trailing positions with no full gram
-        ex = ex.with_columns(
-            pl.concat_str([pl.col(f"t{i}") for i in range(n)],
-                          separator=" ").alias("gram"))
-        cf = ex.group_by("gram").agg(pl.len().alias("cf"))
-        dfc = (ex.unique(["doc_id", "gram"])
-               .group_by("gram").agg(pl.len().alias("df")))
-        t = (cf.join(dfc, on="gram")
-             .with_columns((pl.col("gram").hash(seed=0) % n_gb)
-                           .cast(pl.Int32).alias("gb"))
-             .sort("gb").to_arrow())
-        lo = int(batch.column("doc_id")[0].as_py())
-        pq.write_table(t, f"{spill}/part-{lo:012d}.parquet",
-                       row_group_size=max(256, t.num_rows // n_gb))
-        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+        def partial(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
 
-    _docs(sf_dir).map_batches(partial, batch_format="pyarrow").materialize()
+            if batch.num_rows == 0:
+                return pa.table({"rows": pa.array([], pa.int64())})
+            ex = (pl.from_arrow(batch)
+                  .with_columns(tokens_expr().alias("toks"))
+                  .select("doc_id", "toks").explode("toks")
+                  .drop_nulls().rename({"toks": "t0"}))
+            ex = ex.with_columns([
+                pl.col("t0").shift(-i).over("doc_id").alias(f"t{i}")
+                for i in range(1, n)
+            ]).drop_nulls()  # trailing positions with no full gram
+            ex = ex.with_columns(
+                pl.concat_str([pl.col(f"t{i}") for i in range(n)],
+                              separator=" ").alias("gram"))
+            cf = ex.group_by("gram").agg(pl.len().alias("cf"))
+            dfc = (ex.unique(["doc_id", "gram"])
+                   .group_by("gram").agg(pl.len().alias("df")))
+            t = (cf.join(dfc, on="gram")
+                 .with_columns((pl.col("gram").hash(seed=0) % n_gb)
+                               .cast(pl.Int32).alias("gb"))
+                 .sort("gb").to_arrow())
+            lo = int(batch.column("doc_id")[0].as_py())
+            pq.write_table(t, f"{keys_dir}/part-{lo:012d}.parquet",
+                           row_group_size=max(256, t.num_rows // n_gb))
+            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
-    @ray.remote(num_cpus=0.9)
-    def reduce_bucket(bucket: int) -> pa.Table:
-        import pyarrow.dataset as pads
+        _docs(sf_dir).map_batches(partial, batch_format="pyarrow").materialize()
+        # zero-doc corpus: no partial file was written, so the exchange
+        # dataset has no schema — skip the reduce entirely
+        have_parts = any(Path(keys_dir).glob("*.parquet"))
 
-        t = pads.dataset(spill, format="parquet").to_table(
-            filter=pads.field("gb") == bucket,
-            columns=["gram", "cf", "df"], use_threads=False)
-        if t.num_rows == 0:
-            return pa.table({"gram": pa.array([], pa.string()),
-                             "cf": pa.array([], pa.int64()),
-                             "df": pa.array([], pa.int64())})
-        return (pl.from_arrow(t)
-                .group_by("gram")
-                .agg(pl.col("cf").sum(), pl.col("df").sum())
-                .filter(pl.col("cf") >= min_count)
-                .cast({"cf": pl.Int64, "df": pl.Int64})
-                .to_arrow())
+        @ray.remote(num_cpus=0.9)
+        def reduce_bucket(bucket: int) -> int:
+            import pyarrow.dataset as pads
+            import pyarrow.parquet as pq
 
-    refs = [reduce_bucket.remote(b) for b in range(n_gb)]
-    ray.wait(refs, num_returns=len(refs), fetch_local=False)
-    shutil.rmtree(spill, ignore_errors=True)  # reduces hold the survivors
-    return ray.data.from_arrow_refs(refs)
+            t = pads.dataset(keys_dir, format="parquet").to_table(
+                filter=pads.field("gb") == bucket,
+                columns=["gram", "cf", "df"], use_threads=False)
+            if t.num_rows == 0:
+                return 0
+            out = (pl.from_arrow(t)
+                   .group_by("gram")
+                   .agg(pl.col("cf").sum(), pl.col("df").sum())
+                   .filter(pl.col("cf") >= min_count)
+                   .cast({"cf": pl.Int64, "df": pl.Int64})
+                   .to_arrow())
+            if out.num_rows:
+                pq.write_table(out.cast(_NGRAM_SCHEMA),
+                               f"{grams_dir}/grams-b{bucket:04d}.parquet",
+                               row_group_size=65536)
+            return out.num_rows
+
+        n_rows = (sum(ray.get([reduce_bucket.remote(b) for b in range(n_gb)]))
+                  if have_parts else 0)
+        if n_rows == 0:
+            import pyarrow.parquet as pq
+
+            pq.write_table(_NGRAM_SCHEMA.empty_table(),
+                           f"{grams_dir}/grams-empty.parquet")
+        shutil.rmtree(keys_dir, ignore_errors=True)  # intermediate exchange
+        with open(f"{tmp}/meta.json", "w") as f:
+            _json.dump({"rows": n_rows}, f)
+
+    final = ensure_cached_dir(
+        "/tmp/indri55_ngrams",
+        source_key(f"{sf_dir}/documents.parquet",
+                   f"{_NGRAM_VERSION}-n{n}-mc{min_count}"),
+        build, marker="meta.json")
+    with open(f"{final}/meta.json") as f:
+        if _json.load(f)["rows"] == 0:
+            # read_parquet over only-empty files keeps the schema but
+            # to_pandas drops the columns; hand back one explicit block
+            return ray.data.from_arrow(_NGRAM_SCHEMA.empty_table())
+    return ray.data.read_parquet(f"{final}/grams")
 
 
 def top_terms(sf_dir: str, n: int = 20) -> ray.data.Dataset:

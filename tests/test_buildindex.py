@@ -66,3 +66,37 @@ def test_build_from_trectext_class(tmp_path):
         t.column("docno").to_pylist(), t.column("content").to_pylist())}
     assert sorted(by_docno) == ["A1", "A2"]
     assert "alpha" in by_docno["A1"]
+
+
+def test_fileclass_rerun_and_norestart(tmp_path):
+    """Conversion is idempotent (marker-skipped on unchanged input — a
+    rerun must NOT append-double the converted corpus) and -norestart
+    wipes BEFORE converting (the wipe used to delete the fresh
+    conversion, crashing the rebuild)."""
+    import pyarrow.parquet as pq
+
+    raw = tmp_path / "docs.trectext"
+    raw.write_text(
+        "<DOC>\n<DOCNO>A1</DOCNO>\nalpha beta gamma merge\n</DOC>\n"
+        "<DOC>\n<DOCNO>A2</DOCNO>\nbeta delta merge buffer\n</DOC>\n")
+    flags = [f"-index={tmp_path}/idx", f"-corpus.path={raw}",
+             "-corpus.class=trectext", "-stemmer.name=none"]
+    m = run(parse_args(flags))
+    assert m["doc_count"] == 2
+    conv = tmp_path / "idx" / "converted"
+    files0 = sorted(conv.glob("*.parquet"))
+    # rerun: conversion skipped (same files, not appended), manifest reused
+    m2 = run(parse_args(flags))
+    assert m2 == m
+    assert sorted(conv.glob("*.parquet")) == files0
+    assert sum(pq.read_metadata(f).num_rows for f in files0) == 2
+    # -norestart: full wipe-and-rebuild works and still counts 2 docs
+    m3 = run(parse_args(flags + ["-norestart"]))
+    assert m3["doc_count"] == 2
+    assert sum(pq.read_metadata(f).num_rows
+               for f in conv.glob("*.parquet")) == 2
+    # changed input invalidates the marker → re-converted, 3 docs
+    raw.write_text(raw.read_text()
+                   + "<DOC>\n<DOCNO>A3</DOCNO>\nepsilon merge\n</DOC>\n")
+    m4 = run(parse_args(flags + ["-norestart"]))
+    assert m4["doc_count"] == 3

@@ -263,6 +263,33 @@ def test_ngram_counts_brute_force(mini_sf, n):
         ngram_counts(mini_sf, n=1)
 
 
+def test_ngram_counts_empty_corpus_and_cache(mini_sf, tmp_path):
+    """A zero-doc corpus yields the empty (gram, cf, df) table (the
+    exchange dataset has no schema then — regression: ArrowInvalid in
+    every reducer), and a rerun on unchanged input reuses the cached
+    survivors directory instead of recomputing."""
+    from indri_5_5_ray.functions.textstats import ngram_counts
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    })
+    pq.write_table(empty, tmp_path / "documents.parquet")
+    got = ngram_counts(str(tmp_path), n=2)
+    # Ray's to_pandas drops columns on any zero-row dataset; the Dataset
+    # itself carries the schema — the regression here is the crash
+    assert got.schema().names == ["gram", "cf", "df"]
+    assert got.count() == 0
+    # rerun hits the content-keyed cache: identical rows, no rebuild
+    a = ngram_counts(mini_sf, n=2, min_count=2).to_pandas()
+    b = ngram_counts(mini_sf, n=2, min_count=2).to_pandas()
+    assert sorted(map(tuple, a.values.tolist())) \
+        == sorted(map(tuple, b.values.tolist()))
+
+
 def test_embedding_lsh_pairs_exactness_twin_and_recall(mini_sf):
     """n_tables=1, planes=0 → one bucket → exactly cosine_pairs; banded
     defaults emit only TRUE pairs (precision 1.0) with nonzero recall."""
