@@ -999,6 +999,105 @@ def _quality_filter(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _ensure_pii_corpus(sf_dir: str) -> str:
+    """Derived 'sf dir' whose documents carry deterministic PII appended
+    per doc_id (%4==0 email, 1 phone, 2 IP, 3 none) — the synthetic corpus
+    itself contains no PII, so checking the taggers on it would verify
+    nothing; the SQL oracle rebuilds the same seeded text with string
+    concatenation and runs the same RE2 expressions."""
+    import pyarrow.parquet as pq
+
+    from indri_5_5_ray.cachedir import ensure_cached_dir, source_key
+
+    def build(tmp: str) -> None:
+        import pyarrow as pa
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out = []
+        for i, x in zip(ids, texts):
+            m = i % 4
+            if m == 0:
+                x += f" contact doc{i}@example.com"
+            elif m == 1:
+                x += f" call 555-{i % 1000:03d}-{i % 10000:04d}"
+            elif m == 2:
+                x += f" from 10.{i % 256}.0.{i % 100 + 1}"
+            out.append(x)
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(out, pa.string())}),
+                       f"{tmp}/documents.parquet")
+
+    return ensure_cached_dir(
+        "/tmp/indri55_pii",
+        source_key(f"{sf_dir}/documents.parquet", "pii-v1"), build)
+
+
+_PII_SEED_SQL = """
+            SELECT doc_id, text ||
+              CASE doc_id % 4
+                WHEN 0 THEN ' contact doc' || doc_id || '@example.com'
+                WHEN 1 THEN ' call 555-' ||
+                     lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                WHEN 2 THEN ' from 10.' || (doc_id % 256) || '.0.' ||
+                     (doc_id % 100 + 1)
+                ELSE ''
+              END AS text
+            FROM documents"""
+
+
+def _pii_stats_sql() -> str:
+    from indri_5_5_ray.functions.pii import PII_PATTERNS
+
+    e, p, ip = (PII_PATTERNS[k][0] for k in ("email", "phone", "ip"))
+    return f"""
+            WITH seeded AS ({_PII_SEED_SQL})
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)
+                       AS n_phones,
+                   CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT)
+                       AS n_ips,
+                   CAST(len(regexp_extract_all(text, '{e}'))
+                        + len(regexp_extract_all(text, '{p}'))
+                        + len(regexp_extract_all(text, '{ip}')) AS BIGINT)
+                       AS n_pii
+            FROM seeded ORDER BY doc_id"""
+
+
+def _redact_pii_sql() -> str:
+    from indri_5_5_ray.functions.pii import PII_PATTERNS
+
+    expr = "text"
+    for rx, token in PII_PATTERNS.values():  # same order as the engine
+        expr = f"regexp_replace({expr}, '{rx}', '{token}', 'g')"
+    return f"""
+            WITH seeded AS ({_PII_SEED_SQL})
+            SELECT doc_id, {expr} AS text
+            FROM seeded ORDER BY doc_id"""
+
+
+def _pii_stats_seeded(sf_dir: str):
+    """(doc_id, n_emails, n_phones, n_ips, n_pii) over the PII-seeded
+    derived corpus (the taggers' real workload; map-only regex counts)."""
+    from indri_5_5_ray.functions.pii import pii_stats
+
+    return pii_stats(_ensure_pii_corpus(sf_dir))
+
+
+def _redact_pii_seeded(sf_dir: str):
+    """(doc_id, text) PII-redacted over the seeded corpus — the driver
+    hash-checks the rewritten text byte-for-byte against DuckDB running
+    the same RE2 replacements."""
+    from indri_5_5_ray.functions.pii import redact_pii
+
+    return redact_pii(_ensure_pii_corpus(sf_dir))
+
+
 def _embedding_lsh_pairs_full(sf_dir: str):
     """Full-bucket exactness configuration of the banded hyperplane-LSH
     near-dup edge generator (``n_tables=1, planes=0`` → ONE bucket →
@@ -1055,6 +1154,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the same _components_assign/_keep_reps chain in-window, and this
         # entry now covers the embedding edge kernel) ---
         "embedding_lsh_pairs_full": _embedding_lsh_pairs_full,
+        # --- NEW r5 (late): PII tagging + redaction over the seeded
+        # derived corpus (map-only regex kernels; redacted text
+        # hash-checked byte-for-byte).  Displace token_counts_bpe (green
+        # r2-r4 unchanged — index_doc_lens counts tokens through the real
+        # tokenizer in-window) and quota_sample (green r2-r4 unchanged,
+        # pytest-forced multi-pass combine; mixture_sample's exact
+        # integer-rate sampling and contamination_screen's deterministic
+        # hash selection stay in-window) ---
+        "pii_stats": _pii_stats_seeded,
+        "redact_pii": _redact_pii_seeded,
         # --- NEW r5: the streaming WARC reader, driver-checked end to end
         # over a deterministic synthetic archive set (VERDICT r4 item 7;
         # displaces tumbling_counts — green r2-r4, hopping_counts is its
@@ -1172,10 +1281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_topk": _date_topk,
         "rm3_topk": _rm3_topk,
         # --- text statistics / analysis ---
-        "token_counts_bpe": textstats.token_counts_bpe,
         "lang_id": textstats.lang_id,
         # --- sampling / contamination (training-data curation) ---
-        "quota_sample": sampling.quota_sample,
         "contamination_screen": sampling.contamination_screen,
         # --- dedup family ---
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
@@ -1196,6 +1303,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_keep_first (green r2-r4 unchanged; near_dedup_keep_first
         # exercises _components_assign/_keep_reps in-window)
         "embedding_dedup_keep_first": dedup.embedding_dedup_keep_first,
+        # rotated out r5 (late) for pii_stats/redact_pii: token_counts_bpe
+        # (green r2-r4 unchanged; index_doc_lens counts tokens through the
+        # real tokenizer in-window) and quota_sample (green r2-r4
+        # unchanged, pytest-forced multi-pass combine; mixture_sample +
+        # contamination_screen keep the deterministic-selection family
+        # in-window)
+        "token_counts_bpe": textstats.token_counts_bpe,
+        "quota_sample": sampling.quota_sample,
         # rotated out r5 (late) for ngram_counts: exact_dup_groups (green
         # r2-r4 unchanged; the _dup_groups spill kernel stays in-window via
         # lsh_candidate_pairs / near_dedup_keep_first)
@@ -2877,6 +2992,10 @@ FROM stats ORDER BY doc_id""",
                   FROM s)
             SELECT query_id, rank, vec_id, cosine FROM r
             WHERE rank <= 10 ORDER BY query_id, rank""",
+        # PII taggers over the seeded corpus: SAME regexes (common
+        # rust-regex/RE2 subset), same seeding rule rebuilt in SQL
+        "pii_stats": _pii_stats_sql(),
+        "redact_pii": _redact_pii_sql(),
         "cosine_pairs": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

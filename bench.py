@@ -215,6 +215,27 @@ def run_bench() -> dict:
     for k_, v_ in _ann_recall().items():
         results[k_] = v_
 
+    # banded hyperplane-LSH near-dup edges (the 100 TB route for
+    # embedding_dup_clusters): timed row + edge recall vs the exact
+    # cosine_pairs truth (precision is 1.0 by construction — in-bucket
+    # verification — recorded to prove it)
+    def _emb_lsh_row() -> dict[str, float]:
+        exact = simsearch.cosine_pairs(SF_DIR, tau=0.4)
+        truth = set(zip(exact.column("vec_id_a").to_pylist(),
+                        exact.column("vec_id_b").to_pylist()))
+        t0 = time.perf_counter()
+        got = simsearch.embedding_lsh_pairs(SF_DIR, tau=0.4).to_pandas()
+        dt = time.perf_counter() - t0
+        pairs = set(zip(got.vec_id_a.tolist(), got.vec_id_b.tolist()))
+        return {"emb_lsh": round(dt, 3),
+                "recall_emb_lsh": round(len(pairs & truth)
+                                        / max(1, len(truth)), 4),
+                "prec_emb_lsh": round(len(pairs & truth)
+                                      / max(1, len(pairs)), 4)}
+
+    for k_, v_ in _emb_lsh_row().items():
+        results[k_] = v_
+
     def _sampling():
         from indri_5_5_ray.functions import sampling
         return sampling
@@ -231,6 +252,13 @@ def run_bench() -> dict:
 
         _sh.rmtree("/tmp/indri55_uniglm", ignore_errors=True)
         return textstats.unigram_logprob(SF_DIR).count()
+
+    def _curation_fresh() -> int:
+        import shutil as _sh
+
+        _sh.rmtree("/tmp/indri55_ngrams", ignore_errors=True)
+        return (textstats.ngram_counts(SF_DIR).count()
+                + _sampling().mixture_sample(SF_DIR).count())
 
     def _warc_parse() -> int:
         from indri_5_5_ray.sources import webarchive
@@ -339,10 +367,9 @@ def run_bench() -> dict:
         # from 3 to 4 queries late r5 (the FieldWildcard CO surface)
         ("inex_4q", _inex_4q),
         # NEW r5 (late): pruned bigram stats (filesystem bucket exchange,
-        # prune inside the reduce) + domain-mixture token-budget sampling
-        ("curation_2ops", lambda: (
-            textstats.ngram_counts(SF_DIR).count()
-            + _sampling().mixture_sample(SF_DIR).count())),
+        # prune inside the reduce; survivors cache cleared first so the
+        # row times the whole pipeline) + domain-mixture sampling
+        ("curation_2ops", _curation_fresh),
     ]:
         t0 = time.perf_counter()
         fn()
@@ -350,7 +377,7 @@ def run_bench() -> dict:
 
     total = sum(v for k, v in results.items()
                 if k not in ("bm25_p50", "bm25_p95")
-                and not k.startswith("recall10_"))
+                and not k.startswith(("recall10_", "recall_", "prec_")))
     out = {
         "metric": "index-build docs/sec + BM25 p50/p95 + operator pipelines (sec)",
         "value": round(total, 3),
@@ -512,14 +539,18 @@ def run_scaling() -> dict:
             best_any = (eff_i, r_lo, r_hi)
         if clean and (best_clean is None or eff_i > best_clean[0]):
             best_clean = (eff_i, r_lo, r_hi)
-        if len([e for e in clean_pair_effs if e >= 0.8]) >= 2:
+        # early exit needs TWO BAR-clean pairs ≥ 0.8 (steal-clean AND not
+        # bandwidth-depressed vs the best same-width leg so far) — a
+        # depressed-lo pair is clean by steal yet noise-INFLATED, and must
+        # not count as evidence
+        _bl = max(a[1]["build_docs_per_sec"] for a in attempts)
+        _bh = max(a[2]["build_docs_per_sec"] for a in attempts)
+        bar_now = [e for e, rl, rh, c in attempts
+                   if c and e >= 0.8
+                   and rl["build_docs_per_sec"] >= 0.75 * _bl
+                   and rh["build_docs_per_sec"] >= 0.75 * _bh]
+        if len(bar_now) >= 2:
             break
-    # a steal-dirty pair can be noise-INFLATED (a stalled lo leg raises the
-    # ratio), so clean pairs take precedence; best-any is only the fallback
-    # when every pair overlapped a burst
-    eff, b_lo, b_hi = best_clean if best_clean is not None else best_any
-    t_lo = b_lo["build_docs_per_sec"]
-    t_hi = b_hi["build_docs_per_sec"]
     # steal-clean ≠ noise-free: BASELINE §1d documents whole windows where
     # every pair is steal-clean yet co-tenant BANDWIDTH pressure depresses
     # absolute throughput (and the ratio) across the board.  Tag such pairs
@@ -530,6 +561,7 @@ def run_scaling() -> dict:
     best_hi_rate = max(a[2]["build_docs_per_sec"] for a in attempts)
     bar_clean_effs: list[float] = []
     noise_suspect_effs: list[float] = []
+    best_bar: tuple[float, dict, dict] | None = None
     for eff_i, r_lo, r_hi, clean in attempts:
         if not clean:
             continue
@@ -537,6 +569,18 @@ def run_scaling() -> dict:
                      or r_hi["build_docs_per_sec"] < 0.75 * best_hi_rate)
         (noise_suspect_effs if depressed else bar_clean_effs).append(
             round(eff_i, 3))
+        if not depressed and (best_bar is None or eff_i > best_bar[0]):
+            best_bar = (eff_i, r_lo, r_hi)
+    # headline = best BAR-CLEAN pair: a steal-dirty pair can be
+    # noise-INFLATED (a stalled lo leg raises the ratio) and so can a
+    # steal-clean pair whose lo leg ran in a bandwidth-depressed window
+    # (observed: a "clean" 1.6 superlinear pair) — fall back to best
+    # clean, then best any, only when every pair overlapped a burst
+    eff, b_lo, b_hi = (best_bar if best_bar is not None
+                       else best_clean if best_clean is not None
+                       else best_any)
+    t_lo = b_lo["build_docs_per_sec"]
+    t_hi = b_hi["build_docs_per_sec"]
     return {
         "metric": f"scaling efficiency (build docs/sec, num_cpus {lo} vs {hi})",
         "value": round(eff, 3),
@@ -560,10 +604,11 @@ def run_scaling() -> dict:
             "min_suspect_pair": (round(min(noise_suspect_effs), 3)
                                  if noise_suspect_effs else -1.0),
             "n_noise_suspect": len(noise_suspect_effs),
-            # independent clean pairs at/above the 0.8 bar — the count the
-            # two-cluster-size rule's evidence rests on (early exit at 2)
+            # independent BAR-CLEAN pairs at/above the 0.8 bar — the count
+            # the two-cluster-size rule's evidence rests on (early exit at
+            # 2; noise-suspect pairs never count, even when steal-clean)
             "n_clean_pairs_ge_bar": len(
-                [e for e in clean_pair_effs if e >= 0.8]),
+                [e for e in bar_clean_effs if e >= 0.8]),
         },
         "pair_effs": pair_effs,
         "clean_pair_effs": clean_pair_effs,

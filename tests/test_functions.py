@@ -263,6 +263,44 @@ def test_ngram_counts_brute_force(mini_sf, n):
         ngram_counts(mini_sf, n=1)
 
 
+def test_pii_stats_and_redact(tmp_path):
+    """PII taggers: counts and redaction on adversarial edge strings, and
+    the polars (rust regex) ↔ DuckDB (RE2) dialect-agreement pin the SQL
+    oracle rests on."""
+    import duckdb
+
+    from indri_5_5_ray.functions.pii import PII_PATTERNS, pii_stats, redact_pii
+
+    texts = [
+        "mail a.b+c@ex-ample.co.uk or x@y.io, call 555-123-4567 now",
+        "server 10.0.255.3 and 192.168.1.100; fake 999.1 phone 555.987.6543",
+        "no pii here",
+        "edge a@b.c 1.2.3.4.5 and 123-456-7890123",  # 1-char TLD, runs
+    ]
+    pq.write_table(pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    st = pii_stats(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert st.loc[0].tolist() == [2, 1, 0, 3]   # emails, phones, ips, pii
+    assert st.loc[1].tolist() == [0, 1, 2, 3]
+    assert st.loc[2].tolist() == [0, 0, 0, 0]
+    assert st.loc[3].tolist() == [0, 0, 1, 1]   # 1.2.3.4 matches, .5 left
+    red = redact_pii(str(tmp_path)).to_pandas().set_index("doc_id").text
+    assert red[0] == "mail [EMAIL] or [EMAIL], call [PHONE] now"
+    assert red[3] == "edge a@b.c [IP].5 and 123-456-7890123"
+    # dialect pin: DuckDB running the same expressions agrees byte-for-byte
+    con = duckdb.connect()
+    for t, want in zip(texts, red.tolist()):
+        expr = "?"
+        for rx, token in PII_PATTERNS.values():
+            expr = f"regexp_replace({expr}, '{rx}', '{token}', 'g')"
+        assert con.execute(f"SELECT {expr}", [t]).fetchone()[0] == want
+        for name, (rx, _) in PII_PATTERNS.items():
+            got = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [t, rx]).fetchone()[0]
+            assert got == st.loc[texts.index(t), f"n_{name}s"]
+
+
 def test_ngram_counts_empty_corpus_and_cache(mini_sf, tmp_path):
     """A zero-doc corpus yields the empty (gram, cf, df) table (the
     exchange dataset has no schema then — regression: ArrowInvalid in
