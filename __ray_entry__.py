@@ -1010,25 +1010,50 @@ def _ensure_pii_corpus(sf_dir: str) -> str:
     from indri_5_5_ray.cachedir import ensure_cached_dir, source_key
 
     def build(tmp: str) -> None:
-        import pyarrow as pa
+        # vectorized per-batch seeding + an incremental single-file write:
+        # the driver streams row-group-sized batches through a
+        # ParquetWriter instead of holding the whole corpus text at once
+        from indri_5_5_ray.functions.textstats import read_spread
 
-        t = pq.read_table(f"{sf_dir}/documents.parquet",
-                          columns=["doc_id", "text"])
-        ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
-        out = []
-        for i, x in zip(ids, texts):
-            m = i % 4
-            if m == 0:
-                x += f" contact doc{i}@example.com"
-            elif m == 1:
-                x += f" call 555-{i % 1000:03d}-{i % 10000:04d}"
-            elif m == 2:
-                x += f" from 10.{i % 256}.0.{i % 100 + 1}"
-            out.append(x)
-        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
-                                 "text": pa.array(out, pa.string())}),
-                       f"{tmp}/documents.parquet")
+        def seed(batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            d = pl.col("doc_id")
+            email = pl.concat_str([pl.lit(" contact doc"),
+                                   d.cast(pl.String),
+                                   pl.lit("@example.com")])
+            phone = pl.concat_str([
+                pl.lit(" call 555-"),
+                (d % 1000).cast(pl.String).str.zfill(3), pl.lit("-"),
+                (d % 10000).cast(pl.String).str.zfill(4)])
+            ip = pl.concat_str([pl.lit(" from 10."),
+                                (d % 256).cast(pl.String), pl.lit(".0."),
+                                (d % 100 + 1).cast(pl.String)])
+            m = d % 4
+            return (pl.from_arrow(batch).select(
+                "doc_id",
+                (pl.col("text")
+                 + pl.when(m == 0).then(email).when(m == 1).then(phone)
+                 .when(m == 2).then(ip).otherwise(pl.lit("")))
+                .alias("text")).to_arrow())
+
+        seeded = read_spread(f"{sf_dir}/documents.parquet",
+                             ["doc_id", "text"]).map_batches(
+            seed, batch_format="pyarrow")
+        writer = None
+        for b in seeded.iter_batches(batch_format="pyarrow"):
+            if writer is None:
+                writer = pq.ParquetWriter(f"{tmp}/documents.parquet",
+                                          b.schema)
+            writer.write_table(b)
+        if writer is not None:
+            writer.close()
+        else:  # empty corpus: keep the file contract for the readers
+            import pyarrow as pa
+
+            pq.write_table(pa.table({"doc_id": pa.array([], pa.int64()),
+                                     "text": pa.array([], pa.string())}),
+                           f"{tmp}/documents.parquet")
 
     return ensure_cached_dir(
         "/tmp/indri55_pii",
@@ -1103,11 +1128,23 @@ def _embedding_lsh_pairs_full(sf_dir: str):
     near-dup edge generator (``n_tables=1, planes=0`` → ONE bucket →
     output ≡ ``cosine_pairs``, so the whole machinery — bucketize
     exchange, in-bucket exact-cosine verification, pair-hash-bucket
-    dedup — gets an exact SQL oracle).  The banded default's
-    recall/precision is pytest-pinned and bench-measured; its clustering
-    route is ``embedding_dup_clusters(method="lsh")``."""
+    dedup — gets an exact SQL oracle).  VERIFICATION-ONLY: one bucket is
+    quadratic by construction, so this guard refuses inputs past the
+    hot-bucket cap (where truncation would silently break the ≡
+    cosine_pairs contract).  The banded default's recall/precision is
+    pytest-pinned and bench-measured; its clustering route is
+    ``embedding_dup_clusters(method="lsh")``."""
+    import pyarrow.parquet as pq
+
+    from indri_5_5_ray.functions.dedup import MAX_PAIR_GROUP
     from indri_5_5_ray.functions.simsearch import embedding_lsh_pairs
 
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    if n > MAX_PAIR_GROUP:
+        raise ValueError(
+            f"embedding_lsh_pairs_full is a verification twin for inputs "
+            f"of ≤ {MAX_PAIR_GROUP} vectors (got {n}); use the banded "
+            "default for real corpora")
     return embedding_lsh_pairs(sf_dir, tau=0.4, n_tables=1, planes=0)
 
 

@@ -98,6 +98,14 @@ def _convert_corpus(corpus_paths: list[str], file_class: str,
                 return str(conv)
         except (ValueError, OSError):
             pass
+        # CHANGED raw corpus: a stale manifest would otherwise make
+        # build_index(resume=True) short-circuit to the OLD corpus's
+        # index (and stale per-chunk side files would poison a re-merge),
+        # so invalidate everything except the conversion target
+        for child in Path(index_dir).iterdir():
+            if child != conv:
+                (shutil.rmtree(child, ignore_errors=True)
+                 if child.is_dir() else child.unlink(missing_ok=True))
     shutil.rmtree(conv, ignore_errors=True)
     ds = read_tagged(corpus_paths if len(corpus_paths) > 1
                      else corpus_paths[0], file_class=file_class)

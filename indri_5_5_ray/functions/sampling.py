@@ -330,7 +330,13 @@ def _prefix_sum_pack(refs: list, budget: int, block_key, drop_cols: tuple,
     intra-block disorder raises ``ValueError(err)`` — the running offset
     is undefined either way.  Empty blocks (a corpus narrower than the
     spread width, or an empty sort partition — they may lack even the
-    mapped schema) are dropped."""
+    mapped schema) are dropped.
+
+    CONTRACT: real blocks must carry ``doc_id`` and ``n_tokens`` columns
+    — the ``"doc_id" not in column_names`` test below is how schema-less
+    empty blocks are recognized, so a caller keying on a different id
+    column would see every block silently classified empty; add the
+    column names as parameters before adding such a caller."""
 
     @ray.remote
     def block_stats(t: pa.Table):

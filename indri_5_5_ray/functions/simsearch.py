@@ -197,8 +197,14 @@ def cosine_pairs(sf_dir: str, tau: float = 0.4,
     return pa.concat_tables(tables).sort_by([("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
 
 
+# expected vectors per LSH bucket the auto-derived plane count targets:
+# in-bucket matmul work is (bucket size)², so this bounds per-task compute
+# and memory independently of corpus size
+LSH_TARGET_BUCKET = 512
+
+
 def embedding_lsh_pairs(sf_dir: str, tau: float = 0.4, n_tables: int = 8,
-                        planes: int = 4) -> ray.data.Dataset:
+                        planes: int | None = None) -> ray.data.Dataset:
     """(vec_id_a, vec_id_b, cosine) near-dup candidate pairs from banded
     hyperplane LSH, exact-cosine VERIFIED in-bucket — the sub-quadratic
     edge generator :func:`~..dedup.embedding_dup_clusters`'s docstring
@@ -212,13 +218,24 @@ def embedding_lsh_pairs(sf_dir: str, tau: float = 0.4, n_tables: int = 8,
     cosine ≥ tau, so every output pair is true — the approximation is
     RECALL only (pairs whose vectors collide in no table are missed;
     measured against :func:`cosine_pairs` in tests/bench).  Pairs found
-    by several tables are deduplicated by a pair-key groupby.  Hot
-    buckets (mass-identical embeddings) are capped at MAX_PAIR_GROUP
-    vectors with a logged warning, the shingle-pair bound.
+    by several tables are deduplicated by a pair-key groupby.
+
+    ``planes`` MUST grow with the corpus or the route degenerates to
+    quadratic (expected bucket size is N/2^planes; in-bucket work is its
+    square).  The default (``None``) derives it from the table's row
+    count so expected buckets hold ~LSH_TARGET_BUCKET vectors — at 1M
+    vectors that is 11 planes, at 1B it is 21 — trading per-table recall
+    (each extra plane multiplies it by ~(1-θ/π)) for bounded per-bucket
+    work; raise ``n_tables`` alongside when recall matters at scale.
+    Hot buckets (mass-identical embeddings) are still capped at
+    MAX_PAIR_GROUP vectors — deterministically, keeping the LOWEST
+    vec_ids so reruns emit identical edges — with a logged warning, the
+    shingle-pair bound.
 
     ``n_tables=1, planes=0`` puts everything in ONE bucket → exactly the
     ``cosine_pairs`` output (pytest-pinned twin) — the exactness
-    configuration, quadratic by construction, for verification only.
+    configuration, quadratic by construction, for verification only on
+    inputs of ≤ MAX_PAIR_GROUP vectors.
 
     Shuffle plan: one map pass emits (table, code) keyed rows per vector —
     the exchange replicates each embedding ``n_tables`` times by
@@ -242,6 +259,12 @@ def embedding_lsh_pairs(sf_dir: str, tau: float = 0.4, n_tables: int = 8,
 
     logger = logging.getLogger(__name__)
     rng = np.random.default_rng(LSH_SEED)
+    if planes is None:
+        import pyarrow.parquet as _pq
+
+        n_rows = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+        planes = int(min(24, max(
+            4, np.ceil(np.log2(max(1, n_rows / LSH_TARGET_BUCKET))))))
     planes = max(0, planes)
 
     # per-table plane matrices, derived from one stream; dim from the schema
@@ -312,8 +335,12 @@ def embedding_lsh_pairs(sf_dir: str, tau: float = 0.4, n_tables: int = 8,
             if len(idx) > MAX_PAIR_GROUP:
                 logger.warning(
                     "embedding LSH bucket cap: %d vectors in one bucket; "
-                    "truncated to %d", len(idx), MAX_PAIR_GROUP)
-                idx = idx[:MAX_PAIR_GROUP]
+                    "truncated to the %d lowest vec_ids", len(idx),
+                    MAX_PAIR_GROUP)
+                # keep the LOWEST vec_ids: group row order is a Ray
+                # scheduling artifact, so a positional prefix would make
+                # the emitted edges vary run to run
+                idx = idx[np.argsort(ids[idx])[:MAX_PAIR_GROUP]]
             A = Mn[idx]
             S = np.round(A @ A.T, 6)  # same rounding rule as cosine_pairs
             I, J = np.nonzero(S >= tau)

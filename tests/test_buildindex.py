@@ -100,3 +100,9 @@ def test_fileclass_rerun_and_norestart(tmp_path):
                    + "<DOC>\n<DOCNO>A3</DOCNO>\nepsilon merge\n</DOC>\n")
     m4 = run(parse_args(flags + ["-norestart"]))
     assert m4["doc_count"] == 3
+    # changed input WITHOUT -norestart must also invalidate: the old
+    # manifest would otherwise short-circuit resume to the stale index
+    raw.write_text(raw.read_text()
+                   + "<DOC>\n<DOCNO>A4</DOCNO>\nzeta merge\n</DOC>\n")
+    m5 = run(parse_args(flags))
+    assert m5["doc_count"] == 4
