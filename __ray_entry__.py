@@ -1252,14 +1252,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # numeric-predicate kernel)
         "extent_topk": _extent_topk,
         # NEW r5: duplicated-span statistics — the substring-level dedup
-        # measure (Lee et al. 2021) at word-3-gram granularity; linear
-        # groupby(gram) → groupby(doc) reducers, exact SQL oracle
+        # measure (Lee et al. 2021) at word-3-gram granularity; one
+        # filesystem bucket exchange + a map-only range-pruned pass,
+        # exact SQL oracle
         # (displaces minhash_signatures — green r2-r4 unchanged; banding
         # consumer lsh_candidate_pairs runs the same _minhash_wide /
         # _doc_shingles kernel in-window)
         "dup_span_stats": dedup.dup_span_stats,
         # NEW r5: the span-REMOVAL transform over the same duplicated-
-        # occurrence exchange (covered-slot spill + range-pruned clean
+        # occurrence spill (covered-slot expansion + anti-join clean
         # pass); displaces term_stats — green r1-r4 unchanged; in-window
         # twin index_term_stats exercises the same map-side-partial +
         # groupby-finalize shape over the same tokenizer

@@ -253,6 +253,12 @@ def run_bench() -> dict:
         _sh.rmtree("/tmp/indri55_uniglm", ignore_errors=True)
         return textstats.unigram_logprob(SF_DIR).count()
 
+    def _dup_spans_fresh() -> int:
+        import shutil as _sh
+
+        _sh.rmtree("/tmp/indri55_dupocc", ignore_errors=True)
+        return dedup.dup_span_stats(SF_DIR).count()
+
     def _curation_fresh() -> int:
         import shutil as _sh
 
@@ -332,9 +338,10 @@ def run_bench() -> dict:
     for name, fn in [
         ("term_stats", lambda: textstats.term_stats(SF_DIR).count()),
         ("minhash_lsh", lambda: dedup.lsh_candidate_pairs(SF_DIR).count()),
-        # NEW r5: substring-level dedup measure — full gram-occurrence
-        # shuffle + per-doc interval merge (linear reducers)
-        ("dup_spans", lambda: dedup.dup_span_stats(SF_DIR).count()),
+        # NEW r5: substring-level dedup measure — filesystem gram-bucket
+        # exchange + map-only range-pruned interval union (occ cache
+        # cleared first so the row times the whole pipeline)
+        ("dup_spans", _dup_spans_fresh),
         # NEW r5: CCNet-style unigram-LM cross-entropy — vocab exchange +
         # spill + broadcast-join map pass (spill cache cleared first so the
         # row times the whole pipeline, not a warm reuse)

@@ -443,27 +443,11 @@ def doc_shingles(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-# docs per doc-range bucket in the span pipelines: one reduce group holds
-# one range's duplicated POSITIONS — independent of corpus size, but
-# proportional to per-doc duplication; shrink it (env) for corpora of
-# long, heavily-duplicated docs.  Contiguous ranges also make the spill
-# shards perfectly min/max-prunable.
-_SPAN_DOC_RANGE = int(os.environ.get("INDRI55_SPAN_DOC_RANGE", str(1 << 16)))
-
 # occurrence rows expanded to covered slots per fixed-size chunk in the
-# span-removal spill build — bounds that task's transient memory at
-# chunk × n regardless of a range's occupancy (env-tunable for tests)
+# span-removal clean pass — bounds that task's transient memory at
+# chunk × n regardless of a batch's occurrence count (env-tunable for tests)
 _SPAN_EXPAND_CHUNK = int(os.environ.get(
     "INDRI55_SPAN_EXPAND_CHUNK", str(8 << 20)))
-
-
-def _range_bucket(batch: pa.Table) -> pa.Table:
-    """Append the doc-range bucket column ``db`` (shared by the span
-    pipelines' doc-keyed exchanges — stats and transform must agree)."""
-    if batch.num_rows == 0:
-        return batch.append_column("db", pa.array([], pa.int64()))
-    db = batch.column("doc_id").to_numpy() // _SPAN_DOC_RANGE
-    return batch.append_column("db", pa.array(db, pa.int64()))
 
 
 def _span_gram_buckets(sf_dir: str) -> int:
@@ -479,58 +463,150 @@ def _span_gram_buckets(sf_dir: str) -> int:
     return max(256, int(size // (32 << 20)))
 
 
-def _dup_occurrences(sf_dir: str, n: int) -> ray.data.Dataset:
-    """(doc_id, pos) rows — every n-gram start position whose n-gram occurs
-    in ≥ 2 DISTINCT documents (0-based token positions).  Shared by
-    :func:`dup_span_stats` (counts) and :func:`remove_dup_spans` (the
-    transform).
+_OCC_SPILL_VERSION = "v2"
 
-    The exchange groups by a HASH BUCKET of the gram (``gb``), not the
-    gram itself: all occurrences of one gram land in one bucket (the
-    polars hash is deterministic within a cluster's polars version), the
-    per-bucket kernel is one vectorized group_by/semi-join, and Python
-    group dispatch costs one call per bucket instead of one per distinct
-    gram — at 50k docs that was the difference between 16 s and 1 s."""
-    docs = _docs(sf_dir)
-    n_buckets = _span_gram_buckets(sf_dir)
 
-    def grams(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch).with_columns(tokens_expr().alias("toks"))
-        ex = df.select("doc_id", "toks").explode("toks").drop_nulls("toks")
-        ex = ex.with_columns(
-            pl.int_range(pl.len()).over("doc_id").cast(pl.Int64).alias("pos"))
-        ex = ex.with_columns(
-            *[pl.col("toks").shift(-i).over("doc_id").alias(f"t{i}")
-              for i in range(1, n)])
-        ex = ex.drop_nulls()
-        ex = ex.with_columns(
-            pl.concat_str(
-                [pl.col("toks")] + [pl.col(f"t{i}") for i in range(1, n)],
-                separator=" ",
-            ).alias("gram"))
-        ex = ex.with_columns(
-            (pl.col("gram").hash(seed=0) % n_buckets)
-            .cast(pl.Int32).alias("gb"))
-        return ex.select("doc_id", "pos", "gram", "gb").to_arrow()
+def _dup_occ_spill(sf_dir: str, n: int) -> str:
+    """Content-keyed spill of duplicated-n-gram OCCURRENCE rows — every
+    (doc_id, pos) whose n-gram occurs in ≥ 2 DISTINCT documents (0-based
+    token positions) — shared by :func:`dup_span_stats` (counts) and
+    :func:`remove_dup_spans` (the transform).  Returns the directory;
+    ``occ/*.parquet`` shards hold (doc_id, pos) sorted by doc_id with
+    16k-row groups, so consumers' doc-range reads prune row groups.
 
-    _occ_empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                           "pos": pa.array([], pa.int64())})
+    Shuffle plan — the repo's FILESYSTEM bucket exchange (the
+    ``_dup_groups`` / ``ngram_counts`` idiom), NOT ``Dataset.groupby``:
 
-    def dup_rows(group: pa.Table) -> pa.Table:
-        # one hash bucket of grams: vectorized distinct-doc filter
-        if "doc_id" not in group.column_names or group.num_rows < 2:
-            return _occ_empty
-        df = pl.from_arrow(group)
-        keep = (df.group_by("gram")
-                .agg(pl.col("doc_id").n_unique().alias("nd"))
-                .filter(pl.col("nd") >= 2)
-                .select("gram"))
-        return (df.join(keep, on="gram", how="semi")
-                .select("doc_id", "pos").to_arrow())
+    * map (one task per corpus batch): n-gram occurrence rows
+      (doc_id, pos, gram) sorted by the gram-hash bucket ``gb`` → one
+      part file with gb-aligned row groups.  All occurrences of a gram
+      land in one bucket (polars hash, deterministic within a cluster's
+      polars version), so the dup filter below is exact;
+    * reduce (one Ray task per gb bucket): predicate-pushdown read of
+      the bucket slice, vectorized ≥2-distinct-docs semi-join, sort by
+      (doc_id, pos), write ``occ/occ-gbXXXX.parquet``.  Per-task memory
+      is one bucket (bytes-scaled bucket count via
+      :func:`_span_gram_buckets`), never the corpus.
 
-    return (docs.map_batches(grams, batch_format="pyarrow")
-            .groupby("gb")
-            .map_groups(dup_rows, batch_format="pyarrow"))
+    Ray's sort-based ``groupby`` over the same ~O(total tokens) rows
+    costs the driver O(mappers × reducers) shuffle-lineage metadata —
+    measured 2.7 GB driver RSS at the 10M-doc span soak (BASELINE §1g)
+    — while this exchange's driver state is per-task COUNTS plus a
+    spill path; the grouping itself also runs as ONE vectorized kernel
+    per bucket instead of Ray's per-group dispatch.  A boilerplate gram
+    present in most of a 100 TB corpus still concentrates its rows in
+    one bucket — the scale knob is ``INDRI55_SPAN_GRAM_BUCKETS`` via
+    corpus bytes (32 MB/bucket); splitting such grams with the
+    exact-dup pre-collapse (``_rep_docs``) first, like
+    ``ngram_jaccard_pairs``, remains the route for adversarial skew at
+    the cost of re-expanding stats to group members — plain occurrences
+    keep the SQL oracle exact."""
+    import json
+    import shutil
+
+    from ..cachedir import ensure_cached_dir, source_key
+
+    n_gb = _span_gram_buckets(sf_dir)
+
+    _occ_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+
+    def build(tmp: str) -> None:
+        keys_dir = f"{tmp}/keys"
+        occ_dir = f"{tmp}/occ"
+        os.makedirs(keys_dir)
+        os.makedirs(occ_dir)
+
+        def part(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            if batch.num_rows == 0:
+                return pa.table({"rows": pa.array([], pa.int64())})
+            df = pl.from_arrow(batch).with_columns(tokens_expr().alias("toks"))
+            ex = (df.select("doc_id", "toks").explode("toks")
+                  .drop_nulls("toks"))
+            ex = ex.with_columns(
+                pl.int_range(pl.len()).over("doc_id").cast(pl.Int64)
+                .alias("pos"))
+            ex = ex.with_columns(
+                *[pl.col("toks").shift(-i).over("doc_id").alias(f"t{i}")
+                  for i in range(1, n)])
+            ex = ex.drop_nulls()  # trailing positions with no full gram
+            ex = ex.with_columns(
+                pl.concat_str(
+                    [pl.col("toks")] + [pl.col(f"t{i}") for i in range(1, n)],
+                    separator=" ",
+                ).alias("gram"))
+            ex = (ex.with_columns((pl.col("gram").hash(seed=0) % n_gb)
+                                  .cast(pl.Int32).alias("gb"))
+                  .select("doc_id", "pos", "gram", "gb").sort("gb"))
+            t = ex.to_arrow()
+            lo = int(batch.column("doc_id")[0].as_py())
+            pq.write_table(t, f"{keys_dir}/part-{lo:012d}.parquet",
+                           row_group_size=max(256, t.num_rows // n_gb))
+            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+        _docs(sf_dir).map_batches(part, batch_format="pyarrow").materialize()
+        have_parts = any(f.endswith(".parquet") for f in os.listdir(keys_dir))
+
+        @ray.remote(num_cpus=0.9)
+        def reduce_bucket(bucket: int) -> int:
+            import pyarrow.dataset as pads
+            import pyarrow.parquet as pq
+
+            from ..stages.postings import cached_dataset
+
+            t = cached_dataset(keys_dir, salt=tmp).to_table(
+                filter=pads.field("gb") == bucket,
+                columns=["doc_id", "pos", "gram"], use_threads=False)
+            if t.num_rows == 0:
+                return 0
+            df = pl.from_arrow(t)
+            keep = (df.group_by("gram")
+                    .agg(pl.col("doc_id").n_unique().alias("nd"))
+                    .filter(pl.col("nd") >= 2)
+                    .select("gram"))
+            out = (df.join(keep, on="gram", how="semi")
+                   .select("doc_id", "pos").sort("doc_id", "pos"))
+            if out.height == 0:
+                return 0
+            pq.write_table(out.to_arrow().cast(_occ_schema),
+                           f"{occ_dir}/occ-gb{bucket:04d}.parquet",
+                           row_group_size=16384)
+            return out.height
+
+        n_rows = (sum(ray.get([reduce_bucket.remote(b) for b in range(n_gb)]))
+                  if have_parts else 0)
+        if not os.listdir(occ_dir):  # keep the dataset readable when empty
+            import pyarrow.parquet as pq
+
+            pq.write_table(_occ_schema.empty_table(),
+                           f"{occ_dir}/occ-empty.parquet")
+        shutil.rmtree(keys_dir, ignore_errors=True)  # intermediate exchange
+        with open(f"{tmp}/meta.json", "w") as f:
+            json.dump({"rows": n_rows, "n": n}, f)
+
+    spill = ensure_cached_dir(
+        "/tmp/indri55_dupocc",
+        source_key(f"{sf_dir}/documents.parquet",
+                   f"{_OCC_SPILL_VERSION}-n{n}"),
+        build, marker="meta.json")
+    return f"{spill}/occ"
+
+
+def _occ_slice(occ_dir: str, lo: int, hi: int) -> pl.DataFrame:
+    """Doc-range-pruned read of the occurrence spill: all (doc_id, pos)
+    rows with ``lo ≤ doc_id ≤ hi``.  Row groups outside the range are
+    pruned by parquet min/max stats (the shards are doc_id-sorted); the
+    per-worker dataset handle is memoized, so warm tasks skip the footer
+    scan."""
+    import pyarrow.dataset as pads
+
+    from ..stages.postings import cached_dataset
+
+    return pl.from_arrow(
+        cached_dataset(occ_dir, salt=occ_dir).to_table(
+            filter=(pads.field("doc_id") >= lo)
+            & (pads.field("doc_id") <= hi)))
 
 
 def dup_span_stats(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
@@ -548,84 +624,42 @@ def dup_span_stats(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
     Every document appears in the output (zero stats when nothing is
     duplicated or the doc has < n tokens).
 
-    Shuffle plan (all reducers LINEAR in their input, unlike the pair
-    generators above): n-gram occurrence rows (gram, doc_id, pos, gb) →
-    groupby(gram bucket) emits (doc_id, pos) only for grams spanning ≥ 2
-    distinct docs → groupby(doc-RANGE bucket) merges intervals per doc
-    (vectorized polars agg over ≤ 64k docs per group) → union with the
-    per-doc token counts and a final doc-range-bucketed vectorized sum
-    (Ray's generic Sum aggregate dispatches per group — 50k doc groups
-    cost seconds; one polars group_by per 64k-doc bucket costs ms) over
-    O(#docs) rows.  Per-reducer
-    memory is one bucket's rows (bytes-scaled gram buckets / fixed 64k-doc
-    ranges), never the corpus; a boilerplate gram present in most of a
-    100 TB corpus still concentrates its occurrence rows in one bucket —
-    the scale path splits such grams with the exact-dup pre-collapse
-    (``_rep_docs``) first, like ``ngram_jaccard_pairs``, at the cost of
-    re-expanding stats to group members; here plain occurrences keep the
-    SQL oracle exact."""
-    docs = _docs(sf_dir)
+    Shuffle plan: the shared :func:`_dup_occ_spill` filesystem exchange
+    (the ONLY all-to-all — see its docstring for why it is not a
+    ``Dataset.groupby``) → a map-only corpus pass: each batch range-prunes
+    the doc-sorted occurrence shards to its own [min, max] doc ids and
+    computes the per-doc interval union VECTORIZED (each sorted position
+    contributes min(gap to next, n); the last contributes exactly n).
+    A doc's occurrence rows all land in the one batch holding the doc, so
+    no cross-batch merge step exists; per-task memory is one batch's
+    docs' occurrence rows."""
+    occ_dir = _dup_occ_spill(sf_dir, n)
 
     _stat_empty = pa.table({"doc_id": pa.array([], pa.int64()),
                             "n_tokens": pa.array([], pa.int64()),
                             "dup_positions": pa.array([], pa.int64()),
                             "covered_tokens": pa.array([], pa.int64())})
 
-    def cover(group: pa.Table) -> pa.Table:
-        # one 64k-doc range: per-doc interval union, fully vectorized —
-        # each sorted position contributes min(gap to next, n); the last
-        # one contributes exactly n (fill_null after shift)
-        if "doc_id" not in group.column_names or group.num_rows == 0:
+    def stats(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return _stat_empty
-        out = (pl.from_arrow(group)
-               .group_by("doc_id")
-               .agg(pl.lit(0, pl.Int64).alias("n_tokens"),
-                    pl.len().cast(pl.Int64).alias("dup_positions"),
+        ids = batch.column("doc_id").to_numpy()
+        occ = _occ_slice(occ_dir, int(ids.min()), int(ids.max()))
+        cov = (occ.group_by("doc_id")
+               .agg(pl.len().cast(pl.Int64).alias("dup_positions"),
                     pl.col("pos").sort().diff().shift(-1).fill_null(n)
                     .clip(upper_bound=n).sum().cast(pl.Int64)
                     .alias("covered_tokens")))
+        out = (pl.from_arrow(batch)
+               .select(pl.col("doc_id"),
+                       token_count_expr().cast(pl.Int64).alias("n_tokens"))
+               .join(cov, on="doc_id", how="left")
+               .with_columns(pl.col("dup_positions").fill_null(0),
+                             pl.col("covered_tokens").fill_null(0)))
         return out.select("doc_id", "n_tokens", "dup_positions",
                           "covered_tokens").to_arrow()
 
-    per_doc = (
-        _dup_occurrences(sf_dir, n)
-        .map_batches(_range_bucket, batch_format="pyarrow")
-        .groupby("db")
-        .map_groups(cover, batch_format="pyarrow")
-    )
-
-    def base(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
-        return df.select(
-            pl.col("doc_id"),
-            token_count_expr().cast(pl.Int64).alias("n_tokens"),
-            pl.lit(0, pl.Int64).alias("dup_positions"),
-            pl.lit(0, pl.Int64).alias("covered_tokens"),
-        ).to_arrow()
-
-    def final_sum(group: pa.Table) -> pa.Table:
-        # one 64k-doc range: merge the zero-stat base row with the cover
-        # row (when present) in a single vectorized group_by
-        if "doc_id" not in group.column_names or group.num_rows == 0:
-            return _stat_empty
-        out = (pl.from_arrow(group.drop_columns(["db"]))
-               .group_by("doc_id")
-               .agg(pl.col("n_tokens").sum(),
-                    pl.col("dup_positions").sum(),
-                    pl.col("covered_tokens").sum()))
-        return out.select("doc_id", "n_tokens", "dup_positions",
-                          "covered_tokens").to_arrow()
-
-    return (
-        docs.map_batches(base, batch_format="pyarrow")
-        .union(per_doc)
-        .map_batches(_range_bucket, batch_format="pyarrow")
-        .groupby("db")
-        .map_groups(final_sum, batch_format="pyarrow")
-    )
-
-
-_SPAN_SPILL_VERSION = "v1"
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
 def remove_dup_spans(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
@@ -637,41 +671,37 @@ def remove_dup_spans(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
     original whitespace is not preserved) and ``n_removed`` counts the
     dropped tokens.  Every document appears in the output.
 
-    Shuffle plan: the shared :func:`_dup_occurrences` exchange → a
-    groupby(doc-RANGE bucket) whose group fn computes each doc's covered
-    slots VECTORIZED over its ≤ 64k-doc range and writes the shard
-    directly to a content-keyed spill dir (doc-range sharded, never
-    driver-resident — the same filesystem-broadcast pattern as
-    :func:`_dup_groups`) → a map-only pass over the corpus that
-    range-prunes the spill per batch, anti-joins covered slots and
-    reassembles the text.  Spill size is O(covered positions of
-    duplicated docs); each clean task reads only the shards overlapping
-    its batch's doc range."""
-    import json
+    Shuffle plan: the shared :func:`_dup_occ_spill` filesystem exchange →
+    a map-only corpus pass: each batch range-prunes the occurrence shards
+    to its own doc ids, expands [pos, pos+n) to covered slots (packed
+    (local doc, slot) int64s, uniqued in fixed ``_SPAN_EXPAND_CHUNK``
+    chunks so task memory is bounded by CHUNK × n plus the deduped
+    output, not by the range's occurrence count), anti-joins the batch's
+    exploded tokens on (doc_id, slot) and reassembles the text."""
+    occ_dir = _dup_occ_spill(sf_dir, n)
 
-    from ..cachedir import ensure_cached_dir, source_key
+    _clean_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                             "clean_text": pa.array([], pa.string()),
+                             "n_removed": pa.array([], pa.int64())})
 
-    def build(tmp: str) -> None:
-        cov_dir = f"{tmp}/cov"
-        os.makedirs(cov_dir)
-        _slots_empty = pa.table({"rows": pa.array([], pa.int64())})
-
-        def write_range_shard(group: pa.Table) -> pa.Table:
-            # one doc range: expand [pos, pos+n) per occurrence, unique
-            # over (local doc, slot) packed into int64 — local ids fit 16
-            # bits, slots (token offsets in one doc) fit 40.  The ×n
-            # expansion runs in fixed-size chunks so task memory is
-            # bounded by CHUNK×n plus the deduped output, not by the
-            # range's occurrence count (a range of long heavily-dup'd
-            # docs can hold 10⁸ occurrence rows).
-            import pyarrow.parquet as pq
-
-            if "doc_id" not in group.column_names or group.num_rows == 0:
-                return _slots_empty
-            ids = group.column("doc_id").to_numpy().astype(np.int64)
-            pos = group.column("pos").to_numpy().astype(np.int64)
-            lo = (int(ids.min()) // _SPAN_DOC_RANGE) * _SPAN_DOC_RANGE
-            base = ((ids - lo) << 40) + pos
+    def clean(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _clean_empty
+        ids = batch.column("doc_id").to_numpy()
+        lo, hi = int(ids.min()), int(ids.max())
+        occ = _occ_slice(occ_dir, lo, hi)
+        if hi - lo >= (1 << 23):
+            # packed (local doc << 40 | slot) needs the batch's doc-id
+            # span under 2^23 (slots take 40 bits for long docs); corpus
+            # batches are contiguous row ranges, so this only trips on
+            # pathologically sparse doc ids — repartition those upstream
+            raise ValueError(
+                f"remove_dup_spans: batch doc-id span {hi - lo} too wide "
+                "for packed slot expansion; repartition the corpus")
+        if occ.height:
+            dids = occ["doc_id"].to_numpy().astype(np.int64)
+            pos = occ["pos"].to_numpy().astype(np.int64)
+            base = ((dids - lo) << 40) + pos
             chunk = _SPAN_EXPAND_CHUNK
             parts = [
                 np.unique((base[s:s + chunk, None] + np.arange(n)).ravel())
@@ -679,50 +709,13 @@ def remove_dup_spans(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
             ]
             uk = parts[0] if len(parts) == 1 else np.unique(
                 np.concatenate(parts))
-            out = pa.table({
-                "doc_id": pa.array((uk >> 40) + lo, pa.int64()),
-                "slot": pa.array(uk & ((1 << 40) - 1), pa.int64()),
+            cov = pl.DataFrame({
+                "doc_id": (uk >> 40) + lo,
+                "slot": uk & ((1 << 40) - 1),
             })
-            pq.write_table(out, f"{cov_dir}/cov-{lo:012d}.parquet",
-                           row_group_size=16384)
-            return pa.table({"rows": pa.array([out.num_rows], pa.int64())})
-
-        (_dup_occurrences(sf_dir, n)
-         .map_batches(_range_bucket, batch_format="pyarrow")
-         .groupby("db")
-         .map_groups(write_range_shard, batch_format="pyarrow")
-         .materialize())
-        if not os.listdir(cov_dir):  # keep the dataset readable when empty
-            import pyarrow.parquet as pq
-
-            pq.write_table(
-                pa.table({"doc_id": pa.array([], pa.int64()),
-                          "slot": pa.array([], pa.int64())}),
-                f"{cov_dir}/cov-empty.parquet")
-        with open(f"{tmp}/meta.json", "w") as f:
-            json.dump({"n": n}, f)
-
-    spill = ensure_cached_dir(
-        "/tmp/indri55_dupspans",
-        source_key(f"{sf_dir}/documents.parquet",
-                   f"{_SPAN_SPILL_VERSION}-n{n}"),
-        build, marker="meta.json")
-    cov_path = f"{spill}/cov"
-
-    def clean(batch: pa.Table) -> pa.Table:
-        import pyarrow.dataset as pads
-
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "clean_text": pa.array([], pa.string()),
-                          "n_removed": pa.array([], pa.int64())})
-        if batch.num_rows == 0:
-            return empty
-        ids = batch.column("doc_id").to_numpy()
-        lo, hi = int(ids.min()), int(ids.max())
-        cov = pl.from_arrow(
-            pads.dataset(cov_path, format="parquet").to_table(
-                filter=(pads.field("doc_id") >= lo)
-                & (pads.field("doc_id") <= hi)))
+        else:
+            cov = pl.DataFrame({"doc_id": np.array([], np.int64),
+                                "slot": np.array([], np.int64)})
         ex = (pl.from_arrow(batch)
               .select("doc_id", tokens_expr().alias("toks"))
               .explode("toks").drop_nulls("toks")

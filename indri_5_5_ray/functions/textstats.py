@@ -607,23 +607,45 @@ def _load_vocab(vocab_dir: str) -> pl.DataFrame:
 _UNIGRAM_COGROUP_BYTES = int(os.environ.get(
     "INDRI55_UNIGRAM_COGROUP_BYTES", str(4 << 30)))
 
-_LM_DOC_RANGE = 1 << 16  # docs per final-merge reduce group
+_UNIGRAM_CG_VERSION = "v2"
 
 
 def _unigram_cogroup(sf_dir: str) -> ray.data.Dataset:
     """Vocab-scale path for :func:`unigram_logprob` — NO vocab table is
-    ever built, spilled, or broadcast.  (doc_id, term, tf) partial rows
-    (per-batch combined) are exchanged once by a term-hash bucket; since
-    every occurrence of a term lands in its term's bucket, cf(term) is
-    the in-bucket sum of tf, so one vectorized per-bucket kernel computes
-    per-doc partials (Σ tf, Σ tf·ln cf); a doc-range-bucketed exchange
-    then merges partials per doc.  Two exchanges over O(doc-term pairs);
-    per-task memory is one bucket (bytes-scaled count), never the vocab.
-    The corpus total (for ln(total)) is a scalar column-pruned pre-pass.
+    ever built, spilled per worker, or broadcast, and no ``Dataset.groupby``
+    sort-shuffle either: the exchange is the repo's FILESYSTEM bucket
+    exchange (the ``ngram_counts`` / ``dedup._dup_occ_spill`` idiom).
+
+    * map (one task per corpus batch): per-batch-combined (doc_id, term,
+      tf) rows sorted by the term-hash bucket ``tb`` → one part file with
+      tb-aligned row groups;
+    * reduce (one Ray task per tb bucket): predicate-pushdown read of the
+      bucket slice; since every occurrence of a term lands in its term's
+      bucket, cf(term) is the in-bucket sum of tf, so one vectorized
+      kernel computes per-doc partials (Σ tf, Σ tf·ln cf), doc-sorted →
+      one partial shard; the bucket's Σ tf rides back as the task's int
+      return, so ln(total) needs no extra corpus pass;
+    * finalize (map-only corpus pass): each batch range-prunes the
+      doc-sorted partial shards to its own [min, max] doc ids and sums
+      partials per doc — a doc's partial rows (≤ one per bucket) all
+      land in the one batch holding the doc, so no cross-batch merge
+      exists.
+
+    Driver state is per-task counts plus a content-keyed spill path
+    (cached: a rerun with unchanged inputs is free); a ``Dataset.groupby``
+    over the same O(doc-term pairs) rows costs the driver
+    O(mappers × reducers) shuffle-lineage metadata instead (BASELINE
+    §1g).  Per-task memory is one bucket (bytes-scaled bucket count),
+    never the vocab.
 
     Float caveat: per-doc sums accumulate in a different order than the
     broadcast path (per-term tf·ln cf vs per-token ln cf), so results
     agree to ~1e-12 relative, not bit-exactly."""
+    import json
+    import shutil
+
+    from ..cachedir import ensure_cached_dir, source_key
+
     path = f"{sf_dir}/documents.parquet"
     try:
         size = os.path.getsize(path)
@@ -631,79 +653,114 @@ def _unigram_cogroup(sf_dir: str) -> ray.data.Dataset:
         size = 0
     n_tb = max(64, int(size // (32 << 20)))
 
-    docs = _docs(sf_dir)
+    _part_schema = pa.schema([("doc_id", pa.int64()),
+                              ("n_p", pa.int64()),
+                              ("s_p", pa.float64())])
 
-    total = token_counts(sf_dir).sum("n_tokens") or 0
+    def build(tmp: str) -> None:
+        keys_dir = f"{tmp}/keys"
+        parts_dir = f"{tmp}/parts"
+        os.makedirs(keys_dir)
+        os.makedirs(parts_dir)
+
+        def rows(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            if batch.num_rows == 0:
+                return pa.table({"rows": pa.array([], pa.int64())})
+            df = pl.from_arrow(batch).with_columns(tokens_expr().alias("toks"))
+            ex = (df.select("doc_id", "toks").explode("toks").drop_nulls()
+                  .rename({"toks": "term"}))
+            out = (ex.group_by("doc_id", "term")
+                   .agg(pl.len().cast(pl.Int64).alias("tf"))
+                   .with_columns((pl.col("term").hash(seed=0) % n_tb)
+                                 .cast(pl.Int32).alias("tb"))
+                   .sort("tb"))
+            t = out.to_arrow()
+            lo = int(batch.column("doc_id")[0].as_py())
+            pq.write_table(t, f"{keys_dir}/part-{lo:012d}.parquet",
+                           row_group_size=max(256, t.num_rows // n_tb))
+            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+        _docs(sf_dir).map_batches(rows, batch_format="pyarrow").materialize()
+        have_parts = any(f.endswith(".parquet") for f in os.listdir(keys_dir))
+
+        @ray.remote(num_cpus=0.9)
+        def reduce_bucket(bucket: int) -> int:
+            import pyarrow.dataset as pads
+            import pyarrow.parquet as pq
+
+            from ..stages.postings import cached_dataset
+
+            t = cached_dataset(keys_dir, salt=tmp).to_table(
+                filter=pads.field("tb") == bucket,
+                columns=["doc_id", "term", "tf"], use_threads=False)
+            if t.num_rows == 0:
+                return 0
+            df = pl.from_arrow(t)
+            cf = df.group_by("term").agg(pl.col("tf").sum().alias("cf"))
+            out = (df.join(cf, on="term")
+                   .with_columns((pl.col("tf").cast(pl.Float64)
+                                  * pl.col("cf").cast(pl.Float64).log())
+                                 .alias("s"))
+                   .group_by("doc_id")
+                   .agg(pl.col("tf").sum().alias("n_p"),
+                        pl.col("s").sum().alias("s_p"))
+                   .sort("doc_id"))
+            pq.write_table(out.to_arrow().cast(_part_schema),
+                           f"{parts_dir}/lm-tb{bucket:04d}.parquet",
+                           row_group_size=16384)
+            return int(out["n_p"].sum())
+
+        total = (sum(ray.get([reduce_bucket.remote(b) for b in range(n_tb)]))
+                 if have_parts else 0)
+        if not os.listdir(parts_dir):  # keep the dataset readable when empty
+            import pyarrow.parquet as pq
+
+            pq.write_table(_part_schema.empty_table(),
+                           f"{parts_dir}/lm-empty.parquet")
+        shutil.rmtree(keys_dir, ignore_errors=True)  # intermediate exchange
+        with open(f"{tmp}/meta.json", "w") as f:
+            json.dump({"total": total}, f)
+
+    spill = ensure_cached_dir(
+        "/tmp/indri55_unigcg",
+        source_key(path, _UNIGRAM_CG_VERSION),
+        build, marker="meta.json")
+    with open(f"{spill}/meta.json") as f:
+        total = json.load(f)["total"]
+    parts_dir = f"{spill}/parts"
     ln_total = float(np.log(total)) if total else 0.0
-
-    def rows(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch).with_columns(tokens_expr().alias("toks"))
-        ex = (df.select("doc_id", "toks").explode("toks").drop_nulls()
-              .rename({"toks": "term"}))
-        out = (ex.group_by("doc_id", "term")
-               .agg(pl.len().cast(pl.Int64).alias("tf"))
-               .with_columns((pl.col("term").hash(seed=0) % n_tb)
-                             .cast(pl.Int32).alias("tb")))
-        return out.to_arrow()
-
-    _part_empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                            "n_p": pa.array([], pa.int64()),
-                            "s_p": pa.array([], pa.float64())})
-
-    def bucket(group: pa.Table) -> pa.Table:
-        # one term-hash bucket: cf = global count (in-bucket sum), then
-        # per-doc partial entropy contributions
-        if "doc_id" not in group.column_names or group.num_rows == 0:
-            return _part_empty
-        df = pl.from_arrow(group)
-        cf = df.group_by("term").agg(pl.col("tf").sum().alias("cf"))
-        out = (df.join(cf, on="term")
-               .with_columns((pl.col("tf").cast(pl.Float64)
-                              * pl.col("cf").cast(pl.Float64).log())
-                             .alias("s"))
-               .group_by("doc_id")
-               .agg(pl.col("tf").sum().alias("n_p"),
-                    pl.col("s").sum().alias("s_p")))
-        return out.select("doc_id", "n_p", "s_p").to_arrow()
-
-    partials = (docs.map_batches(rows, batch_format="pyarrow")
-                .groupby("tb")
-                .map_groups(bucket, batch_format="pyarrow"))
-
-    def base(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
-        return df.select(pl.col("doc_id"),
-                         pl.lit(0, pl.Int64).alias("n_p"),
-                         pl.lit(0.0, pl.Float64).alias("s_p")).to_arrow()
-
-    def dbucket(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("db", pa.array([], pa.int64()))
-        db = batch.column("doc_id").to_numpy() // _LM_DOC_RANGE
-        return batch.append_column("db", pa.array(db, pa.int64()))
 
     _out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
                            "n_tokens": pa.array([], pa.int64()),
                            "cross_entropy": pa.array([], pa.float64())})
 
-    def final(group: pa.Table) -> pa.Table:
-        if "doc_id" not in group.column_names or group.num_rows == 0:
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        from ..stages.postings import cached_dataset
+
+        if batch.num_rows == 0:
             return _out_empty
-        out = (pl.from_arrow(group.drop_columns(["db"]))
-               .group_by("doc_id")
+        ids = batch.column("doc_id").to_numpy()
+        part = pl.from_arrow(
+            cached_dataset(parts_dir, salt=parts_dir).to_table(
+                filter=(pads.field("doc_id") >= int(ids.min()))
+                & (pads.field("doc_id") <= int(ids.max()))))
+        per = (part.group_by("doc_id")
                .agg(pl.col("n_p").sum().alias("n_tokens"),
-                    pl.col("s_p").sum().alias("s"))
+                    pl.col("s_p").sum().alias("s")))
+        out = (pl.from_arrow(batch).select("doc_id")
+               .join(per, on="doc_id", how="left")
+               .with_columns(pl.col("n_tokens").fill_null(0))
                .with_columns(
                    pl.when(pl.col("n_tokens") > 0)
                    .then(ln_total - pl.col("s") / pl.col("n_tokens"))
                    .otherwise(0.0).alias("cross_entropy")))
         return out.select("doc_id", "n_tokens", "cross_entropy").to_arrow()
 
-    return (docs.map_batches(base, batch_format="pyarrow")
-            .union(partials)
-            .map_batches(dbucket, batch_format="pyarrow")
-            .groupby("db")
-            .map_groups(final, batch_format="pyarrow"))
+    return _docs(sf_dir).map_batches(finalize, batch_format="pyarrow")
 
 
 def unigram_logprob(sf_dir: str, mode: str = "auto") -> ray.data.Dataset:

@@ -780,20 +780,24 @@ def test_ccnet_buckets_fewer_docs_than_buckets(tmp_path):
     assert by_doc[1] == 1 and by_doc[0] == 2
 
 
-def test_remove_dup_spans_chunked_and_small_ranges(mini_sf, monkeypatch):
-    """Forcing multi-chunk slot expansion (chunk=4) and multi-range spill
-    shards (range=2 docs) reproduces the default-config output exactly —
-    pins the chunked-unique math and the per-range shard layout."""
+def test_remove_dup_spans_chunked_and_small_buckets(mini_sf, monkeypatch):
+    """Forcing multi-chunk slot expansion (chunk=4) and a tiny gram-bucket
+    count (3, so the exchange genuinely fans out and most buckets hold
+    several grams) reproduces the default-config output exactly — pins the
+    chunked-unique math and the bucket-exchange layout."""
     import shutil
 
     from indri_5_5_ray.functions import dedup
 
     want = dedup.remove_dup_spans(mini_sf).sort("doc_id").to_pandas()
+    wants = dedup.dup_span_stats(mini_sf).sort("doc_id").to_pandas()
 
-    shutil.rmtree("/tmp/indri55_dupspans", ignore_errors=True)
+    shutil.rmtree("/tmp/indri55_dupocc", ignore_errors=True)
     monkeypatch.setattr(dedup, "_SPAN_EXPAND_CHUNK", 4)
-    monkeypatch.setattr(dedup, "_SPAN_DOC_RANGE", 2)
+    monkeypatch.setattr(dedup, "_span_gram_buckets", lambda sf_dir: 3)
     got = dedup.remove_dup_spans(mini_sf).sort("doc_id").to_pandas()
-    shutil.rmtree("/tmp/indri55_dupspans", ignore_errors=True)
+    gots = dedup.dup_span_stats(mini_sf).sort("doc_id").to_pandas()
+    shutil.rmtree("/tmp/indri55_dupocc", ignore_errors=True)
 
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    assert gots.reset_index(drop=True).equals(wants.reset_index(drop=True))

@@ -4,13 +4,16 @@ Synthesizes a documents table where a configurable fraction of docs embed
 a shared boilerplate span (web-crawl-like substring duplication — the
 workload Lee et al. 2021 span removal targets), then:
 
-1. ``dup_span_stats``  — the full gram-occurrence exchange (groupby(gram)
-   → groupby(doc) interval merge), driver RSS sampled throughout;
-2. ``remove_dup_spans`` — the covered-slot spill build + range-pruned
-   clean pass; the driver holds only the spill path;
-3. cross-check: Σ covered_tokens (stats) == Σ n_removed (transform) —
-   the two operators take independent paths after the shared exchange,
-   so equality is a real end-to-end consistency proof at scale;
+1. the shared ``_dup_occ_spill`` filesystem exchange (timed on its own:
+   both span operators are map-only passes over it), then
+   ``dup_span_stats`` — the range-pruned interval-union pass, driver RSS
+   sampled throughout;
+2. ``remove_dup_spans`` — the range-pruned covered-slot expansion +
+   anti-join clean pass over the same spill;
+3. cross-check: Σ covered_tokens (stats) == Σ n_removed (transform), and
+   BOTH equal the generator's closed-form expectation — the two
+   operators take independent kernels after the shared exchange, and the
+   closed form is independent of the engine entirely;
 4. ``unigram_logprob`` + ``ccnet_buckets`` — vocab spill + broadcast-join
    scoring + the distributed-ntile bucket assignment (bucket sizes must
    differ by ≤ 1).
@@ -102,17 +105,26 @@ def main() -> None:
 
     wd = args.workdir
     shutil.rmtree(wd, ignore_errors=True)
-    shutil.rmtree("/tmp/indri55_dupspans", ignore_errors=True)
+    shutil.rmtree("/tmp/indri55_dupocc", ignore_errors=True)
     shutil.rmtree("/tmp/indri55_uniglm", ignore_errors=True)
+    shutil.rmtree("/tmp/indri55_unigcg", ignore_errors=True)
     res: dict = {"docs": args.docs, "dup_frac": args.dup, "cpus": args.cpus}
 
     t0 = time.perf_counter()
     make_documents(f"{wd}/sf", args.docs, args.dup)
     res["gen_s"] = round(time.perf_counter() - t0, 1)
 
-    from indri_5_5_ray.functions.dedup import NGRAM_N
+    from indri_5_5_ray.functions.dedup import NGRAM_N, _dup_occ_spill
 
     exp_cov, exp_pos = expected_span_stats(args.docs, args.dup, NGRAM_N)
+
+    t0 = time.perf_counter()
+    with RssSampler() as s0:
+        _dup_occ_spill(f"{wd}/sf", NGRAM_N)  # the ONE exchange, shared
+    res["occ_spill_s"] = round(time.perf_counter() - t0, 1)
+    res["rss_spill_mb"] = {"start": round(s0.samples[0], 1),
+                           "peak": round(max(s0.samples), 1),
+                           "end": round(s0.samples[-1], 1)}
 
     t0 = time.perf_counter()
     with RssSampler() as s1:
