@@ -1040,12 +1040,23 @@ def _ensure_pii_corpus(sf_dir: str) -> str:
         seeded = read_spread(f"{sf_dir}/documents.parquet",
                              ["doc_id", "text"]).map_batches(
             seed, batch_format="pyarrow")
+        # deterministic doc_id order in the written file: without
+        # preserve_order the block order is an execution race, and a
+        # derived corpus should keep the repo's sorted-corpus convention
+        import ray
+
+        ctx = ray.data.DataContext.get_current()
+        prev_order = ctx.execution_options.preserve_order
+        ctx.execution_options.preserve_order = True
         writer = None
-        for b in seeded.iter_batches(batch_format="pyarrow"):
-            if writer is None:
-                writer = pq.ParquetWriter(f"{tmp}/documents.parquet",
-                                          b.schema)
-            writer.write_table(b)
+        try:
+            for b in seeded.iter_batches(batch_format="pyarrow"):
+                if writer is None:
+                    writer = pq.ParquetWriter(f"{tmp}/documents.parquet",
+                                              b.schema)
+                writer.write_table(b)
+        finally:
+            ctx.execution_options.preserve_order = prev_order
         if writer is not None:
             writer.close()
         else:  # empty corpus: keep the file contract for the readers
@@ -1057,7 +1068,7 @@ def _ensure_pii_corpus(sf_dir: str) -> str:
 
     return ensure_cached_dir(
         "/tmp/indri55_pii",
-        source_key(f"{sf_dir}/documents.parquet", "pii-v1"), build)
+        source_key(f"{sf_dir}/documents.parquet", "pii-v2"), build)
 
 
 _PII_SEED_SQL = """

@@ -101,11 +101,11 @@ def _convert_corpus(corpus_paths: list[str], file_class: str,
         # CHANGED raw corpus: a stale manifest would otherwise make
         # build_index(resume=True) short-circuit to the OLD corpus's
         # index (and stale per-chunk side files would poison a re-merge),
-        # so invalidate everything except the conversion target
-        for child in Path(index_dir).iterdir():
-            if child != conv:
-                (shutil.rmtree(child, ignore_errors=True)
-                 if child.is_dir() else child.unlink(missing_ok=True))
+        # so invalidate the build artifacts — and ONLY them: the raw
+        # corpus itself (or any user file) may live under index_dir
+        from .pipelines.build import wipe_build_artifacts
+
+        wipe_build_artifacts(index_dir)
     shutil.rmtree(conv, ignore_errors=True)
     ds = read_tagged(corpus_paths if len(corpus_paths) > 1
                      else corpus_paths[0], file_class=file_class)
@@ -122,12 +122,16 @@ def run(args: dict) -> dict:
     corpus_paths: list[str] = list(args["corpus.path"])
     file_class = args.get("corpus.class", "parquet")
     if args.get("norestart"):
-        # wipe BEFORE any conversion lands under <index>/converted —
-        # build_index(resume=False) rmtree's the whole index dir when a
-        # manifest exists, which used to delete the just-converted corpus
+        # wipe the build artifacts (and the conversion cache, so a fresh
+        # run re-converts) BEFORE the conversion step — never the whole
+        # index dir: the raw corpus or user files may live under it
         import shutil
+        from pathlib import Path
 
-        shutil.rmtree(index_dir, ignore_errors=True)
+        from .pipelines.build import wipe_build_artifacts
+
+        wipe_build_artifacts(index_dir)
+        shutil.rmtree(Path(index_dir) / "converted", ignore_errors=True)
     if file_class != "parquet":
         corpus_paths = [_convert_corpus(corpus_paths, file_class, index_dir)]
 

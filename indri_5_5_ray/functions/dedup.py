@@ -455,7 +455,12 @@ def _span_gram_buckets(sf_dir: str) -> int:
     (~32 MB of compressed corpus per bucket, floor 256): one reduce GROUP
     is one bucket, so bucket count — not gram count — bounds both the
     per-group materialization and the per-group Python dispatch cost (the
-    same coarse-group trick as the LSH bprefix)."""
+    same coarse-group trick as the LSH bprefix).  ``INDRI55_SPAN_GRAM_
+    BUCKETS`` overrides the derived count (raise it when boilerplate
+    grams make a hot bucket OOM)."""
+    env = os.environ.get("INDRI55_SPAN_GRAM_BUCKETS")
+    if env:
+        return max(1, int(env))
     try:
         size = os.path.getsize(f"{sf_dir}/documents.parquet")
     except OSError:
@@ -501,95 +506,52 @@ def _dup_occ_spill(sf_dir: str, n: int) -> str:
     ``ngram_jaccard_pairs``, remains the route for adversarial skew at
     the cost of re-expanding stats to group members — plain occurrences
     keep the SQL oracle exact."""
-    import json
-    import shutil
-
-    from ..cachedir import ensure_cached_dir, source_key
+    from .exchange import bucket_exchange
 
     n_gb = _span_gram_buckets(sf_dir)
 
     _occ_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
 
-    def build(tmp: str) -> None:
-        keys_dir = f"{tmp}/keys"
-        occ_dir = f"{tmp}/occ"
-        os.makedirs(keys_dir)
-        os.makedirs(occ_dir)
+    def gram_occurrences(df: pl.DataFrame) -> pl.DataFrame:
+        ex = (df.with_columns(tokens_expr().alias("toks"))
+              .select("doc_id", "toks").explode("toks")
+              .drop_nulls("toks"))
+        ex = ex.with_columns(
+            pl.int_range(pl.len()).over("doc_id").cast(pl.Int64)
+            .alias("pos"))
+        ex = ex.with_columns(
+            *[pl.col("toks").shift(-i).over("doc_id").alias(f"t{i}")
+              for i in range(1, n)])
+        ex = ex.drop_nulls()  # trailing positions with no full gram
+        ex = ex.with_columns(
+            pl.concat_str(
+                [pl.col("toks")] + [pl.col(f"t{i}") for i in range(1, n)],
+                separator=" ",
+            ).alias("gram"))
+        return (ex.with_columns((pl.col("gram").hash(seed=0) % n_gb)
+                                .cast(pl.Int32).alias("gb"))
+                .select("doc_id", "pos", "gram", "gb"))
 
-        def part(batch: pa.Table) -> pa.Table:
-            import pyarrow.parquet as pq
+    def dup_filter(df: pl.DataFrame):
+        keep = (df.group_by("gram")
+                .agg(pl.col("doc_id").n_unique().alias("nd"))
+                .filter(pl.col("nd") >= 2)
+                .select("gram"))
+        out = (df.join(keep, on="gram", how="semi")
+               .select("doc_id", "pos").sort("doc_id", "pos"))
+        return out, out.height
 
-            if batch.num_rows == 0:
-                return pa.table({"rows": pa.array([], pa.int64())})
-            df = pl.from_arrow(batch).with_columns(tokens_expr().alias("toks"))
-            ex = (df.select("doc_id", "toks").explode("toks")
-                  .drop_nulls("toks"))
-            ex = ex.with_columns(
-                pl.int_range(pl.len()).over("doc_id").cast(pl.Int64)
-                .alias("pos"))
-            ex = ex.with_columns(
-                *[pl.col("toks").shift(-i).over("doc_id").alias(f"t{i}")
-                  for i in range(1, n)])
-            ex = ex.drop_nulls()  # trailing positions with no full gram
-            ex = ex.with_columns(
-                pl.concat_str(
-                    [pl.col("toks")] + [pl.col(f"t{i}") for i in range(1, n)],
-                    separator=" ",
-                ).alias("gram"))
-            ex = (ex.with_columns((pl.col("gram").hash(seed=0) % n_gb)
-                                  .cast(pl.Int32).alias("gb"))
-                  .select("doc_id", "pos", "gram", "gb").sort("gb"))
-            t = ex.to_arrow()
-            lo = int(batch.column("doc_id")[0].as_py())
-            pq.write_table(t, f"{keys_dir}/part-{lo:012d}.parquet",
-                           row_group_size=max(256, t.num_rows // n_gb))
-            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
-
-        _docs(sf_dir).map_batches(part, batch_format="pyarrow").materialize()
-        have_parts = any(f.endswith(".parquet") for f in os.listdir(keys_dir))
-
-        @ray.remote(num_cpus=0.9)
-        def reduce_bucket(bucket: int) -> int:
-            import pyarrow.dataset as pads
-            import pyarrow.parquet as pq
-
-            from ..stages.postings import cached_dataset
-
-            t = cached_dataset(keys_dir, salt=tmp).to_table(
-                filter=pads.field("gb") == bucket,
-                columns=["doc_id", "pos", "gram"], use_threads=False)
-            if t.num_rows == 0:
-                return 0
-            df = pl.from_arrow(t)
-            keep = (df.group_by("gram")
-                    .agg(pl.col("doc_id").n_unique().alias("nd"))
-                    .filter(pl.col("nd") >= 2)
-                    .select("gram"))
-            out = (df.join(keep, on="gram", how="semi")
-                   .select("doc_id", "pos").sort("doc_id", "pos"))
-            if out.height == 0:
-                return 0
-            pq.write_table(out.to_arrow().cast(_occ_schema),
-                           f"{occ_dir}/occ-gb{bucket:04d}.parquet",
-                           row_group_size=16384)
-            return out.height
-
-        n_rows = (sum(ray.get([reduce_bucket.remote(b) for b in range(n_gb)]))
-                  if have_parts else 0)
-        if not os.listdir(occ_dir):  # keep the dataset readable when empty
-            import pyarrow.parquet as pq
-
-            pq.write_table(_occ_schema.empty_table(),
-                           f"{occ_dir}/occ-empty.parquet")
-        shutil.rmtree(keys_dir, ignore_errors=True)  # intermediate exchange
-        with open(f"{tmp}/meta.json", "w") as f:
-            json.dump({"rows": n_rows, "n": n}, f)
-
-    spill = ensure_cached_dir(
-        "/tmp/indri55_dupocc",
-        source_key(f"{sf_dir}/documents.parquet",
-                   f"{_OCC_SPILL_VERSION}-n{n}"),
-        build, marker="meta.json")
+    spill = bucket_exchange(
+        _docs(sf_dir),
+        cache_root="/tmp/indri55_dupocc",
+        source_path=f"{sf_dir}/documents.parquet",
+        version=f"{_OCC_SPILL_VERSION}-n{n}-gb{n_gb}",
+        n_buckets=n_gb, bucket_col="gb",
+        map_kernel=gram_occurrences, map_columns=("doc_id", "text"),
+        reduce_columns=["doc_id", "pos", "gram"], reduce_kernel=dup_filter,
+        out_schema=_occ_schema, out_dirname="occ",
+        out_prefix="occ-gb", empty_name="occ-",
+        meta_payload=lambda rows: {"rows": rows, "n": n})
     return f"{spill}/occ"
 
 
@@ -674,10 +636,14 @@ def remove_dup_spans(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
     Shuffle plan: the shared :func:`_dup_occ_spill` filesystem exchange →
     a map-only corpus pass: each batch range-prunes the occurrence shards
     to its own doc ids, expands [pos, pos+n) to covered slots (packed
-    (local doc, slot) int64s, uniqued in fixed ``_SPAN_EXPAND_CHUNK``
+    (local-batch doc index << 40 | slot) int64s — the doc lane is the
+    index into the batch's sorted unique ids, so arbitrarily sparse
+    global doc ids are safe — uniqued in fixed ``_SPAN_EXPAND_CHUNK``
     chunks so task memory is bounded by CHUNK × n plus the deduped
     output, not by the range's occurrence count), anti-joins the batch's
-    exploded tokens on (doc_id, slot) and reassembles the text."""
+    exploded tokens on (doc_id, slot) and reassembles the text.  On a
+    sparse-id corpus the [min, max] range prune still overshoots (wider
+    reads, same answers); contiguous-row batches keep it exact."""
     occ_dir = _dup_occ_spill(sf_dir, n)
 
     _clean_empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -688,20 +654,23 @@ def remove_dup_spans(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
         if batch.num_rows == 0:
             return _clean_empty
         ids = batch.column("doc_id").to_numpy()
-        lo, hi = int(ids.min()), int(ids.max())
+        ids_u = np.unique(ids).astype(np.int64)
+        lo, hi = int(ids_u[0]), int(ids_u[-1])
         occ = _occ_slice(occ_dir, lo, hi)
-        if hi - lo >= (1 << 23):
-            # packed (local doc << 40 | slot) needs the batch's doc-id
-            # span under 2^23 (slots take 40 bits for long docs); corpus
-            # batches are contiguous row ranges, so this only trips on
-            # pathologically sparse doc ids — repartition those upstream
-            raise ValueError(
-                f"remove_dup_spans: batch doc-id span {hi - lo} too wide "
-                "for packed slot expansion; repartition the corpus")
+        base = np.array([], np.int64)
         if occ.height:
             dids = occ["doc_id"].to_numpy().astype(np.int64)
             pos = occ["pos"].to_numpy().astype(np.int64)
-            base = ((dids - lo) << 40) + pos
+            # keep only this batch's docs (the [lo, hi] range prune can
+            # overshoot on sparse doc ids) and pack by the doc's LOCAL
+            # index — ≤ batch rows, so the 23-bit doc lane always fits no
+            # matter how sparse the global id space is
+            li = np.searchsorted(ids_u, dids)
+            li[li == len(ids_u)] = 0
+            keep = ids_u[li] == dids
+            li, pos = li[keep], pos[keep]
+            base = (li << 40) + pos
+        if len(base):
             chunk = _SPAN_EXPAND_CHUNK
             parts = [
                 np.unique((base[s:s + chunk, None] + np.arange(n)).ravel())
@@ -710,7 +679,7 @@ def remove_dup_spans(sf_dir: str, n: int = NGRAM_N) -> ray.data.Dataset:
             uk = parts[0] if len(parts) == 1 else np.unique(
                 np.concatenate(parts))
             cov = pl.DataFrame({
-                "doc_id": (uk >> 40) + lo,
+                "doc_id": ids_u[uk >> 40],
                 "slot": uk & ((1 << 40) - 1),
             })
         else:

@@ -185,91 +185,47 @@ def ngram_counts(sf_dir: str, n: int = 2,
     if n < 2:
         raise ValueError("use term_stats for unigrams")
     import json as _json
-    import shutil
-    from pathlib import Path
 
-    from ..cachedir import ensure_cached_dir, source_key
     from .dedup import _span_gram_buckets
+    from .exchange import bucket_exchange
 
     n_gb = _span_gram_buckets(sf_dir)
 
-    def build(tmp: str) -> None:
-        keys_dir = f"{tmp}/keys"
-        grams_dir = f"{tmp}/grams"
-        os.makedirs(keys_dir)
-        os.makedirs(grams_dir)
+    def grams_of(df: pl.DataFrame) -> pl.DataFrame:
+        ex = (df.with_columns(tokens_expr().alias("toks"))
+              .select("doc_id", "toks").explode("toks")
+              .drop_nulls().rename({"toks": "t0"}))
+        ex = ex.with_columns([
+            pl.col("t0").shift(-i).over("doc_id").alias(f"t{i}")
+            for i in range(1, n)
+        ]).drop_nulls()  # trailing positions with no full gram
+        ex = ex.with_columns(
+            pl.concat_str([pl.col(f"t{i}") for i in range(n)],
+                          separator=" ").alias("gram"))
+        cf = ex.group_by("gram").agg(pl.len().alias("cf"))
+        dfc = (ex.unique(["doc_id", "gram"])
+               .group_by("gram").agg(pl.len().alias("df")))
+        return (cf.join(dfc, on="gram")
+                .with_columns((pl.col("gram").hash(seed=0) % n_gb)
+                              .cast(pl.Int32).alias("gb")))
 
-        def partial(batch: pa.Table) -> pa.Table:
-            import pyarrow.parquet as pq
+    def sum_prune(df: pl.DataFrame):
+        out = (df.group_by("gram")
+               .agg(pl.col("cf").sum(), pl.col("df").sum())
+               .filter(pl.col("cf") >= min_count)
+               .cast({"cf": pl.Int64, "df": pl.Int64}))
+        return out, out.height
 
-            if batch.num_rows == 0:
-                return pa.table({"rows": pa.array([], pa.int64())})
-            ex = (pl.from_arrow(batch)
-                  .with_columns(tokens_expr().alias("toks"))
-                  .select("doc_id", "toks").explode("toks")
-                  .drop_nulls().rename({"toks": "t0"}))
-            ex = ex.with_columns([
-                pl.col("t0").shift(-i).over("doc_id").alias(f"t{i}")
-                for i in range(1, n)
-            ]).drop_nulls()  # trailing positions with no full gram
-            ex = ex.with_columns(
-                pl.concat_str([pl.col(f"t{i}") for i in range(n)],
-                              separator=" ").alias("gram"))
-            cf = ex.group_by("gram").agg(pl.len().alias("cf"))
-            dfc = (ex.unique(["doc_id", "gram"])
-                   .group_by("gram").agg(pl.len().alias("df")))
-            t = (cf.join(dfc, on="gram")
-                 .with_columns((pl.col("gram").hash(seed=0) % n_gb)
-                               .cast(pl.Int32).alias("gb"))
-                 .sort("gb").to_arrow())
-            lo = int(batch.column("doc_id")[0].as_py())
-            pq.write_table(t, f"{keys_dir}/part-{lo:012d}.parquet",
-                           row_group_size=max(256, t.num_rows // n_gb))
-            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
-
-        _docs(sf_dir).map_batches(partial, batch_format="pyarrow").materialize()
-        # zero-doc corpus: no partial file was written, so the exchange
-        # dataset has no schema — skip the reduce entirely
-        have_parts = any(Path(keys_dir).glob("*.parquet"))
-
-        @ray.remote(num_cpus=0.9)
-        def reduce_bucket(bucket: int) -> int:
-            import pyarrow.dataset as pads
-            import pyarrow.parquet as pq
-
-            t = pads.dataset(keys_dir, format="parquet").to_table(
-                filter=pads.field("gb") == bucket,
-                columns=["gram", "cf", "df"], use_threads=False)
-            if t.num_rows == 0:
-                return 0
-            out = (pl.from_arrow(t)
-                   .group_by("gram")
-                   .agg(pl.col("cf").sum(), pl.col("df").sum())
-                   .filter(pl.col("cf") >= min_count)
-                   .cast({"cf": pl.Int64, "df": pl.Int64})
-                   .to_arrow())
-            if out.num_rows:
-                pq.write_table(out.cast(_NGRAM_SCHEMA),
-                               f"{grams_dir}/grams-b{bucket:04d}.parquet",
-                               row_group_size=65536)
-            return out.num_rows
-
-        n_rows = (sum(ray.get([reduce_bucket.remote(b) for b in range(n_gb)]))
-                  if have_parts else 0)
-        if n_rows == 0:
-            import pyarrow.parquet as pq
-
-            pq.write_table(_NGRAM_SCHEMA.empty_table(),
-                           f"{grams_dir}/grams-empty.parquet")
-        shutil.rmtree(keys_dir, ignore_errors=True)  # intermediate exchange
-        with open(f"{tmp}/meta.json", "w") as f:
-            _json.dump({"rows": n_rows}, f)
-
-    final = ensure_cached_dir(
-        "/tmp/indri55_ngrams",
-        source_key(f"{sf_dir}/documents.parquet",
-                   f"{_NGRAM_VERSION}-n{n}-mc{min_count}"),
-        build, marker="meta.json")
+    final = bucket_exchange(
+        _docs(sf_dir),
+        cache_root="/tmp/indri55_ngrams",
+        source_path=f"{sf_dir}/documents.parquet",
+        version=f"{_NGRAM_VERSION}-n{n}-mc{min_count}",
+        n_buckets=n_gb, bucket_col="gb",
+        map_kernel=grams_of, map_columns=("doc_id", "text"),
+        reduce_columns=["gram", "cf", "df"], reduce_kernel=sum_prune,
+        out_schema=_NGRAM_SCHEMA, out_dirname="grams",
+        out_prefix="grams-b", out_row_group=65536, empty_name="grams-")
     with open(f"{final}/meta.json") as f:
         if _json.load(f)["rows"] == 0:
             # read_parquet over only-empty files keeps the schema but
@@ -642,9 +598,8 @@ def _unigram_cogroup(sf_dir: str) -> ray.data.Dataset:
     broadcast path (per-term tf·ln cf vs per-token ln cf), so results
     agree to ~1e-12 relative, not bit-exactly."""
     import json
-    import shutil
 
-    from ..cachedir import ensure_cached_dir, source_key
+    from .exchange import bucket_exchange
 
     path = f"{sf_dir}/documents.parquet"
     try:
@@ -657,76 +612,37 @@ def _unigram_cogroup(sf_dir: str) -> ray.data.Dataset:
                               ("n_p", pa.int64()),
                               ("s_p", pa.float64())])
 
-    def build(tmp: str) -> None:
-        keys_dir = f"{tmp}/keys"
-        parts_dir = f"{tmp}/parts"
-        os.makedirs(keys_dir)
-        os.makedirs(parts_dir)
+    def doc_term_tf(df: pl.DataFrame) -> pl.DataFrame:
+        ex = (df.with_columns(tokens_expr().alias("toks"))
+              .select("doc_id", "toks").explode("toks").drop_nulls()
+              .rename({"toks": "term"}))
+        return (ex.group_by("doc_id", "term")
+                .agg(pl.len().cast(pl.Int64).alias("tf"))
+                .with_columns((pl.col("term").hash(seed=0) % n_tb)
+                              .cast(pl.Int32).alias("tb")))
 
-        def rows(batch: pa.Table) -> pa.Table:
-            import pyarrow.parquet as pq
+    def doc_partials(df: pl.DataFrame):
+        cf = df.group_by("term").agg(pl.col("tf").sum().alias("cf"))
+        out = (df.join(cf, on="term")
+               .with_columns((pl.col("tf").cast(pl.Float64)
+                              * pl.col("cf").cast(pl.Float64).log())
+                             .alias("s"))
+               .group_by("doc_id")
+               .agg(pl.col("tf").sum().alias("n_p"),
+                    pl.col("s").sum().alias("s_p"))
+               .sort("doc_id"))
+        return out, int(out["n_p"].sum())
 
-            if batch.num_rows == 0:
-                return pa.table({"rows": pa.array([], pa.int64())})
-            df = pl.from_arrow(batch).with_columns(tokens_expr().alias("toks"))
-            ex = (df.select("doc_id", "toks").explode("toks").drop_nulls()
-                  .rename({"toks": "term"}))
-            out = (ex.group_by("doc_id", "term")
-                   .agg(pl.len().cast(pl.Int64).alias("tf"))
-                   .with_columns((pl.col("term").hash(seed=0) % n_tb)
-                                 .cast(pl.Int32).alias("tb"))
-                   .sort("tb"))
-            t = out.to_arrow()
-            lo = int(batch.column("doc_id")[0].as_py())
-            pq.write_table(t, f"{keys_dir}/part-{lo:012d}.parquet",
-                           row_group_size=max(256, t.num_rows // n_tb))
-            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
-
-        _docs(sf_dir).map_batches(rows, batch_format="pyarrow").materialize()
-        have_parts = any(f.endswith(".parquet") for f in os.listdir(keys_dir))
-
-        @ray.remote(num_cpus=0.9)
-        def reduce_bucket(bucket: int) -> int:
-            import pyarrow.dataset as pads
-            import pyarrow.parquet as pq
-
-            from ..stages.postings import cached_dataset
-
-            t = cached_dataset(keys_dir, salt=tmp).to_table(
-                filter=pads.field("tb") == bucket,
-                columns=["doc_id", "term", "tf"], use_threads=False)
-            if t.num_rows == 0:
-                return 0
-            df = pl.from_arrow(t)
-            cf = df.group_by("term").agg(pl.col("tf").sum().alias("cf"))
-            out = (df.join(cf, on="term")
-                   .with_columns((pl.col("tf").cast(pl.Float64)
-                                  * pl.col("cf").cast(pl.Float64).log())
-                                 .alias("s"))
-                   .group_by("doc_id")
-                   .agg(pl.col("tf").sum().alias("n_p"),
-                        pl.col("s").sum().alias("s_p"))
-                   .sort("doc_id"))
-            pq.write_table(out.to_arrow().cast(_part_schema),
-                           f"{parts_dir}/lm-tb{bucket:04d}.parquet",
-                           row_group_size=16384)
-            return int(out["n_p"].sum())
-
-        total = (sum(ray.get([reduce_bucket.remote(b) for b in range(n_tb)]))
-                 if have_parts else 0)
-        if not os.listdir(parts_dir):  # keep the dataset readable when empty
-            import pyarrow.parquet as pq
-
-            pq.write_table(_part_schema.empty_table(),
-                           f"{parts_dir}/lm-empty.parquet")
-        shutil.rmtree(keys_dir, ignore_errors=True)  # intermediate exchange
-        with open(f"{tmp}/meta.json", "w") as f:
-            json.dump({"total": total}, f)
-
-    spill = ensure_cached_dir(
-        "/tmp/indri55_unigcg",
-        source_key(path, _UNIGRAM_CG_VERSION),
-        build, marker="meta.json")
+    spill = bucket_exchange(
+        _docs(sf_dir),
+        cache_root="/tmp/indri55_unigcg",
+        source_path=path, version=_UNIGRAM_CG_VERSION,
+        n_buckets=n_tb, bucket_col="tb",
+        map_kernel=doc_term_tf, map_columns=("doc_id", "text"),
+        reduce_columns=["doc_id", "term", "tf"], reduce_kernel=doc_partials,
+        out_schema=_part_schema, out_dirname="parts",
+        out_prefix="lm-tb", empty_name="lm-",
+        meta_payload=lambda total: {"total": total})
     with open(f"{spill}/meta.json") as f:
         total = json.load(f)["total"]
     parts_dir = f"{spill}/parts"

@@ -312,6 +312,22 @@ def _consolidate_partials(out_dir: str, cfg: IndexConfig) -> str:
     return out_str
 
 
+# Everything build_index writes under out_dir (plus manifest.json).  Wipes
+# target EXACTLY this set so user files co-located in an index dir (raw
+# corpora, converted/ archives, notes) are never collateral damage.
+BUILD_ARTIFACT_DIRS = ("docs", "partials", "partials_c", "postings",
+                       "dictionary", "priors", "direct", "fields", "lineage",
+                       "dedup_losers", "dedup_keys")
+
+
+def wipe_build_artifacts(out_dir: str | Path) -> None:
+    """Remove every build artifact of ``out_dir`` — and nothing else."""
+    out = Path(out_dir)
+    (out / "manifest.json").unlink(missing_ok=True)
+    for sub in BUILD_ARTIFACT_DIRS:
+        shutil.rmtree(out / sub, ignore_errors=True)
+
+
 def build_index(
     corpus: str | list[str],
     out_dir: str,
@@ -330,13 +346,9 @@ def build_index(
     if manifest_path.exists():
         if resume:
             return json.loads(manifest_path.read_text())
-        shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
     if not resume:
-        for sub in ("docs", "partials", "partials_c", "postings", "dictionary",
-                    "priors", "direct", "fields", "lineage", "dedup_losers",
-                    "dedup_keys"):
-            shutil.rmtree(out / sub, ignore_errors=True)
+        wipe_build_artifacts(out)
 
     t_start = time.perf_counter()
     chunks = plan_chunks(corpus, max_chunk_docs=cfg.max_chunk_docs)

@@ -106,3 +106,34 @@ def test_fileclass_rerun_and_norestart(tmp_path):
                    + "<DOC>\n<DOCNO>A4</DOCNO>\nzeta merge\n</DOC>\n")
     m5 = run(parse_args(flags))
     assert m5["doc_count"] == 4
+
+
+def test_wipe_never_touches_user_files(tmp_path):
+    """Invalidation (changed corpus, and -norestart) removes build
+    artifacts ONLY — a raw corpus or any user file living under the index
+    dir must survive (the old everything-except-converted rmtree deleted
+    the raw corpus before conversion could read it)."""
+    idx = tmp_path / "idx"
+    rawdir = idx / "raw"
+    rawdir.mkdir(parents=True)
+    raw = rawdir / "docs.trectext"
+    raw.write_text(
+        "<DOC>\n<DOCNO>A1</DOCNO>\nalpha beta gamma merge\n</DOC>\n"
+        "<DOC>\n<DOCNO>A2</DOCNO>\nbeta delta merge buffer\n</DOC>\n")
+    notes = idx / "notes.txt"
+    notes.write_text("user file, hands off")
+    flags = [f"-index={idx}", f"-corpus.path={raw}",
+             "-corpus.class=trectext", "-stemmer.name=none"]
+    m = run(parse_args(flags))
+    assert m["doc_count"] == 2
+    # changed raw corpus UNDER the index dir: the rerun must re-read it
+    # (the old wipe deleted idx/raw first → FileNotFoundError + data loss)
+    raw.write_text(raw.read_text()
+                   + "<DOC>\n<DOCNO>A3</DOCNO>\nepsilon merge\n</DOC>\n")
+    m2 = run(parse_args(flags))
+    assert m2["doc_count"] == 3
+    assert raw.exists() and notes.read_text() == "user file, hands off"
+    # -norestart full rebuild: same guarantee
+    m3 = run(parse_args(flags + ["-norestart"]))
+    assert m3["doc_count"] == 3
+    assert raw.exists() and notes.read_text() == "user file, hands off"

@@ -801,3 +801,35 @@ def test_remove_dup_spans_chunked_and_small_buckets(mini_sf, monkeypatch):
 
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
     assert gots.reset_index(drop=True).equals(wants.reset_index(drop=True))
+
+
+def test_span_ops_sparse_doc_ids(mini_sf, tmp_path):
+    """Sparse (hash/snowflake-style) doc ids: a single batch can span far
+    more than 2^23 in id space.  The packed-slot expansion keys on the
+    doc's LOCAL batch index, so results must equal the dense-id corpus's
+    under the id mapping (the old value-offset packing raised here)."""
+    import shutil
+
+    from indri_5_5_ray.functions.dedup import dup_span_stats, remove_dup_spans
+
+    dense = pq.read_table(f"{mini_sf}/documents.parquet")
+    sparse_ids = [i * 10_000_000_000 + 7 for i in range(dense.num_rows)]
+    sparse = dense.set_column(
+        dense.schema.get_field_index("doc_id"), "doc_id",
+        pa.array(sparse_ids, pa.int64()))
+    d = tmp_path / "sparse_sf"
+    d.mkdir()
+    pq.write_table(sparse, d / "documents.parquet")
+
+    want_rm = remove_dup_spans(mini_sf).sort("doc_id").to_pandas()
+    want_st = dup_span_stats(mini_sf).sort("doc_id").to_pandas()
+    got_rm = remove_dup_spans(str(d)).sort("doc_id").to_pandas()
+    got_st = dup_span_stats(str(d)).sort("doc_id").to_pandas()
+    shutil.rmtree("/tmp/indri55_dupocc", ignore_errors=True)
+
+    assert got_rm["doc_id"].tolist() == sparse_ids
+    assert got_rm["clean_text"].tolist() == want_rm["clean_text"].tolist()
+    assert got_rm["n_removed"].tolist() == want_rm["n_removed"].tolist()
+    assert got_st["doc_id"].tolist() == sparse_ids
+    for col in ("n_tokens", "dup_positions", "covered_tokens"):
+        assert got_st[col].tolist() == want_st[col].tolist()
