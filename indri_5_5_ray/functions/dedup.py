@@ -479,8 +479,8 @@ def _dup_occ_spill(sf_dir: str, n: int) -> str:
     ``occ/*.parquet`` shards hold (doc_id, pos) sorted by doc_id with
     16k-row groups, so consumers' doc-range reads prune row groups.
 
-    Shuffle plan — the repo's FILESYSTEM bucket exchange (the
-    ``_dup_groups`` / ``ngram_counts`` idiom), NOT ``Dataset.groupby``:
+    Shuffle plan — the shared FILESYSTEM bucket exchange
+    (:func:`..exchange.bucket_exchange`), NOT ``Dataset.groupby``:
 
     * map (one task per corpus batch): n-gram occurrence rows
       (doc_id, pos, gram) sorted by the gram-hash bucket ``gb`` → one

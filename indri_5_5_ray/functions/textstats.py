@@ -160,13 +160,11 @@ def ngram_counts(sf_dir: str, n: int = 2,
     grams, cf = occurrences, df = documents, pruned to cf ≥ min_count).
 
     Shuffle plan: per-batch PARTIAL counts collapse the gram space
-    map-side (a batch's repeated grams cost one row), then the same
-    FILESYSTEM bucket exchange as ``dedup._dup_groups``: map tasks write
-    gram-hash-bucket-sorted partial files, one reduce task per bucket
-    reads its slice by predicate pushdown, sums, and applies the
-    min-count prune INSIDE the reduce (strictly after that gram's global
-    sum — a gram's rows always land in one bucket — so results stay
-    exact).  A ``Dataset.groupby`` here costs the driver
+    map-side (a batch's repeated grams cost one row), then the shared
+    FILESYSTEM bucket exchange (:func:`..exchange.bucket_exchange`):
+    one reduce task per gram-hash bucket sums and applies the min-count
+    prune INSIDE the reduce (strictly after that gram's global sum — a
+    gram's rows always land in one bucket — so results stay exact).  A ``Dataset.groupby`` here costs the driver
     O(mappers × reducers) shuffle-lineage metadata — measured 4.7 GB
     driver RSS at a 10M-doc / ~70M-distinct-gram soak vs FLAT with the
     exchange (BASELINE r5) — while the exchange's driver state is
@@ -569,8 +567,8 @@ _UNIGRAM_CG_VERSION = "v2"
 def _unigram_cogroup(sf_dir: str) -> ray.data.Dataset:
     """Vocab-scale path for :func:`unigram_logprob` — NO vocab table is
     ever built, spilled per worker, or broadcast, and no ``Dataset.groupby``
-    sort-shuffle either: the exchange is the repo's FILESYSTEM bucket
-    exchange (the ``ngram_counts`` / ``dedup._dup_occ_spill`` idiom).
+    sort-shuffle either: the exchange is the shared FILESYSTEM bucket
+    exchange (:func:`..exchange.bucket_exchange`).
 
     * map (one task per corpus batch): per-batch-combined (doc_id, term,
       tf) rows sorted by the term-hash bucket ``tb`` → one part file with
