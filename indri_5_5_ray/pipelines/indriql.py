@@ -636,13 +636,17 @@ class StructuredQueryEngine:
         the decode time.
 
         ``doc_set`` (a small explicit doc-id list, e.g. a result page the
-        snippet builder re-scores) drops every block whose
-        [first_doc, last_doc] contains none of the ids BEFORE decoding —
-        a range filter alone keeps nearly all blocks when the ids are
-        scattered, and positions decode is the dominant cost.  The
+        snippet builder re-scores) drops every BLOCK whose doc range
+        contains none of the ids BEFORE decoding — first whole rows, then
+        blocks within surviving rows via ``block_last_doc`` (a common
+        term's single row holds hundreds of blocks; a range filter alone
+        keeps nearly all of them when the ids are scattered, and
+        positions decode is the dominant cost; blocks decode
+        independently — each starts at an absolute doc id).  The
         returned postings then cover ONLY those docs' blocks (fine for
         per-doc extent lookups, WRONG for collection statistics)."""
         rows = self.r.term_rows(terms, doc_range)
+        ds_sorted = None
         if doc_set is not None and rows.num_rows:
             ds_sorted = np.unique(np.asarray(list(doc_set), dtype=np.int64))
             if not len(ds_sorted):
@@ -661,17 +665,29 @@ class StructuredQueryEngine:
         offs = rows.column("block_offset").to_pylist() if rows.num_rows else []
         lens = rows.column("block_length").to_pylist() if rows.num_rows else []
         ndocs = rows.column("block_n_docs").to_pylist() if rows.num_rows else []
+        blasts = (rows.column("block_last_doc").to_pylist()
+                  if (ds_sorted is not None and rows.num_rows) else None)
         from ..codec import decode_doc_tf_batch, decode_full_batch
 
         for ri, rt in enumerate(row_terms):
             ent = out.setdefault(rt, [[], [], []])
+            o, ln, nd = offs[ri], lens[ri], ndocs[ri]
+            if blasts is not None and len(ds_sorted):
+                # block j holds docs in (block_last_doc[j-1],
+                # block_last_doc[j]] — searchsorted(left) of each wanted
+                # id gives its candidate block; decode only those
+                bl = np.asarray(blasts[ri], dtype=np.int64)
+                hit = np.unique(np.searchsorted(bl, ds_sorted, side="left"))
+                hit = hit[hit < len(bl)]
+                if len(hit) < len(bl):
+                    o = [o[k] for k in hit]
+                    ln = [ln[k] for k in hit]
+                    nd = [nd[k] for k in hit]
             if has_pos:
-                d, tf, pos = decode_full_batch(payloads[ri], offs[ri],
-                                               lens[ri], ndocs[ri])
+                d, tf, pos = decode_full_batch(payloads[ri], o, ln, nd)
                 ent[2].append(pos)
             else:
-                d, tf = decode_doc_tf_batch(payloads[ri], offs[ri], lens[ri],
-                                            ndocs[ri])
+                d, tf = decode_doc_tf_batch(payloads[ri], o, ln, nd)
             ent[0].append(d)
             ent[1].append(tf)
         result = {}

@@ -296,3 +296,59 @@ def test_uw_flat_formula_matches_reference_scan():
 
         got = unordered_window_counts_batch([lists], n)
         assert int(got[0]) == want, (lists, n)
+
+
+@pytest.fixture(scope="module")
+def tinyblock_engine(small_corpus_dir, tmp_path_factory):
+    """Index built with tiny posting blocks so common terms get many
+    blocks per row — exercises the per-block doc_set pruning path."""
+    from indri_5_5_ray.config import IndexConfig
+    from indri_5_5_ray.pipelines.build import build_index
+    from indri_5_5_ray.pipelines.indriql import StructuredQueryEngine
+    from indri_5_5_ray.pipelines.query import IndexReader
+
+    out = str(tmp_path_factory.mktemp("tinyblk") / "idx")
+    cfg = IndexConfig(max_chunk_docs=64, n_buckets=4, dedup_key="sha256",
+                      target_block_bytes=64)
+    build_index(small_corpus_dir, out, cfg, resume=False)
+    return StructuredQueryEngine(IndexReader(out))
+
+
+def test_fetch_postings_block_pruning_exact(tinyblock_engine):
+    """doc_set fetch prunes blocks WITHIN a row (not just whole rows) and
+    the surviving postings are exactly the full fetch restricted to the
+    blocks containing the requested docs."""
+    eng = tinyblock_engine
+    terms = [t for t in ("merge", "buffer", "the", "data")
+             if eng.r.term_rows([t]).num_rows]
+    assert terms, "corpus lost its common terms?"
+    rows = eng.r.term_rows(terms)
+    nblocks = [len(b) for b in rows.column("block_last_doc").to_pylist()]
+    assert max(nblocks) >= 3, f"tiny blocks did not split rows: {nblocks}"
+
+    full = eng._fetch_postings(terms)
+    # a few scattered ids (sparser than the block width so blocks DO
+    # drop), plus an absent id
+    base = full[terms[0]][0]
+    doc_set = base[::41].tolist() + [int(base[-1]) + 999]
+    pruned = eng._fetch_postings(terms, doc_set=doc_set)
+    want = np.unique(np.asarray(doc_set, dtype=np.int64))
+
+    for t in terms:
+        d_f, tf_f, fl_f, st_f = full[t]
+        d_p, tf_p, fl_p, st_p = pruned[t]
+        # every requested doc present in the full list must survive with
+        # identical tf and positions
+        req = d_f[np.isin(d_f, want)]
+        assert np.isin(req, d_p).all()
+        # pruned docs are a subset of full (no invented postings)
+        assert np.isin(d_p, d_f).all()
+        idx_f = np.searchsorted(d_f, req)
+        idx_p = np.searchsorted(d_p, req)
+        assert np.array_equal(tf_f[idx_f], tf_p[idx_p])
+        for jf, jp in zip(idx_f, idx_p):
+            assert np.array_equal(fl_f[st_f[jf]:st_f[jf + 1]],
+                                  fl_p[st_p[jp]:st_p[jp + 1]])
+    # and it actually pruned: the commonest term's pruned doc list is
+    # strictly smaller than the full one (many blocks dropped)
+    assert len(pruned[terms[0]][0]) < len(full[terms[0]][0])
