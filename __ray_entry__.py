@@ -1168,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     rotated to the tail.  When ADDING an entry, append it near the FRONT and
     rotate a long-green entry past position 50 — never insert mid-dict."""
     from indri_5_5_ray.functions import (
+        classifier,
         dedup,
         events,
         multimodal,
@@ -1330,7 +1331,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_topk": _date_topk,
         "rm3_topk": _rm3_topk,
         # --- text statistics / analysis ---
-        "lang_id": textstats.lang_id,
+        # NEW r5 (final): seed-trained Naive-Bayes quality classifier —
+        # the GPT-3/CCNet "train a linear classifier on a curated seed,
+        # score the crawl" step as one per-class count exchange + a
+        # map-only scoring join, exact SQL oracle (displaces lang_id —
+        # green r2-r4 on unchanged map-only code; its direct aggregate
+        # lang_table_stats stays a tail twin and the map-only polars
+        # text-kernel family stays in-window via repetition_stats /
+        # quality_filter)
+        "nb_classifier_scores": classifier.nb_classifier_scores,
         # --- sampling / contamination (training-data curation) ---
         "contamination_screen": sampling.contamination_screen,
         # --- dedup family ---
@@ -1344,6 +1353,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_full_probe": lambda sf: simsearch.ivf_ann_topk(
             sf, n_centroids=8, nprobe=8),
         # ---------------- position 51+: outside the driver window ----------
+        # rotated out r5 (final) for nb_classifier_scores: lang_id (green
+        # r2-r4 unchanged; lang_table_stats below aggregates its exact
+        # output and repetition_stats/quality_filter keep the map-only
+        # polars text-kernel shape in-window)
+        "lang_id": textstats.lang_id,
         # rotated out r5 (late) for mixture_sample: knn_bruteforce (green
         # r3-r4 unchanged; ivf_ann_full_probe runs the same broadcast-query
         # matmul partial-top-k kernel in-window)
@@ -2887,6 +2901,37 @@ WITH {_UNIGRAM_CTE}
 SELECT doc_id, n_tokens, cross_entropy,
        ntile(3) OVER (ORDER BY round(cross_entropy, 9), doc_id)::BIGINT AS bucket
 FROM stats ORDER BY doc_id""",
+        # multinomial NB with add-one smoothing, seed label lang='en' —
+        # llr(t) = ln(cf_pos+1) − ln(total_pos+V) − ln(cf_neg+1)
+        # + ln(total_neg+V), doc score = ln((n_pos+1)/(n_neg+1)) + Σ llr
+        # (functions/classifier.py nb_classifier_scores — same formula,
+        # float-tolerant compare absorbs the summation-order difference)
+        "nb_classifier_scores": f"""
+WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS t, lang = 'en' AS pos
+              FROM documents),
+tok AS (SELECT doc_id, pos, unnest(t) AS term FROM docs),
+cls AS (SELECT term,
+               sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cf_pos,
+               sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS cf_neg
+        FROM tok GROUP BY term),
+meta AS (SELECT coalesce(sum(cf_pos), 0) AS tp,
+                coalesce(sum(cf_neg), 0) AS tn,
+                count(*) AS v FROM cls),
+pri AS (SELECT ln((sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)::DOUBLE
+                  / (count(*) - sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1))
+               AS prior
+        FROM docs),
+per AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+               sum(ln(c.cf_pos + 1) - ln(m.tp + m.v)
+                   - ln(c.cf_neg + 1) + ln(m.tn + m.v)) AS s
+        FROM tok t JOIN cls c USING (term) CROSS JOIN meta m
+        GROUP BY t.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       pri.prior + coalesce(p.s, 0.0) AS nb_llr,
+       (pri.prior + coalesce(p.s, 0.0)) > 0 AS predicted
+FROM documents d LEFT JOIN per p USING (doc_id) CROSS JOIN pri
+ORDER BY d.doc_id""",
         "ngram_jaccard_pairs": f"""
             WITH {_SHINGLE_SQL},
             sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),

@@ -1,0 +1,238 @@
+"""Seed-based Naive-Bayes quality classifier — the "train a linear
+classifier on a curated seed, score the whole crawl" curation step
+(Brown et al. 2020 §A "Details of our data" used a logistic classifier
+with WebText as the positive class; CCNet ships the same shape with
+fastText).  Here the model is multinomial Naive Bayes with add-one
+smoothing over the engine's standard token stream, which keeps training
+a pure counting problem (one term_stats-shaped exchange) and the DuckDB
+oracle EXACT — no SGD order-dependence, no model file.
+
+Seed labels come from a column equality on the documents table
+(``pos_col == pos_val``; default ``lang == 'en'``) so the label is
+SQL-derivable and deterministic.  A real deployment points the positive
+class at a curated corpus (the reference-quality side) instead.
+
+Shuffle plan (the :func:`..functions.textstats.unigram_logprob`
+broadcast shape):
+
+* ONE vocab-sized exchange: per-batch PARTIAL per-class counts
+  (map-side combine — a batch's repeated tokens cost one row), then a
+  small ``groupby(term)`` finalize;
+* the per-term log-likelihood-ratio table is spilled once to a
+  content-keyed parquet dir (cached across runs) and memoized per
+  worker as a polars frame;
+* scoring is then a MAP-ONLY corpus pass: explode, join, per-doc sum.
+
+Per-worker memory is O(vocab).  When the vocab outgrows a worker
+(web-scale corpora), the same decomposition as
+:func:`..functions.textstats._unigram_cogroup` applies: per-doc bucket
+partials ``Σ tf·(ln(cf_pos+1) − ln(cf_neg+1))`` need NO global
+constants (a term's two class counts are complete inside its hash
+bucket), and the constant term ``n·(ln(total_neg+V) − ln(total_pos+V))``
+plus the class prior attach at finalize — route through
+``exchange.bucket_exchange`` exactly like the unigram LM if that bound
+is ever hit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..cachedir import ensure_cached_dir, source_key
+from .textstats import read_spread, tokens_expr
+
+_NB_VERSION = "v1"
+
+# worker-side memo of the spilled llr table (same module-level pattern —
+# and rationale — as textstats._load_vocab: cloudpickle gives nested
+# closures a private globals copy, so the memo must live on an
+# importable function to be shared per worker process)
+_NB_MEMO: dict[str, pl.DataFrame] = {}
+
+
+def _docs_labeled(sf_dir: str, pos_col: str) -> ray.data.Dataset:
+    return read_spread(f"{sf_dir}/documents.parquet",
+                       ["doc_id", "text", pos_col])
+
+
+def _class_counts(sf_dir: str, pos_col: str, pos_val: str) -> ray.data.Dataset:
+    """(term, cf_pos, cf_neg) global per-class token counts — partial per
+    batch, then a small groupby finalize (term_stats shape)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        ex = (df.with_columns(tokens_expr().alias("term"),
+                              (pl.col(pos_col) == pos_val).alias("pos"))
+              .select("term", "pos").explode("term").drop_nulls("term"))
+        return (ex.group_by("term")
+                .agg(pl.col("pos").cast(pl.Int64).sum().alias("cf_pos"),
+                     (~pl.col("pos")).cast(pl.Int64).sum().alias("cf_neg"))
+                .to_arrow())
+
+    partials = _docs_labeled(sf_dir, pos_col).map_batches(
+        partial, batch_format="pyarrow")
+    return partials.groupby("term").aggregate(
+        Sum("cf_pos", alias_name="cf_pos"),
+        Sum("cf_neg", alias_name="cf_neg"))
+
+
+def _nb_spill(sf_dir: str, pos_col: str, pos_val: str) -> str:
+    """Build (once, content-keyed) the llr vocab spill + meta constants."""
+    import json
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def build(tmp: str) -> None:
+        import pyarrow.parquet as pq
+
+        vocab_dir = f"{tmp}/vocab"
+        os.makedirs(vocab_dir)
+        _done = pa.table({"rows": pa.array([], pa.int64())})
+
+        def shard(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _done
+            import hashlib
+
+            tag = hashlib.md5(batch.column("term")[0].as_py().encode()
+                              ).hexdigest()[:12]
+            pq.write_table(batch, f"{vocab_dir}/nb-{tag}.parquet")
+            return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+        (_class_counts(sf_dir, pos_col, pos_val)
+         .map_batches(shard, batch_format="pyarrow")
+         .materialize())
+        if not os.listdir(vocab_dir):  # all-empty corpus stays readable
+            pq.write_table(
+                pa.table({"term": pa.array([], pa.string()),
+                          "cf_pos": pa.array([], pa.int64()),
+                          "cf_neg": pa.array([], pa.int64())}),
+                f"{vocab_dir}/nb-empty.parquet")
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(vocab_dir, format="parquet").to_table(
+            columns=["cf_pos", "cf_neg"])
+        tp = pl.from_arrow(t)
+        total_pos = int(tp["cf_pos"].sum() or 0)
+        total_neg = int(tp["cf_neg"].sum() or 0)
+        vsize = t.num_rows
+        # doc priors from one pruned column read (tiny vs the token pass)
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq2
+
+        lab = pq2.read_table(path, columns=[pos_col]).column(pos_col)
+        n_pos = int(pc.sum(pc.equal(lab, pos_val)).as_py() or 0)
+        n_docs = len(lab)
+        with open(f"{tmp}/meta.json", "w") as f:
+            json.dump({"total_pos": total_pos, "total_neg": total_neg,
+                       "vsize": vsize, "n_pos": n_pos,
+                       "n_neg": n_docs - n_pos}, f)
+
+    return ensure_cached_dir(
+        "/tmp/indri55_nbcls",
+        source_key(path, f"{_NB_VERSION}-{pos_col}-{pos_val}"),
+        build, marker="meta.json")
+
+
+def _load_llr(vocab_dir: str, ln_dp: float, ln_dn: float) -> pl.DataFrame:
+    """Worker-side memoized (term, llr) frame;
+    llr(t) = ln(cf_pos+1) − ln(total_pos+V) − ln(cf_neg+1) + ln(total_neg+V)
+    with the two denominator constants passed in as ln_dp/ln_dn."""
+    key = f"{vocab_dir}|{ln_dp}|{ln_dn}"
+    llr = _NB_MEMO.get(key)
+    if llr is not None:
+        return llr
+    import pyarrow.dataset as pads
+
+    while len(_NB_MEMO) >= 2:
+        _NB_MEMO.pop(next(iter(_NB_MEMO)))
+    t = pads.dataset(vocab_dir, format="parquet").to_table()
+    llr = (pl.from_arrow(t)
+           .with_columns(
+               ((pl.col("cf_pos") + 1).cast(pl.Float64).log() - ln_dp
+                - (pl.col("cf_neg") + 1).cast(pl.Float64).log() + ln_dn)
+               .alias("llr"))
+           .select("term", "llr"))
+    _NB_MEMO[key] = llr
+    return llr
+
+
+def nb_token_llr(sf_dir: str, pos_col: str = "lang",
+                 pos_val: str = "en") -> ray.data.Dataset:
+    """(term, cf_pos, cf_neg, llr) — the trained model table itself
+    (useful to inspect the most class-discriminative tokens)."""
+    import json
+
+    spill = _nb_spill(sf_dir, pos_col, pos_val)
+    with open(f"{spill}/meta.json") as f:
+        meta = json.load(f)
+    ln_dp = float(np.log(meta["total_pos"] + meta["vsize"])) \
+        if meta["total_pos"] + meta["vsize"] else 0.0
+    ln_dn = float(np.log(meta["total_neg"] + meta["vsize"])) \
+        if meta["total_neg"] + meta["vsize"] else 0.0
+
+    def add_llr(batch: pa.Table) -> pa.Table:
+        return (pl.from_arrow(batch)
+                .with_columns(
+                    ((pl.col("cf_pos") + 1).cast(pl.Float64).log() - ln_dp
+                     - (pl.col("cf_neg") + 1).cast(pl.Float64).log()
+                     + ln_dn).alias("llr"))
+                .to_arrow())
+
+    return ray.data.read_parquet(f"{spill}/vocab").map_batches(
+        add_llr, batch_format="pyarrow")
+
+
+def nb_classifier_scores(sf_dir: str, pos_col: str = "lang",
+                         pos_val: str = "en") -> ray.data.Dataset:
+    """(doc_id, n_tokens, nb_llr, predicted) — every document scored by
+    the seed-trained Naive-Bayes model:
+
+    ``nb_llr = ln((n_pos+1)/(n_neg+1)) + Σ_tokens llr(t)`` and
+    ``predicted = nb_llr > 0`` (the classifier's positive/"keep" call —
+    GPT-3 then Pareto-samples on the score; that policy is
+    :func:`.sampling.sample_hash`-shaped and composes downstream).
+
+    Zero-token docs carry the prior alone.  Every token appears in the
+    vocab by construction (trained on the same corpus), so the scoring
+    join has no OOV arm; add-one smoothing still matters because a token
+    can be absent from ONE class."""
+    import json
+
+    spill = _nb_spill(sf_dir, pos_col, pos_val)
+    with open(f"{spill}/meta.json") as f:
+        meta = json.load(f)
+    ln_dp = float(np.log(meta["total_pos"] + meta["vsize"])) \
+        if meta["total_pos"] + meta["vsize"] else 0.0
+    ln_dn = float(np.log(meta["total_neg"] + meta["vsize"])) \
+        if meta["total_neg"] + meta["vsize"] else 0.0
+    prior = float(np.log((meta["n_pos"] + 1) / (meta["n_neg"] + 1)))
+    vocab_dir = f"{spill}/vocab"
+
+    def score(batch: pa.Table) -> pa.Table:
+        llr = _load_llr(vocab_dir, ln_dp, ln_dn)
+        df = pl.from_arrow(batch)
+        per = (df.select("doc_id", tokens_expr().alias("term"))
+               .explode("term").drop_nulls("term")
+               .join(llr, on="term", how="left")
+               .group_by("doc_id")
+               .agg(pl.len().cast(pl.Int64).alias("n_tokens"),
+                    pl.col("llr").sum().alias("s")))
+        return (df.select("doc_id")
+                .join(per, on="doc_id", how="left")
+                .with_columns(pl.col("n_tokens").fill_null(0),
+                              pl.col("s").fill_null(0.0))
+                .with_columns((prior + pl.col("s")).alias("nb_llr"))
+                .with_columns((pl.col("nb_llr") > 0).alias("predicted"))
+                .select("doc_id", "n_tokens", "nb_llr", "predicted")
+                .to_arrow())
+
+    return read_spread(f"{sf_dir}/documents.parquet",
+                       ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")

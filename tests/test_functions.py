@@ -833,3 +833,84 @@ def test_span_ops_sparse_doc_ids(mini_sf, tmp_path):
     assert got_st["doc_id"].tolist() == sparse_ids
     for col in ("n_tokens", "dup_positions", "covered_tokens"):
         assert got_st[col].tolist() == want_st[col].tolist()
+
+
+def test_nb_classifier_hand_computed(tmp_path, ray_entry_mod):
+    """NB llr scores on a two-language corpus match an independent
+    Counter-based computation and the DuckDB oracle; the seed label
+    (lang='en') is recovered on lexically separated classes."""
+    import duckdb
+    from collections import Counter
+
+    from indri_5_5_ray.functions.classifier import (nb_classifier_scores,
+                                                    nb_token_llr)
+
+    texts = [
+        "data table merge sort data",        # en
+        "table scan merge data",             # en
+        "fenster baum strasse haus",         # de
+        "baum haus fenster",                 # de
+        "",                                  # en, zero tokens
+    ]
+    langs = ["en", "en", "de", "de", "en"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "source": pa.array(["s"] * 5),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+
+    got = nb_classifier_scores(sf).sort("doc_id").to_pandas()
+
+    cf_pos = Counter(t for s, l in zip(texts, langs) if l == "en"
+                     for t in s.split())
+    cf_neg = Counter(t for s, l in zip(texts, langs) if l != "en"
+                     for t in s.split())
+    vocab = set(cf_pos) | set(cf_neg)
+    tp, tn, v = sum(cf_pos.values()), sum(cf_neg.values()), len(vocab)
+    prior = np.log((3 + 1) / (2 + 1))
+
+    def llr(t):
+        return (np.log(cf_pos[t] + 1) - np.log(tp + v)
+                - np.log(cf_neg[t] + 1) + np.log(tn + v))
+
+    for i, s in enumerate(texts):
+        toks = s.split()
+        want = prior + sum(llr(t) for t in toks)
+        assert got.n_tokens[i] == len(toks)
+        assert abs(got.nb_llr[i] - want) < 1e-9
+        assert bool(got.predicted[i]) == (want > 0)
+    # lexically separated classes → the label is recovered (the zero-token
+    # doc carries the positive prior alone)
+    assert got.predicted.tolist() == [True, True, False, False, True]
+
+    # model table: every en-only token has positive llr, de-only negative
+    m = nb_token_llr(sf).to_pandas().set_index("term")
+    assert (m.loc[["data", "merge"], "llr"] > 0).all()
+    assert (m.loc[["baum", "haus"], "llr"] < 0).all()
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want_df = con.execute(
+        ray_entry_mod.oracle_sql()["nb_classifier_scores"]).fetch_df()
+    assert (got.doc_id.values == want_df.doc_id.values).all()
+    assert (got.n_tokens.values == want_df.n_tokens.values).all()
+    assert np.allclose(got.nb_llr, want_df.nb_llr, atol=1e-9)
+    assert (got.predicted.values == want_df.predicted.values).all()
+
+
+def test_nb_classifier_single_class_degenerate(mini_sf):
+    """All-positive corpus (no negative seed): cf_neg=0 everywhere, the
+    smoothed formula stays finite (ln(total_neg+V) = ln V, never ln 0)
+    and predicted stays consistent with the score sign.  Note all-positive
+    does NOT force predicted=True: a hapax-heavy doc can still score
+    below 0 because smoothing charges ln(cf_pos+1) − ln(total_pos+V) per
+    token."""
+    from indri_5_5_ray.functions.classifier import nb_classifier_scores
+
+    got = nb_classifier_scores(mini_sf).to_pandas()
+    assert np.isfinite(got.nb_llr).all()
+    assert (got.predicted.values == (got.nb_llr.values > 0)).all()
