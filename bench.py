@@ -266,6 +266,14 @@ def run_bench() -> dict:
         return (textstats.ngram_counts(SF_DIR).count()
                 + _sampling().mixture_sample(SF_DIR).count())
 
+    def _nb_classifier_fresh() -> int:
+        import shutil as _sh
+
+        from indri_5_5_ray.functions import classifier
+
+        _sh.rmtree("/tmp/indri55_nbcls", ignore_errors=True)
+        return classifier.nb_classifier_scores(SF_DIR).count()
+
     def _warc_parse() -> int:
         from indri_5_5_ray.sources import webarchive
         return webarchive.read_warc(_warc_files).count()
@@ -377,6 +385,10 @@ def run_bench() -> dict:
         # prune inside the reduce; survivors cache cleared first so the
         # row times the whole pipeline) + domain-mixture sampling
         ("curation_2ops", _curation_fresh),
+        # NEW r5 (final): seed-trained NB quality classifier — per-class
+        # count exchange + spill + map-only scoring join (spill cache
+        # cleared first so the row times train + score, not a warm reuse)
+        ("nb_classifier", _nb_classifier_fresh),
     ]:
         t0 = time.perf_counter()
         fn()
