@@ -24,14 +24,17 @@ broadcast shape):
 * scoring is then a MAP-ONLY corpus pass: explode, join, per-doc sum.
 
 Per-worker memory is O(vocab).  When the vocab outgrows a worker
-(web-scale corpora), the same decomposition as
-:func:`..functions.textstats._unigram_cogroup` applies: per-doc bucket
-partials ``Σ tf·(ln(cf_pos+1) − ln(cf_neg+1))`` need NO global
-constants (a term's two class counts are complete inside its hash
-bucket), and the constant term ``n·(ln(total_neg+V) − ln(total_pos+V))``
-plus the class prior attach at finalize — route through
-``exchange.bucket_exchange`` exactly like the unigram LM if that bound
-is ever hit.
+(web-scale corpora), ``mode="cogroup"`` — chosen automatically past
+``INDRI55_NB_COGROUP_BYTES`` input bytes — switches to
+:func:`_nb_cogroup`: no vocab table is ever built, spilled per worker,
+or broadcast.  The decomposition: per-doc bucket partials
+``s_p = Σ tf·(ln(cf_pos+1) − ln(cf_neg+1))`` need NO global constants
+(a term's two class counts are complete inside its hash bucket), and
+the constant term ``n·(ln(total_neg+V) − ln(total_pos+V))`` plus the
+class prior attach at finalize; the three globals ride back as the
+exchange's tuple metric.  The two modes agree to ~1e-12 relative
+(float summation order: per-token vs per-term), pinned by pytest; the
+driver's exact SQL oracle runs against the broadcast mode.
 """
 
 from __future__ import annotations
@@ -189,8 +192,141 @@ def nb_token_llr(sf_dir: str, pos_col: str = "lang",
         add_llr, batch_format="pyarrow")
 
 
+def _doc_priors(sf_dir: str, pos_col: str, pos_val: str) -> tuple[int, int]:
+    """(n_pos, n_neg) document counts from one pruned column read."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    lab = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=[pos_col]).column(pos_col)
+    n_pos = int(pc.sum(pc.equal(lab, pos_val)).as_py() or 0)
+    return n_pos, len(lab) - n_pos
+
+
+# auto mode switches nb_classifier_scores to the cogroup path above this
+# many input bytes (same rationale and default as the unigram LM gate)
+_NB_COGROUP_BYTES = int(os.environ.get(
+    "INDRI55_NB_COGROUP_BYTES", str(4 << 30)))
+
+_NB_CG_VERSION = "v1"
+
+
+def _nb_cogroup(sf_dir: str, pos_col: str, pos_val: str) -> ray.data.Dataset:
+    """Vocab-scale path for :func:`nb_classifier_scores` (see the module
+    docstring) — the :func:`..functions.textstats._unigram_cogroup` shape:
+    term-hash-bucketed (doc_id, term, tf_pos, tf_neg) part files, one
+    reduce task per bucket computing in-bucket-exact class counts and
+    per-doc partials (Σ tf, Σ tf·(ln(cf_pos+1) − ln(cf_neg+1))),
+    doc-sorted shards, then a map-only range-pruned finalize that attaches
+    the constant term and the prior.  The three global constants
+    (total_pos, total_neg, vocab size) ride back as the exchange's
+    elementwise-summed tuple metric."""
+    import json
+
+    from .exchange import bucket_exchange
+
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = 0
+    n_tb = max(64, int(size // (32 << 20)))
+
+    _part_schema = pa.schema([("doc_id", pa.int64()),
+                              ("n_p", pa.int64()),
+                              ("s_p", pa.float64())])
+
+    def doc_term_tf(df: pl.DataFrame) -> pl.DataFrame:
+        ex = (df.with_columns(tokens_expr().alias("term"),
+                              (pl.col(pos_col) == pos_val).alias("pos"))
+              .select("doc_id", "pos", "term")
+              .explode("term").drop_nulls("term"))
+        return (ex.group_by("doc_id", "term")
+                .agg(pl.col("pos").cast(pl.Int64).sum().alias("tf_pos"),
+                     (~pl.col("pos")).cast(pl.Int64).sum().alias("tf_neg"))
+                .with_columns((pl.col("term").hash(seed=0) % n_tb)
+                              .cast(pl.Int32).alias("tb")))
+
+    def doc_partials(df: pl.DataFrame):
+        cls = (df.group_by("term")
+               .agg(pl.col("tf_pos").sum().alias("cf_pos"),
+                    pl.col("tf_neg").sum().alias("cf_neg")))
+        out = (df.join(cls, on="term")
+               .with_columns(
+                   ((pl.col("tf_pos") + pl.col("tf_neg")).cast(pl.Float64)
+                    * ((pl.col("cf_pos") + 1).cast(pl.Float64).log()
+                       - (pl.col("cf_neg") + 1).cast(pl.Float64).log()))
+                   .alias("s"))
+               .group_by("doc_id")
+               .agg((pl.col("tf_pos") + pl.col("tf_neg")).sum()
+                    .alias("n_p"),
+                    pl.col("s").sum().alias("s_p"))
+               .sort("doc_id"))
+        return out, (int(cls["cf_pos"].sum() or 0),
+                     int(cls["cf_neg"].sum() or 0), cls.height)
+
+    spill = bucket_exchange(
+        _docs_labeled(sf_dir, pos_col),
+        cache_root="/tmp/indri55_nbcg",
+        source_path=path,
+        version=f"{_NB_CG_VERSION}-{pos_col}-{pos_val}",
+        n_buckets=n_tb, bucket_col="tb",
+        map_kernel=doc_term_tf, map_columns=("doc_id", "text", pos_col),
+        reduce_columns=["doc_id", "term", "tf_pos", "tf_neg"],
+        reduce_kernel=doc_partials,
+        out_schema=_part_schema, out_dirname="parts",
+        out_prefix="nb-tb", empty_name="nb-",
+        meta_payload=lambda tot: dict(zip(
+            ("total_pos", "total_neg", "vsize"),
+            tot if isinstance(tot, tuple) else (0, 0, 0))))
+    with open(f"{spill}/meta.json") as f:
+        meta = json.load(f)
+    tp, tn, v = meta["total_pos"], meta["total_neg"], meta["vsize"]
+    const = ((float(np.log(tn + v)) if tn + v else 0.0)
+             - (float(np.log(tp + v)) if tp + v else 0.0))
+    n_pos, n_neg = _doc_priors(sf_dir, pos_col, pos_val)
+    prior = float(np.log((n_pos + 1) / (n_neg + 1)))
+    parts_dir = f"{spill}/parts"
+
+    _out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                           "n_tokens": pa.array([], pa.int64()),
+                           "nb_llr": pa.array([], pa.float64()),
+                           "predicted": pa.array([], pa.bool_())})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        from ..stages.postings import cached_dataset
+
+        if batch.num_rows == 0:
+            return _out_empty
+        ids = batch.column("doc_id").to_numpy()
+        part = pl.from_arrow(
+            cached_dataset(parts_dir, salt=parts_dir).to_table(
+                filter=(pads.field("doc_id") >= int(ids.min()))
+                & (pads.field("doc_id") <= int(ids.max()))))
+        per = (part.group_by("doc_id")
+               .agg(pl.col("n_p").sum().alias("n_tokens"),
+                    pl.col("s_p").sum().alias("s")))
+        return (pl.from_arrow(batch.select(["doc_id"]))
+                .join(per, on="doc_id", how="left")
+                .with_columns(pl.col("n_tokens").fill_null(0),
+                              pl.col("s").fill_null(0.0))
+                .with_columns(
+                    (prior + pl.col("s")
+                     + pl.col("n_tokens").cast(pl.Float64) * const)
+                    .alias("nb_llr"))
+                .with_columns((pl.col("nb_llr") > 0).alias("predicted"))
+                .select("doc_id", "n_tokens", "nb_llr", "predicted")
+                .to_arrow())
+
+    return read_spread(path, ["doc_id"]).map_batches(
+        finalize, batch_format="pyarrow")
+
+
 def nb_classifier_scores(sf_dir: str, pos_col: str = "lang",
-                         pos_val: str = "en") -> ray.data.Dataset:
+                         pos_val: str = "en",
+                         mode: str = "auto") -> ray.data.Dataset:
     """(doc_id, n_tokens, nb_llr, predicted) — every document scored by
     the seed-trained Naive-Bayes model:
 
@@ -202,8 +338,23 @@ def nb_classifier_scores(sf_dir: str, pos_col: str = "lang",
     Zero-token docs carry the prior alone.  Every token appears in the
     vocab by construction (trained on the same corpus), so the scoring
     join has no OOV arm; add-one smoothing still matters because a token
-    can be absent from ONE class."""
+    can be absent from ONE class.
+
+    ``mode``: ``"broadcast"`` (vocab spill + map-only join) /
+    ``"cogroup"`` (vocab never materialized — see :func:`_nb_cogroup`) /
+    ``"auto"`` (cogroup past ``INDRI55_NB_COGROUP_BYTES`` input bytes)."""
     import json
+
+    if mode not in ("auto", "broadcast", "cogroup"):
+        raise ValueError(f"nb_classifier_scores mode {mode!r}")
+    if mode == "auto":
+        try:
+            size = os.path.getsize(f"{sf_dir}/documents.parquet")
+        except OSError:
+            size = 0
+        mode = "cogroup" if size >= _NB_COGROUP_BYTES else "broadcast"
+    if mode == "cogroup":
+        return _nb_cogroup(sf_dir, pos_col, pos_val)
 
     spill = _nb_spill(sf_dir, pos_col, pos_val)
     with open(f"{spill}/meta.json") as f:

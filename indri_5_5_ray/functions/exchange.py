@@ -55,7 +55,7 @@ def bucket_exchange(
     out_prefix: str,
     out_row_group: int = 16384,
     empty_name: str | None = None,
-    meta_payload: Callable[[int], dict] | None = None,
+    meta_payload: Callable[[int | tuple], dict] | None = None,
 ) -> str:
     """Run (or cache-hit) the exchange; returns the cached spill dir, which
     holds ``{out_dirname}/`` shards and ``meta.json`` =
@@ -66,7 +66,10 @@ def bucket_exchange(
     ``n_buckets``); sorting and the part-file write are the wrapper's.
     ``reduce_kernel`` receives one bucket's rows and returns (output frame
     or None, metric); the output is cast to ``out_schema`` and written
-    only when non-empty."""
+    only when non-empty.  ``metric`` is an int or a tuple of ints — tuples
+    are summed elementwise across buckets (for callers whose finalize
+    needs several global constants, e.g. per-class token totals), and
+    every bucket must return the same arity."""
     import json
 
     def build(tmp: str) -> None:
@@ -112,11 +115,20 @@ def bucket_exchange(
                 pq.write_table(out.to_arrow().cast(out_schema),
                                f"{out_dir}/{out_prefix}{bucket:04d}.parquet",
                                row_group_size=out_row_group)
-            return int(metric)
+            return (tuple(int(x) for x in metric)
+                    if isinstance(metric, tuple) else int(metric))
 
-        total = (sum(ray.get([reduce_bucket.remote(b)
-                              for b in range(n_buckets)]))
-                 if have_parts else 0)
+        if have_parts:
+            metrics = ray.get([reduce_bucket.remote(b)
+                               for b in range(n_buckets)])
+            tups = [m for m in metrics if isinstance(m, tuple)]
+            if tups:  # empty buckets' int 0 is the identity either way
+                total = tuple(sum(m[i] for m in tups)
+                              for i in range(len(tups[0])))
+            else:
+                total = sum(metrics)
+        else:
+            total = 0
         if not os.listdir(out_dir):  # keep the dataset readable when empty
             import pyarrow.parquet as pq
 

@@ -914,3 +914,39 @@ def test_nb_classifier_single_class_degenerate(mini_sf):
     got = nb_classifier_scores(mini_sf).to_pandas()
     assert np.isfinite(got.nb_llr).all()
     assert (got.predicted.values == (got.nb_llr.values > 0)).all()
+
+
+def test_nb_cogroup_parity(tmp_path):
+    """The vocab-scale NB cogroup path matches broadcast on a two-language
+    corpus and on sf0.001 (n_tokens exact, llr to float-sum tolerance,
+    predicted identical); zero-token docs carry the prior alone; bad mode
+    raises."""
+    from indri_5_5_ray.functions.classifier import nb_classifier_scores
+
+    d = tmp_path / "two"
+    d.mkdir()
+    texts = ["data table merge sort data", "table scan merge data",
+             "fenster baum strasse haus", "baum haus fenster", ""]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([3, 7, 10, 20, 41], pa.int64()),  # sparse ids
+        "text": pa.array(texts),
+        "lang": pa.array(["en", "en", "de", "de", "en"]),
+    }), d / "documents.parquet")
+
+    for sf in (str(d), "/root/testdata/sf0.001"):
+        a = nb_classifier_scores(sf, mode="broadcast").sort(
+            "doc_id").to_pandas()
+        b = nb_classifier_scores(sf, mode="cogroup").sort(
+            "doc_id").to_pandas()
+        assert (a.doc_id.values == b.doc_id.values).all()
+        assert (a.n_tokens.values == b.n_tokens.values).all()
+        assert np.allclose(a.nb_llr, b.nb_llr, rtol=1e-9, atol=1e-12)
+        assert (a.predicted.values == b.predicted.values).all()
+
+    z = nb_classifier_scores(str(d), mode="cogroup").sort(
+        "doc_id").to_pandas()
+    assert z.n_tokens.tolist()[-1] == 0
+    assert abs(z.nb_llr.values[-1] - np.log(4 / 3)) < 1e-12  # prior only
+
+    with pytest.raises(ValueError):
+        nb_classifier_scores(str(d), mode="bogus")
