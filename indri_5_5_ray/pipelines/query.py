@@ -129,6 +129,7 @@ class IndexReader:
         self._dsets: dict[str, pads.Dataset] = {}
         self._frag_bounds: dict[str, list] = {}
         self._pqfiles: dict[str, pq.ParquetFile] = {}
+        self._pcat: list | None = None
 
     def _dset(self, sub: str) -> pads.Dataset:
         ds = self._dsets.get(sub)
@@ -368,6 +369,124 @@ class IndexReader:
         h = int.from_bytes(hashlib.md5(term.encode()).digest()[:4], "little")
         return h % self.cfg.n_buckets
 
+    def _postings_catalog(self) -> list:
+        """Per-file row-group (term, bucket) bounds of the postings dir,
+        built ONCE per reader from footers: a term fetch then reads only
+        the row groups whose term range can contain it (the files are
+        written term-sorted with 128-row groups by MergeWorker), instead
+        of a ``pads.dataset(...).to_table(filter=...)`` scan that paid
+        20-40 ms per cold query at sf0.1 re-evaluating fragments.
+
+        Entries: ``(ParquetFile, tmins, tmaxs, bmins, bmaxs, monotone,
+        always)`` — ``always`` holds row groups lacking term statistics
+        (never pruned, so stats truncation/omission can't lose rows);
+        ``monotone`` enables the bisect fast path, with a linear per-group
+        range check as the fallback for files whose rows aren't
+        term-sorted (e.g. indexes written by an older layout)."""
+        if self._pcat is not None:
+            return self._pcat
+        cat = []
+        for fp in sorted((Path(self.index_dir) / "postings").glob("*.parquet")):
+            pf = pq.ParquetFile(str(fp))
+            md = pf.metadata
+            ti = bi = None
+            for i in range(len(md.schema)):
+                p = md.schema.column(i).path
+                if p == "term":
+                    ti = i
+                elif p == "bucket":
+                    bi = i
+            fi = li = None
+            for i in range(len(md.schema)):
+                p = md.schema.column(i).path
+                if p == "first_doc":
+                    fi = i
+                elif p == "last_doc":
+                    li = i
+            tmins, tmaxs, bmins, bmaxs, always = [], [], [], [], []
+            fmins, lmaxs = [], []
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                ts = rg.column(ti).statistics
+                bs = rg.column(bi).statistics
+                if ts is None or not ts.has_min_max:
+                    always.append(g)
+                    tmins.append(None)
+                    tmaxs.append(None)
+                else:
+                    tmins.append(ts.min)
+                    tmaxs.append(ts.max)
+                if bs is None or not bs.has_min_max:
+                    bmins.append(-1)
+                    bmaxs.append(1 << 30)
+                else:
+                    bmins.append(bs.min)
+                    bmaxs.append(bs.max)
+                fs = rg.column(fi).statistics if fi is not None else None
+                ls = rg.column(li).statistics if li is not None else None
+                fmins.append(fs.min if fs is not None and fs.has_min_max
+                             else -1)
+                lmaxs.append(ls.max if ls is not None and ls.has_min_max
+                             else 1 << 62)
+            known = [(mn, mx) for mn, mx in zip(tmins, tmaxs)
+                     if mn is not None]
+            monotone = (not always) and all(
+                known[i][0] <= known[i + 1][0]
+                and known[i][1] <= known[i + 1][1]
+                for i in range(len(known) - 1))
+            cat.append((pf, tmins, tmaxs, bmins, bmaxs, monotone, always,
+                        fmins, lmaxs))
+        self._pcat = cat
+        return cat
+
+    def _read_term_rows(self, terms: list[str],
+                        doc_range: tuple[int, int] | None = None
+                        ) -> pa.Table:
+        """Row-group-pruned read of the posting rows for ``terms``.
+        ``doc_range`` additionally drops row groups whose
+        [min first_doc, max last_doc] statistics miss [lo, hi) — the
+        sharded-scatter path, where a shard worker must not decode other
+        shards' salt-row groups of a hot term; callers still apply the
+        exact per-row mask in memory."""
+        import bisect
+
+        from ..stages.postings import POSTINGS_SCHEMA
+
+        t_buckets = {t: self._bucket_of(t) for t in terms}
+        parts = []
+        for pf, tmins, tmaxs, bmins, bmaxs, monotone, always, fmins, \
+                lmaxs in self._postings_catalog():
+            want = set(always)
+            if monotone:
+                for t in terms:
+                    b = t_buckets[t]
+                    lo = bisect.bisect_left(tmaxs, t)
+                    hi = bisect.bisect_right(tmins, t) - 1
+                    for g in range(lo, hi + 1):
+                        if bmins[g] <= b <= bmaxs[g]:
+                            want.add(g)
+            else:
+                for g, (mn, mx) in enumerate(zip(tmins, tmaxs)):
+                    if mn is None:
+                        continue
+                    for t in terms:
+                        if mn <= t <= mx and \
+                                bmins[g] <= t_buckets[t] <= bmaxs[g]:
+                            want.add(g)
+                            break
+            if doc_range is not None:
+                want = {g for g in want
+                        if lmaxs[g] >= doc_range[0]
+                        and fmins[g] < doc_range[1]}
+            if want:
+                parts.append(pf.read_row_groups(sorted(want),
+                                                use_threads=False))
+        if not parts:
+            return POSTINGS_SCHEMA.empty_table()
+        fetched = pa.concat_tables(parts)
+        return fetched.filter(pc.is_in(fetched.column("term"),
+                                       value_set=pa.array(terms)))
+
     def term_rows(self, terms: list[str],
                   doc_range: tuple[int, int] | None = None) -> pa.Table:
         """Partition-pruned fetch of all posting rows for ``terms``.
@@ -404,26 +523,14 @@ class IndexReader:
                     pc.greater_equal(t.column("last_doc"), lo),
                     pc.less(t.column("first_doc"), hi))
                 return t.filter(mask)
-            if self._postings_ds is None:
-                self._postings_ds = pads.dataset(
-                    f"{self.index_dir}/postings", format="parquet"
-                )
-            buckets = sorted({self._bucket_of(t) for t in terms})
-            expr = (pads.field("bucket").isin(buckets)
-                    & pads.field("term").isin(terms)
-                    & (pads.field("last_doc") >= lo)
-                    & (pads.field("first_doc") < hi))
-            t = self._postings_ds.to_table(filter=expr)
-            return t.sort_by([("term", "ascending"), ("first_doc", "ascending")])
+            t = self._read_term_rows(terms)
+            mask = pc.and_(pc.greater_equal(t.column("last_doc"), lo),
+                           pc.less(t.column("first_doc"), hi))
+            return t.filter(mask).sort_by(
+                [("term", "ascending"), ("first_doc", "ascending")])
         missing = [t for t in terms if t not in self._row_cache]
         if missing:
-            if self._postings_ds is None:
-                self._postings_ds = pads.dataset(
-                    f"{self.index_dir}/postings", format="parquet"
-                )
-            buckets = sorted({self._bucket_of(t) for t in missing})
-            expr = pads.field("bucket").isin(buckets) & pads.field("term").isin(missing)
-            fetched = self._postings_ds.to_table(filter=expr)
+            fetched = self._read_term_rows(missing)
             if (len(self._row_cache) > 8192
                     or self._cache_payload_bytes > (256 << 20)):
                 keep = set(terms)  # bound long-lived actor memory

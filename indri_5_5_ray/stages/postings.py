@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..codec import cut_blocks_pre
 
@@ -149,7 +150,7 @@ class MergeWorker:
             merged = merge_bucket(group, self.cfg.store_positions, self.cfg.target_block_bytes)
             os.makedirs(f"{self.out_dir}/postings", exist_ok=True)
             os.makedirs(f"{self.out_dir}/dictionary", exist_ok=True)
-            pq.write_table(merged, postings_path)
+            write_postings_file(merged, postings_path)
             # per-bucket dictionary: sum stats across a term's salt rows
             import polars as pl
 
@@ -177,6 +178,43 @@ class MergeWorker:
             )
             out_rows.append(rec)
         return pa.Table.from_pylist(out_rows)
+
+
+def write_postings_file(merged: pa.Table, path: str,
+                        target_bytes: int = 512 << 10,
+                        max_rows: int = 128) -> None:
+    """Write a bucket's term-sorted posting rows with BYTE-BOUNDED row
+    groups: IndexReader prunes row groups by (term min/max) statistics,
+    so a term lookup pays for exactly the groups it lands in.  Parquet's
+    default layout (one giant group) decompressed the bucket's whole
+    payload column per cold lookup (~11 MB / 40 ms at sf0.1 — half the
+    warm BM25 p50), and fixed ROW-count groups still co-locate a hot
+    term with its alphabetical neighbors' megabytes.  Cutting by payload
+    bytes gives hot terms (the expensive reads) nearly-private groups
+    while cold terms pack ``max_rows`` per group, keeping footer
+    metadata O(total_bytes / target_bytes + n_terms / max_rows) — at a
+    10⁹-doc bucket that is thousands of groups, not hundreds of
+    thousands."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    if merged.num_rows == 0:
+        pq.write_table(merged, path)
+        return
+    sizes = pc.binary_length(
+        combine_column(merged, "postings")).to_numpy(zero_copy_only=False)
+    starts = [0]
+    acc = 0
+    for i, s in enumerate(int(x) for x in sizes):
+        n_in = i - starts[-1]
+        if n_in > 0 and (acc + s > target_bytes or n_in >= max_rows):
+            starts.append(i)
+            acc = 0
+        acc += s
+    with pq.ParquetWriter(path, merged.schema) as w:
+        bounds = starts + [merged.num_rows]
+        for a, b in zip(bounds, bounds[1:]):
+            w.write_table(merged.slice(a, b - a), row_group_size=b - a)
 
 
 def combine_column(tbl: pa.Table, name: str) -> pa.Array:

@@ -76,8 +76,25 @@ def test_tf_only_index(small_corpus_dir, tmp_path):
     build_index(small_corpus_dir, a, cfg_pos, resume=False)
     build_index(small_corpus_dir, b, cfg_tf, resume=False)
 
-    size = lambda d: sum(f.stat().st_size for f in __import__("pathlib").Path(d, "postings").glob("*"))
-    assert size(b) < size(a) * 0.7  # positions dominate index size
+    # positions dominate the PAYLOAD bytes (file sizes also carry
+    # per-row-group footer metadata, which the byte-bounded row-group
+    # layout trades for pruned point reads — compare the postings column
+    # itself, not st_size)
+    import pyarrow.parquet as pq
+
+    def payload_bytes(d):
+        total = 0
+        for f in __import__("pathlib").Path(d, "postings").glob("*.parquet"):
+            md = pq.read_metadata(f)
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for i in range(rg.num_columns):
+                    c = rg.column(i)
+                    if c.path_in_schema == "postings":
+                        total += c.total_compressed_size
+        return total
+
+    assert payload_bytes(b) < payload_bytes(a) * 0.7
 
     for q in ["merge token buffer", "int return"]:
         ids_a, s_a = _rank(a, q)
