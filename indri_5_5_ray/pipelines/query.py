@@ -487,6 +487,69 @@ class IndexReader:
         return fetched.filter(pc.is_in(fetched.column("term"),
                                        value_set=pa.array(terms)))
 
+    def _dict_catalog(self) -> list:
+        """Per-file row-group term bounds of the dictionary dir (the
+        postings catalog's shape, minus bucket/doc columns): dictionary
+        shards are term-sorted with 4096-row groups, so a cold (cf, df)
+        lookup decompresses ~one group, not the vocabulary shard."""
+        if getattr(self, "_dcat", None) is not None:
+            return self._dcat
+        cat = []
+        for fp in sorted((Path(self.index_dir) / "dictionary")
+                         .glob("*.parquet")):
+            pf = pq.ParquetFile(str(fp))
+            md = pf.metadata
+            ti = next(i for i in range(len(md.schema))
+                      if md.schema.column(i).path == "term")
+            tmins, tmaxs, always = [], [], []
+            for g in range(md.num_row_groups):
+                ts = md.row_group(g).column(ti).statistics
+                if ts is None or not ts.has_min_max:
+                    always.append(g)
+                    tmins.append(None)
+                    tmaxs.append(None)
+                else:
+                    tmins.append(ts.min)
+                    tmaxs.append(ts.max)
+            known = [(mn, mx) for mn, mx in zip(tmins, tmaxs)
+                     if mn is not None]
+            monotone = (not always) and all(
+                known[i][0] <= known[i + 1][0]
+                and known[i][1] <= known[i + 1][1]
+                for i in range(len(known) - 1))
+            cat.append((pf, tmins, tmaxs, monotone, always))
+        self._dcat = cat
+        return cat
+
+    def _read_dict_rows(self, terms: list[str]) -> pa.Table:
+        import bisect
+
+        parts = []
+        for pf, tmins, tmaxs, monotone, always in self._dict_catalog():
+            want = set(always)
+            if monotone:
+                for t in terms:
+                    lo = bisect.bisect_left(tmaxs, t)
+                    hi = bisect.bisect_right(tmins, t) - 1
+                    want.update(range(lo, hi + 1))
+            else:
+                for g, (mn, mx) in enumerate(zip(tmins, tmaxs)):
+                    if mn is not None and any(mn <= t <= mx for t in terms):
+                        want.add(g)
+            if want:
+                parts.append(pf.read_row_groups(sorted(want),
+                                                use_threads=False))
+        if not parts:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        # cast to one schema: pre-r5-final dictionary shards mix
+        # string/large_string terms (polars salt-merge vs select branch)
+        parts = [p.cast(parts[0].schema) for p in parts]
+        fetched = pa.concat_tables(parts)
+        return fetched.filter(pc.is_in(fetched.column("term"),
+                                       value_set=pa.array(terms)))
+
     def term_rows(self, terms: list[str],
                   doc_range: tuple[int, int] | None = None) -> pa.Table:
         """Partition-pruned fetch of all posting rows for ``terms``.
@@ -592,11 +655,7 @@ class IndexReader:
             return {}
         missing = [t for t in terms if t not in self._stats_cache]
         if missing:
-            if self._dict_ds is None:
-                self._dict_ds = pads.dataset(
-                    f"{self.index_dir}/dictionary", format="parquet"
-                )
-            t = self._dict_ds.to_table(filter=pads.field("term").isin(missing))
+            t = self._read_dict_rows(missing)
             found = {
                 term: (int(cf), int(df))
                 for term, cf, df in zip(

@@ -62,6 +62,16 @@ POSTINGS_SCHEMA = pa.schema(
     ]
 )
 
+DICTIONARY_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("cf", pa.int64()),
+        ("df", pa.int64()),
+        ("max_dl", pa.int32()),
+        ("min_dl", pa.int32()),
+    ]
+)
+
 
 _DATASET_CACHE: dict = {}
 
@@ -169,7 +179,16 @@ class MergeWorker:
                 )
             else:
                 d = merged.select(["term", "cf", "df", "max_dl", "min_dl"])
-            pq.write_table(d, dict_path)
+            # term-sorted narrow rows: 4096-row groups let the reader's
+            # footer-stats catalog (IndexReader.term_stats) fetch a cold
+            # term's (cf, df) by decompressing ~one group instead of the
+            # whole vocabulary shard ("first dictionary open" dominated
+            # cold queries at the 10M-doc soak); schema pinned because the
+            # polars salt-merge branch yields large_string terms while the
+            # single-salt branch yields string — per-file pa.concat_tables
+            # in the reader needs them identical
+            pq.write_table(d.cast(DICTIONARY_SCHEMA), dict_path,
+                           row_group_size=4096)
             rec = lineage.write_record(
                 self.out_dir, "merge", pid, fingerprint,
                 rows=merged.num_rows, bytes_written=int(merged.nbytes),
