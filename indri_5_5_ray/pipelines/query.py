@@ -479,8 +479,11 @@ class IndexReader:
                         if lmaxs[g] >= doc_range[0]
                         and fmins[g] < doc_range[1]}
             if want:
-                parts.append(pf.read_row_groups(sorted(want),
-                                                use_threads=False))
+                # threaded: a hot term's payload spans many row groups
+                # (512 KB each) — parallel decompress matters at 10M+ docs
+                # (cold fetch of 3 top-cf terms measured 1.4x slower
+                # single-threaded at the 9.8M A/B)
+                parts.append(pf.read_row_groups(sorted(want)))
         if not parts:
             return POSTINGS_SCHEMA.empty_table()
         fetched = pa.concat_tables(parts)
