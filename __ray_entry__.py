@@ -1353,6 +1353,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_full_probe": lambda sf: simsearch.ivf_ann_topk(
             sf, n_centroids=8, nprobe=8),
         # ---------------- position 51+: outside the driver window ----------
+        # NEW r5 (final), registered in the tail (window full): fixed-
+        # length training-sequence packing — docs SPLIT across sequence
+        # boundaries (pack_shards assigns whole docs); exact oracle below
+        # is pytest-compared (tests/test_sampling.py) since the driver
+        # window stops at 50
+        "pack_sequences": sampling.pack_sequences,
         # rotated out r5 (final) for nb_classifier_scores: lang_id (green
         # r2-r4 unchanged; lang_table_stats below aggregates its exact
         # output and repetition_stats/quality_filter keep the map-only
@@ -3054,6 +3060,26 @@ ORDER BY d.doc_id""",
                         0) // 2048 AS BIGINT) AS shard_id
             FROM (SELECT doc_id, len({TOKEN_SQL}) AS n_tokens FROM documents)
             ORDER BY doc_id""",
+        "pack_sequences": f"""
+            WITH tc AS (SELECT doc_id, len({TOKEN_SQL})::BIGINT AS n
+                        FROM documents),
+            pre AS (SELECT doc_id, n,
+                           coalesce(sum(n) OVER (
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS p
+                    FROM tc),
+            seqs AS (SELECT doc_id, n, p,
+                            unnest(generate_series(
+                              CAST(p // 512 AS BIGINT),
+                              CAST((p + n - 1) // 512 AS BIGINT)))
+                              AS seq_id
+                     FROM pre WHERE n > 0)
+            SELECT seq_id, doc_id,
+                   greatest(seq_id * 512 - p, 0) AS tok_start,
+                   least((seq_id + 1) * 512 - p, n) AS tok_end,
+                   greatest(p - seq_id * 512, 0) AS seq_off
+            FROM seqs ORDER BY seq_id, doc_id""",
         "repetition_stats": f"""
             WITH toks AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
             big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS pair

@@ -274,6 +274,29 @@ def contamination_screen(sf_dir: str, modulus: int = 97) -> ray.data.Dataset:
     return ds.map_batches(screen, batch_format="pyarrow")
 
 
+def _doc_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Materialized (doc_id, n_tokens) over the documents table."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        from .textstats import token_count_expr
+
+        df = pl.from_arrow(batch)
+        return df.select(
+            "doc_id",
+            token_count_expr().cast(pl.Int64).alias("n_tokens"),
+        ).to_arrow()
+
+    return read_spread(f"{sf_dir}/documents.parquet",
+                       ["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow").materialize()
+
+
+def _docid_key(t: pa.Table) -> tuple[int, int, bool]:
+    d = t.column("doc_id").to_numpy()
+    is_sorted = bool(np.all(np.diff(d) > 0)) if len(d) > 1 else True
+    return int(d.min()), int(d.max()), is_sorted
+
+
 def pack_shards(sf_dir: str, budget: int = 2048) -> ray.data.Dataset:
     """(doc_id, n_tokens, shard_id) — greedy sequential packing of documents
     into ~``budget``-token training shards: shard_id = exclusive running
@@ -294,26 +317,9 @@ def pack_shards(sf_dir: str, budget: int = 2048) -> ray.data.Dataset:
     block with its offset.  Nothing shuffles.
     """
 
-    def counts(batch: pa.Table) -> pa.Table:
-        from .textstats import token_count_expr
-
-        df = pl.from_arrow(batch)
-        return df.select(
-            "doc_id",
-            token_count_expr().cast(pl.Int64).alias("n_tokens"),
-        ).to_arrow()
-
-    counted = read_spread(f"{sf_dir}/documents.parquet",
-                          ["doc_id", "text"]).map_batches(
-        counts, batch_format="pyarrow").materialize()
-
-    def docid_key(t: pa.Table) -> tuple[int, int, bool]:
-        d = t.column("doc_id").to_numpy()
-        is_sorted = bool(np.all(np.diff(d) > 0)) if len(d) > 1 else True
-        return int(d.min()), int(d.max()), is_sorted
-
+    counted = _doc_token_counts(sf_dir)
     return _prefix_sum_pack(
-        counted.to_arrow_refs(), budget, docid_key, (),
+        counted.to_arrow_refs(), budget, _docid_key, (),
         "pack_shards requires a doc_id-sorted input (ranges overlap "
         "or a block is internally unsorted)")
 
@@ -376,6 +382,92 @@ def _prefix_sum_pack(refs: list, budget: int, block_key, drop_cols: tuple,
             "doc_id": pa.array([], pa.int64()),
             "n_tokens": pa.array([], pa.int64()),
             "shard_id": pa.array([], pa.int64())}))
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 512) -> ray.data.Dataset:
+    """(seq_id, doc_id, tok_start, tok_end, seq_off) — concatenate the
+    corpus token stream in doc_id order and split it into fixed-length
+    training sequences of ``seq_len`` tokens: the final "chunk into
+    context windows" step of LLM data prep.  Unlike :func:`pack_shards`
+    (which ASSIGNS whole docs to budgeted shards), documents SPLIT
+    across sequence boundaries: each output row says that sequence
+    ``seq_id`` carries doc ``doc_id``'s tokens ``[tok_start, tok_end)``
+    starting at in-sequence position ``seq_off``.  Zero-token docs emit
+    no rows; the final sequence is ragged (shorter than ``seq_len``).
+
+    Shape: the :func:`pack_shards` distributed prefix sum — per-block
+    (doc range, token subtotal) triples to the driver (O(#blocks), never
+    rows), range-ordered with overlap/disorder detection, exclusive
+    scan — then a map-only per-block emit: a doc at global offset ``p``
+    with ``n`` tokens overlaps sequences ``p // L .. (p+n-1) // L``, and
+    the per-doc expansion is one vectorized ``np.repeat`` (no Python
+    loop over docs).  Nothing shuffles."""
+    counted = _doc_token_counts(sf_dir)
+    refs = counted.to_arrow_refs()
+
+    @ray.remote
+    def block_stats(t: pa.Table):
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return None
+        lo, hi, is_sorted = _docid_key(t)
+        return (lo, hi, int(pc.sum(t.column("n_tokens")).as_py() or 0),
+                is_sorted)
+
+    stats = ray.get([block_stats.remote(r) for r in refs])
+    order = sorted((i for i in range(len(refs)) if stats[i] is not None),
+                   key=lambda i: stats[i][0])
+    prev_max = None
+    for i in order:
+        lo, hi, _, is_sorted = stats[i]
+        if (prev_max is not None and lo <= prev_max) or not is_sorted:
+            raise ValueError(
+                "pack_sequences requires a doc_id-sorted input (ranges "
+                "overlap or a block is internally unsorted)")
+        prev_max = hi
+    offsets = np.concatenate(
+        ([0], np.cumsum([stats[i][2] for i in order])[:-1])) \
+        if order else np.array([])
+
+    _empty = pa.table({"seq_id": pa.array([], pa.int64()),
+                       "doc_id": pa.array([], pa.int64()),
+                       "tok_start": pa.array([], pa.int64()),
+                       "tok_end": pa.array([], pa.int64()),
+                       "seq_off": pa.array([], pa.int64())})
+
+    @ray.remote
+    def emit(t: pa.Table, offset: int) -> pa.Table:
+        n = t.column("n_tokens").to_numpy().astype(np.int64)
+        d = t.column("doc_id").to_numpy()
+        p = offset + np.concatenate(([0], np.cumsum(n)[:-1]))
+        nz = n > 0
+        d, n, p = d[nz], n[nz], p[nz]
+        if not len(d):
+            return _empty
+        s0 = p // seq_len
+        k = (p + n - 1) // seq_len - s0 + 1
+        tot = int(k.sum())
+        starts = np.concatenate(([0], np.cumsum(k)[:-1]))
+        # row r belongs to doc j with local sequence index r - starts[j]
+        j = np.repeat(np.arange(len(d)), k)
+        seq = s0[j] + (np.arange(tot) - starts[j])
+        p_r, n_r = p[j], n[j]
+        return pa.table({
+            "seq_id": pa.array(seq, pa.int64()),
+            "doc_id": pa.array(d[j], pa.int64()),
+            "tok_start": pa.array(np.maximum(seq * seq_len - p_r, 0),
+                                  pa.int64()),
+            "tok_end": pa.array(np.minimum((seq + 1) * seq_len - p_r, n_r),
+                                pa.int64()),
+            "seq_off": pa.array(np.maximum(p_r - seq * seq_len, 0),
+                                pa.int64()),
+        })
+
+    out_refs = [emit.remote(refs[i], int(o)) for i, o in zip(order, offsets)]
+    if not out_refs:
+        return ray.data.from_arrow(_empty)
     return ray.data.from_arrow_refs(out_refs)
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 import hashlib
 
 import polars as pl
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -287,3 +288,48 @@ def test_pack_shards_tiny_corpus_and_unsorted_input(tmp_path):
                    d2 / "documents.parquet")
     with pytest.raises(ValueError, match="doc_id-sorted"):
         sampling.pack_shards(str(d2), budget=4).take_all()
+
+
+def test_pack_sequences_oracle_and_invariants(tmp_path, ray_entry_mod):
+    """pack_sequences == the registered DuckDB oracle on sf0.001 (the
+    entry sits past the driver's 50-slot window, so the hash-grade
+    compare lives here), plus structural invariants: full sequences tile
+    exactly seq_len tokens, spans within a doc are contiguous, and a
+    doc longer than seq_len splits across sequences."""
+    import duckdb
+
+    from indri_5_5_ray.functions import sampling
+
+    sf = "/root/testdata/sf0.001"
+    got = (sampling.pack_sequences(sf, seq_len=512).to_pandas()
+           .sort_values(["seq_id", "doc_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(
+        ray_entry_mod.oracle_sql()["pack_sequences"]).fetch_df()
+    assert got.shape == want.shape
+    for c in got.columns:
+        assert (got[c].values == want[c].values).all(), c
+
+    lengths = (got.tok_end - got.tok_start).groupby(got.seq_id).sum()
+    assert (lengths.iloc[:-1] == 512).all()
+    assert 0 < lengths.iloc[-1] <= 512
+
+    # a giant doc splits: 3 docs, the middle one 1200 tokens
+    d = tmp_path / "giant"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([5, 9, 11], pa.int64()),
+        "text": pa.array(["alpha beta", "tok " * 1200, "omega"]),
+    }), d / "documents.parquet")
+    rows = (sampling.pack_sequences(str(d), seq_len=512).to_pandas()
+            .sort_values(["seq_id", "doc_id"]).values.tolist())
+    # offsets: doc5 [0,2), doc9 [2,1202), doc11 [1202,1203)
+    assert rows == [
+        [0, 5, 0, 2, 0],
+        [0, 9, 0, 510, 2],
+        [1, 9, 510, 1022, 0],
+        [2, 9, 1022, 1200, 0],
+        [2, 11, 0, 1, 178],
+    ]
