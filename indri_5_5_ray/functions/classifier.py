@@ -85,6 +85,17 @@ def _class_counts(sf_dir: str, pos_col: str, pos_val: str) -> ray.data.Dataset:
         Sum("cf_neg", alias_name="cf_neg"))
 
 
+def _doc_priors(sf_dir: str, pos_col: str, pos_val: str) -> tuple[int, int]:
+    """(n_pos, n_neg) document counts from one pruned column read."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    lab = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=[pos_col]).column(pos_col)
+    n_pos = int(pc.sum(pc.equal(lab, pos_val)).as_py() or 0)
+    return n_pos, len(lab) - n_pos
+
+
 def _nb_spill(sf_dir: str, pos_col: str, pos_val: str) -> str:
     """Build (once, content-keyed) the llr vocab spill + meta constants."""
     import json
@@ -126,16 +137,11 @@ def _nb_spill(sf_dir: str, pos_col: str, pos_val: str) -> str:
         total_neg = int(tp["cf_neg"].sum() or 0)
         vsize = t.num_rows
         # doc priors from one pruned column read (tiny vs the token pass)
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq2
-
-        lab = pq2.read_table(path, columns=[pos_col]).column(pos_col)
-        n_pos = int(pc.sum(pc.equal(lab, pos_val)).as_py() or 0)
-        n_docs = len(lab)
+        n_pos, n_neg = _doc_priors(sf_dir, pos_col, pos_val)
         with open(f"{tmp}/meta.json", "w") as f:
             json.dump({"total_pos": total_pos, "total_neg": total_neg,
                        "vsize": vsize, "n_pos": n_pos,
-                       "n_neg": n_docs - n_pos}, f)
+                       "n_neg": n_neg}, f)
 
     return ensure_cached_dir(
         "/tmp/indri55_nbcls",
@@ -190,17 +196,6 @@ def nb_token_llr(sf_dir: str, pos_col: str = "lang",
 
     return ray.data.read_parquet(f"{spill}/vocab").map_batches(
         add_llr, batch_format="pyarrow")
-
-
-def _doc_priors(sf_dir: str, pos_col: str, pos_val: str) -> tuple[int, int]:
-    """(n_pos, n_neg) document counts from one pruned column read."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    lab = pq.read_table(f"{sf_dir}/documents.parquet",
-                        columns=[pos_col]).column(pos_col)
-    n_pos = int(pc.sum(pc.equal(lab, pos_val)).as_py() or 0)
-    return n_pos, len(lab) - n_pos
 
 
 # auto mode switches nb_classifier_scores to the cogroup path above this

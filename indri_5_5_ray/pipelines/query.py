@@ -112,8 +112,6 @@ class IndexReader:
         self._range_lens: dict[tuple[int, int], np.ndarray] = {}
         self._range_lens_bytes = 0
         self._docnos: dict[int, str] | None = None
-        self._postings_ds: pads.Dataset | None = None
-        self._dict_ds: pads.Dataset | None = None
         self._row_cache: dict[str, pa.Table] = {}
         # per-term postings payload bytes, aligned with _row_cache row order:
         # large_binary -> Python bytes is a full copy, so it is paid once at
@@ -130,6 +128,7 @@ class IndexReader:
         self._frag_bounds: dict[str, list] = {}
         self._pqfiles: dict[str, pq.ParquetFile] = {}
         self._pcat: list | None = None
+        self._dcat: list | None = None
 
     def _dset(self, sub: str) -> pads.Dataset:
         ds = self._dsets.get(sub)
@@ -389,20 +388,10 @@ class IndexReader:
         for fp in sorted((Path(self.index_dir) / "postings").glob("*.parquet")):
             pf = pq.ParquetFile(str(fp))
             md = pf.metadata
-            ti = bi = None
-            for i in range(len(md.schema)):
-                p = md.schema.column(i).path
-                if p == "term":
-                    ti = i
-                elif p == "bucket":
-                    bi = i
-            fi = li = None
-            for i in range(len(md.schema)):
-                p = md.schema.column(i).path
-                if p == "first_doc":
-                    fi = i
-                elif p == "last_doc":
-                    li = i
+            idx = {md.schema.column(i).path: i
+                   for i in range(len(md.schema))}
+            ti, bi = idx["term"], idx["bucket"]
+            fi, li = idx.get("first_doc"), idx.get("last_doc")
             tmins, tmaxs, bmins, bmaxs, always = [], [], [], [], []
             fmins, lmaxs = [], []
             for g in range(md.num_row_groups):
@@ -495,7 +484,7 @@ class IndexReader:
         postings catalog's shape, minus bucket/doc columns): dictionary
         shards are term-sorted with 4096-row groups, so a cold (cf, df)
         lookup decompresses ~one group, not the vocabulary shard."""
-        if getattr(self, "_dcat", None) is not None:
+        if self._dcat is not None:
             return self._dcat
         cat = []
         for fp in sorted((Path(self.index_dir) / "dictionary")
@@ -589,7 +578,7 @@ class IndexReader:
                     pc.greater_equal(t.column("last_doc"), lo),
                     pc.less(t.column("first_doc"), hi))
                 return t.filter(mask)
-            t = self._read_term_rows(terms)
+            t = self._read_term_rows(terms, doc_range)
             mask = pc.and_(pc.greater_equal(t.column("last_doc"), lo),
                            pc.less(t.column("first_doc"), hi))
             return t.filter(mask).sort_by(

@@ -352,3 +352,26 @@ def test_fetch_postings_block_pruning_exact(tinyblock_engine):
     # and it actually pruned: the commonest term's pruned doc list is
     # strictly smaller than the full one (many blocks dropped)
     assert len(pruned[terms[0]][0]) < len(full[terms[0]][0])
+
+
+def test_read_term_rows_doc_range_prune_exact(tinyblock_engine):
+    """_read_term_rows(terms, doc_range) must contain every row of the
+    unrestricted fetch that intersects the range (the rg-stats prune may
+    keep extra row groups, never drop an intersecting one)."""
+    r = tinyblock_engine.r
+    terms = ["merge", "buffer"]
+    full = r._read_term_rows(terms)
+    lo, hi = 40, 120
+    pruned = r._read_term_rows(terms, (lo, hi))
+    keep = [i for i in range(full.num_rows)
+            if full.column("last_doc")[i].as_py() >= lo
+            and full.column("first_doc")[i].as_py() < hi]
+    want = full.take(keep)
+    have = {(t, s, f) for t, s, f in zip(
+        pruned.column("term").to_pylist(),
+        pruned.column("salt").to_pylist(),
+        pruned.column("first_doc").to_pylist())}
+    for t, s, f in zip(want.column("term").to_pylist(),
+                       want.column("salt").to_pylist(),
+                       want.column("first_doc").to_pylist()):
+        assert (t, s, f) in have
