@@ -137,25 +137,15 @@ class IndexReader:
             self._dsets[sub] = ds
         return ds
 
-    def _point_read(self, sub: str, doc_ids: list[int],
-                    columns: list[str]) -> pa.Table:
-        """doc_id point read over a doc-range-sharded dataset dir.
-
-        pyarrow's ``isin`` filter does NOT prune row groups from
-        statistics (measured: 0.6 s for 10 ids over a 120-fragment
-        docstore, flat with the id count), so this keeps a per-reader
-        cache of each fragment's per-ROW-GROUP [min, max] doc_id footer
-        stats and decompresses ONLY row groups containing a requested id
-        (content docstores are written with 256-row groups —
-        stages/ingest.py — so a k=10 snippet page touches ~10×256 rows,
-        not 10 whole chunks' content columns)."""
-        dset = self._dset(sub)
+    def _doc_bounds(self, sub: str) -> list:
+        """Per-fragment (min, max, frag, row-group bounds) doc_id footer
+        stats of a doc-range-sharded dataset dir, cached per reader."""
         bounds = self._frag_bounds.get(sub)
         if bounds is None:
             import pyarrow.parquet as _pq
 
             bounds = []
-            for frag in dset.get_fragments():
+            for frag in self._dset(sub).get_fragments():
                 md = _pq.read_metadata(frag.path)
                 try:
                     ci = md.schema.to_arrow_schema().names.index("doc_id")
@@ -171,6 +161,22 @@ class IndexReader:
                     rgs = None
                 bounds.append((mn, mx, frag, rgs))
             self._frag_bounds[sub] = bounds
+        return bounds
+
+    def _point_read(self, sub: str, doc_ids: list[int],
+                    columns: list[str]) -> pa.Table:
+        """doc_id point read over a doc-range-sharded dataset dir.
+
+        pyarrow's ``isin`` filter does NOT prune row groups from
+        statistics (measured: 0.6 s for 10 ids over a 120-fragment
+        docstore, flat with the id count), so this keeps a per-reader
+        cache of each fragment's per-ROW-GROUP [min, max] doc_id footer
+        stats and decompresses ONLY row groups containing a requested id
+        (content docstores are written with 256-row groups —
+        stages/ingest.py — so a k=10 snippet page touches ~10×256 rows,
+        not 10 whole chunks' content columns)."""
+        dset = self._dset(sub)
+        bounds = self._doc_bounds(sub)
         ids = sorted(set(int(d) for d in doc_ids))
         arr = np.asarray(ids, dtype=np.int64)
         flt = pads.field("doc_id").isin(ids)
@@ -358,6 +364,19 @@ class IndexReader:
         # tag-tree columns (indexes built before ordinals existed lack them)
         names = dset.schema.names
         cols += [c for c in ("ordinals", "parent_ordinals") if c in names]
+        if doc_range is not None and doc_ids is None:
+            # sharded-extents scatter: read only the doc-range fragments
+            # this shard owns (the fields dir is doc-range sharded; a
+            # dataset-level scan evaluates every fragment), footer bounds
+            # cached per reader exactly like _point_read
+            lo, hi = doc_range
+            hits = [frag for mn, mx, frag, _rgs in self._doc_bounds("fields")
+                    if mx >= lo and mn < hi]
+            if not hits:
+                return pa.table({c: pa.array([], dset.schema.field(c).type)
+                                 for c in cols})
+            return pa.concat_tables(
+                [frag.to_table(filter=expr, columns=cols) for frag in hits])
         return dset.to_table(filter=expr, columns=cols)
 
     # -- postings access ----------------------------------------------------
