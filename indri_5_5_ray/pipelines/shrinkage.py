@@ -227,16 +227,18 @@ class ShrinkageScorer:
         if struct is not None and tf:
             begin, end, parent = struct["begin"], struct["end"], struct["parent"]
             # single-term extents [p, p+1) never overlap → the lastEnd skip
-            # never fires; containment counting replaces the active-list walk
-            for o in range(1, n + 1):
-                c = int(np.searchsorted(positions, end[o])
-                        - np.searchsorted(positions, begin[o]))
-                if c:
-                    counts[o] = c
-                    r = o
-                    while parent[r] != 0:
-                        r = parent[r]
-                    roots.add(r)
+            # never fires; containment counting replaces the active-list
+            # walk — ONE vectorized searchsorted pair over all nodes (the
+            # per-node Python loop was the xmlq bench's dominant cost)
+            c_all = (np.searchsorted(positions, end[1:n + 1])
+                     - np.searchsorted(positions, begin[1:n + 1]))
+            nz = np.flatnonzero(c_all)
+            counts[nz + 1] = c_all[nz]
+            for o in (nz + 1).tolist():
+                r = o
+                while parent[r] != 0:
+                    r = parent[r]
+                roots.add(r)
         base = np.zeros(n + 1, np.float64)
         up = np.zeros(n + 1, np.float64)
         down = np.zeros(n + 1, np.float64)
