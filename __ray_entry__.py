@@ -1359,6 +1359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is pytest-compared (tests/test_sampling.py) since the driver
         # window stops at 50
         "pack_sequences": sampling.pack_sequences,
+        # NEW r5 (final), tail: GPT-3 Pareto classifier sampling —
+        # train -> score -> deterministic keep; oracle pytest-compared
+        "nb_pareto_sample": classifier.nb_pareto_sample,
         # rotated out r5 (final) for nb_classifier_scores: lang_id (green
         # r2-r4 unchanged; lang_table_stats below aggregates its exact
         # output and repetition_stats/quality_filter keep the map-only
@@ -2589,6 +2592,33 @@ ORDER BY doc_id"""
 # cross-entropy in nats under the corpus MLE unigram model (see
 # functions/textstats.py unigram_logprob — same evaluation order:
 # ln(total) - sum(ln cf)/n)
+# shared NB-classifier CTE: per-doc (doc_id, n_tokens, nb_llr) under the
+# seed label lang='en' (functions/classifier.py formula, add-one smoothing)
+_NB_CTE = f"""nbdocs AS (SELECT doc_id, {TOKEN_SQL} AS t, lang = 'en' AS pos
+              FROM documents),
+nbtok AS (SELECT doc_id, pos, unnest(t) AS term FROM nbdocs),
+nbcls AS (SELECT term,
+               sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cf_pos,
+               sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS cf_neg
+        FROM nbtok GROUP BY term),
+nbmeta AS (SELECT coalesce(sum(cf_pos), 0) AS tp,
+                coalesce(sum(cf_neg), 0) AS tn,
+                count(*) AS v FROM nbcls),
+nbpri AS (SELECT ln((sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)::DOUBLE
+                  / (count(*) - sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1))
+               AS prior
+        FROM nbdocs),
+nbper AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+               sum(ln(c.cf_pos + 1) - ln(m.tp + m.v)
+                   - ln(c.cf_neg + 1) + ln(m.tn + m.v)) AS s
+        FROM nbtok t JOIN nbcls c USING (term) CROSS JOIN nbmeta m
+        GROUP BY t.doc_id),
+nbdoc AS (SELECT d.doc_id,
+                 coalesce(p.n_tokens, 0) AS n_tokens,
+                 nbpri.prior + coalesce(p.s, 0.0) AS nb_llr
+          FROM documents d LEFT JOIN nbper p USING (doc_id)
+          CROSS JOIN nbpri)"""
+
 _UNIGRAM_CTE = f"""docs AS (SELECT doc_id, {TOKEN_SQL} AS t FROM documents),
 tok AS (SELECT doc_id, unnest(t) AS term FROM docs),
 cf AS (SELECT term, count(*)::DOUBLE AS cf FROM tok GROUP BY term),
@@ -2913,31 +2943,22 @@ FROM stats ORDER BY doc_id""",
         # (functions/classifier.py nb_classifier_scores — same formula,
         # float-tolerant compare absorbs the summation-order difference)
         "nb_classifier_scores": f"""
-WITH docs AS (SELECT doc_id, {TOKEN_SQL} AS t, lang = 'en' AS pos
-              FROM documents),
-tok AS (SELECT doc_id, pos, unnest(t) AS term FROM docs),
-cls AS (SELECT term,
-               sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cf_pos,
-               sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS cf_neg
-        FROM tok GROUP BY term),
-meta AS (SELECT coalesce(sum(cf_pos), 0) AS tp,
-                coalesce(sum(cf_neg), 0) AS tn,
-                count(*) AS v FROM cls),
-pri AS (SELECT ln((sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)::DOUBLE
-                  / (count(*) - sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1))
-               AS prior
-        FROM docs),
-per AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
-               sum(ln(c.cf_pos + 1) - ln(m.tp + m.v)
-                   - ln(c.cf_neg + 1) + ln(m.tn + m.v)) AS s
-        FROM tok t JOIN cls c USING (term) CROSS JOIN meta m
-        GROUP BY t.doc_id)
-SELECT d.doc_id,
-       coalesce(p.n_tokens, 0) AS n_tokens,
-       pri.prior + coalesce(p.s, 0.0) AS nb_llr,
-       (pri.prior + coalesce(p.s, 0.0)) > 0 AS predicted
-FROM documents d LEFT JOIN per p USING (doc_id) CROSS JOIN pri
-ORDER BY d.doc_id""",
+WITH {_NB_CTE}
+SELECT doc_id, n_tokens, nb_llr, nb_llr > 0 AS predicted
+FROM nbdoc ORDER BY doc_id""",
+        # GPT-3 Pareto-sampled classifier filter (functions/classifier.py
+        # nb_pareto_sample) — deterministic inverse-CDF draw from a
+        # md5(doc_id) uniform, score = sigmoid(nb_llr), keep margin > 0
+        "nb_pareto_sample": f"""
+WITH {_NB_CTE},
+drawn AS (SELECT doc_id, n_tokens, nb_llr,
+                 pow(greatest(('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      / 4294967296.0, pow(2.0, -33)), -1.0 / 9.0) - 1.0
+                 - (1.0 - 1.0 / (1.0 + exp(-nb_llr))) AS margin
+          FROM nbdoc)
+SELECT doc_id, n_tokens, nb_llr, margin
+FROM drawn WHERE margin > 0 ORDER BY doc_id""",
         "ngram_jaccard_pairs": f"""
             WITH {_SHINGLE_SQL},
             sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),

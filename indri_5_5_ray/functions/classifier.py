@@ -382,3 +382,42 @@ def nb_classifier_scores(sf_dir: str, pos_col: str = "lang",
     return read_spread(f"{sf_dir}/documents.parquet",
                        ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow")
+
+
+def nb_pareto_sample(sf_dir: str, pos_col: str = "lang",
+                     pos_val: str = "en", alpha: float = 9.0,
+                     mode: str = "auto") -> ray.data.Dataset:
+    """(doc_id, n_tokens, nb_llr, margin) — the GPT-3 classifier-filtered
+    sampling rule (Brown et al. 2020 §A: keep a document iff
+    ``np.random.pareto(alpha) > 1 - document_score``, alpha = 9) made
+    DETERMINISTIC: the Pareto draw is the inverse-CDF transform
+    ``x = u^(-1/alpha) - 1`` of a content-keyed uniform
+    ``u = md5(doc_id)[:8] / 2^32`` (the :func:`.sampling.sample_hash`
+    trick — reruns, resumes and cluster sizes keep the same documents),
+    and the document score is the NB posterior ``sigmoid(nb_llr)``.
+    ``margin = x - (1 - score) > 0`` is the keep rule; kept rows only.
+    Composes the classifier stages: train (one exchange) → score
+    (map-only) → sample (map-only) — nothing shuffles after training."""
+    import hashlib
+
+    inv = -1.0 / alpha
+
+    def sample(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        ids = batch.column("doc_id").to_pylist()
+        u = np.array([int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                      for d in ids], dtype=np.float64) / 4294967296.0
+        llr = batch.column("nb_llr").to_numpy()
+        score = 1.0 / (1.0 + np.exp(-llr))
+        # u = 0 would be an infinite draw; md5 zeros are ~2^-32 — clamp
+        # exactly like the SQL (greatest(u, 2^-33))
+        x = np.power(np.maximum(u, 2.0 ** -33), inv) - 1.0
+        margin = x - (1.0 - score)
+        return (df.with_columns(pl.Series("margin", margin))
+                .filter(pl.col("margin") > 0)
+                .select("doc_id", "n_tokens", "nb_llr", "margin")
+                .to_arrow())
+
+    return nb_classifier_scores(sf_dir, pos_col, pos_val,
+                                mode=mode).map_batches(
+        sample, batch_format="pyarrow")
