@@ -272,6 +272,7 @@ def run_bench() -> dict:
         from indri_5_5_ray.functions import classifier
 
         _sh.rmtree("/tmp/indri55_nbcls", ignore_errors=True)
+        _sh.rmtree("/tmp/indri55_nbcg", ignore_errors=True)  # cogroup mode
         return classifier.nb_classifier_scores(SF_DIR).count()
 
     def _warc_parse() -> int:

@@ -71,7 +71,8 @@ def _class_counts(sf_dir: str, pos_col: str, pos_val: str) -> ray.data.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
         ex = (df.with_columns(tokens_expr().alias("term"),
-                              (pl.col(pos_col) == pos_val).alias("pos"))
+                              (pl.col(pos_col) == pos_val).fill_null(False)
+                              .alias("pos"))
               .select("term", "pos").explode("term").drop_nulls("term"))
         return (ex.group_by("term")
                 .agg(pl.col("pos").cast(pl.Int64).sum().alias("cf_pos"),
@@ -86,7 +87,10 @@ def _class_counts(sf_dir: str, pos_col: str, pos_val: str) -> ray.data.Dataset:
 
 
 def _doc_priors(sf_dir: str, pos_col: str, pos_val: str) -> tuple[int, int]:
-    """(n_pos, n_neg) document counts from one pruned column read."""
+    """(n_pos, n_neg) document counts from one pruned column read.  NULL
+    labels count as NEGATIVE everywhere (pc.equal yields null, pc.sum
+    skips it, n_neg = len - n_pos) — the same rule the token counters
+    apply via fill_null(False) and the SQL oracle via CASE WHEN."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -233,7 +237,8 @@ def _nb_cogroup(sf_dir: str, pos_col: str, pos_val: str) -> ray.data.Dataset:
 
     def doc_term_tf(df: pl.DataFrame) -> pl.DataFrame:
         ex = (df.with_columns(tokens_expr().alias("term"),
-                              (pl.col(pos_col) == pos_val).alias("pos"))
+                              (pl.col(pos_col) == pos_val).fill_null(False)
+                              .alias("pos"))
               .select("doc_id", "pos", "term")
               .explode("term").drop_nulls("term"))
         return (ex.group_by("doc_id", "term")

@@ -324,25 +324,14 @@ def pack_shards(sf_dir: str, budget: int = 2048) -> ray.data.Dataset:
         "or a block is internally unsorted)")
 
 
-def _prefix_sum_pack(refs: list, budget: int, block_key, drop_cols: tuple,
-                     err: str) -> ray.data.Dataset:
-    """Shared distributed-prefix-sum packer behind :func:`pack_shards` and
-    :func:`shuffle_pack`: per-block (key range, token subtotal) triples to
-    the driver (O(#blocks), never rows), blocks put in global order by
-    their DISJOINT key ranges, exclusive scan, per-block offset re-map.
-
-    ``block_key(t) -> (lo_key, hi_key, is_sorted)`` extracts one block's
-    key range and whether the block is internally key-sorted; overlap OR
-    intra-block disorder raises ``ValueError(err)`` — the running offset
-    is undefined either way.  Empty blocks (a corpus narrower than the
-    spread width, or an empty sort partition — they may lack even the
-    mapped schema) are dropped.
-
-    CONTRACT: real blocks must carry ``doc_id`` and ``n_tokens`` columns
-    — the ``"doc_id" not in column_names`` test below is how schema-less
-    empty blocks are recognized, so a caller keying on a different id
-    column would see every block silently classified empty; add the
-    column names as parameters before adding such a caller."""
+def _block_token_offsets(refs: list, block_key, err: str):
+    """Driver-side scan shared by the packers: per-block (key range, token
+    subtotal) triples (O(#blocks), never rows), blocks put in global order
+    by their DISJOINT key ranges — overlap or intra-block disorder raises
+    ``ValueError(err)`` — then an exclusive scan of token subtotals.
+    Returns ``(order, offsets)`` over the indices of real blocks (empty /
+    schema-less blocks are dropped; real blocks must carry ``doc_id`` and
+    ``n_tokens`` — see _prefix_sum_pack's CONTRACT note)."""
 
     @ray.remote
     def block_stats(t: pa.Table):
@@ -366,6 +355,30 @@ def _prefix_sum_pack(refs: list, budget: int, block_key, drop_cols: tuple,
     offsets = np.concatenate(
         ([0], np.cumsum([stats[i][2] for i in order])[:-1])) \
         if order else np.array([])
+    return order, offsets
+
+
+def _prefix_sum_pack(refs: list, budget: int, block_key, drop_cols: tuple,
+                     err: str) -> ray.data.Dataset:
+    """Shared distributed-prefix-sum packer behind :func:`pack_shards` and
+    :func:`shuffle_pack`: per-block (key range, token subtotal) triples to
+    the driver (O(#blocks), never rows), blocks put in global order by
+    their DISJOINT key ranges, exclusive scan, per-block offset re-map.
+
+    ``block_key(t) -> (lo_key, hi_key, is_sorted)`` extracts one block's
+    key range and whether the block is internally key-sorted; overlap OR
+    intra-block disorder raises ``ValueError(err)`` — the running offset
+    is undefined either way.  Empty blocks (a corpus narrower than the
+    spread width, or an empty sort partition — they may lack even the
+    mapped schema) are dropped.
+
+    CONTRACT: real blocks must carry ``doc_id`` and ``n_tokens`` columns
+    — the ``"doc_id" not in column_names`` test below is how schema-less
+    empty blocks are recognized, so a caller keying on a different id
+    column would see every block silently classified empty; add the
+    column names as parameters before adding such a caller."""
+
+    order, offsets = _block_token_offsets(refs, block_key, err)
 
     @ray.remote
     def assign(t: pa.Table, offset: int) -> pa.Table:
@@ -405,31 +418,10 @@ def pack_sequences(sf_dir: str, seq_len: int = 512) -> ray.data.Dataset:
     loop over docs).  Nothing shuffles."""
     counted = _doc_token_counts(sf_dir)
     refs = counted.to_arrow_refs()
-
-    @ray.remote
-    def block_stats(t: pa.Table):
-        import pyarrow.compute as pc
-
-        if t.num_rows == 0 or "doc_id" not in t.column_names:
-            return None
-        lo, hi, is_sorted = _docid_key(t)
-        return (lo, hi, int(pc.sum(t.column("n_tokens")).as_py() or 0),
-                is_sorted)
-
-    stats = ray.get([block_stats.remote(r) for r in refs])
-    order = sorted((i for i in range(len(refs)) if stats[i] is not None),
-                   key=lambda i: stats[i][0])
-    prev_max = None
-    for i in order:
-        lo, hi, _, is_sorted = stats[i]
-        if (prev_max is not None and lo <= prev_max) or not is_sorted:
-            raise ValueError(
-                "pack_sequences requires a doc_id-sorted input (ranges "
-                "overlap or a block is internally unsorted)")
-        prev_max = hi
-    offsets = np.concatenate(
-        ([0], np.cumsum([stats[i][2] for i in order])[:-1])) \
-        if order else np.array([])
+    order, offsets = _block_token_offsets(
+        refs, _docid_key,
+        "pack_sequences requires a doc_id-sorted input (ranges overlap "
+        "or a block is internally unsorted)")
 
     _empty = pa.table({"seq_id": pa.array([], pa.int64()),
                        "doc_id": pa.array([], pa.int64()),

@@ -387,36 +387,30 @@ class IndexReader:
         h = int.from_bytes(hashlib.md5(term.encode()).digest()[:4], "little")
         return h % self.cfg.n_buckets
 
-    def _postings_catalog(self) -> list:
-        """Per-file row-group (term, bucket) bounds of the postings dir,
-        built ONCE per reader from footers: a term fetch then reads only
-        the row groups whose term range can contain it (the files are
-        written term-sorted with 128-row groups by MergeWorker), instead
-        of a ``pads.dataset(...).to_table(filter=...)`` scan that paid
-        20-40 ms per cold query at sf0.1 re-evaluating fragments.
-
-        Entries: ``(ParquetFile, tmins, tmaxs, bmins, bmaxs, monotone,
-        always)`` — ``always`` holds row groups lacking term statistics
-        (never pruned, so stats truncation/omission can't lose rows);
-        ``monotone`` enables the bisect fast path, with a linear per-group
-        range check as the fallback for files whose rows aren't
-        term-sorted (e.g. indexes written by an older layout)."""
-        if self._pcat is not None:
-            return self._pcat
+    @staticmethod
+    def _term_footer_catalog(dir_path: Path, extra_cols: tuple = ()) -> list:
+        """Per-file row-group TERM bounds of a term-sorted shard dir, built
+        once from footers.  Entries: ``(ParquetFile, tmins, tmaxs,
+        monotone, always, extras)`` — ``always`` holds row groups lacking
+        term statistics (never pruned, so stats truncation/omission can't
+        lose rows); ``monotone`` enables the bisect fast path, with a
+        linear per-group range check as the fallback for files whose rows
+        aren't term-sorted (e.g. indexes written by an older layout);
+        ``extras[col] = (mins, maxs)`` carries per-group bounds of each
+        requested numeric column (missing stats widen to (-1, huge),
+        i.e. never prune)."""
         cat = []
-        for fp in sorted((Path(self.index_dir) / "postings").glob("*.parquet")):
+        for fp in sorted(dir_path.glob("*.parquet")):
             pf = pq.ParquetFile(str(fp))
             md = pf.metadata
             idx = {md.schema.column(i).path: i
                    for i in range(len(md.schema))}
-            ti, bi = idx["term"], idx["bucket"]
-            fi, li = idx.get("first_doc"), idx.get("last_doc")
-            tmins, tmaxs, bmins, bmaxs, always = [], [], [], [], []
-            fmins, lmaxs = [], []
+            ti = idx["term"]
+            tmins, tmaxs, always = [], [], []
+            extras = {c: ([], []) for c in extra_cols}
             for g in range(md.num_row_groups):
                 rg = md.row_group(g)
                 ts = rg.column(ti).statistics
-                bs = rg.column(bi).statistics
                 if ts is None or not ts.has_min_max:
                     always.append(g)
                     tmins.append(None)
@@ -424,28 +418,63 @@ class IndexReader:
                 else:
                     tmins.append(ts.min)
                     tmaxs.append(ts.max)
-                if bs is None or not bs.has_min_max:
-                    bmins.append(-1)
-                    bmaxs.append(1 << 30)
-                else:
-                    bmins.append(bs.min)
-                    bmaxs.append(bs.max)
-                fs = rg.column(fi).statistics if fi is not None else None
-                ls = rg.column(li).statistics if li is not None else None
-                fmins.append(fs.min if fs is not None and fs.has_min_max
-                             else -1)
-                lmaxs.append(ls.max if ls is not None and ls.has_min_max
-                             else 1 << 62)
+                for c in extra_cols:
+                    ci = idx.get(c)
+                    s = rg.column(ci).statistics if ci is not None else None
+                    ok = s is not None and s.has_min_max
+                    extras[c][0].append(s.min if ok else -1)
+                    extras[c][1].append(s.max if ok else 1 << 62)
             known = [(mn, mx) for mn, mx in zip(tmins, tmaxs)
                      if mn is not None]
             monotone = (not always) and all(
                 known[i][0] <= known[i + 1][0]
                 and known[i][1] <= known[i + 1][1]
                 for i in range(len(known) - 1))
-            cat.append((pf, tmins, tmaxs, bmins, bmaxs, monotone, always,
-                        fmins, lmaxs))
-        self._pcat = cat
+            cat.append((pf, tmins, tmaxs, monotone, always, extras))
         return cat
+
+    @staticmethod
+    def _term_row_groups(entry, terms: list[str],
+                         per_group_gate=None) -> set[int]:
+        """Row groups of one catalog entry that can hold any of ``terms``
+        (bisect on monotone files, linear range check otherwise), plus the
+        stats-less ``always`` groups; ``per_group_gate(g, term)`` can veto
+        a candidate (e.g. the postings bucket check)."""
+        import bisect
+
+        pf, tmins, tmaxs, monotone, always, _extras = entry
+        want = set(always)
+        if monotone:
+            for t in terms:
+                lo = bisect.bisect_left(tmaxs, t)
+                hi = bisect.bisect_right(tmins, t) - 1
+                for g in range(lo, hi + 1):
+                    if per_group_gate is None or per_group_gate(g, t):
+                        want.add(g)
+        else:
+            for g, (mn, mx) in enumerate(zip(tmins, tmaxs)):
+                if mn is None:
+                    continue
+                for t in terms:
+                    if mn <= t <= mx and (per_group_gate is None
+                                          or per_group_gate(g, t)):
+                        want.add(g)
+                        break
+        return want
+
+    def _postings_catalog(self) -> list:
+        """Postings-dir term catalog (``_term_footer_catalog`` with the
+        bucket and first/last_doc bounds as extras): a term fetch reads
+        only the row groups whose term range can contain it — the files
+        are written term-sorted with byte-bounded row groups by
+        MergeWorker — instead of a ``pads.dataset(...).to_table(filter=)``
+        scan that paid 20-40 ms per cold query at sf0.1 re-evaluating
+        fragments (pyarrow does not prune row groups for isin)."""
+        if self._pcat is None:
+            self._pcat = self._term_footer_catalog(
+                Path(self.index_dir) / "postings",
+                ("bucket", "first_doc", "last_doc"))
+        return self._pcat
 
     def _read_term_rows(self, terms: list[str],
                         doc_range: tuple[int, int] | None = None
@@ -456,33 +485,19 @@ class IndexReader:
         sharded-scatter path, where a shard worker must not decode other
         shards' salt-row groups of a hot term; callers still apply the
         exact per-row mask in memory."""
-        import bisect
-
         from ..stages.postings import POSTINGS_SCHEMA
 
         t_buckets = {t: self._bucket_of(t) for t in terms}
         parts = []
-        for pf, tmins, tmaxs, bmins, bmaxs, monotone, always, fmins, \
-                lmaxs in self._postings_catalog():
-            want = set(always)
-            if monotone:
-                for t in terms:
-                    b = t_buckets[t]
-                    lo = bisect.bisect_left(tmaxs, t)
-                    hi = bisect.bisect_right(tmins, t) - 1
-                    for g in range(lo, hi + 1):
-                        if bmins[g] <= b <= bmaxs[g]:
-                            want.add(g)
-            else:
-                for g, (mn, mx) in enumerate(zip(tmins, tmaxs)):
-                    if mn is None:
-                        continue
-                    for t in terms:
-                        if mn <= t <= mx and \
-                                bmins[g] <= t_buckets[t] <= bmaxs[g]:
-                            want.add(g)
-                            break
+        for entry in self._postings_catalog():
+            extras = entry[5]
+            bmins, bmaxs = extras["bucket"]
+            want = self._term_row_groups(
+                entry, terms,
+                lambda g, t: bmins[g] <= t_buckets[t] <= bmaxs[g])
             if doc_range is not None:
+                fmins, _ = extras["first_doc"]
+                _, lmaxs = extras["last_doc"]
                 want = {g for g in want
                         if lmaxs[g] >= doc_range[0]
                         and fmins[g] < doc_range[1]}
@@ -491,7 +506,7 @@ class IndexReader:
                 # (512 KB each) — parallel decompress matters at 10M+ docs
                 # (cold fetch of 3 top-cf terms measured 1.4x slower
                 # single-threaded at the 9.8M A/B)
-                parts.append(pf.read_row_groups(sorted(want)))
+                parts.append(entry[0].read_row_groups(sorted(want)))
         if not parts:
             return POSTINGS_SCHEMA.empty_table()
         fetched = pa.concat_tables(parts)
@@ -499,57 +514,21 @@ class IndexReader:
                                        value_set=pa.array(terms)))
 
     def _dict_catalog(self) -> list:
-        """Per-file row-group term bounds of the dictionary dir (the
-        postings catalog's shape, minus bucket/doc columns): dictionary
-        shards are term-sorted with 4096-row groups, so a cold (cf, df)
-        lookup decompresses ~one group, not the vocabulary shard."""
-        if self._dcat is not None:
-            return self._dcat
-        cat = []
-        for fp in sorted((Path(self.index_dir) / "dictionary")
-                         .glob("*.parquet")):
-            pf = pq.ParquetFile(str(fp))
-            md = pf.metadata
-            ti = next(i for i in range(len(md.schema))
-                      if md.schema.column(i).path == "term")
-            tmins, tmaxs, always = [], [], []
-            for g in range(md.num_row_groups):
-                ts = md.row_group(g).column(ti).statistics
-                if ts is None or not ts.has_min_max:
-                    always.append(g)
-                    tmins.append(None)
-                    tmaxs.append(None)
-                else:
-                    tmins.append(ts.min)
-                    tmaxs.append(ts.max)
-            known = [(mn, mx) for mn, mx in zip(tmins, tmaxs)
-                     if mn is not None]
-            monotone = (not always) and all(
-                known[i][0] <= known[i + 1][0]
-                and known[i][1] <= known[i + 1][1]
-                for i in range(len(known) - 1))
-            cat.append((pf, tmins, tmaxs, monotone, always))
-        self._dcat = cat
-        return cat
+        """Dictionary-dir term catalog (no extras): shards are term-sorted
+        with 4096-row groups, so a cold (cf, df) lookup decompresses ~one
+        group, not the vocabulary shard."""
+        if self._dcat is None:
+            self._dcat = self._term_footer_catalog(
+                Path(self.index_dir) / "dictionary")
+        return self._dcat
 
     def _read_dict_rows(self, terms: list[str]) -> pa.Table:
-        import bisect
-
         parts = []
-        for pf, tmins, tmaxs, monotone, always in self._dict_catalog():
-            want = set(always)
-            if monotone:
-                for t in terms:
-                    lo = bisect.bisect_left(tmaxs, t)
-                    hi = bisect.bisect_right(tmins, t) - 1
-                    want.update(range(lo, hi + 1))
-            else:
-                for g, (mn, mx) in enumerate(zip(tmins, tmaxs)):
-                    if mn is not None and any(mn <= t <= mx for t in terms):
-                        want.add(g)
+        for entry in self._dict_catalog():
+            want = self._term_row_groups(entry, terms)
             if want:
-                parts.append(pf.read_row_groups(sorted(want),
-                                                use_threads=False))
+                parts.append(entry[0].read_row_groups(sorted(want),
+                                                      use_threads=False))
         if not parts:
             return pa.table({"term": pa.array([], pa.string()),
                              "cf": pa.array([], pa.int64()),

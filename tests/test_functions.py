@@ -978,3 +978,32 @@ def test_nb_pareto_sample_oracle(ray_entry_mod):
     again = (nb_pareto_sample(sf).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
     assert (again.doc_id.values == got.doc_id.values).all()
+
+
+def test_nb_classifier_null_labels_mode_parity(tmp_path, ray_entry_mod):
+    """NULL seed labels count as NEGATIVE in broadcast, cogroup AND the
+    SQL oracle (review finding: the three previously disagreed)."""
+    import duckdb
+
+    from indri_5_5_ray.functions.classifier import nb_classifier_scores
+
+    d = tmp_path / "nulls"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["data table merge", "baum haus",
+                          "data haus", "merge table data"]),
+        "lang": pa.array(["en", "de", None, "en"]),
+    }), d / "documents.parquet")
+    sf = str(d)
+    a = nb_classifier_scores(sf, mode="broadcast").sort("doc_id").to_pandas()
+    b = nb_classifier_scores(sf, mode="cogroup").sort("doc_id").to_pandas()
+    assert (a.n_tokens.values == b.n_tokens.values).all()
+    assert np.allclose(a.nb_llr, b.nb_llr, rtol=1e-9, atol=1e-12)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(
+        ray_entry_mod.oracle_sql()["nb_classifier_scores"]).fetch_df()
+    assert np.allclose(a.nb_llr, want.nb_llr, atol=1e-9)
+    assert (a.n_tokens.values == want.n_tokens.values).all()
