@@ -8,9 +8,11 @@ Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
 2. BM25 block-max top-k over a 100-query set → p50/p95 latency;
 3. representative operator pipelines (term_stats, MinHash LSH, knn).
 
-`--scaling`: same build job in two fresh processes at num_cpus=8 and 32 on
-identical input; reports both throughputs + efficiency T32/(4·T8) — the
-in-sandbox stand-in for the N vs 4N cluster rule (see BASELINE.md).
+`--scaling`: same build job in two fresh processes at N and 4N cpus
+(default 2 vs 8 — see run_scaling's knee rationale; override with
+SCALING_CPUS="4,16") on identical input; reports both throughputs +
+efficiency T_hi/(4·T_lo) — the in-sandbox stand-in for the N vs 4N
+cluster rule (see BASELINE.md).
 """
 
 from __future__ import annotations
