@@ -16,6 +16,8 @@ import math
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from indri_5_5_ray.config import IndexConfig
 from indri_5_5_ray.pipelines.query import BM25Scorer, IndexReader, process_query
@@ -266,3 +268,86 @@ def test_cli_runquery(built_index, tmp_path, capsys):
     cli.main([out, "runquery", str(qf2), "3", "indri"])
     lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
     assert len(lines) == 3 and lines[0].startswith("1 Q0 ")
+
+
+# -- property: byte-bounded layout + footer catalog == brute-force fetch ----
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_catalog_fetch_equals_bruteforce_property(tmp_path_factory, data):
+    """write_postings_file + _term_footer_catalog/_read_term_rows round-trip:
+    for random term-sorted posting tables (multi-salt rows, random payload
+    sizes forcing random row-group cuts) the catalog fetch returns EXACTLY
+    the rows of the requested terms, and a doc_range fetch returns a
+    superset of the intersecting rows and a subset of the terms' rows."""
+    import hashlib
+    from types import SimpleNamespace
+
+    import pyarrow as pa
+
+    from indri_5_5_ray.pipelines.query import IndexReader
+    from indri_5_5_ray.stages.postings import (POSTINGS_SCHEMA,
+                                               write_postings_file)
+
+    n_buckets = 4
+    words = data.draw(st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=6),
+        min_size=1, max_size=12, unique=True))
+
+    def bucket_of(t):
+        return int.from_bytes(hashlib.md5(t.encode()).digest()[:4],
+                              "little") % n_buckets
+
+    rows = []
+    for t in sorted(words):
+        n_salt = data.draw(st.integers(1, 3))
+        lo = 0
+        for s in range(n_salt):
+            span = data.draw(st.integers(1, 50))
+            payload = bytes(data.draw(st.integers(1, 120)))
+            rows.append({
+                "term": t, "bucket": bucket_of(t), "salt": s,
+                "cf": 1, "df": 1, "max_dl": 1, "min_dl": 1,
+                "first_doc": lo, "last_doc": lo + span - 1,
+                "postings": payload,
+                "block_last_doc": [lo + span - 1], "block_n_docs": [1],
+                "block_max_tf": [1], "block_min_dl": [1],
+                "block_offset": [0], "block_length": [len(payload)],
+            })
+            lo += span + data.draw(st.integers(0, 5))
+
+    d = tmp_path_factory.mktemp("cat")
+    (d / "postings").mkdir()
+    for b in range(n_buckets):
+        brows = [r for r in rows if r["bucket"] == b]
+        if not brows:
+            continue
+        t = pa.Table.from_pylist(brows, schema=POSTINGS_SCHEMA)
+        write_postings_file(t, str(d / "postings" / f"postings-{b:05d}.parquet"),
+                            target_bytes=64, max_rows=3)
+
+    r = IndexReader.__new__(IndexReader)
+    r.index_dir = str(d)
+    r._pcat = None
+    r._dcat = None
+    r.cfg = SimpleNamespace(n_buckets=n_buckets)
+
+    key = lambda row: (row["term"], row["salt"])
+    want_terms = data.draw(st.lists(st.sampled_from(sorted(words)),
+                                    min_size=1, max_size=4, unique=True))
+    got = r._read_term_rows(want_terms)
+    got_keys = sorted(zip(got.column("term").to_pylist(),
+                          got.column("salt").to_pylist()))
+    brute = sorted(key(row) for row in rows if row["term"] in want_terms)
+    assert got_keys == brute
+
+    lo = data.draw(st.integers(0, 80))
+    hi = lo + data.draw(st.integers(1, 80))
+    ranged = r._read_term_rows(want_terms, (lo, hi))
+    rkeys = set(zip(ranged.column("term").to_pylist(),
+                    ranged.column("salt").to_pylist()))
+    must = {key(row) for row in rows
+            if row["term"] in want_terms
+            and row["last_doc"] >= lo and row["first_doc"] < hi}
+    assert must <= rkeys <= set(brute)
