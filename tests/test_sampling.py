@@ -9,6 +9,8 @@ import polars as pl
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from indri_5_5_ray.functions import sampling
 
@@ -333,3 +335,35 @@ def test_pack_sequences_oracle_and_invariants(tmp_path, ray_entry_mod):
         [2, 9, 1022, 1200, 0],
         [2, 11, 0, 1, 178],
     ]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_pack_sequences_property(tmp_path_factory, data):
+    """Vectorized overlap expansion == a plain-Python reference packer on
+    random sparse-doc-id corpora and random sequence lengths."""
+    from indri_5_5_ray.functions import sampling
+
+    n_docs = data.draw(st.integers(1, 12))
+    ids = sorted(data.draw(st.sets(st.integers(0, 500), min_size=n_docs,
+                                   max_size=n_docs)))
+    counts = [data.draw(st.integers(0, 40)) for _ in ids]
+    L = data.draw(st.integers(1, 17))
+
+    d = tmp_path_factory.mktemp("seqprop")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["tok " * n for n in counts]),
+    }), d / "documents.parquet")
+    got = sorted(map(tuple, sampling.pack_sequences(str(d), seq_len=L)
+                 .to_pandas().values.tolist()))
+
+    want = []
+    p = 0
+    for doc, n in zip(ids, counts):
+        if n:
+            for seq in range(p // L, (p + n - 1) // L + 1):
+                want.append((seq, doc, max(seq * L - p, 0),
+                             min((seq + 1) * L - p, n), max(p - seq * L, 0)))
+        p += n
+    assert got == sorted(want)
