@@ -10,6 +10,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 
 @pytest.fixture(scope="module")
@@ -1007,3 +1009,49 @@ def test_nb_classifier_null_labels_mode_parity(tmp_path, ray_entry_mod):
         ray_entry_mod.oracle_sql()["nb_classifier_scores"]).fetch_df()
     assert np.allclose(a.nb_llr, want.nb_llr, atol=1e-9)
     assert (a.n_tokens.values == want.n_tokens.values).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_nb_classifier_property(tmp_path_factory, data):
+    """Broadcast-mode NB scores == a Counter-based pure-Python reference
+    on random corpora (random vocab, labels incl. all-one-class, empty
+    docs); texts are space-joined [a-z]+ tokens so split() matches the
+    engine's tokenizer exactly."""
+    from collections import Counter
+
+    from indri_5_5_ray.functions.classifier import nb_classifier_scores
+
+    vocab = data.draw(st.lists(st.text(alphabet="abcde", min_size=1,
+                                       max_size=4),
+                               min_size=1, max_size=8, unique=True))
+    n_docs = data.draw(st.integers(1, 8))
+    texts = [" ".join(data.draw(st.lists(st.sampled_from(vocab),
+                                         min_size=0, max_size=15)))
+             for _ in range(n_docs)]
+    langs = [data.draw(st.sampled_from(["en", "de"]))
+             for _ in range(n_docs)]
+
+    d = tmp_path_factory.mktemp("nbprop")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+    }), d / "documents.parquet")
+    got = nb_classifier_scores(str(d), mode="broadcast").sort(
+        "doc_id").to_pandas()
+
+    cf_pos = Counter(t for s, l in zip(texts, langs) if l == "en"
+                     for t in s.split())
+    cf_neg = Counter(t for s, l in zip(texts, langs) if l != "en"
+                     for t in s.split())
+    tp, tn = sum(cf_pos.values()), sum(cf_neg.values())
+    v = len(set(cf_pos) | set(cf_neg))
+    n_pos = sum(l == "en" for l in langs)
+    prior = np.log((n_pos + 1) / (n_docs - n_pos + 1))
+    for i, s in enumerate(texts):
+        want = prior + sum(
+            np.log(cf_pos[t] + 1) - np.log(tp + v)
+            - np.log(cf_neg[t] + 1) + np.log(tn + v) for t in s.split())
+        assert got.n_tokens[i] == len(s.split())
+        assert abs(got.nb_llr[i] - want) < 1e-9, (i, s)
